@@ -1,0 +1,85 @@
+"""Fixture-table catalog: parquet files → DataFrames + temp views.
+
+Every query entry point funnels through here so the SQL (entry B) and
+DataFrame (entry C) surfaces share one catalog (SURVEY.md §3.2–3.3).
+
+Scale note: at 100 TB each of these would be a partitioned/bucketed table
+(lineitem bucketed by l_orderkey, orders by o_orderkey) registered in a
+real metastore; locally they are single parquet files. The query code only
+sees view names, so the swap is transparent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+# last sf_dir whose views were registered, per live SparkSession id —
+# re-register only when the target directory changes.
+_registered: dict[int, str] = {}
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return f"{sf_dir}/{name}.parquet"
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Lazy parquet scan of one fixture table.
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects; we read nanos as long
+    (spark.sql.legacy.parquet.nanosAsLong) and truncate to microsecond
+    timestamps — the same ns→µs truncation DuckDB applies, so the oracle
+    sees identical values (SURVEY.md §1.1).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    for field in df.schema.fields:
+        if name == "events" and field.name == "ts" and isinstance(
+            field.dataType, T.LongType
+        ):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register all fixture tables as temp views named after themselves.
+
+    Idempotent per (session, sf_dir); re-points the views when sf_dir
+    changes (e.g. correctness at sf0.01 then bench at sf0.1).
+    """
+    key = id(spark)
+    if _registered.get(key) == sf_dir:
+        return
+    for t in TABLES:
+        read_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    _registered[key] = sf_dir
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one table AND ensure the whole catalog's views are registered,
+    so mixed DataFrame/SQL queries always resolve."""
+    register_views(spark, sf_dir)
+    return read_table(spark, sf_dir, name)
+
+
+def sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
+    """Run SQL against the registered fixture views."""
+    register_views(spark, sf_dir)
+    return spark.sql(query)

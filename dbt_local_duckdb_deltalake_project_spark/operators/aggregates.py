@@ -1,0 +1,496 @@
+"""SURVEY.md §2.4 — aggregation operators.
+
+Each query is a (PySpark DataFrame plan, DuckDB oracle SQL) pair. All
+double accumulations go through functions.deterministic (exact decimal
+sums) so the order-insensitive value hash matches bit-for-bit.
+
+Scale notes per operator are inline; the common ones:
+- groupBy on low-cardinality keys → map-side partial aggregation makes the
+  shuffle tiny regardless of input size; safe at 100 TB.
+- count_distinct on a high-cardinality key → 2-phase shuffle on the key;
+  prefer approx_count_distinct at scale (provided as rows-mode twin).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import sql, t
+from ..functions.deterministic import DEC, davg, dsum, sql_davg, sql_dsum
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# agg_groupby_basic — the flagship: TPC-H Q1-shaped pricing summary.
+# scan → filter → hash agg (map-side partial) → sort. (SURVEY.md §7.3)
+# At 100 TB: filter pushes to parquet row groups; 6-group output means the
+# shuffle after partial agg is a few KB per task — this plan is scale-free.
+# ---------------------------------------------------------------------------
+
+_Q1_ORACLE = f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  {sql_dsum("l_quantity", "sum_qty")},
+  {sql_dsum("l_extendedprice", "sum_base_price")},
+  {sql_dsum("l_extendedprice * (1 - l_discount)", "sum_disc_price")},
+  {sql_dsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)", "sum_charge")},
+  {sql_davg("l_quantity", "avg_qty")},
+  {sql_davg("l_extendedprice", "avg_price")},
+  {sql_davg("l_discount", "avg_disc")},
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@register("agg_groupby_basic", _Q1_ORACLE)
+def agg_groupby_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity"), "sum_qty"),
+            dsum(F.col("l_extendedprice"), "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(charge, "sum_charge"),
+            davg(F.col("l_quantity"), "avg_qty"),
+            davg(F.col("l_extendedprice"), "avg_price"),
+            davg(F.col("l_discount"), "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "agg_global",
+    f"""
+    SELECT
+      COUNT(*) AS n_rows,
+      {sql_dsum("o_totalprice", "total_revenue")},
+      {sql_davg("o_totalprice", "avg_price")},
+      ROUND(MIN(o_totalprice), 2) AS min_price,
+      ROUND(MAX(o_totalprice), 2) AS max_price
+    FROM orders
+    """,
+)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "orders").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum(F.col("o_totalprice"), "total_revenue"),
+        davg(F.col("o_totalprice"), "avg_price"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+
+
+@register(
+    "agg_count_distinct",
+    """
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact distinct: Spark expands to a 2-phase agg (distinct on
+    # (status, custkey) then count). At 100 TB this double-shuffles on a
+    # wide key — acceptable for dims; for high-card keys use the
+    # approx twin below.
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register("agg_approx_count_distinct")  # rows-mode: sketches differ across engines
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # HyperLogLog++: single-pass, fixed memory, no exact-distinct
+    # double shuffle — the 100 TB path for distinct counts.
+    return t(spark, sf_dir, "events").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.approx_count_distinct("event_id").alias("approx_events"),
+    )
+
+
+@register(
+    "agg_filtered",
+    f"""
+    SELECT
+      l_returnflag,
+      {sql_dsum("CASE WHEN l_discount > 0.05 THEN l_extendedprice END",
+                "discounted_rev")},
+      COUNT(*) FILTER (WHERE l_quantity > 25) AS n_bulk,
+      COUNT(*) AS n_total
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            dsum(
+                F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice")),
+                "discounted_rev",
+            ),
+            F.count(F.when(F.col("l_quantity") > 25, F.lit(1))).alias("n_bulk"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "agg_having",
+    f"""
+    SELECT o_custkey, COUNT(*) AS n_orders,
+           {sql_dsum("o_totalprice", "spend")}
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 12
+    ORDER BY o_custkey
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), "spend"),
+        )
+        .filter(F.col("n_orders") >= 12)
+        .orderBy("o_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_stats — stddev/variance/corr/covar via exact decimal power sums.
+# Native stddev/corr use Welford-style merges whose result depends on
+# partition order (nondeterministic run-to-run); computing from exact
+# decimal sums of x, x², y, y², xy makes the result bit-stable and
+# engine-portable. Same single shuffle as the native aggregate.
+# ---------------------------------------------------------------------------
+
+_STATS_ORACLE = """
+WITH s AS (
+  SELECT
+    c_mktsegment,
+    COUNT(*) AS n,
+    SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS sx,
+    SUM(CAST(c_acctbal * c_acctbal AS DECIMAL(38,6))) AS sxx
+  FROM customer GROUP BY c_mktsegment
+)
+SELECT
+  c_mktsegment,
+  n AS n_customers,
+  ROUND((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+        / (n - 1), 4) AS var_bal,
+  ROUND(SQRT((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+        / (n - 1)), 4) AS stddev_bal
+FROM s ORDER BY c_mktsegment
+"""
+
+
+@register("agg_stats", _STATS_ORACLE)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    x = F.col("c_acctbal")
+    grouped = c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x.cast(DEC)).alias("sx"),
+        F.sum((x * x).cast(DEC)).alias("sxx"),
+    )
+    n = F.col("n")
+    sx = F.col("sx").cast("double")
+    sxx = F.col("sxx").cast("double")
+    var = (sxx - sx * sx / n) / (n - 1)
+    return grouped.select(
+        "c_mktsegment",
+        n.alias("n_customers"),
+        F.round(var, 4).alias("var_bal"),
+        F.round(F.sqrt(var), 4).alias("stddev_bal"),
+    ).orderBy("c_mktsegment")
+
+
+_CORR_ORACLE = """
+WITH s AS (
+  SELECT
+    COUNT(*) AS n,
+    SUM(CAST(l_quantity AS DECIMAL(38,6))) AS sx,
+    SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS sy,
+    SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS sxx,
+    SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6))) AS syy,
+    SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))) AS sxy
+  FROM lineitem
+)
+SELECT
+  ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        / (SQRT(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+           * SQRT(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+        6) AS corr_qty_price,
+  ROUND((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n) / n,
+        4) AS covar_pop_qty_price
+FROM s
+"""
+
+
+@register("agg_corr_covar", _CORR_ORACLE)
+def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    s = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x.cast(DEC)).alias("sx"),
+        F.sum(y.cast(DEC)).alias("sy"),
+        F.sum((x * x).cast(DEC)).alias("sxx"),
+        F.sum((y * y).cast(DEC)).alias("syy"),
+        F.sum((x * y).cast(DEC)).alias("sxy"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    corr = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    covar_pop = (sxy - sx * sy / n) / n
+    return s.select(
+        F.round(corr, 6).alias("corr_qty_price"),
+        F.round(covar_pop, 4).alias("covar_pop_qty_price"),
+    )
+
+
+@register(
+    "agg_percentile",
+    """
+    SELECT
+      l_returnflag,
+      ROUND(MEDIAN(l_extendedprice), 6) AS median_price,
+      ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS p25_price,
+      ROUND(quantile_cont(l_extendedprice, 0.95), 6) AS p95_price
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact percentile needs per-group sorted values: fine for bounded
+    # groups; at 100 TB switch to approx_percentile (t-digest sketch).
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.median("l_extendedprice"), 6).alias("median_price"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.25)), 6).alias(
+                "p25_price"
+            ),
+            F.round(F.percentile("l_extendedprice", F.lit(0.95)), 6).alias(
+                "p95_price"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "agg_minmax_by",
+    """
+    SELECT
+      o_orderstatus,
+      arg_max(o_orderkey, o_totalprice) AS biggest_order,
+      arg_min(o_orderkey, o_totalprice) AS smallest_order,
+      ROUND(MAX(o_totalprice), 2) AS max_price
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Determinism caveat: arg_max ties are engine-defined; o_totalprice is
+    # a continuous double over distinct orders, so ties don't occur in the
+    # fixtures (verified); at scale pair with a unique tiebreak column.
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.max_by("o_orderkey", "o_totalprice").alias("biggest_order"),
+            F.min_by("o_orderkey", "o_totalprice").alias("smallest_order"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "agg_collect",
+    """
+    SELECT n_regionkey,
+           list(n_name ORDER BY n_name) AS nations,
+           COUNT(*) AS n_nations
+    FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
+)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # collect_list order is partition-dependent → always array_sort for a
+    # deterministic value. Only safe for bounded groups (dims), never the
+    # fact table.
+    return (
+        t(spark, sf_dir, "nation")
+        .groupBy("n_regionkey")
+        .agg(
+            F.array_sort(F.collect_list("n_name")).alias("nations"),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+        .orderBy("n_regionkey")
+    )
+
+
+@register(
+    "agg_string_agg",
+    """
+    SELECT c_mktsegment,
+           string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority)
+             AS priorities
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_set("o_orderpriority")), ","
+            ).alias("priorities")
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "agg_rollup",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum("l_extendedprice", "revenue")},
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_extendedprice"), "revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+@register(
+    "agg_cube",
+    f"""
+    SELECT o_orderstatus, o_orderpriority,
+           {sql_dsum("o_totalprice", "revenue")}
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CUBE expands to 2^k grouping sets — the expansion happens before the
+    # shuffle (Expand operator), so input is replicated 4×; at 100 TB
+    # prefer explicit GROUPING SETS of only the needed combinations.
+    return (
+        t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(dsum(F.col("o_totalprice"), "revenue"))
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag) AS g_flag,
+           GROUPING(l_linestatus) AS g_status,
+           {sql_dsum("l_quantity", "qty")}
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    ORDER BY g_flag, g_status, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql(
+        spark,
+        sf_dir,
+        f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+               CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+               {sql_dsum("l_quantity", "qty")}
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY g_flag, g_status, l_returnflag NULLS FIRST,
+                 l_linestatus NULLS FIRST
+        """,
+    )
+
+
+@register(
+    "agg_distinct_on",
+    """
+    SELECT o_custkey, o_orderkey AS latest_order, o_orderdate AS latest_date
+    FROM (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    ORDER BY o_custkey
+    """,
+)
+def agg_distinct_on(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DuckDB DISTINCT ON (k) ... ORDER BY — first row per key. The
+    # window-rank form is the scalable Spark equivalent (single shuffle on
+    # the key; AQE handles skew).
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        t(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("latest_order"),
+            F.col("o_orderdate").alias("latest_date"),
+        )
+        .orderBy("o_custkey")
+    )

@@ -1,0 +1,54 @@
+"""SparkSession factory.
+
+Design notes (100 TB posture):
+- AQE on: runtime shuffle-partition coalescing, skew-join splitting, and
+  sort-merge→broadcast demotion are the main levers that survive a 1000×
+  scale-up without re-tuning.
+- ``spark.sql.shuffle.partitions`` is only the *initial* number under AQE;
+  locally we keep it ≈ cores so tiny fixtures don't fragment into empty
+  tasks. On a real cluster you'd set it high (2–3× total cores) and let
+  AQE coalesce.
+- Session timezone pinned to UTC so timestamp semantics match the DuckDB
+  oracle (DuckDB timestamps are naive/UTC).
+- Arrow on for every Python↔JVM exchange (toPandas, pandas_udf,
+  applyInPandas).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "dbt-local-duckdb-deltalake-spark",
+    cpus: str | int | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) the tuned SparkSession.
+
+    ``cpus`` defaults to $SPARK_GRAFT_CPUS, else all local cores.
+    """
+    if cpus is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    if shuffle_partitions is None:
+        n = os.cpu_count() or 8
+        shuffle_partitions = min(32, n)
+
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

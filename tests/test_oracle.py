@@ -1,0 +1,23 @@
+"""Differential oracle tests: every registered query vs its DuckDB oracle
+(SURVEY.md §5 strategy 1). Rows-mode queries (no oracle) just execute and
+must return a well-formed result."""
+
+from __future__ import annotations
+
+import pytest
+
+from dbt_local_duckdb_deltalake_project_spark.operators import ORACLE, QUERIES
+
+from ._compare import assert_same
+
+
+@pytest.mark.parametrize("qid", sorted(QUERIES))
+def test_query_matches_oracle(qid, spark, duck, sf_dir):
+    sdf = QUERIES[qid](spark, sf_dir)
+    spark_pdf = sdf.toPandas()
+    if qid not in ORACLE:
+        # rows-mode: must execute and yield a stable schema
+        assert spark_pdf.shape[1] > 0
+        return
+    duck_pdf = duck.execute(ORACLE[qid]).fetchdf()
+    assert_same(spark_pdf, duck_pdf, qid)
