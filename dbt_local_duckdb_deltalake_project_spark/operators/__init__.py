@@ -9,6 +9,9 @@ from .registry import ORACLE, QUERIES, register  # noqa: F401
 
 _MODULES = [
     "aggregates",
+    "rowops",
+    "joins",
+    "setops",
 ]
 
 for _m in _MODULES:

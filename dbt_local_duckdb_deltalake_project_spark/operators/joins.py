@@ -1,0 +1,355 @@
+"""SURVEY.md §2.3 — join operators.
+
+Scale strategy per join, stated once: dimension tables (region 5 →
+customer 150k rows at sf=1000) stay well under the broadcast threshold —
+every dim join here uses an explicit F.broadcast hint so the plan is
+map-side at any fact-table size. Fact-fact joins (lineitem⋈orders) shuffle
+on the join key; both sides would be bucketed by orderkey in a real
+deployment, which Spark then exploits to skip the shuffle entirely.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import sql, t
+from ..functions.deterministic import dsum, sql_dsum
+from .registry import register
+
+
+@register(
+    "join_inner_equi",
+    f"""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_orders,
+           {sql_dsum("o_totalprice", "revenue")}
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), "revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "join_left",
+    """
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice
+    FROM customer LEFT JOIN orders
+      ON c_custkey = o_custkey AND o_totalprice > 300000
+    """,
+)
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Non-key predicate in the ON clause (not WHERE) — null-extension
+    # semantics differ between the two placements; this exercises the
+    # ON-clause form.
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return c.join(
+        o, (c.c_custkey == o.o_custkey) & (o.o_totalprice > 300000), "left"
+    ).select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+
+
+@register(
+    "join_right",
+    """
+    SELECT s_suppkey, s_name, n_name
+    FROM nation RIGHT JOIN supplier ON n_nationkey = s_nationkey
+    """,
+)
+def join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = t(spark, sf_dir, "nation")
+    s = t(spark, sf_dir, "supplier")
+    return n.join(s, n.n_nationkey == s.s_nationkey, "right").select(
+        "s_suppkey", "s_name", "n_name"
+    )
+
+
+@register(
+    "join_full",
+    """
+    WITH cust_nations AS (
+      SELECT DISTINCT c_nationkey AS nationkey FROM customer
+    ), supp_nations AS (
+      SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+    )
+    SELECT c.nationkey AS cust_nation, s.nationkey AS supp_nation
+    FROM cust_nations c FULL JOIN supp_nations s ON c.nationkey = s.nationkey
+    """,
+)
+def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        t(spark, sf_dir, "customer")
+        .select(F.col("c_nationkey").alias("nationkey"))
+        .distinct()
+    )
+    s = (
+        t(spark, sf_dir, "supplier")
+        .select(F.col("s_nationkey").alias("nationkey"))
+        .distinct()
+    )
+    return c.alias("c").join(
+        s.alias("s"), F.col("c.nationkey") == F.col("s.nationkey"), "outer"
+    ).select(
+        F.col("c.nationkey").alias("cust_nation"),
+        F.col("s.nationkey").alias("supp_nation"),
+    )
+
+
+@register(
+    "join_semi",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 250000)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    big = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 250000)
+    return c.join(big, c.c_custkey == big.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_anti",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # dbt `relationships` test shape: children without parents.
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_cross",
+    """
+    SELECT r_name, s_name FROM region CROSS JOIN supplier
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Cartesian of two tiny dims (5×10). Never cross-join a fact table;
+    # Spark requires the explicit crossJoin call precisely to make this a
+    # deliberate act.
+    return t(spark, sf_dir, "region").crossJoin(
+        t(spark, sf_dir, "supplier")
+    ).select("r_name", "s_name")
+
+
+@register(
+    "join_broadcast",
+    f"""
+    SELECT n_name, r_name,
+           {sql_dsum("c_acctbal", "total_balance")}
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY n_name, r_name ORDER BY n_name, r_name
+    """,
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Explicit broadcast of both dims: zero shuffle for the joins
+    # themselves regardless of customer-table size. Plan asserted
+    # broadcast in tests/test_plans.py.
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(dsum(F.col("c_acctbal"), "total_balance"))
+        .orderBy("n_name", "r_name")
+    )
+
+
+@register(
+    "join_theta_range",
+    """
+    SELECT a.o_orderkey AS first_order, b.o_orderkey AS repeat_order,
+           a.o_custkey AS custkey
+    FROM orders a JOIN orders b
+      ON a.o_custkey = b.o_custkey
+     AND b.o_orderkey <> a.o_orderkey
+     AND b.o_orderdate > a.o_orderdate
+     AND b.o_orderdate <= a.o_orderdate + INTERVAL 30 DAY
+    """,
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Band join: repeat orders within 30 days. The equi component
+    # (custkey) drives the shuffle; the band predicate filters inside each
+    # key group — scalable as long as per-key fan-out is bounded.
+    o = t(spark, sf_dir, "orders")
+    a = o.alias("a")
+    b = o.alias("b")
+    return a.join(
+        b,
+        (F.col("a.o_custkey") == F.col("b.o_custkey"))
+        & (F.col("b.o_orderkey") != F.col("a.o_orderkey"))
+        & (F.col("b.o_orderdate") > F.col("a.o_orderdate"))
+        & (
+            F.col("b.o_orderdate")
+            <= F.col("a.o_orderdate") + F.expr("INTERVAL 30 DAY")
+        ),
+    ).select(
+        F.col("a.o_orderkey").alias("first_order"),
+        F.col("b.o_orderkey").alias("repeat_order"),
+        F.col("a.o_custkey").alias("custkey"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# join_asof — DuckDB `ASOF JOIN` has no Catalyst strategy (SURVEY.md §4);
+# emulated with the union+last_value(ignorenulls) rewrite: tag both inputs,
+# union, and for each probe row take the last build-side value at ts ≤
+# probe.ts within the key partition. One shuffle on (key), no fan-out —
+# this is the scalable form (a naive range join explodes quadratically).
+# Build side deduped to one row per (key, ts) so ties are deterministic.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_asof",
+    """
+    WITH views AS (
+      SELECT user_id, ts, MAX(event_id) AS view_id
+      FROM events WHERE event_type = 'view'
+      GROUP BY user_id, ts
+    ), purchases AS (
+      SELECT user_id, ts, event_id, value FROM events
+      WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id AS purchase_id, p.user_id,
+           v.view_id AS preceding_view, p.value
+    FROM purchases p
+    ASOF JOIN views v ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_id"))
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    tagged = views.select(
+        "user_id", "ts", "view_id",
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("double").alias("value"),
+        F.lit(0).alias("side"),
+    ).unionByName(
+        purchases.select(
+            "user_id", "ts",
+            F.lit(None).cast("long").alias("view_id"),
+            "event_id", "value",
+            F.lit(1).alias("side"),
+        )
+    )
+    # views sort before purchases at equal ts (side 0 < 1) → ts >= matches
+    # ties, like ASOF's >= semantics.
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        tagged.withColumn(
+            "preceding_view", F.last("view_id", ignorenulls=True).over(w)
+        )
+        .filter((F.col("side") == 1) & F.col("preceding_view").isNotNull())
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            "preceding_view",
+            "value",
+        )
+    )
+
+
+@register(
+    "join_multiway_star",
+    f"""
+    SELECT r_name, n_name,
+           COUNT(*) AS n_items,
+           {sql_dsum("l_extendedprice * (1 - l_discount)", "revenue")}
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    GROUP BY r_name, n_name
+    ORDER BY r_name, n_name
+    """,
+)
+def join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Gold-mart star join. lineitem⋈orders is the only fact-fact shuffle;
+    # customer/nation/region are broadcast. Date filter pushes into the
+    # orders scan before the join.
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")
+    )
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+            ),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+@register(
+    "join_self",
+    """
+    SELECT a.event_id AS first_id, b.event_id AS next_id, a.user_id
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'signup' AND b.event_type = 'purchase'
+     AND b.ts > a.ts
+    """,
+)
+def join_self(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    a = e.filter(F.col("event_type") == "signup").alias("a")
+    b = e.filter(F.col("event_type") == "purchase").alias("b")
+    return a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.ts") > F.col("a.ts")),
+    ).select(
+        F.col("a.event_id").alias("first_id"),
+        F.col("b.event_id").alias("next_id"),
+        F.col("a.user_id").alias("user_id"),
+    )
