@@ -12,6 +12,8 @@ _MODULES = [
     "rowops",
     "joins",
     "setops",
+    "windows",
+    "subqueries",
 ]
 
 for _m in _MODULES:

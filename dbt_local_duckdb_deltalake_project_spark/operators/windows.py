@@ -1,0 +1,218 @@
+"""SURVEY.md §2.5 — window functions.
+
+Each window = one shuffle on the partition key + local sort. Determinism
+discipline: every ORDER BY inside a window carries a unique tiebreak
+column, and double accumulations over frames use the decimal detour
+(native double window sums use segment trees whose addition order is
+engine-dependent — functions/deterministic.py rationale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import t
+from ..functions.deterministic import DEC
+from .registry import register
+
+
+@register(
+    "win_ranking",
+    """
+    SELECT o_orderkey, o_orderstatus,
+           ROW_NUMBER()   OVER w AS rn,
+           RANK()         OVER w AS rnk,
+           DENSE_RANK()   OVER w AS drnk,
+           ROUND(PERCENT_RANK() OVER w, 6) AS prnk,
+           NTILE(4)       OVER w AS quartile,
+           ROUND(CUME_DIST() OVER w, 6) AS cdist
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus
+                 ORDER BY o_totalprice DESC, o_orderkey ASC)
+    """,
+)
+def win_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
+
+
+@register(
+    "win_lag_lead",
+    """
+    SELECT event_id, user_id, ts,
+           LAG(event_type, 1, 'none')  OVER w AS prev_type,
+           LEAD(event_type, 1, 'none') OVER w AS next_type,
+           LAG(value, 2) OVER w AS value_2back
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    """,
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lag("event_type", 1, "none").over(w).alias("prev_type"),
+        F.lead("event_type", 1, "none").over(w).alias("next_type"),
+        F.lag("value", 2).over(w).alias("value_2back"),
+    )
+
+
+@register(
+    "win_first_last_nth",
+    """
+    SELECT o_orderkey, o_custkey,
+           FIRST_VALUE(o_orderkey) OVER w AS first_order,
+           LAST_VALUE(o_orderkey)  OVER w AS last_order,
+           NTH_VALUE(o_orderkey, 2) OVER w AS second_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_orderdate ASC, o_orderkey ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def win_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Frame made explicit: the default frame stops at CURRENT ROW, which
+    # silently turns last_value into "current value" — classic pitfall.
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(w).alias("last_order"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
+    )
+
+
+@register(
+    "win_running_sum",
+    """
+    SELECT o_orderkey, o_custkey, o_orderdate,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
+             PARTITION BY o_custkey
+             ORDER BY o_orderdate ASC, o_orderkey ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE), 2) AS running_spend
+    FROM orders
+    """,
+)
+def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.round(
+            F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double"), 2
+        ).alias("running_spend"),
+    )
+
+
+@register(
+    "win_moving_avg_rows",
+    """
+    SELECT o_orderkey, o_custkey,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER w AS DOUBLE)
+                 / COUNT(o_totalprice) OVER w, 6) AS moving_avg_7
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_orderdate ASC, o_orderkey ASC
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_moving_avg_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(-6, W.currentRow)
+    )
+    return t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(
+            F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double")
+            / F.count("o_totalprice").over(w),
+            6,
+        ).alias("moving_avg_7"),
+    )
+
+
+@register(
+    "win_range_frame",
+    """
+    SELECT event_id, user_id, ts,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER (
+             PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 3 DAYS PRECEDING AND CURRENT ROW
+           ) AS DOUBLE), 4) AS value_3d
+    FROM events
+    """,
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Value-range frame over event time. Spark range frames need a numeric
+    # ORDER BY key → microseconds since epoch; 3 days = 259.2e9 µs. RANGE
+    # includes all ts-ties in both engines, so no tiebreak column (it
+    # would change the frame semantics).
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3 * 86400 * 1_000_000, 0)
+    )
+    return t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(
+            F.sum(F.col("value").cast(DEC)).over(w).cast("double"), 4
+        ).alias("value_3d"),
+    )
+
+
+@register(
+    "win_topk_per_group",
+    """
+    SELECT c_mktsegment, c_custkey, c_acctbal
+    FROM (
+      SELECT c_mktsegment, c_custkey, c_acctbal,
+             RANK() OVER (PARTITION BY c_mktsegment
+                          ORDER BY c_acctbal DESC, c_custkey ASC) AS r
+      FROM customer
+    ) WHERE r <= 3
+    ORDER BY c_mktsegment, c_acctbal DESC, c_custkey
+    """,
+)
+def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # QUALIFY idiom. At 100 TB: Spark pushes a per-partition rank limit
+    # (WindowGroupLimit) before the shuffle, so only ~k rows per group per
+    # task move — verified in plan tests.
+    w = W.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        t(spark, sf_dir, "customer")
+        .withColumn("r", F.rank().over(w))
+        .filter(F.col("r") <= 3)
+        .select("c_mktsegment", "c_custkey", "c_acctbal")
+        .orderBy("c_mktsegment", F.col("c_acctbal").desc(), "c_custkey")
+    )
