@@ -14,6 +14,7 @@ _MODULES = [
     "setops",
     "windows",
     "subqueries",
+    "functions_lib",
 ]
 
 for _m in _MODULES:

@@ -1,0 +1,364 @@
+"""SURVEY.md §2.8 — scalar function library, one query per family.
+
+Per-row scalar expressions are IEEE/whole-stage-codegen deterministic, so
+no decimal detour is needed here — the discipline is *semantic alignment*
+with DuckDB 1.0.0, probed empirically (SURVEY.md §7.4):
+
+- DuckDB date_trunc('month'|'year') returns DATE → CAST AS TIMESTAMP.
+- DuckDB floor/ceil return DOUBLE (Spark: LONG) → CAST AS BIGINT.
+- DuckDB regexp_replace is first-match unless the 'g' flag is passed
+  (Spark replaces all).
+- DuckDB map subscript / element_at return a LIST → take [1].
+- DuckDB dow/dayofweek is Sunday=0 (Spark: Sunday=1) → +1 in the oracle.
+- DuckDB list_sum returns DECIMAL/HUGEINT → CAST.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import t
+from .registry import register
+
+
+@register(
+    "fn_string",
+    """
+    SELECT p_partkey,
+           lower(p_name) AS lo,
+           upper(p_brand) AS up,
+           trim(concat('  ', p_type, ' ')) AS trimmed,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS padded,
+           rpad(p_brand, 12, '.') AS rpadded,
+           substr(p_name, 3, 8) AS sliced,
+           concat_ws('|', p_brand, p_type) AS joined,
+           replace(p_name, ' ', '_') AS replaced,
+           length(p_name) AS name_len,
+           instr(p_type, 'ECONOMY') AS econ_pos,
+           starts_with(p_brand, 'Brand#1') AS is_b1,
+           contains(p_type, 'PROMO') AS is_promo
+    FROM part
+    """,
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("lo"),
+        F.upper("p_brand").alias("up"),
+        F.trim(F.concat(F.lit("  "), F.col("p_type"), F.lit(" "))).alias("trimmed"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("padded"),
+        F.rpad("p_brand", 12, ".").alias("rpadded"),
+        F.substring("p_name", 3, 8).alias("sliced"),
+        F.concat_ws("|", "p_brand", "p_type").alias("joined"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("replaced"),
+        F.length("p_name").alias("name_len"),
+        F.instr("p_type", "ECONOMY").alias("econ_pos"),
+        F.startswith(F.col("p_brand"), F.lit("Brand#1")).alias("is_b1"),
+        F.contains(F.col("p_type"), F.lit("PROMO")).alias("is_promo"),
+    )
+
+
+@register(
+    "fn_regex",
+    """
+    SELECT p_partkey,
+           regexp_extract(p_brand, '#([0-9]+)', 1) AS brand_num,
+           regexp_replace(p_name, '[aeiou]', '*', 'g') AS devoweled,
+           regexp_matches(p_type, '^(ECONOMY|PROMO)') AS starts_econ_promo
+    FROM part
+    """,
+)
+def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_brand", "#([0-9]+)", 1).alias("brand_num"),
+        F.regexp_replace("p_name", "[aeiou]", "*").alias("devoweled"),
+        F.col("p_type").rlike("^(ECONOMY|PROMO)").alias("starts_econ_promo"),
+    )
+
+
+@register(
+    "fn_string_sim",
+    """
+    WITH pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             substr(a.text, 1, 40) AS ta, substr(b.text, 1, 40) AS tb,
+             list_distinct(string_split(a.text, ' ')) AS wa,
+             list_distinct(string_split(b.text, ' ')) AS wb
+      FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+    )
+    SELECT doc_a, doc_b,
+           levenshtein(ta, tb) AS edit_dist,
+           ROUND(CAST(len(list_intersect(wa, wb)) AS DOUBLE)
+                 / len(list_distinct(wa || wb)), 6) AS word_jaccard
+    FROM pairs
+    """,
+)
+def fn_string_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Word-set Jaccard from array primitives (no UDF); levenshtein bounded
+    # to a 40-char prefix so cost is O(1) per row at any scale.
+    d = t(spark, sf_dir, "documents")
+    a = d.alias("a")
+    b = d.alias("b")
+    wa = F.array_distinct(F.split(F.col("a.text"), " "))
+    wb = F.array_distinct(F.split(F.col("b.text"), " "))
+    return a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.levenshtein(
+            F.substring(F.col("a.text"), 1, 40), F.substring(F.col("b.text"), 1, 40)
+        ).alias("edit_dist"),
+        F.round(
+            F.size(F.array_intersect(wa, wb)).cast("double")
+            / F.size(F.array_distinct(F.concat(wa, wb))),
+            6,
+        ).alias("word_jaccard"),
+    )
+
+
+@register(
+    "fn_date",
+    """
+    SELECT o_orderkey,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           date_part('year', o_orderdate) AS yr,
+           date_part('month', o_orderdate) AS mo,
+           date_part('day', o_orderdate) AS dom,
+           dayofweek(o_orderdate) + 1 AS dow_spark,
+           o_orderdate + INTERVAL 7 DAY AS plus_week,
+           date_diff('day', o_orderdate, TIMESTAMP '2000-01-01') AS days_to_y2k,
+           CAST(last_day(o_orderdate) AS TIMESTAMP) AS month_end,
+           strftime(o_orderdate, '%Y-%m-%d') AS iso_day,
+           CAST(epoch(o_orderdate) AS BIGINT) AS unix_sec,
+           strptime('2024-06-01', '%Y-%m-%d') AS parsed
+    FROM orders
+    """,
+)
+def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("month", d).alias("month_start"),
+        F.year(d).cast("long").alias("yr"),
+        F.month(d).cast("long").alias("mo"),
+        F.dayofmonth(d).cast("long").alias("dom"),
+        F.dayofweek(d).cast("long").alias("dow_spark"),
+        (d + F.expr("INTERVAL 7 DAY")).alias("plus_week"),
+        F.datediff(F.lit("2000-01-01").cast("timestamp"), d)
+        .cast("long")
+        .alias("days_to_y2k"),
+        F.last_day(d).cast("timestamp").alias("month_end"),
+        F.date_format(d, "yyyy-MM-dd").alias("iso_day"),
+        F.unix_timestamp(d).alias("unix_sec"),
+        F.to_timestamp(F.lit("2024-06-01"), "yyyy-MM-dd").alias("parsed"),
+    )
+
+
+@register(
+    "fn_math",
+    """
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice, 1) AS rounded,
+           CAST(FLOOR(l_extendedprice) AS BIGINT) AS floored,
+           CAST(CEIL(l_extendedprice) AS BIGINT) AS ceiled,
+           ABS(l_quantity - 25.0) AS abs_dev,
+           ROUND(LN(l_extendedprice), 9) AS log_price,
+           ROUND(LOG10(l_extendedprice), 9) AS log10_price,
+           ROUND(EXP(l_discount), 9) AS exp_disc,
+           SQRT(l_quantity) AS sqrt_qty,
+           ROUND(POW(l_tax + 1.0, 2), 9) AS tax_sq,
+           CAST(SIGN(l_quantity - 25.0) AS DOUBLE) AS qty_sign,
+           GREATEST(l_quantity, 25.0) AS hi,
+           LEAST(l_quantity, 25.0) AS lo,
+           l_linenumber % 3 AS line_mod
+    FROM lineitem
+    """,
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    price, qty = F.col("l_extendedprice"), F.col("l_quantity")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(price, 1).alias("rounded"),
+        F.floor(price).alias("floored"),
+        F.ceil(price).alias("ceiled"),
+        F.abs(qty - 25.0).alias("abs_dev"),
+        # ln/log10/exp/pow are 1-ulp engine-dependent (JVM vs libm) —
+        # round to 9 dp on both sides; sqrt is IEEE-exact and stays raw.
+        F.round(F.log(price), 9).alias("log_price"),
+        F.round(F.log10(price), 9).alias("log10_price"),
+        F.round(F.exp("l_discount"), 9).alias("exp_disc"),
+        F.sqrt(qty).alias("sqrt_qty"),
+        F.round(F.pow(F.col("l_tax") + 1.0, 2), 9).alias("tax_sq"),
+        F.signum(qty - 25.0).alias("qty_sign"),
+        F.greatest(qty, F.lit(25.0)).alias("hi"),
+        F.least(qty, F.lit(25.0)).alias("lo"),
+        (F.col("l_linenumber") % 3).alias("line_mod"),
+    )
+
+
+@register(
+    "fn_array",
+    """
+    SELECT n_nationkey,
+           generate_series(1, n_nationkey % 5 + 2) AS seq,
+           len(generate_series(1, n_nationkey % 5 + 2)) AS seq_len,
+           list_contains(generate_series(1, n_nationkey % 5 + 2), 3) AS has_3,
+           list_transform(generate_series(1, n_nationkey % 5 + 2),
+                          x -> x * 10) AS tens,
+           list_filter(generate_series(1, n_nationkey % 5 + 2),
+                       x -> x % 2 = 0) AS evens,
+           CAST(list_sum(generate_series(1, n_nationkey % 5 + 2)) AS BIGINT)
+             AS seq_sum,
+           list_sort([n_nationkey % 3, n_nationkey % 5, 1]) AS sorted_arr,
+           list_sort(list_distinct([n_nationkey % 3, n_nationkey % 3, 7]))
+             AS dedup_sorted,
+           flatten([[n_nationkey], [n_regionkey]]) AS flat,
+           list_slice(generate_series(1, n_nationkey % 5 + 2), 2, 3) AS mid,
+           array_to_string(generate_series(1, n_nationkey % 5 + 2), '-')
+             AS joined
+    FROM nation
+    """,
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = t(spark, sf_dir, "nation")
+    seq = F.sequence(F.lit(1), F.col("n_nationkey") % 5 + 2)
+    return n.select(
+        "n_nationkey",
+        seq.alias("seq"),
+        F.size(seq).alias("seq_len"),
+        F.array_contains(seq, 3).alias("has_3"),
+        F.transform(seq, lambda x: x * 10).alias("tens"),
+        F.filter(seq, lambda x: x % 2 == 0).alias("evens"),
+        F.aggregate(
+            seq, F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("seq_sum"),
+        F.array_sort(
+            F.array(F.col("n_nationkey") % 3, F.col("n_nationkey") % 5, F.lit(1))
+        ).alias("sorted_arr"),
+        # DuckDB list_distinct does NOT preserve element order → sort on
+        # both sides to compare as a set.
+        F.array_sort(
+            F.array_distinct(
+                F.array(F.col("n_nationkey") % 3, F.col("n_nationkey") % 3, F.lit(7))
+            )
+        ).alias("dedup_sorted"),
+        F.flatten(
+            F.array(F.array(F.col("n_nationkey")), F.array(F.col("n_regionkey")))
+        ).alias("flat"),
+        F.slice(seq, 2, 2).alias("mid"),
+        F.array_join(seq.cast("array<string>"), "-").alias("joined"),
+    )
+
+
+@register(
+    "fn_map_struct",
+    """
+    SELECT s_suppkey,
+           list_sort(map_keys(MAP {'nation': CAST(s_nationkey AS VARCHAR),
+                                   'name': s_name})) AS mkeys,
+           element_at(MAP {'bal': s_acctbal}, 'bal')[1] AS bal_from_map,
+           ({'k': s_suppkey, 'nm': s_name}).nm AS struct_name,
+           ({'k': s_suppkey, 'nm': s_name}).k * 2 AS struct_key_x2
+    FROM supplier
+    """,
+)
+def fn_map_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = t(spark, sf_dir, "supplier")
+    m = F.create_map(
+        F.lit("nation"), F.col("s_nationkey").cast("string"),
+        F.lit("name"), F.col("s_name"),
+    )
+    st = F.struct(F.col("s_suppkey").alias("k"), F.col("s_name").alias("nm"))
+    return s.select(
+        "s_suppkey",
+        F.array_sort(F.map_keys(m)).alias("mkeys"),
+        F.element_at(F.create_map(F.lit("bal"), F.col("s_acctbal")), "bal").alias(
+            "bal_from_map"
+        ),
+        st.getField("nm").alias("struct_name"),
+        (st.getField("k") * 2).alias("struct_key_x2"),
+    )
+
+
+@register(
+    "fn_json",
+    """
+    SELECT event_id,
+           props->>'k' AS k_str,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) * 2 AS k_doubled,
+           (props->>'missing') IS NULL AS missing_is_null
+    FROM events
+    """,
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    return e.select(
+        "event_id",
+        k.alias("k_str"),
+        k.cast("long").alias("k_int"),
+        (k.cast("long") * 2).alias("k_doubled"),
+        F.get_json_object("props", "$.missing").isNull().alias("missing_is_null"),
+    )
+
+
+@register(
+    "fn_hash",
+    """
+    SELECT c_custkey,
+           md5(c_name) AS name_md5,
+           sha256(c_name) AS name_sha256,
+           md5(concat(c_name, '|', c_mktsegment)) AS composite_key
+    FROM customer
+    """,
+)
+def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # md5/sha256 are bitwise-portable across engines; xxhash64/crc32 are
+    # not (engine-specific seeds) → those appear only in rows-mode ops
+    # (llm_dedup_minhash).
+    c = t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.md5("c_name").alias("name_md5"),
+        F.sha2(F.col("c_name"), 256).alias("name_sha256"),
+        F.md5(F.concat_ws("|", "c_name", "c_mktsegment")).alias("composite_key"),
+    )
+
+
+@register(
+    "fn_conditional",
+    """
+    SELECT e.event_id,
+           CASE WHEN e.value > 50 THEN 'high' ELSE 'low' END AS band,
+           ifnull(nullif(e.event_type, 'error'), 'cleaned') AS cleaned_type,
+           coalesce(NULL, e.event_type, 'fallback') AS first_non_null,
+           CASE WHEN isnan(e.value / CASE WHEN e.value = 0 THEN NULL ELSE 1 END)
+                THEN 0.0 ELSE e.value END AS nan_guarded,
+           (e.value IS NULL) AS is_null_value
+    FROM events e
+    """,
+)
+def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    v = F.col("value")
+    return e.select(
+        "event_id",
+        F.when(v > 50, "high").otherwise("low").alias("band"),
+        F.ifnull(F.nullif(F.col("event_type"), F.lit("error")), F.lit("cleaned")).alias(
+            "cleaned_type"
+        ),
+        F.coalesce(F.lit(None), F.col("event_type"), F.lit("fallback")).alias(
+            "first_non_null"
+        ),
+        F.nanvl(
+            v / F.when(v == 0, None).otherwise(1), F.lit(0.0)
+        ).alias("nan_guarded"),
+        v.isNull().alias("is_null_value"),
+    )
