@@ -15,6 +15,8 @@ _MODULES = [
     "windows",
     "subqueries",
     "functions_lib",
+    "eventtime",
+    "llm_ops",
 ]
 
 for _m in _MODULES:

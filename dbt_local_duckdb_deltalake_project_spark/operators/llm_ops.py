@@ -1,0 +1,581 @@
+"""SURVEY.md §2.10 + training-data-pipeline operators.
+
+Dedup (exact / shingle-Jaccard / MinHash-LSH), similarity search over the
+64-dim embedding column, text analytics (tokens, stats, quality, lang-id,
+fingerprint). Oracle-checkable forms use exact decimal dot products; the
+engine-specific scale paths (MinHash, block-ANN) are rows-mode.
+
+Scale posture (100 TB of documents):
+- exact dedup: hash-groupBy, one shuffle on md5(text) — linear.
+- shingle near-dup: the exact pairwise form here is O(pairs sharing a
+  shingle); at 100 TB replace with llm_dedup_minhash (LSH banding), which
+  bounds candidate pairs per band bucket.
+- cosine top-k: the oracle form is exact brute-force against one query
+  vector (linear scan, embarrassingly parallel); llm_cosine_topk_blocked
+  is the Arrow-batched scan that would fan out per query-block.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import t
+from .registry import register
+
+DEC12 = "decimal(38,12)"
+
+
+@register(
+    "llm_dedup_exact",
+    """
+    SELECT md5(text) AS content_hash,
+           MIN(doc_id) AS keeper_doc,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    ORDER BY keeper_doc
+    """,
+)
+def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact content dedup: deterministic keeper (min doc_id) instead of
+    # dropDuplicates' arbitrary row pick.
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.withColumn("content_hash", F.md5("text"))
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("keeper_doc"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .orderBy("keeper_doc")
+    )
+
+
+_SHINGLE_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(w) - 1),
+           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+  FROM toks
+), e AS (
+  SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.n AS na, b.n AS nb, COUNT(*) AS shared
+  FROM e a JOIN e b ON a.s = b.s AND b.doc_id > a.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT doc_a, doc_b,
+       ROUND(CAST(shared AS DOUBLE) / (na + nb - shared), 6) AS jaccard
+FROM pairs
+WHERE CAST(shared AS DOUBLE) / (na + nb - shared) >= 0.5
+ORDER BY doc_a, doc_b
+"""
+
+
+@register("llm_dedup_near", _SHINGLE_ORACLE)
+def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 3-word shingles → inverted index (explode) → candidate pairs share
+    # ≥1 shingle → exact Jaccard ≥ 0.5. The explode+self-join is the
+    # textbook exact algorithm; hot shingles are the skew risk (AQE skew
+    # join handles it; the MinHash variant below removes it entirely).
+    d = t(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(w, i),
+                F.element_at(w, i + 1),
+                F.element_at(w, i + 2),
+            ),
+        )
+    )
+    sh = d.select("doc_id", shingles.alias("shingles")).select(
+        "doc_id",
+        F.size("shingles").alias("n"),
+        F.explode("shingles").alias("s"),
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("b.doc_id") > F.col("a.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    jac = F.col("shared").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("shared")
+    )
+    return (
+        pairs.filter(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@register("llm_dedup_minhash")  # rows-mode: xxhash64 seeds are engine-specific
+def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding — the 100 TB near-dup path.
+
+    128 hash functions simulated as xxhash64(seed_i ++ shingle); 32 bands
+    × 4 rows: docs sharing any band bucket become candidates (then exact
+    Jaccard verify). Candidate count is bounded by bucket collisions, not
+    O(n²). Deterministic within Spark; no oracle (xxhash64 seeds differ
+    across engines).
+    """
+    n_hashes, band_size = 32, 4  # 8 bands — sized for the 500-doc fixture
+    d = t(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(w, i), F.element_at(w, i + 1), F.element_at(w, i + 2)
+            ),
+        )
+    )
+    ex = d.select("doc_id", F.explode(shingles).alias("s"))
+    sig = ex.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.concat(F.lit(f"seed{i}|"), F.col("s")))).alias(
+                f"h{i}"
+            )
+            for i in range(n_hashes)
+        ]
+    )
+    bands = sig.select(
+        "doc_id",
+        *[
+            F.hash(*[F.col(f"h{b * band_size + r}") for r in range(band_size)]).alias(
+                f"band{b}"
+            )
+            for b in range(n_hashes // band_size)
+        ],
+    )
+    stacked = bands.selectExpr(
+        "doc_id",
+        f"stack({n_hashes // band_size}, "
+        + ", ".join(
+            f"{b}, band{b}" for b in range(n_hashes // band_size)
+        )
+        + ") AS (band_id, bucket)",
+    )
+    a, b = stacked.alias("a"), stacked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("b.doc_id") > F.col("a.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_COSINE_ORACLE = """
+WITH q AS (
+  SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
+), prod AS (
+  SELECT b.vec_id,
+         SUM(CAST(CAST(b.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)
+                  AS DECIMAL(38,12))) AS dot,
+         SUM(CAST(CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
+                  AS DECIMAL(38,12))) AS nb,
+         SUM(CAST(CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)
+                  AS DECIMAL(38,12))) AS nq
+  FROM embeddings b CROSS JOIN q, generate_series(1, 64) t(i)
+  WHERE b.vec_id <> 0
+  GROUP BY b.vec_id
+)
+SELECT vec_id,
+       ROUND(CAST(dot AS DOUBLE)
+             / (SQRT(CAST(nb AS DOUBLE)) * SQRT(CAST(nq AS DOUBLE))), 6)
+         AS cosine
+FROM prod
+ORDER BY cosine DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+@register("llm_cosine_topk", _COSINE_ORACLE)
+def llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact top-k neighbors of vec_id=0 by cosine. Float32 elements are
+    # cast to double (exact) and each product routed through decimal so
+    # the reduction is order-insensitive. posexplode+groupBy rather than
+    # F.aggregate keeps the whole reduction JVM-side and parallel.
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.posexplode("embedding").alias("pos", "qv")
+    )
+    b = e.filter(F.col("vec_id") != 0).select(
+        "vec_id", F.posexplode("embedding").alias("pos", "bv")
+    )
+    bd, qd = F.col("bv").cast("double"), F.col("qv").cast("double")
+    prod = (
+        b.join(F.broadcast(q), "pos")
+        .groupBy("vec_id")
+        .agg(
+            F.sum((bd * qd).cast(DEC12)).alias("dot"),
+            F.sum((bd * bd).cast(DEC12)).alias("nb"),
+            F.sum((qd * qd).cast(DEC12)).alias("nq"),
+        )
+    )
+    cos = F.col("dot").cast("double") / (
+        F.sqrt(F.col("nb").cast("double")) * F.sqrt(F.col("nq").cast("double"))
+    )
+    return (
+        prod.select("vec_id", F.round(cos, 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+@register("llm_cosine_topk_blocked")  # rows-mode: float reduction order differs
+def llm_cosine_topk_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched brute-force ANN — the scale path for llm_cosine_topk.
+
+    mapInPandas computes per-partition cosine top-k with numpy (vectorized
+    over the whole Arrow batch), then a global top-k merges k rows per
+    partition. At 100 TB: broadcast the query block, one scan, no shuffle
+    until the k-row merge. IVF/LSH variants bucket first to skip scan.
+    """
+    import numpy as np
+    import pandas as pd
+
+    e = t(spark, sf_dir, "embeddings")
+    qvec = np.array(
+        e.filter(F.col("vec_id") == 0).head()["embedding"], dtype=np.float64
+    )
+    k = 10
+
+    def block_topk(batches):
+        qn = np.sqrt((qvec * qvec).sum())
+        for pdf in batches:
+            cand = pdf[pdf.vec_id != 0]
+            if not len(cand):
+                continue
+            m = np.stack(cand.embedding.to_numpy()).astype(np.float64)
+            cos = (m @ qvec) / (np.sqrt((m * m).sum(axis=1)) * qn)
+            top = np.argsort(-cos)[:k]
+            yield pd.DataFrame(
+                {"vec_id": cand.vec_id.to_numpy()[top], "cosine": cos[top]}
+            )
+
+    return (
+        e.mapInPandas(block_topk, schema="vec_id long, cosine double")
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
+@register(
+    "llm_text_tokens",
+    """
+    SELECT word, COUNT(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    GROUP BY word
+    ORDER BY n DESC, word ASC
+    LIMIT 20
+    """,
+)
+def llm_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "llm_text_stats",
+    """
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS avg_chars,
+           ROUND(CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*), 6)
+             AS avg_tokens,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(
+                F.sum("n_chars").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_chars"),
+            F.round(
+                F.sum(F.size(F.split("text", " "))).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_tokens"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "llm_quality_score",
+    """
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(regexp_extract_all(text, '[a-z]+')) AS n_alpha_runs,
+           ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                 / len(string_split(text, ' ')), 6) AS uniq_ratio,
+           ROUND(CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')), 6)
+             AS chars_per_token,
+           (n_chars BETWEEN 100 AND 520
+            AND len(string_split(text, ' ')) >= 20) AS passes_filter
+    FROM documents
+    """,
+)
+def llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Heuristic quality gates of a training-data pipeline: token counts,
+    # lexical diversity, length windows — all JVM-side expressions.
+    d = t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks)
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z]+"), F.lit(0))).alias(
+            "n_alpha_runs"
+        ),
+        F.round(
+            F.size(F.array_distinct(toks)).cast("double") / n_tokens, 6
+        ).alias("uniq_ratio"),
+        F.round(F.col("n_chars").cast("double") / n_tokens, 6).alias(
+            "chars_per_token"
+        ),
+        (
+            F.col("n_chars").between(100, 520) & (n_tokens >= 20)
+        ).alias("passes_filter"),
+    )
+
+
+@register(
+    "llm_langid",
+    """
+    WITH scored AS (
+      SELECT doc_id, lang,
+             len(list_intersect(string_split(text, ' '),
+                 ['query', 'table', 'index'])) AS s_en,
+             len(list_intersect(string_split(text, ' '),
+                 ['scan', 'merge', 'join'])) AS s_ops
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN s_en >= s_ops THEN 'dialect_a' ELSE 'dialect_b' END
+             AS predicted_dialect,
+           s_en, s_ops
+    FROM scored
+    """,
+)
+def llm_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # n-gram/stopword-hit language-ID heuristic. The fixture text is
+    # synthetic word soup, so the "languages" here are marker-word
+    # dialects — the operator shape (token-set intersection scoring +
+    # argmax) is the real thing.
+    d = t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    s_en = F.size(F.array_intersect(toks, F.array(F.lit("query"), F.lit("table"), F.lit("index"))))
+    s_ops = F.size(F.array_intersect(toks, F.array(F.lit("scan"), F.lit("merge"), F.lit("join"))))
+    return d.select(
+        "doc_id",
+        "lang",
+        F.when(s_en >= s_ops, "dialect_a").otherwise("dialect_b").alias(
+            "predicted_dialect"
+        ),
+        s_en.alias("s_en"),
+        s_ops.alias("s_ops"),
+    )
+
+
+@register(
+    "llm_fingerprint",
+    """
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))),
+                               ' ')) AS fingerprint
+    FROM documents
+    """,
+)
+def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Canonical document fingerprint: md5 over the sorted distinct token
+    # set — invariant to word order/repetition, portable across engines
+    # (unlike rolling xxhash, which is the rows-mode variant).
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(
+            F.array_join(F.array_sort(F.array_distinct(F.split("text", " "))), " ")
+        ).alias("fingerprint"),
+    )
+
+
+@register("llm_simhash")  # rows-mode: xxhash64 is engine-specific
+def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash over tokens: sign-sum of per-token hash bits.
+
+    Pure expression pipeline (explode → bit test → groupBy sum → bit
+    assemble); deterministic within Spark. Near-dups then hamming-join on
+    the fingerprint — at scale, band the 64 bits into 4×16-bit keys.
+    """
+    d = t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    h = F.xxhash64("w")
+    bit_sums = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(64)
+        ]
+    )
+    simhash = None
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, i)
+        simhash = term if simhash is None else simhash.bitwiseXOR(term)
+    return bit_sums.select("doc_id", simhash.alias("simhash")).orderBy("doc_id")
+
+
+_CENTROID_ORACLE = """
+SELECT label,
+       MAX(nv) AS n_vectors,
+       list(avg_val ORDER BY i) AS centroid
+FROM (
+  SELECT label, i,
+         COUNT(DISTINCT vec_id) AS nv,
+         ROUND(CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(38,12)))
+                    AS DOUBLE) / COUNT(*), 6) AS avg_val
+  FROM embeddings, generate_series(1, 64) t(i)
+  GROUP BY label, i
+)
+GROUP BY label
+ORDER BY label
+"""
+
+
+@register("llm_label_centroid", _CENTROID_ORACLE)
+def llm_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-label mean embedding: posexplode → decimal mean per (label,pos)
+    # → re-assemble ordered by pos. Shuffle key (label,pos) is perfectly
+    # uniform — this scales to any vector count.
+    e = t(spark, sf_dir, "embeddings")
+    exploded = e.select(
+        "label", "vec_id", F.posexplode("embedding").alias("pos", "v")
+    )
+    per_pos = (
+        exploded.groupBy("label", "pos")
+        .agg(
+            F.round(
+                F.sum(F.col("v").cast("double").cast(DEC12)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_val"),
+            F.countDistinct("vec_id").alias("nv"),
+        )
+    )
+    return (
+        per_pos.groupBy("label")
+        .agg(
+            F.max("nv").alias("n_vectors"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "avg_val"))),
+                lambda s: s.avg_val,
+            ).alias("centroid"),
+        )
+        .orderBy("label")
+    )
+
+
+@register(
+    "llm_embed_neardup",
+    """
+    WITH sample AS (
+      SELECT vec_id, label, embedding FROM embeddings WHERE vec_id % 7 = 0
+    ), pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             SUM(CAST(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
+                      AS DECIMAL(38,12))) AS dot,
+             SUM(CAST(CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)
+                      AS DECIMAL(38,12))) AS na,
+             SUM(CAST(CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
+                      AS DECIMAL(38,12))) AS nb
+      FROM sample a JOIN sample b ON b.vec_id > a.vec_id,
+           generate_series(1, 64) t(i)
+      GROUP BY 1, 2
+    )
+    SELECT vec_a, vec_b,
+           ROUND(CAST(dot AS DOUBLE)
+                 / (SQRT(CAST(na AS DOUBLE)) * SQRT(CAST(nb AS DOUBLE))), 6)
+             AS cosine
+    FROM pairs
+    WHERE CAST(dot AS DOUBLE)
+          / (SQRT(CAST(na AS DOUBLE)) * SQRT(CAST(nb AS DOUBLE))) > 0.8
+    ORDER BY vec_a, vec_b
+    """,
+)
+def llm_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Embedding-cosine near-dup over a deterministic 1/7 sample (the
+    # oracle-checkable slice; the full-corpus path is LSH-bucketed).
+    e = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 7 == 0)
+    ex = e.select("vec_id", F.posexplode("embedding").alias("pos", "v")).select(
+        "vec_id", "pos", F.col("v").cast("double").alias("v")
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.pos") == F.col("b.pos"))
+            & (F.col("b.vec_id") > F.col("a.vec_id")),
+        )
+        .groupBy(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
+        .agg(
+            F.sum((F.col("a.v") * F.col("b.v")).cast(DEC12)).alias("dot"),
+            F.sum((F.col("a.v") * F.col("a.v")).cast(DEC12)).alias("na"),
+            F.sum((F.col("b.v") * F.col("b.v")).cast(DEC12)).alias("nb"),
+        )
+    )
+    cos = F.col("dot").cast("double") / (
+        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
+    )
+    return (
+        pairs.filter(cos > 0.8)
+        .select("vec_a", "vec_b", F.round(cos, 6).alias("cosine"))
+        .orderBy("vec_a", "vec_b")
+    )
