@@ -9,19 +9,27 @@ that.
 Solution: route every multi-row accumulation through exact decimal
 arithmetic, identically on both sides:
 
-    Spark : ROUND(CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE), nd)
-    DuckDB: ROUND(CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE), nd)
+    Spark : CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE)
+    DuckDB: CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE)
 
 Per-row double expressions (x*y, 1-d, …) are IEEE-deterministic and produce
-bit-identical doubles in both engines; the double→decimal cast rounds
-half-up at 6 dp identically; the decimal sum is exact (order-insensitive);
-decimal→double is IEEE-nearest in both. The final ROUND (half-away-from-
-zero in both engines, verified in SURVEY.md §7.4) is belt-and-braces.
+bit-identical doubles in both engines; the double→decimal cast rounds at
+6 dp identically; the decimal sum is exact (order-insensitive);
+decimal→double is IEEE-nearest in both.
 
-Scale note: decimal sums are marginally slower than double sums but remain
-whole-stage-codegen'd JVM aggregates with map-side partial aggregation —
-the shuffle profile is identical, so this costs ~nothing at 100 TB and
-buys bitwise reproducibility.
+Deliberately NO final ROUND: the two engines round doubles differently at
+representation boundaries (Spark rounds the shortest decimal repr HALF_UP;
+DuckDB rounds the scaled binary value), and the fixture measures are
+2-dp-quantized money, which lands on those boundaries constantly. An
+unrounded double that is bit-identical on both sides hashes identically;
+a rounded one can flip. Rounding is reserved for values that genuinely
+differ across engines (transcendentals, quantile interpolation) where a
+coarse grid beats a 1-ulp mismatch.
+
+Scale note: decimal sums remain whole-stage-codegen'd JVM aggregates with
+map-side partial aggregation — the shuffle profile is identical to a
+double sum, so this costs ~nothing at 100 TB and buys bitwise
+reproducibility.
 """
 
 from __future__ import annotations
@@ -32,28 +40,29 @@ from pyspark.sql import functions as F
 DEC = "decimal(38,6)"
 
 
-def dsum(col: Column, alias: str, nd: int = 2) -> Column:
-    """Order-insensitive SUM of a double expression → double, rounded."""
-    return F.round(F.sum(col.cast(DEC)).cast("double"), nd).alias(alias)
+def dsum(col: Column, alias: str) -> Column:
+    """Order-insensitive SUM of a double expression → double (exact)."""
+    return F.sum(col.cast(DEC)).cast("double").alias(alias)
 
 
-def davg(col: Column, alias: str, nd: int = 6) -> Column:
-    """Order-insensitive AVG: exact decimal sum / count, as double."""
-    return F.round(
-        F.sum(col.cast(DEC)).cast("double") / F.count(col), nd
-    ).alias(alias)
+def davg(col: Column, alias: str) -> Column:
+    """Order-insensitive AVG: exact decimal sum / count, as double.
+
+    The division divides bit-identical operands on both engines → the
+    quotient is bit-identical; no rounding.
+    """
+    return (F.sum(col.cast(DEC)).cast("double") / F.count(col)).alias(alias)
 
 
-def sql_dsum(expr: str, alias: str, nd: int = 2) -> str:
+def sql_dsum(expr: str, alias: str) -> str:
     """DuckDB-side twin of :func:`dsum` (same text works in Spark SQL)."""
     return (
-        f"ROUND(CAST(SUM(CAST(({expr}) AS DECIMAL(38,6))) AS DOUBLE), {nd})"
-        f" AS {alias}"
+        f"CAST(SUM(CAST(({expr}) AS DECIMAL(38,6))) AS DOUBLE) AS {alias}"
     )
 
 
-def sql_davg(expr: str, alias: str, nd: int = 6) -> str:
+def sql_davg(expr: str, alias: str) -> str:
     return (
-        f"ROUND(CAST(SUM(CAST(({expr}) AS DECIMAL(38,6))) AS DOUBLE)"
-        f" / COUNT({expr}), {nd}) AS {alias}"
+        f"CAST(SUM(CAST(({expr}) AS DECIMAL(38,6))) AS DOUBLE)"
+        f" / COUNT({expr}) AS {alias}"
     )

@@ -17,6 +17,7 @@ _MODULES = [
     "functions_lib",
     "eventtime",
     "llm_ops",
+    "udfs",
 ]
 
 for _m in _MODULES:

@@ -1,0 +1,170 @@
+"""SURVEY.md §2.11 — UDF / UDAF / UDTF surface.
+
+The slow-path hierarchy, demonstrated one level each:
+- row-at-a-time Python UDF (udf_python) — serde per row; kept out of every
+  other declared query on purpose.
+- Arrow-vectorized pandas_udf (udf_pandas_scalar / grouped_agg) — the
+  acceptable Python path at scale (~10-100× the row UDF).
+- applyInPandas grouped map (udf_grouped_map) — per-group DataFrame
+  transforms.
+- Python UDTF (udtf_explode_custom) — one row in, N rows out.
+
+Determinism: UDF bodies are chosen so results are exactly portable
+(integer logic, numpy median on exact doubles, rank ratios) — see each
+docstring.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..catalog import t
+from .registry import register
+
+
+@register(
+    "udf_python",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice >= 200000 THEN 'platinum'
+                WHEN o_totalprice >= 100000 THEN 'gold'
+                WHEN o_totalprice >= 25000  THEN 'silver'
+                ELSE 'bronze' END AS tier
+    FROM orders
+    """,
+)
+def udf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Row-at-a-time Python UDF: pickle/unpickle per row, breaks codegen —
+    # exists to exercise the surface; every hot-path query uses builtins.
+    @F.udf(T.StringType())
+    def tier(price: float) -> str:
+        if price >= 200000:
+            return "platinum"
+        if price >= 100000:
+            return "gold"
+        if price >= 25000:
+            return "silver"
+        return "bronze"
+
+    o = t(spark, sf_dir, "orders")
+    return o.select("o_orderkey", tier("o_totalprice").alias("tier"))
+
+
+@register(
+    "udf_pandas_scalar",
+    """
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS final_price
+    FROM lineitem
+    """,
+)
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Arrow-batched Series→Series; numpy double arithmetic is IEEE-identical
+    # to the JVM/DuckDB expression, so this is oracle-exact with NO rounding
+    # (per-row double chains are bit-deterministic; a final ROUND would
+    # re-introduce representation-boundary divergence — deterministic.py).
+    @F.pandas_udf(T.DoubleType())
+    def final_price(
+        price: pd.Series, discount: pd.Series, tax: pd.Series
+    ) -> pd.Series:
+        return price * (1 - discount) * (1 + tax)
+
+    li = t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        final_price("l_extendedprice", "l_discount", "l_tax").alias(
+            "final_price"
+        ),
+    )
+
+
+@register(
+    "udf_pandas_grouped_agg",
+    """
+    SELECT l_returnflag,
+           ROUND(MEDIAN(l_extendedprice), 6) AS median_price
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def udf_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Custom aggregation via GROUPED_AGG pandas_udf. np.median sorts the
+    # group (order-insensitive) and midpoint-averages — the same
+    # linear-interpolation rule as quantile_cont(0.5), so exact vs oracle.
+    @F.pandas_udf(T.DoubleType())
+    def np_median(v: pd.Series) -> float:
+        return float(np.median(v.to_numpy()))
+
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.round(np_median("l_extendedprice"), 6).alias("median_price"))
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "udf_grouped_map",
+    """
+    SELECT o_orderkey, o_custkey,
+           CASE WHEN COUNT(*) OVER (PARTITION BY o_custkey) > 1
+                THEN ROUND(
+                  CAST(RANK() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice ASC, o_orderkey ASC) - 1
+                       AS DOUBLE)
+                  / (COUNT(*) OVER (PARTITION BY o_custkey) - 1), 6)
+                ELSE 0.0 END AS spend_pctile
+    FROM orders
+    """,
+)
+def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # applyInPandas per-group transform: percentile-within-customer.
+    # Rank ratios are integer-derived → exactly portable. One shuffle on
+    # the group key; group sizes are bounded (orders per customer).
+    def pctile(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        order = pdf.sort_values(["o_totalprice", "o_orderkey"]).index
+        rank = pd.Series(np.arange(n, dtype=np.float64), index=order)
+        if n > 1:
+            pdf["spend_pctile"] = (rank / (n - 1)).round(6)
+        else:
+            pdf["spend_pctile"] = 0.0
+        return pdf[["o_orderkey", "o_custkey", "spend_pctile"]]
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    return o.groupBy("o_custkey").applyInPandas(
+        pctile, schema="o_orderkey long, o_custkey long, spend_pctile double"
+    )
+
+
+@register(
+    "udtf_explode_custom",
+    """
+    SELECT o_orderkey, unnest(range(1, o_orderkey % 3 + 2)) AS slot
+    FROM orders
+    """,
+)
+def udtf_explode_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Python UDTF (Spark 4): one order row → (o_orderkey % 3 + 1) slot
+    # rows. The lateral-join shape is how dbt-style date spines / row
+    # multiplexers are built.
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="slot: bigint")
+    class ExplodeN:
+        def eval(self, n: int):
+            for i in range(1, n + 1):
+                yield (i,)
+
+    spark.udtf.register("explode_n", ExplodeN)
+    t(spark, sf_dir, "orders")  # registers the views
+    return spark.sql(
+        """
+        SELECT o_orderkey, s.slot
+        FROM orders, LATERAL explode_n(CAST(o_orderkey % 3 + 1 AS INT)) s
+        """
+    )
