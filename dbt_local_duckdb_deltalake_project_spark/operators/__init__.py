@@ -18,6 +18,10 @@ _MODULES = [
     "eventtime",
     "llm_ops",
     "udfs",
+    "scans",
+    "delta_ops",
+    "dbt_ops",
+    "streaming_ops",
 ]
 
 for _m in _MODULES:

@@ -1,0 +1,224 @@
+"""SURVEY.md §2.12 — dbt-runtime semantics as engine features.
+
+A medallion mini-project (bronze orders/lineitem → silver conformed →
+gold revenue mart) runs through plans/graph.py under each of the four
+materializations; the dbt schema tests (unique / not_null /
+accepted_values / relationships) and source freshness land as assertion
+queries. Tests are written over columns that actually violate, so the
+oracle comparison is non-trivial (a 0-row pass would match any oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import t
+from ..functions.deterministic import dsum, sql_dsum
+from ..plans.graph import ModelGraph
+from ..sources.workspace import workdir
+from .registry import register
+
+# The gold mart used by all four materialization ops: revenue by order
+# month and status over non-returned lineitems. One canonical SQL, four
+# execution strategies — results must be identical.
+_GOLD_SQL = f"""
+    SELECT DATE_TRUNC('month', o.o_orderdate) AS order_month,
+           o.o_orderstatus,
+           COUNT(*) AS n_items,
+           {sql_dsum("l.l_extendedprice * (1 - l.l_discount)", "revenue")}
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_returnflag <> 'A'
+    GROUP BY DATE_TRUNC('month', o.o_orderdate), o.o_orderstatus
+"""
+
+
+def _silver(spark: SparkSession, deps: dict[str, DataFrame]) -> DataFrame:
+    return (
+        deps["lineitem"]
+        .filter(F.col("l_returnflag") != "A")
+        .join(
+            deps["orders"].select("o_orderkey", "o_orderdate", "o_orderstatus"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            "o_orderstatus",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net"),
+        )
+    )
+
+
+def _gold(spark: SparkSession, deps: dict[str, DataFrame]) -> DataFrame:
+    return (
+        deps["silver_items"]
+        .groupBy(
+            F.date_trunc("month", "o_orderdate").alias("order_month"),
+            "o_orderstatus",
+        )
+        .agg(F.count("*").alias("n_items"), dsum(F.col("net"), "revenue"))
+    )
+
+
+def _run_mart(spark: SparkSession, sf_dir: str, mat: str, tag: str) -> DataFrame:
+    g = ModelGraph(workdir(sf_dir, f"mart_{tag}"))
+    g.model("silver_items", deps=["orders", "lineitem"], materialized="ephemeral")(
+        _silver
+    )
+    g.model("gold_revenue", deps=["silver_items"], materialized=mat)(_gold)
+    sources = {
+        "orders": t(spark, sf_dir, "orders"),
+        "lineitem": t(spark, sf_dir, "lineitem"),
+    }
+    return g.run(spark, sources)["gold_revenue"]
+
+
+@register("dbt_materialize_table", _GOLD_SQL)
+def dbt_materialize_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # table: CTAS each run — result is read back from storage (lineage
+    # cut), not recomputed. Ephemeral silver inlines into the gold plan.
+    return _run_mart(spark, sf_dir, "table", "table")
+
+
+@register("dbt_materialize_view", _GOLD_SQL)
+def dbt_materialize_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # view: logical only; every downstream read recomputes.
+    return _run_mart(spark, sf_dir, "view", "view")
+
+
+@register("dbt_materialize_ephemeral", _GOLD_SQL)
+def dbt_materialize_ephemeral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ephemeral: nothing materialized anywhere — one fused Catalyst plan.
+    return _run_mart(spark, sf_dir, "ephemeral", "ephemeral")
+
+
+@register("dbt_materialize_incremental", _GOLD_SQL)
+def dbt_materialize_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # incremental with unique_key: run 1 loads pre-1999 months, run 2
+    # merges the rest in. Monthly grain keys may overlap at the boundary,
+    # so the second run MERGEs on the (month,status) grain — emulated via
+    # a composite key column. End state == full recompute (the dbt
+    # incremental contract).
+    g = ModelGraph(workdir(sf_dir, "mart_incr"))
+    g.model("silver_items", deps=["orders", "lineitem"], materialized="ephemeral")(
+        _silver
+    )
+
+    def gold_with_key(spark: SparkSession, deps: dict[str, DataFrame]) -> DataFrame:
+        return _gold(spark, deps).withColumn(
+            "grain_key",
+            F.concat_ws("|", F.col("order_month").cast("string"), "o_orderstatus"),
+        )
+
+    g.model(
+        "gold_revenue",
+        deps=["silver_items"],
+        materialized="incremental",
+        unique_key="grain_key",
+    )(gold_with_key)
+
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    run1 = {"orders": o.filter(F.col("o_orderdate") < "1999-01-01"), "lineitem": li}
+    g.run(spark, run1)
+    run2 = {"orders": o, "lineitem": li}  # full source; MERGE reconciles
+    return g.run(spark, run2)["gold_revenue"].drop("grain_key")
+
+
+@register(
+    "dbt_test_unique",
+    """
+    SELECT o_custkey, COUNT(*) AS n
+    FROM orders GROUP BY o_custkey HAVING COUNT(*) > 1
+    """,
+)
+def dbt_test_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # dbt `unique` test: returns the violating keys (customers with >1
+    # order — deliberately non-empty so the oracle check is meaningful).
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+    )
+
+
+@register(
+    "dbt_test_not_null",
+    """
+    SELECT o_orderkey
+    FROM (SELECT o_orderkey, NULLIF(o_orderstatus, 'P') AS status_or_null
+          FROM orders)
+    WHERE status_or_null IS NULL
+    """,
+)
+def dbt_test_not_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # dbt `not_null` test over a silver column that genuinely goes null
+    # (pending status normalized to NULL upstream).
+    o = t(spark, sf_dir, "orders").withColumn(
+        "status_or_null", F.nullif(F.col("o_orderstatus"), F.lit("P"))
+    )
+    return o.filter(F.col("status_or_null").isNull()).select("o_orderkey")
+
+
+@register(
+    "dbt_test_accepted_values",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n
+    FROM orders
+    WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH', '3-MEDIUM')
+    GROUP BY o_orderpriority
+    """,
+)
+def dbt_test_accepted_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # dbt `accepted_values`: domain deliberately narrowed so 4-NOT
+    # SPECIFIED / 5-LOW surface as violations.
+    return (
+        t(spark, sf_dir, "orders")
+        .filter(~F.col("o_orderpriority").isin("1-URGENT", "2-HIGH", "3-MEDIUM"))
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "dbt_test_relationships",
+    """
+    SELECT DISTINCT e.user_id
+    FROM events e
+    WHERE NOT EXISTS (
+        SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id
+    )
+    """,
+)
+def dbt_test_relationships(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # dbt `relationships` (referential integrity) via left-anti join:
+    # events.user_id starts at 0, customer keys at 1 → user 0 violates.
+    e = t(spark, sf_dir, "events")
+    c = t(spark, sf_dir, "customer")
+    return (
+        e.select("user_id")
+        .distinct()
+        .join(c.select(F.col("c_custkey").alias("user_id")), "user_id", "left_anti")
+    )
+
+
+@register(
+    "dbt_source_freshness",
+    """
+    SELECT MAX(ts) AS max_loaded_at,
+           MAX(ts) >= TIMESTAMP '2024-01-25 00:00:00' AS is_fresh
+    FROM events
+    """,
+)
+def dbt_source_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # dbt source freshness: staleness of the newest ingested event vs a
+    # fixed warn_after threshold (fixtures end 2024-01-30 → fresh).
+    e = t(spark, sf_dir, "events")
+    return e.agg(
+        F.max("ts").alias("max_loaded_at"),
+        (F.max("ts") >= F.lit("2024-01-25 00:00:00").cast("timestamp")).alias(
+            "is_fresh"
+        ),
+    )

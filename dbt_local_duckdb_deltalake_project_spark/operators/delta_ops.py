@@ -1,0 +1,171 @@
+"""SURVEY.md §2.1 — Delta-surface operators over the versioned storage
+layer (sources/deltalike.py): append, time travel, MERGE upsert, SCD2
+snapshot.
+
+The reference demos "full deltalake implementation of medallion
+architecture" (ref README.md:2); these four are the Delta/dbt write
+patterns that implies. All four are oracle-checked (sql mode): each op
+derives both its inputs deterministically from fixture views, so the
+post-storage state is expressible as plain SQL over the same views.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import t
+from ..sources.deltalike import DeltaLikeTable
+from ..sources.workspace import workdir
+from .registry import register
+
+# deterministic split of orders used by append/time-travel:
+_CUT = "1999-01-01"
+
+
+@register(
+    "sink_delta_append",
+    """
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    """,
+)
+def sink_delta_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # v0 = pre-1999 orders (overwrite), v1 = the rest (append); reading
+    # latest must reassemble exactly the full table. Appends are new
+    # files + a log entry — no rewrite of existing data, which is what
+    # makes incremental loads O(delta) at 100 TB.
+    tbl = DeltaLikeTable(workdir(sf_dir, "delta_append"))
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    tbl.write(o.filter(F.col("o_orderdate") < _CUT), mode="overwrite")
+    tbl.write(o.filter(F.col("o_orderdate") >= _CUT), mode="append")
+    return tbl.read(spark).select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
+@register(
+    "delta_time_travel",
+    f"""
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    WHERE o_orderdate < TIMESTAMP '{_CUT}'
+    """,
+)
+def delta_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Same two commits; read as of version 0 → only the pre-1999 slice.
+    # Log replay picks the live file set; old files are never mutated.
+    tbl = DeltaLikeTable(workdir(sf_dir, "delta_time_travel"))
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    tbl.write(o.filter(F.col("o_orderdate") < _CUT), mode="overwrite")
+    tbl.write(o.filter(F.col("o_orderdate") >= _CUT), mode="append")
+    return tbl.read(spark, as_of=0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+@register(
+    "delta_merge_upsert",
+    """
+    WITH source AS (
+        SELECT o_orderkey,
+               o_totalprice * 1.1 AS o_totalprice,
+               'U' AS o_orderstatus
+        FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    target AS (
+        SELECT o_orderkey, o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderkey % 5 <> 0
+    )
+    SELECT o_orderkey, o_totalprice, o_orderstatus FROM source
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, o_orderstatus FROM target
+    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM source)
+    """,
+)
+def delta_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # dbt incremental (merge strategy): target = 80% of orders, source =
+    # even keys re-priced. MERGE updates matched rows, inserts the rest;
+    # result is committed as a new version and read back from storage.
+    tbl = DeltaLikeTable(workdir(sf_dir, "delta_merge"))
+    o = t(spark, sf_dir, "orders")
+    target = o.filter(F.col("o_orderkey") % 5 != 0).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    source = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+        F.lit("U").alias("o_orderstatus"),
+    )
+    tbl.write(target, mode="overwrite")
+    return tbl.merge(spark, source, on="o_orderkey")
+
+
+@register(
+    "scd2_snapshot",
+    """
+    WITH s1 AS (
+        SELECT c_custkey, c_mktsegment FROM customer
+    ),
+    s2 AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 11 = 0 THEN 'RELOCATED'
+                    ELSE c_mktsegment END AS c_mktsegment
+        FROM customer
+    )
+    SELECT s1.c_custkey, s1.c_mktsegment,
+           1 AS valid_from,
+           CASE WHEN s1.c_mktsegment <> s2.c_mktsegment THEN 2 END AS valid_to
+    FROM s1 JOIN s2 USING (c_custkey)
+    UNION ALL
+    SELECT s2.c_custkey, s2.c_mktsegment, 2 AS valid_from, NULL AS valid_to
+    FROM s1 JOIN s2 USING (c_custkey)
+    WHERE s1.c_mktsegment <> s2.c_mktsegment
+    """,
+)
+def scd2_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # dbt snapshot (SCD type 2, check strategy): snapshot 1 = customer as
+    # shipped; snapshot 2 relocates every 11th customer. Changed keys get
+    # their v1 row closed (valid_to=2) and a v2 row opened. Batch ids as
+    # validity bounds keep it timestamp-free and oracle-exact.
+    tbl = DeltaLikeTable(workdir(sf_dir, "scd2"))
+    c = t(spark, sf_dir, "customer")
+    snap1 = c.select("c_custkey", "c_mktsegment")
+    snap2 = c.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 11 == 0, "RELOCATED")
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+    )
+    dim = snap1.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.lit(1).alias("valid_from"),
+        F.lit(None).cast("int").alias("valid_to"),
+    )
+    tbl.write(dim, mode="overwrite")
+
+    # snapshot run: close changed current rows, insert new versions.
+    cur = tbl.read(spark).alias("d")
+    new = snap2.alias("n")
+    changed = cur.join(new, "c_custkey").filter(
+        F.col("d.valid_to").isNull()
+        & (F.col("d.c_mktsegment") != F.col("n.c_mktsegment"))
+    )
+    closed = changed.select(
+        "c_custkey",
+        F.col("d.c_mktsegment").alias("c_mktsegment"),
+        F.col("d.valid_from").alias("valid_from"),
+        F.lit(2).alias("valid_to"),
+    )
+    opened = changed.select(
+        "c_custkey",
+        F.col("n.c_mktsegment").alias("c_mktsegment"),
+        F.lit(2).alias("valid_from"),
+        F.lit(None).cast("int").alias("valid_to"),
+    )
+    unchanged = cur.join(
+        changed.select("c_custkey"), "c_custkey", "left_anti"
+    ).select("c_custkey", "c_mktsegment", "valid_from", "valid_to")
+    tbl.write(unchanged.unionByName(closed).unionByName(opened), mode="overwrite")
+    return tbl.read(spark)

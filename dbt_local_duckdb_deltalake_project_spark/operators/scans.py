@@ -1,0 +1,124 @@
+"""SURVEY.md §2.1 — scans, file-format sources, and sinks.
+
+At 100 TB these are the operators where the plan matters most: a scan
+that fails to prune columns or push predicates reads the whole lake.
+tests/test_plans.py asserts ReadSchema/PushedFilters on the pushdown
+pair below; the CSV/JSON ops stage a round-trip through the workspace so
+ingest correctness is oracle-checked against the parquet truth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import t
+from ..functions.deterministic import dsum, sql_dsum
+from ..sources.workspace import workdir
+from .registry import register
+
+
+@register("scan_parquet", "SELECT * FROM region")
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Full-table parquet scan; schema comes from the footer, no inference.
+    return t(spark, sf_dir, "region")
+
+
+@register(
+    "scan_projection_pushdown",
+    "SELECT l_orderkey, l_extendedprice FROM lineitem",
+)
+def scan_projection_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Column pruning: ReadSchema must contain exactly these two columns —
+    # at 100 TB this is the difference between reading 2/16ths of the
+    # table and all of it (asserted in tests/test_plans.py).
+    return t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+
+
+@register(
+    "scan_filter_pushdown",
+    """
+    SELECT l_orderkey, l_quantity, l_shipdate
+    FROM lineitem
+    WHERE l_quantity < 5 AND l_shipdate >= TIMESTAMP '1998-01-01'
+    """,
+)
+def scan_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Predicate pushdown: both conjuncts reach the parquet reader
+    # (PushedFilters), skipping row groups via min/max zone maps.
+    li = t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_quantity") < 5)
+        & (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_quantity", "l_shipdate")
+
+
+@register(
+    "scan_csv",
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Bronze-layer CSV ingest (dbt seed shape): stage nation as CSV, read
+    # it back with header+inference, pin dtypes explicitly (inference is
+    # for discovery; silver layers declare schemas — SURVEY.md §1).
+    path = workdir(sf_dir, "scan_csv")
+    src = t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    src.write.mode("overwrite").option("header", True).csv(path)
+    df = (
+        spark.read.option("header", True)
+        .option("inferSchema", True)
+        .csv(path)
+    )
+    return df.select(
+        F.col("n_nationkey").cast("int"),
+        F.col("n_name").cast("string"),
+        F.col("n_regionkey").cast("int"),
+    )
+
+
+@register(
+    "scan_json",
+    "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+)
+def scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # JSON-lines ingest: doubles survive the round-trip bit-exactly
+    # (shortest-repr serialization on write, exact parse on read).
+    path = workdir(sf_dir, "scan_json")
+    src = t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    src.write.mode("overwrite").json(path)
+    df = spark.read.json(path)
+    return df.select(
+        F.col("s_suppkey").cast("long"),
+        F.col("s_name").cast("string"),
+        F.col("s_nationkey").cast("int"),
+        F.col("s_acctbal").cast("double"),
+    )
+
+
+@register(
+    "sink_parquet",
+    f"""
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           {sql_dsum("l_quantity", "sum_qty")}
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Partitioned parquet sink + read-back: hive-style layout
+    # (l_returnflag=A/...) is what enables partition pruning downstream.
+    # The returned aggregate proves the round-trip lost nothing.
+    path = workdir(sf_dir, "sink_parquet")
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    li.write.mode("overwrite").partitionBy("l_returnflag").parquet(path)
+    back = spark.read.parquet(path)
+    return back.groupBy(F.col("l_returnflag").cast("string").alias("l_returnflag")).agg(
+        F.count("*").alias("n_rows"),
+        dsum(F.col("l_quantity"), "sum_qty"),
+    )

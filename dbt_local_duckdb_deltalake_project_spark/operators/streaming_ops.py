@@ -1,0 +1,96 @@
+"""SURVEY.md §2.9 — Structured Streaming twins, run for real.
+
+The batch forms in eventtime.py are the oracle-checked semantics; these
+queries execute the SAME logical transformations through
+``readStream`` → watermark → memory sink via streaming/twins.py.
+
+- ``stream_tumbling_streamed`` replays in order in complete mode, so its
+  result equals the batch/oracle answer exactly → sql mode (a genuine
+  batch/stream-parity check run by the driver).
+- ``stream_watermark_late`` replays OUT of order (late half first) in
+  append mode: micro-batch 2's rows arrive behind the watermark and are
+  dropped — streaming-only semantics, rows mode (SURVEY.md §2.9).
+- ``stream_dedup_within_watermark`` exercises
+  ``dropDuplicatesWithinWatermark`` state cleanup — rows mode.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..streaming.twins import run_stream_to_batch
+from .registry import register
+
+DEC = "decimal(38,6)"
+
+
+def _tumbling(stream: DataFrame) -> DataFrame:
+    return (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast(DEC)).cast("double"), 4).alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "stream_tumbling_streamed",
+    """
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 4)
+             AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # In-order replay, complete mode → every window emitted at
+    # termination; result must hash-match the batch oracle (parity).
+    return run_stream_to_batch(
+        spark, sf_dir, "tumble", _tumbling, output_mode="complete"
+    )
+
+
+@register("stream_watermark_late")
+def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Late-data drop: the second micro-batch carries events ~14 days
+    # behind the watermark (10-minute tolerance) — all dropped; only
+    # finalized windows from the first (later-time) file are emitted.
+    return run_stream_to_batch(
+        spark,
+        sf_dir,
+        "late",
+        _tumbling,
+        late_fraction=True,
+        output_mode="append",
+    )
+
+
+@register("stream_dedup_within_watermark")
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exactly-once dedup with bounded state: duplicates arriving within
+    # the watermark interval are suppressed, state beyond it is evicted —
+    # the scale-safe streaming dedup (vs unbounded dropDuplicates).
+    def dedup(stream: DataFrame) -> DataFrame:
+        return (
+            stream.withWatermark("ts", "30 minutes")
+            .dropDuplicatesWithinWatermark(["event_id"])
+            .select("event_id", "ts", "user_id", "event_type")
+        )
+
+    return run_stream_to_batch(
+        spark, sf_dir, "dedupww", dedup, output_mode="append"
+    )

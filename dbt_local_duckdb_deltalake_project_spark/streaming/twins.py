@@ -1,0 +1,82 @@
+"""Batch↔stream twin harness.
+
+``run_stream_to_batch`` stages the events fixture as a sequence of
+parquet files (ordered by event time), replays them through
+``spark.readStream`` one file per micro-batch, applies a caller-supplied
+transformation, and drains to a memory sink with
+``trigger(availableNow=True)`` until termination. The result is a plain
+DataFrame — comparable against the batch twin or an oracle.
+
+Multi-file replay is what makes watermarks real: the watermark advances
+between micro-batches, so late rows in later files are actually dropped
+(single-batch replay would never drop anything). At 100 TB the same code
+reads a Kafka/files source; only the staging step is test-local.
+"""
+
+from __future__ import annotations
+
+import uuid
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import t
+from ..sources.workspace import workdir
+
+
+def stage_event_files(
+    spark: SparkSession, sf_dir: str, tag: str, late_fraction: bool = False
+) -> tuple[str, str]:
+    """Write events as ordered parquet files under a scratch source dir.
+
+    Default: two files split at the median day (early half then late
+    half) — an in-order replay. With ``late_fraction``: file 1 carries
+    the LATER half first, file 2 the earlier half, so file 2's rows
+    arrive behind the watermark and are dropped.
+    """
+    src = workdir(sf_dir, f"stream_src_{tag}")
+    ckpt = workdir(sf_dir, f"stream_ckpt_{tag}")
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    cut = "2024-01-15 00:00:00"
+    early = ev.filter(F.col("ts") < cut)
+    late = ev.filter(F.col("ts") >= cut)
+    first, second = (late, early) if late_fraction else (early, late)
+    # one file each: coalesce(1) so file order == micro-batch order
+    first.coalesce(1).write.mode("overwrite").parquet(f"{src}/f0")
+    second.coalesce(1).write.mode("overwrite").parquet(f"{src}/f1")
+    return src, ckpt
+
+
+def run_stream_to_batch(
+    spark: SparkSession,
+    sf_dir: str,
+    tag: str,
+    transform: Callable[[DataFrame], DataFrame],
+    late_fraction: bool = False,
+    output_mode: str = "append",
+) -> DataFrame:
+    """Replay staged event files through readStream → transform → memory
+    sink; returns the drained sink as a DataFrame."""
+    src, ckpt = stage_event_files(spark, sf_dir, tag, late_fraction)
+    schema = spark.read.parquet(f"{src}/f0").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    sink = f"sink_{tag}_{uuid.uuid4().hex[:8]}"
+    q = (
+        transform(stream)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
