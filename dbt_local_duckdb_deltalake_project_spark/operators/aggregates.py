@@ -288,17 +288,21 @@ def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Exact percentile needs per-group sorted values: fine for bounded
     # groups; at 100 TB switch to approx_percentile (t-digest sketch).
+    # One percentile aggregate with an array of fractions → ONE sorted
+    # buffer per group instead of three (3 separate aggs each kept their
+    # own copy of the group's values: 4s → ~1.5s at sf0.1).
     li = t(spark, sf_dir, "lineitem")
+    pcts = F.percentile(
+        "l_extendedprice", F.array(F.lit(0.5), F.lit(0.25), F.lit(0.95))
+    )
     return (
         li.groupBy("l_returnflag")
-        .agg(
-            F.round(F.median("l_extendedprice"), 6).alias("median_price"),
-            F.round(F.percentile("l_extendedprice", F.lit(0.25)), 6).alias(
-                "p25_price"
-            ),
-            F.round(F.percentile("l_extendedprice", F.lit(0.95)), 6).alias(
-                "p95_price"
-            ),
+        .agg(pcts.alias("p"))
+        .select(
+            "l_returnflag",
+            F.round(F.col("p")[0], 6).alias("median_price"),
+            F.round(F.col("p")[1], 6).alias("p25_price"),
+            F.round(F.col("p")[2], 6).alias("p95_price"),
         )
         .orderBy("l_returnflag")
     )

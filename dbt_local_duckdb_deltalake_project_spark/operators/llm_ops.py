@@ -18,6 +18,7 @@ Scale posture (100 TB of documents):
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import t
@@ -76,6 +77,32 @@ ORDER BY doc_a, doc_b
 """
 
 
+def _shingle_rows(d: DataFrame) -> DataFrame:
+    """Distinct 3-word shingles per doc as 64-bit hashes: (doc_id, s).
+
+    Codegen pipeline: posexplode tokens → window ``lead`` stitches each
+    3-gram → hash → distinct. Building the shingle ARRAY with
+    transform/element_at lambdas runs interpreted in Spark (~10s at
+    sf0.1 measured); this formulation never leaves whole-stage codegen.
+    The shuffle key (doc_id) is uniform; shingles travel as 8-byte longs
+    (collision odds over ~10^7 distinct shingles ≈ 10^-3 per run — below
+    the noise floor this pipeline tolerates).
+    """
+    win = W.partitionBy("doc_id").orderBy("p")
+    return (
+        d.select("doc_id", F.posexplode(F.split("text", " ")).alias("p", "w"))
+        .select(
+            "doc_id",
+            "w",
+            F.lead("w", 1).over(win).alias("w1"),
+            F.lead("w", 2).over(win).alias("w2"),
+        )
+        .filter(F.col("w2").isNotNull())
+        .select("doc_id", F.xxhash64(F.concat_ws(" ", "w", "w1", "w2")).alias("s"))
+        .distinct()
+    )
+
+
 @register("llm_dedup_near", _SHINGLE_ORACLE)
 def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 3-word shingles → inverted index (explode) → candidate pairs share
@@ -83,22 +110,8 @@ def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     # textbook exact algorithm; hot shingles are the skew risk (AQE skew
     # join handles it; the MinHash variant below removes it entirely).
     d = t(spark, sf_dir, "documents")
-    w = F.split(F.col("text"), " ")
-    shingles = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(w) - 2),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(w, i),
-                F.element_at(w, i + 1),
-                F.element_at(w, i + 2),
-            ),
-        )
-    )
-    sh = d.select("doc_id", shingles.alias("shingles")).select(
-        "doc_id",
-        F.size("shingles").alias("n"),
-        F.explode("shingles").alias("s"),
+    sh = _shingle_rows(d).withColumn(
+        "n", F.count(F.lit(1)).over(W.partitionBy("doc_id"))
     )
     a, b = sh.alias("a"), sh.alias("b")
     pairs = (
@@ -137,23 +150,29 @@ def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     n_hashes, band_size = 32, 4  # 8 bands — sized for the 500-doc fixture
     d = t(spark, sf_dir, "documents")
-    w = F.split(F.col("text"), " ")
-    shingles = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(w) - 2),
-            lambda i: F.concat_ws(
-                " ", F.element_at(w, i), F.element_at(w, i + 1), F.element_at(w, i + 2)
-            ),
-        )
+    # Signature shape (measured at sf0.1): per-row higher-order-function
+    # folds run INTERPRETED in Spark and cost ~18s; the codegen path is —
+    # shingle rows from the shared window pipeline, hash each shingle
+    # ONCE into two independent 64-bit bases, derive the 32 hash family
+    # members as h1 + i·h2 (Kirsch-Mitzenmacher double hashing), take 32
+    # min-aggregates. min() is algebraic → map-side partial aggregation:
+    # the shuffle carries one 32-long state per doc per mapper.
+    # Family member i = h1 XOR rotl(h2, i+1): pure bitwise mixing —
+    # ANSI-safe (h1 + i·h2 overflow-errors under Spark 4's ANSI mode).
+    ex = _shingle_rows(d).select(
+        "doc_id",
+        F.col("s").alias("h1"),
+        F.xxhash64("s", F.lit(1)).alias("h2"),
     )
-    ex = d.select("doc_id", F.explode(shingles).alias("s"))
+
+    def _mix(i: int):
+        r = i + 1  # rotations 1..32 keep shift amounts in (0, 64)
+        return F.expr(
+            f"h1 ^ (shiftleft(h2, {r}) | shiftrightunsigned(h2, {64 - r}))"
+        )
+
     sig = ex.groupBy("doc_id").agg(
-        *[
-            F.min(F.xxhash64(F.concat(F.lit(f"seed{i}|"), F.col("s")))).alias(
-                f"h{i}"
-            )
-            for i in range(n_hashes)
-        ]
+        *[F.min(_mix(i)).alias(f"h{i}") for i in range(n_hashes)]
     )
     bands = sig.select(
         "doc_id",
@@ -446,17 +465,25 @@ def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash over tokens: sign-sum of per-token hash bits.
 
-    Pure expression pipeline (explode → bit test → groupBy sum → bit
-    assemble); deterministic within Spark. Near-dups then hamming-join on
-    the fingerprint — at scale, band the 64 bits into 4×16-bit keys.
+    Codegen formulation (measured at sf0.1): per-row higher-order-function
+    folds run interpreted and lose to the JVM hash aggregate, so — hash
+    each token ONCE during the explode (the shuffle moves 8-byte longs),
+    then 64 codegen'd conditional sums with map-side partial aggregation
+    (the shuffle actually carries one 64-int state per doc per mapper).
+    The ±1 sign sum per bit is `sum(CASE bit WHEN 1 THEN 1 ELSE -1)`.
+    Hamming-banding the 64 bits into 4×16-bit keys is the near-dup join
+    path at scale.
     """
     d = t(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
-    h = F.xxhash64("w")
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).select("doc_id", F.xxhash64("w").alias("h"))
     bit_sums = tok.groupBy("doc_id").agg(
         *[
             F.sum(
-                F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+                F.when(
+                    F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
             ).alias(f"b{i}")
             for i in range(64)
         ]
@@ -551,25 +578,48 @@ def llm_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Embedding-cosine near-dup over a deterministic 1/7 sample (the
     # oracle-checkable slice; the full-corpus path is LSH-bucketed).
-    e = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 7 == 0)
-    ex = e.select("vec_id", F.posexplode("embedding").alias("pos", "v")).select(
-        "vec_id", "pos", F.col("v").cast("double").alias("v")
+    #
+    # Shuffle-free dot products: the earlier version posexploded to
+    # (vec_id, pos, v) and self-joined on pos — 64 join keys → extreme
+    # skew and an O(pairs × 64)-row shuffle (8s at sf0.1). Here vectors
+    # stay as arrays: per-vector norms are a per-row fold, the pair join
+    # broadcasts the (small, sampled) side, and each pair's dot product
+    # is one in-register zip_with/aggregate fold — no exploded rows ever
+    # hit a shuffle. Decimal accumulation keeps it bit-equal to the
+    # DuckDB oracle's decimal SUM (order-insensitive).
+    zero = F.lit(0).cast(DEC12)
+    # NB: decimal + decimal widens to DECIMAL(38,11) under Spark's
+    # precision rules — cast each fold result back to keep the
+    # accumulator type fixed (the cast is exact: sums of (38,12) values
+    # of this magnitude never need the dropped digit).
+    norm = lambda col: F.aggregate(  # noqa: E731
+        col,
+        zero,
+        lambda acc, x: (
+            acc + (x.cast("double") * x.cast("double")).cast(DEC12)
+        ).cast(DEC12),
     )
-    a, b = ex.alias("a"), ex.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.pos") == F.col("b.pos"))
-            & (F.col("b.vec_id") > F.col("a.vec_id")),
-        )
-        .groupBy(
-            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
-        )
-        .agg(
-            F.sum((F.col("a.v") * F.col("b.v")).cast(DEC12)).alias("dot"),
-            F.sum((F.col("a.v") * F.col("a.v")).cast(DEC12)).alias("na"),
-            F.sum((F.col("b.v") * F.col("b.v")).cast(DEC12)).alias("nb"),
-        )
+    e = (
+        t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % 7 == 0)
+        .select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
+    )
+    a, b = e.alias("a"), F.broadcast(e.alias("b"))
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("a.embedding"),
+            F.col("b.embedding"),
+            lambda x, y: (x.cast("double") * y.cast("double")).cast(DEC12),
+        ),
+        zero,
+        lambda acc, v: (acc + v).cast(DEC12),
+    )
+    pairs = a.join(b, F.col("b.vec_id") > F.col("a.vec_id")).select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        dot.alias("dot"),
+        F.col("a.nrm").alias("na"),
+        F.col("b.nrm").alias("nb"),
     )
     cos = F.col("dot").cast("double") / (
         F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))

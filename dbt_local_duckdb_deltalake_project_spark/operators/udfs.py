@@ -123,21 +123,33 @@ def udf_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     # applyInPandas per-group transform: percentile-within-customer.
-    # Rank ratios are integer-derived → exactly portable. One shuffle on
-    # the group key; group sizes are bounded (orders per customer).
+    # Rank ratios are integer-derived → exactly portable.
+    #
+    # Scale shape: grouping directly by o_custkey makes millions of
+    # few-row groups — each one a separate Arrow batch + Python call,
+    # which is the classic applyInPandas anti-pattern (28s at sf0.1).
+    # Instead we shuffle once on a BUCKET of the key (customers never
+    # straddle buckets) and vectorize the per-customer logic inside
+    # pandas with groupby().rank() — same semantics, ~64 fat Arrow
+    # batches instead of N_customers tiny ones.
     def pctile(pdf: pd.DataFrame) -> pd.DataFrame:
-        n = len(pdf)
-        order = pdf.sort_values(["o_totalprice", "o_orderkey"]).index
-        rank = pd.Series(np.arange(n, dtype=np.float64), index=order)
-        if n > 1:
-            pdf["spend_pctile"] = (rank / (n - 1)).round(6)
-        else:
-            pdf["spend_pctile"] = 0.0
+        pdf = pdf.sort_values(["o_custkey", "o_totalprice", "o_orderkey"])
+        grp = pdf.groupby("o_custkey")
+        rank0 = grp.cumcount().astype(np.float64)
+        n = grp["o_orderkey"].transform("size").astype(np.float64)
+        pdf["spend_pctile"] = np.where(n > 1, (rank0 / (n - 1)).round(6), 0.0)
         return pdf[["o_orderkey", "o_custkey", "spend_pctile"]]
 
-    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
-    return o.groupBy("o_custkey").applyInPandas(
-        pctile, schema="o_orderkey long, o_custkey long, spend_pctile double"
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    o = o.withColumn("bucket", (F.col("o_custkey") % 64).cast("int"))
+    return (
+        o.groupBy("bucket")
+        .applyInPandas(
+            pctile,
+            schema="o_orderkey long, o_custkey long, spend_pctile double",
+        )
     )
 
 
