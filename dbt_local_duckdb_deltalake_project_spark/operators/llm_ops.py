@@ -579,19 +579,53 @@ def llm_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Embedding-cosine near-dup over a deterministic 1/7 sample (the
     # oracle-checkable slice; the full-corpus path is LSH-bucketed).
     #
-    # Shuffle-free dot products: the earlier version posexploded to
-    # (vec_id, pos, v) and self-joined on pos — 64 join keys → extreme
-    # skew and an O(pairs × 64)-row shuffle (8s at sf0.1). Here vectors
-    # stay as arrays: per-vector norms are a per-row fold, the pair join
-    # broadcasts the (small, sampled) side, and each pair's dot product
-    # is one in-register zip_with/aggregate fold — no exploded rows ever
-    # hit a shuffle. Decimal accumulation keeps it bit-equal to the
-    # DuckDB oracle's decimal SUM (order-insensitive).
+    # Two-phase, the shape that survives 100 TB:
+    # 1. PREFILTER — blocked GEMM via mapInPandas: the sampled matrix is
+    #    broadcast into each Arrow batch's closure; numpy computes the
+    #    batch's full cosine row-block in one matrix multiply and keeps
+    #    pairs above (threshold − margin). All-pairs work happens at
+    #    BLAS speed, never in interpreted expression folds (which cost
+    #    7s at sf0.1) and never through a shuffle.
+    # 2. VERIFY — the few surviving candidates are re-computed with
+    #    exact decimal accumulation (bit-equal to the DuckDB oracle's
+    #    decimal SUM). float64 cosine differs from the exact value by
+    #    <1e-12, so a 1e-6 margin makes phase 1 lossless; phase 2 makes
+    #    the final set and the 6-dp rounding exact.
+    import numpy as np
+    import pandas as pd
+
+    e = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 7 == 0)
+    rows = e.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    m = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    mn = m / np.sqrt((m * m).sum(axis=1, keepdims=True))
+    bm = spark.sparkContext.broadcast((ids, mn))
+
+    def gemm_prefilter(batches):
+        bids, bmn = bm.value
+        for pdf in batches:
+            keep = (pdf.vec_id % 7 == 0).to_numpy()
+            if not keep.any():
+                continue
+            sub = pdf[keep]
+            x = np.stack(sub.embedding.to_numpy()).astype(np.float64)
+            x = x / np.sqrt((x * x).sum(axis=1, keepdims=True))
+            cos = x @ bmn.T  # (batch, sample) cosine block
+            ai, bj = np.nonzero(cos > 0.8 - 1e-6)
+            va = sub.vec_id.to_numpy()[ai]
+            vb = bids[bj]
+            mask = vb > va
+            yield pd.DataFrame({"vec_a": va[mask], "vec_b": vb[mask]})
+
+    cand = t(spark, sf_dir, "embeddings").mapInPandas(
+        gemm_prefilter, schema="vec_a long, vec_b long"
+    )
+
+    # exact decimal verify on the candidate set only
     zero = F.lit(0).cast(DEC12)
     # NB: decimal + decimal widens to DECIMAL(38,11) under Spark's
     # precision rules — cast each fold result back to keep the
-    # accumulator type fixed (the cast is exact: sums of (38,12) values
-    # of this magnitude never need the dropped digit).
+    # accumulator type fixed (the cast is exact at these magnitudes).
     norm = lambda col: F.aggregate(  # noqa: E731
         col,
         zero,
@@ -599,27 +633,47 @@ def llm_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             acc + (x.cast("double") * x.cast("double")).cast(DEC12)
         ).cast(DEC12),
     )
-    e = (
-        t(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") % 7 == 0)
-        .select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
+    ev = e.select(
+        "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
     )
-    a, b = e.alias("a"), F.broadcast(e.alias("b"))
-    dot = F.aggregate(
-        F.zip_with(
-            F.col("a.embedding"),
-            F.col("b.embedding"),
-            lambda x, y: (x.cast("double") * y.cast("double")).cast(DEC12),
-        ),
-        zero,
-        lambda acc, v: (acc + v).cast(DEC12),
-    )
-    pairs = a.join(b, F.col("b.vec_id") > F.col("a.vec_id")).select(
-        F.col("a.vec_id").alias("vec_a"),
-        F.col("b.vec_id").alias("vec_b"),
-        dot.alias("dot"),
-        F.col("a.nrm").alias("na"),
-        F.col("b.nrm").alias("nb"),
+    pairs = (
+        cand.join(
+            F.broadcast(
+                ev.select(
+                    F.col("vec_id").alias("vec_a"),
+                    F.col("embedding").alias("ea"),
+                    F.col("nrm").alias("na"),
+                )
+            ),
+            "vec_a",
+        )
+        .join(
+            F.broadcast(
+                ev.select(
+                    F.col("vec_id").alias("vec_b"),
+                    F.col("embedding").alias("eb"),
+                    F.col("nrm").alias("nb"),
+                )
+            ),
+            "vec_b",
+        )
+        .select(
+            "vec_a",
+            "vec_b",
+            F.aggregate(
+                F.zip_with(
+                    F.col("ea"),
+                    F.col("eb"),
+                    lambda x, y: (x.cast("double") * y.cast("double")).cast(
+                        DEC12
+                    ),
+                ),
+                zero,
+                lambda acc, v: (acc + v).cast(DEC12),
+            ).alias("dot"),
+            "na",
+            "nb",
+        )
     )
     cos = F.col("dot").cast("double") / (
         F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))

@@ -33,8 +33,12 @@ def get_spark(
     if cpus is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     if shuffle_partitions is None:
-        n = os.cpu_count() or 8
-        shuffle_partitions = min(32, n)
+        # Local sizing: every shuffle stage pays ~task-launch × partitions;
+        # at the fixture scales that floor dominates (measured: 32 → 8
+        # initial partitions halves cheap-query wall-clock). 16 keeps
+        # CPU-bound stages parallel while AQE coalesces the rest. On a
+        # real cluster set this 2–3× total cores and let AQE coalesce.
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "16"))
 
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")

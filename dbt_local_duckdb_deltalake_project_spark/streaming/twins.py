@@ -35,18 +35,24 @@ def stage_event_files(
     the LATER half first, file 2 the earlier half, so file 2's rows
     arrive behind the watermark and are dropped.
     """
-    src = workdir(sf_dir, f"stream_src_{tag}")
-    ckpt = workdir(sf_dir, f"stream_ckpt_{tag}")
-    ev = t(spark, sf_dir, "events").select(
-        "event_id", "ts", "user_id", "event_type", "value"
-    )
-    cut = "2024-01-15 00:00:00"
-    early = ev.filter(F.col("ts") < cut)
-    late = ev.filter(F.col("ts") >= cut)
-    first, second = (late, early) if late_fraction else (early, late)
-    # one file each: coalesce(1) so file order == micro-batch order
-    first.coalesce(1).write.mode("overwrite").parquet(f"{src}/f0")
-    second.coalesce(1).write.mode("overwrite").parquet(f"{src}/f1")
+    import os
+
+    order = "rev" if late_fraction else "fwd"
+    src = workdir(sf_dir, f"stream_src_{order}", fresh=False)
+    ckpt = workdir(sf_dir, f"stream_ckpt_{tag}")  # checkpoints never shared
+    if not (
+        os.path.exists(f"{src}/f0/_SUCCESS") and os.path.exists(f"{src}/f1/_SUCCESS")
+    ):
+        ev = t(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        )
+        cut = "2024-01-15 00:00:00"
+        early = ev.filter(F.col("ts") < cut)
+        late = ev.filter(F.col("ts") >= cut)
+        first, second = (late, early) if late_fraction else (early, late)
+        # one file each: coalesce(1) so file order == micro-batch order
+        first.coalesce(1).write.mode("overwrite").parquet(f"{src}/f0")
+        second.coalesce(1).write.mode("overwrite").parquet(f"{src}/f1")
     return src, ckpt
 
 
@@ -69,14 +75,23 @@ def run_stream_to_batch(
         .parquet(src)
     )
     sink = f"sink_{tag}_{uuid.uuid4().hex[:8]}"
-    q = (
-        transform(stream)
-        .writeStream.format("memory")
-        .queryName(sink)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # Streaming aggregations checkpoint one state-store file PER shuffle
+    # partition PER micro-batch, and AQE cannot coalesce streaming plans —
+    # keep the replay's state fan-out small locally (a cluster deployment
+    # would size this to the key cardinality instead).
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            transform(stream)
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(sink)
