@@ -22,6 +22,7 @@ _MODULES = [
     "delta_ops",
     "dbt_ops",
     "streaming_ops",
+    "multimodal",
 ]
 
 for _m in _MODULES:

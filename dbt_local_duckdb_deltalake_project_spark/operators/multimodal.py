@@ -1,0 +1,192 @@
+"""Multimodal-column operators (task brief: image/audio/video as opaque
+``binary`` columns with typed metadata).
+
+No image/audio libraries exist in this container, so the DECODE step is a
+clearly-marked stub (deterministic fake documented per-op, or
+``NotImplementedError`` on the real-codec path) — but everything Spark
+cares about is real and tested: the binary column representation, the
+metadata struct schema, the mapInPandas/pandas-UDF signatures, Arrow
+batch shapes, and the partitioning story.
+
+Fixtures carry no binary columns, so each op first MATERIALIZES a
+deterministic payload from the documents table (utf-8 bytes of ``text``
+standing in for an encoded image/audio blob). Because the payload is a
+pure function of fixture data, the ops remain DuckDB-oracle-checkable —
+the oracle recomputes the same byte math with BLOB functions.
+
+Scale notes (100 TB of media): payloads stay opaque bytes end-to-end
+(no JVM-side decode), so the plan is scan → Arrow batch → Python codec →
+narrow typed columns; partition by content-defined key (hash of payload)
+to spread decode cost; metadata-only queries never touch the bytes
+column thanks to parquet column pruning.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import t
+from .registry import register
+
+# Real-codec path, stubbed: flip when PIL/ffmpeg are available.
+_CODECS_AVAILABLE = False
+
+
+def _decode_real(payload: bytes):  # pragma: no cover - container lacks codecs
+    raise NotImplementedError(
+        "real media decode requires PIL/libav, not present in this "
+        "container; the deterministic stub below exercises the identical "
+        "Spark plumbing (binary column → Arrow batch → typed columns)"
+    )
+
+
+def _payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bronze media table: (media_id, payload binary, media_type).
+
+    Payload = utf-8 bytes of the document text (deterministic stand-in
+    for an encoded image); media_type cycles deterministically.
+    """
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+    )
+
+
+@register(
+    "mm_metadata_extract",
+    """
+    SELECT doc_id AS media_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                           ELSE 'video' END AS media_type,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS content_key
+    FROM documents
+    """,
+)
+def mm_metadata_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Typed metadata over opaque payloads — the query every media
+    # pipeline runs first. Metadata-only: with payloads persisted to
+    # parquet, column pruning means the bytes are never read.
+    p = _payloads(spark, sf_dir)
+    return p.select(
+        "media_id",
+        "media_type",
+        F.octet_length("payload").alias("n_bytes"),
+        F.md5(F.col("payload").cast("string")).alias("content_key"),
+    )
+
+
+@register(
+    "mm_decode_features",
+    """
+    SELECT doc_id AS media_id,
+           octet_length(encode(text)) AS n_bytes,
+           ROUND(CAST(list_sum(list_transform(
+                   range(1, octet_length(encode(text)) + 1),
+                   i -> ascii(substring(text, i, 1)))) AS DOUBLE)
+                 / octet_length(encode(text)), 6) AS mean_byte
+    FROM documents
+    WHERE doc_id % 5 = 0
+    """,
+)
+def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DECODE STUB, batch-shaped like the real thing: mapInPandas receives
+    # Arrow batches of (media_id, payload); the "decoder" produces a
+    # per-payload feature (mean byte value — stand-in for e.g. mean
+    # luminance after a real image decode). The real-codec branch raises
+    # NotImplementedError (container has no codecs); the Spark plumbing —
+    # binary in Arrow, typed features out — is identical either way.
+    p = _payloads(spark, sf_dir).filter(F.col("media_id") % 5 == 0)
+
+    # NB: the closure must not touch module globals — cloudpickle would
+    # then ship it by module reference, and executor Python workers have
+    # no sys.path entry for this repo under the driver's vanilla session.
+    codecs_available = _CODECS_AVAILABLE
+
+    def decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if codecs_available:  # pragma: no cover — container lacks codecs
+            raise NotImplementedError(
+                "real media decode path (PIL/libav) not available"
+            )
+        for pdf in batches:
+            n = pdf.payload.map(len)
+            mean = pdf.payload.map(lambda b: sum(b) / len(b)).round(6)
+            yield pd.DataFrame(
+                {"media_id": pdf.media_id, "n_bytes": n, "mean_byte": mean}
+            )
+
+    return p.mapInPandas(
+        decode_batch, schema="media_id long, n_bytes int, mean_byte double"
+    )
+
+
+@register(
+    "mm_resize_plan",
+    """
+    SELECT doc_id AS media_id,
+           1 + doc_id % 1920 AS width,
+           1 + doc_id % 1080 AS height,
+           CAST(CEIL((1 + doc_id % 1920) / 2.0) AS BIGINT) AS out_width,
+           CAST(CEIL((1 + doc_id % 1080) / 2.0) AS BIGINT) AS out_height
+    FROM documents WHERE doc_id % 3 = 0
+    """,
+)
+def mm_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Image-resize operator, stub decode: dimensions come from metadata
+    # (deterministic fake — a real pipeline reads them from the codec
+    # header); the ½× resize plan (output geometry) is computed in a
+    # vectorized pandas UDF exactly as a real resampler would be invoked.
+    img = _payloads(spark, sf_dir).filter(F.col("media_type") == "image")
+    img = img.select(
+        "media_id",
+        (1 + F.col("media_id") % 1920).alias("width"),
+        (1 + F.col("media_id") % 1080).alias("height"),
+    )
+
+    @F.pandas_udf("long")
+    def half_ceil(v: pd.Series) -> pd.Series:
+        # the arithmetic a real resize kernel is handed; the pixel work
+        # itself is the stubbed codec step
+        return -(-v // 2)
+
+    return img.select(
+        "media_id",
+        "width",
+        "height",
+        half_ceil("width").alias("out_width"),
+        half_ceil("height").alias("out_height"),
+    )
+
+
+@register(
+    "mm_frame_sample",
+    """
+    SELECT doc_id AS media_id,
+           unnest(range(0, 1 + doc_id % 240, 24)) AS frame_idx
+    FROM documents WHERE doc_id % 3 = 2
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Video frame sampling: every 24th frame index per clip (1 fps at
+    # 24fps). Frame COUNT comes from metadata (deterministic fake);
+    # decoding the sampled frames is the stubbed codec step. The explode
+    # is the real distribution story: one row per (clip, frame) fans the
+    # decode out across the cluster.
+    vid = _payloads(spark, sf_dir).filter(F.col("media_type") == "video")
+    return vid.select(
+        "media_id",
+        F.explode(
+            F.sequence(
+                F.lit(0), F.col("media_id") % 240, F.lit(24)
+            )
+        ).alias("frame_idx"),
+    )

@@ -1,0 +1,84 @@
+"""Property-based algebraic spot checks (SURVEY.md §5.5, hypothesis).
+
+Identities that must hold for ANY input relation — they guard the
+engine's relational algebra independent of the fixture data. Example
+counts are kept small: each example pays Spark job overhead.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+ROW = st.tuples(
+    st.integers(min_value=0, max_value=9),
+    st.integers(min_value=-100, max_value=100),
+)
+ROWS = st.lists(ROW, min_size=0, max_size=30)
+
+_settings = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows or [(0, 0)], "k int, v int").limit(
+        len(rows)
+    )
+
+
+@given(rows=ROWS)
+@_settings
+def test_filter_split_equivalence(spark, rows):
+    # σ(p∧q) == σ(p)∘σ(q)
+    df = _df(spark, rows)
+    both = df.filter((F.col("v") > 0) & (F.col("k") % 2 == 0))
+    chained = df.filter(F.col("v") > 0).filter(F.col("k") % 2 == 0)
+    assert both.count() == chained.count()
+    assert sorted(map(tuple, both.collect())) == sorted(
+        map(tuple, chained.collect())
+    )
+
+
+@given(a=ROWS, b=ROWS)
+@_settings
+def test_union_all_counts(spark, a, b):
+    da, db = _df(spark, a), _df(spark, b)
+    assert da.unionByName(db).count() == len(a) + len(b)
+
+
+@given(a=ROWS, b=ROWS)
+@_settings
+def test_bag_partition_identity(spark, a, b):
+    # |A ∩all B| + |A −all B| == |A| (multiset partition)
+    da, db = _df(spark, a), _df(spark, b)
+    assert da.intersectAll(db).count() + da.exceptAll(db).count() == len(a)
+
+
+@given(rows=ROWS)
+@_settings
+def test_filter_before_or_after_join(spark, rows):
+    # σ_p(A ⋈ B) == σ_p(A) ⋈ B when p references only A's columns
+    df = _df(spark, rows)
+    dim = df.sparkSession.createDataFrame(
+        [(k, f"g{k % 3}") for k in range(10)], "k int, grp string"
+    )
+    after = df.join(dim, "k").filter(F.col("v") > 0)
+    before = df.filter(F.col("v") > 0).join(dim, "k")
+    assert sorted(map(tuple, after.collect())) == sorted(
+        map(tuple, before.collect())
+    )
+
+
+@given(rows=ROWS)
+@_settings
+def test_groupby_sum_equals_total(spark, rows):
+    # Σ over groups == global Σ (partial-aggregation soundness)
+    df = _df(spark, rows)
+    per_group = df.groupBy("k").agg(F.sum("v").alias("s"))
+    total = per_group.agg(F.sum("s")).collect()[0][0]
+    expected = sum(v for _, v in rows) if rows else None
+    assert total == expected
