@@ -23,6 +23,7 @@ _MODULES = [
     "dbt_ops",
     "streaming_ops",
     "multimodal",
+    "medallion",
 ]
 
 for _m in _MODULES:

@@ -353,3 +353,57 @@ def join_self(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.event_id").alias("next_id"),
         F.col("a.user_id").alias("user_id"),
     )
+
+
+@register(
+    "join_skew_salted",
+    """
+    SELECT e.user_id,
+           COUNT(*) AS n_events,
+           MAX(c.c_mktsegment) AS segment
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY e.user_id
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Explicit skew-salting — the manual fallback when AQE's runtime
+    # skew-split can't fire (e.g. the skewed side feeds an aggregation
+    # with the same key). events.user_id has ~15 hot values; a plain
+    # shuffle join lands each entirely on one task. Salting: fact key →
+    # (key, salt∈0..S), dimension replicated S× with every salt, join on
+    # both columns → each hot key spreads over S tasks. The aggregation
+    # then combines per-(key,salt) partials — an extra cheap reduce, in
+    # exchange for S-way parallelism on the hot keys. Semantics are
+    # unchanged (oracle is the plain join+group).
+    S = 8
+    e = t(spark, sf_dir, "events").select("user_id")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    salted = e.withColumn(
+        "salt",
+        F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(S)).cast(
+            "int"
+        ),
+    )
+    dim = c.join(
+        F.broadcast(
+            t(spark, sf_dir, "region")
+            .sparkSession.range(S)
+            .select(F.col("id").cast("int").alias("salt"))
+        )
+    )
+    per_salt = (
+        salted.join(
+            dim,
+            (F.col("c_custkey") == F.col("user_id"))
+            & (dim.salt == salted.salt),
+        )
+        .groupBy("user_id", salted.salt)
+        .agg(
+            F.count(F.lit(1)).alias("n_partial"),
+            F.max("c_mktsegment").alias("seg_partial"),
+        )
+    )
+    return per_salt.groupBy("user_id").agg(
+        F.sum("n_partial").alias("n_events"),
+        F.max("seg_partial").alias("segment"),
+    )

@@ -356,6 +356,32 @@ def llm_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_token_count",
+    """
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_whitespace_tokens,
+           len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+             AS n_bpe_ish_tokens
+    FROM documents
+    """,
+)
+def llm_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Token counting two ways (training-data budgeting): whitespace split
+    # and a BPE-ish lexer regex (letter runs / digit runs / single
+    # punctuation — the pre-tokenization split BPE vocabularies are
+    # trained over). The pattern is dialect-portable (verified identical
+    # counts on Java regex vs RE2). Pure per-row codegen — scale-free.
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_whitespace_tokens"),
+        F.size(
+            F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)
+        ).alias("n_bpe_ish_tokens"),
+    )
+
+
+@register(
     "llm_text_tokens",
     """
     SELECT word, COUNT(*) AS n

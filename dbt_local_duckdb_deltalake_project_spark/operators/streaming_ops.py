@@ -94,3 +94,65 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     return run_stream_to_batch(
         spark, sf_dir, "dedupww", dedup, output_mode="append"
     )
+
+
+@register("stream_funnel_stateful")
+def stream_funnel_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator: per-user ordered funnel
+    (signup → click → purchase) via ``applyInPandasWithState``.
+
+    The batch twin (eventtime.stream_stateful_funnel) is the
+    oracle-checked semantics; this runs the stream form for real: state
+    (the funnel's partial timestamps) lives in the state store keyed by
+    user_id and SURVIVES across micro-batches — funnels whose stages
+    span the two replayed files complete correctly, which is exactly
+    what a window-based batch emulation cannot do incrementally. A
+    completed funnel is emitted once, in the batch where its purchase
+    arrives. rows-mode: emission batching is streaming-only semantics.
+
+    Scale: state is O(active users) × 3 timestamps, evicted on
+    completion; shuffle key user_id. (GroupStateTimeout would bound
+    abandoned funnels in production.)
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def funnel(key, pdfs, state):
+        if state.exists:
+            signup, click, done = state.get
+        else:
+            signup, click, done = None, None, False
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            for ts, et in zip(pdf["ts"], pdf["event_type"]):
+                if done:
+                    break
+                if et == "signup" and signup is None:
+                    signup = ts
+                elif et == "click" and signup is not None and click is None:
+                    click = ts
+                elif et == "purchase" and click is not None:
+                    out.append((key[0], signup, click, ts))
+                    done = True
+        state.update((signup, click, done))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["user_id", "signup_ts", "click_ts", "purchase_ts"]
+            )
+
+    def transform(stream: DataFrame) -> DataFrame:
+        return stream.groupBy("user_id").applyInPandasWithState(
+            funnel,
+            outputStructType=(
+                "user_id long, signup_ts timestamp, click_ts timestamp, "
+                "purchase_ts timestamp"
+            ),
+            stateStructType="signup timestamp, click timestamp, done boolean",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    return run_stream_to_batch(
+        spark, sf_dir, "funnelstate", transform, output_mode="append"
+    )

@@ -57,7 +57,7 @@ _shared(
     """
     SELECT o_orderkey, o_totalprice
     FROM orders
-    WHERE o_totalprice > 2 * (
+    WHERE o_totalprice > 1.75 * (
       SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
              / COUNT(*)
       FROM orders
