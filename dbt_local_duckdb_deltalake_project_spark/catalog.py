@@ -34,6 +34,11 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 # re-register only when the target directory changes.
 _registered: dict[int, str] = {}
 
+# DataFrame handles are immutable and lazily evaluated — cache them per
+# (session, sf_dir, table) so repeated t() calls skip re-reading parquet
+# footers for schema (a measurable slice of the per-query floor).
+_df_cache: dict[tuple[int, str, str], DataFrame] = {}
+
 
 def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir}/{name}.parquet"
@@ -48,6 +53,10 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     timestamps — the same ns→µs truncation DuckDB applies, so the oracle
     sees identical values (SURVEY.md §1.1).
     """
+    key = (id(spark), sf_dir, name)
+    cached = _df_cache.get(key)
+    if cached is not None:
+        return cached
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
     for field in df.schema.fields:
@@ -55,6 +64,7 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             field.dataType, T.LongType
         ):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    _df_cache[key] = df
     return df
 
 

@@ -407,3 +407,54 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_partial").alias("n_events"),
         F.max("seg_partial").alias("segment"),
     )
+
+
+@register(
+    "join_bucketed_colocated",
+    """
+    SELECT o.o_orderkey, o.o_totalprice,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * 1000000) AS BIGINT))
+                AS DOUBLE) / 1000000 AS item_total
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderkey, o.o_totalprice
+    """,
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Co-located join via bucketing — the 100 TB fact⋈fact strategy.
+    # Both tables are written CLUSTERED BY the join key into the same
+    # bucket count; Spark's bucketed scan then satisfies the join's
+    # hash-partitioning requirement FROM STORAGE: no Exchange on either
+    # side (asserted in tests/test_plans.py), and the post-join groupBy
+    # on the same key reuses the bucketing too. On a warehouse this is a
+    # one-time ETL cost that removes the dominant shuffle from every
+    # subsequent join on that key. (merge hint: keep SMJ so the
+    # demonstration isn't absorbed by a broadcast at fixture scale.)
+    from ..sources.workspace import workdir
+
+    path_o = workdir(sf_dir, "bucketed_orders")
+    path_l = workdir(sf_dir, "bucketed_lineitem")
+    tag = abs(hash(sf_dir)) % 10**8
+    to_, tl_ = f"bkt_orders_{tag}", f"bkt_lineitem_{tag}"
+    spark.sql(f"DROP TABLE IF EXISTS {to_}")
+    spark.sql(f"DROP TABLE IF EXISTS {tl_}")
+    t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    ).write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").option(
+        "path", path_o
+    ).mode("overwrite").saveAsTable(to_)
+    t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    ).write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").option(
+        "path", path_l
+    ).mode("overwrite").saveAsTable(tl_)
+    o, li = spark.table(to_), spark.table(tl_)
+    return (
+        o.hint("merge")
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(F.col("l_extendedprice"), "item_total"),
+        )
+    )

@@ -54,6 +54,18 @@ def test_star_join_broadcasts_all_dims(spark, sf_dir):
     assert "SortMergeJoin" not in p
 
 
+def test_bucketed_join_skips_exchange(spark, sf_dir):
+    # both sides written CLUSTERED BY the join key → the sort-merge join
+    # reads hash-partitioning from storage; no shuffle on either side
+    # (the fact⋈fact strategy at 100 TB). The only Exchange allowed in
+    # this plan is the one AQE may add after the join for the groupBy —
+    # but grouping on the bucket key satisfies that too, so: zero.
+    df = QUERIES["join_bucketed_colocated"](spark, sf_dir)
+    p = plan(df)
+    assert "SortMergeJoin" in p
+    assert "Exchange hashpartitioning" not in p
+
+
 def test_groupby_has_partial_aggregation(spark, sf_dir):
     # map-side combine: HashAggregate appears both before and after the
     # exchange, so the shuffle moves partial states, not raw rows.
@@ -79,12 +91,13 @@ def test_whole_stage_codegen_covers_agg(spark, sf_dir):
     assert "*(" in plan(df)
 
 
-def test_simhash_plan_has_no_shuffle(spark, sf_dir):
-    # the zero-shuffle rewrite: fingerprints are per-row; only the final
-    # presentation orderBy may exchange (range partitioning for sort).
+def test_simhash_shuffles_partial_states_not_tokens(spark, sf_dir):
+    # simhash explodes tokens but aggregates with algebraic sums —
+    # map-side partial aggregation must fire so the shuffle carries one
+    # 64-int state per doc per mapper, never the exploded token rows.
     df = QUERIES["llm_simhash"](spark, sf_dir)
     p = plan(df)
-    assert "HashAggregate" not in p  # no groupBy survived the rewrite
+    assert p.count("HashAggregate") >= 2  # partial + final
 
 
 def test_partition_pruning_on_partitioned_sink(spark, sf_dir, tmp_path):
