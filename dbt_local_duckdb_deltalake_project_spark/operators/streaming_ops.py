@@ -79,7 +79,12 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("stream_dedup_within_watermark")
+@register(
+    "stream_dedup_within_watermark",
+    """
+    SELECT event_id, ts, user_id, event_type FROM events
+    """,
+)
 def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Exactly-once dedup with bounded state: duplicates arriving within
     # the watermark interval are suppressed, state beyond it is evicted —
