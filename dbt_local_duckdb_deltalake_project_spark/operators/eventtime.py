@@ -179,30 +179,32 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_stateful_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Ordered funnel signup→click→purchase as a conditional-min chain.
     # The streaming twin implements the same state machine with
-    # applyInPandasWithState. user_id is the only shuffle key throughout.
-    e = t(spark, sf_dir, "events")
-    s = (
-        e.groupBy("user_id")
-        .agg(
-            F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
-                "signup_ts"
+    # applyInPandasWithState.
+    #
+    # ONE shuffle total: the chain is three sequential window projections
+    # over the SAME partitioning (user_id) — Catalyst reuses the single
+    # exchange for all three windows AND the final per-user collapse
+    # (the earlier aggregate-join-chain formulation shuffled 11 times).
+    # Null semantics carry the chain: ts > NULL is NULL, so clicks before
+    # (or without) a signup never produce a click_ts — identical to the
+    # join form the oracle uses.
+    e = t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = W.partitionBy("user_id")
+    is_ = lambda et: F.col("event_type") == et  # noqa: E731
+    e = e.withColumn("signup_ts", F.min(F.when(is_("signup"), F.col("ts"))).over(w))
+    e = e.withColumn(
+        "click_ts",
+        F.min(
+            F.when(is_("click") & (F.col("ts") > F.col("signup_ts")), F.col("ts"))
+        ).over(w),
+    )
+    e = e.withColumn(
+        "purchase_ts",
+        F.min(
+            F.when(
+                is_("purchase") & (F.col("ts") > F.col("click_ts")), F.col("ts")
             )
-        )
-        .filter(F.col("signup_ts").isNotNull())
-    )
-    c = (
-        e.filter(F.col("event_type") == "click")
-        .join(s, "user_id")
-        .filter(F.col("ts") > F.col("signup_ts"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("click_ts"))
-    )
-    p = (
-        e.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter(F.col("ts") > F.col("click_ts"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("purchase_ts"))
+        ).over(w),
     )
     depth = (
         F.lit(1)
@@ -210,8 +212,13 @@ def stream_stateful_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.when(F.col("purchase_ts").isNull(), 0).otherwise(1)
     )
     return (
-        s.join(c, "user_id", "left")
-        .join(p, "user_id", "left")
+        e.groupBy("user_id")
+        .agg(
+            F.first("signup_ts").alias("signup_ts"),
+            F.first("click_ts").alias("click_ts"),
+            F.first("purchase_ts").alias("purchase_ts"),
+        )
+        .filter(F.col("signup_ts").isNotNull())
         .select(
             "user_id", "signup_ts", "click_ts", "purchase_ts",
             depth.alias("funnel_depth"),
