@@ -17,9 +17,10 @@ queries execute the SAME logical transformations through
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..streaming.twins import run_stream_to_batch
+from ..streaming.twins import run_stream_to_batch, stage_event_files
 from .registry import register
 
 DEC = "decimal(38,6)"
@@ -160,4 +161,71 @@ def stream_funnel_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return run_stream_to_batch(
         spark, sf_dir, "funnelstate", transform, output_mode="append"
+    )
+
+
+@register(
+    "stream_sink_deltalike",
+    """
+    SELECT date_trunc('hour', ts) AS window_start,
+           COUNT(*) AS n_events
+    FROM events GROUP BY 1
+    """,
+)
+def stream_sink_deltalike(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming → versioned storage: the medallion bronze-ingest loop.
+
+    ``foreachBatch`` commits each micro-batch of hourly counts as an
+    APPEND version of a Delta-like table — exactly-once per batch commit,
+    replayable history. Because the in-order replay finishes the stream,
+    the final table equals the batch aggregate (oracle above); with
+    ``update`` output mode each batch emits refreshed windows, so the
+    read deduplicates to the latest version per window (the
+    compaction-on-read MERGE pattern).
+    """
+    from ..sources.deltalike import DeltaLikeTable
+    from ..sources.workspace import workdir
+
+    tbl = DeltaLikeTable(workdir(sf_dir, "stream_sink"))
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        tbl.write(
+            batch_df.withColumn("batch_id", F.lit(batch_id)),
+            mode="append",
+        )
+
+    def transform(stream: DataFrame) -> DataFrame:
+        return (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(F.col("w.start").alias("window_start"), "n_events")
+        )
+
+    src, ckpt = stage_event_files(spark, sf_dir, "sinkdl", late_fraction=False)
+    schema = spark.read.parquet(f"{src}/f0").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q = (
+        transform(stream)
+        .writeStream.foreachBatch(commit_batch)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # latest state per window across appended versions (update mode may
+    # re-emit a window in a later batch; keep the newest batch's row).
+    hist = tbl.read(spark)
+    w = W.partitionBy("window_start").orderBy(F.col("batch_id").desc())
+    return (
+        hist.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("window_start", "n_events")
     )
