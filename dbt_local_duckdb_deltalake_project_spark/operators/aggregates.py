@@ -498,3 +498,40 @@ def agg_distinct_on(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey")
     )
+
+
+@register(
+    "agg_time_rollup",
+    f"""
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+           CAST(EXTRACT(month FROM o_orderdate) AS INT) AS mo,
+           COUNT(*) AS n_orders,
+           {sql_dsum("o_totalprice", "revenue")},
+           CAST(GROUPING(CAST(EXTRACT(year FROM o_orderdate) AS INT)) AS INT)
+             AS g_yr,
+           CAST(GROUPING(CAST(EXTRACT(month FROM o_orderdate) AS INT)) AS INT)
+             AS g_mo
+    FROM orders
+    GROUP BY ROLLUP (1, 2)
+    """,
+)
+def agg_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Hypertable-style time-hierarchy rollup: month → year → grand total
+    # in one pass (GROUP BY ROLLUP over extracted time parts). At scale
+    # this is the continuous-aggregate shape: partial aggregation happens
+    # once at the finest grain and the coarser grains combine partials —
+    # no extra scans. grouping() flags disambiguate subtotal rows.
+    o = t(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        "o_totalprice",
+    )
+    return (
+        o.rollup("yr", "mo")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), "revenue"),
+            F.grouping("yr").cast("int").alias("g_yr"),
+            F.grouping("mo").cast("int").alias("g_mo"),
+        )
+    )

@@ -11,7 +11,12 @@ queries execute the SAME logical transformations through
   append mode: micro-batch 2's rows arrive behind the watermark and are
   dropped — streaming-only semantics, rows mode (SURVEY.md §2.9).
 - ``stream_dedup_within_watermark`` exercises
-  ``dropDuplicatesWithinWatermark`` state cleanup — rows mode.
+  ``dropDuplicatesWithinWatermark`` state cleanup; with in-order replay
+  and unique event ids the result is the identity → sql mode.
+- ``stream_funnel_stateful`` is the custom stateful operator
+  (``applyInPandasWithState``), state surviving across micro-batches.
+- ``stream_sink_deltalike`` closes the loop into versioned storage via
+  ``foreachBatch`` (streaming bronze ingest).
 """
 
 from __future__ import annotations
