@@ -362,3 +362,32 @@ def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("nan_guarded"),
         v.isNull().alias("is_null_value"),
     )
+
+
+@register(
+    "fn_bitwise",
+    """
+    SELECT o_orderkey,
+           o_orderkey & 255 AS low_byte,
+           o_orderkey | 4096 AS with_flag,
+           xor(o_orderkey, 21845) AS mixed,
+           o_orderkey << 2 AS shifted_l,
+           o_orderkey >> 3 AS shifted_r,
+           bit_count(o_orderkey) AS popcount
+    FROM orders
+    """,
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Bitwise family — the workhorses of hash/bucket/bloom expressions
+    # (every op here is codegen'd long arithmetic).
+    o = t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("low_byte"),
+        k.bitwiseOR(F.lit(4096)).alias("with_flag"),
+        k.bitwiseXOR(F.lit(21845)).alias("mixed"),
+        F.shiftleft(k, 2).alias("shifted_l"),
+        F.shiftright(k, 3).alias("shifted_r"),
+        F.bit_count(k).alias("popcount"),
+    )

@@ -450,6 +450,10 @@ def llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / len(string_split(text, ' ')), 6) AS uniq_ratio,
            ROUND(CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')), 6)
              AS chars_per_token,
+           ROUND(CAST(len(list_filter(string_split(text, ' '),
+                     x -> list_contains(['the', 'a', 'of', 'and'], x)))
+                 AS DOUBLE) / len(string_split(text, ' ')), 6)
+             AS stopword_ratio,
            (n_chars BETWEEN 100 AND 520
             AND len(string_split(text, ' ')) >= 20) AS passes_filter
     FROM documents
@@ -473,6 +477,13 @@ def llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_chars").cast("double") / n_tokens, 6).alias(
             "chars_per_token"
         ),
+        F.round(
+            F.size(
+                F.filter(toks, lambda x: x.isin("the", "a", "of", "and"))
+            ).cast("double")
+            / n_tokens,
+            6,
+        ).alias("stopword_ratio"),
         (
             F.col("n_chars").between(100, 520) & (n_tokens >= 20)
         ).alias("passes_filter"),
