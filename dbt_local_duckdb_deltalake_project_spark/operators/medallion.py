@@ -55,17 +55,21 @@ def pipeline_medallion(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = ModelGraph(workdir(sf_dir, "medallion_models"))
 
     def bronze_orders(spark: SparkSession, deps) -> DataFrame:
-        raw = (
-            spark.read.option("header", True)
-            .option("inferSchema", True)
-            .csv(bronze_dir)
-        )
+        # declared ingest schema (no inferSchema: inference costs a full
+        # extra pass over the raw files — schema-on-read with a DECLARED
+        # schema is the production bronze pattern; scan_csv keeps the
+        # inference demo)
+        raw = spark.read.option("header", True).schema(
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderdate timestamp, "
+            "o_orderpriority string"
+        ).csv(bronze_dir)
         return raw.select(
-            F.col("o_orderkey").cast("long"),
-            F.col("o_custkey").cast("long"),
-            F.col("o_orderstatus").cast("string"),
-            F.col("o_totalprice").cast("double"),
-            F.col("o_orderdate").cast("timestamp"),
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderdate",
         )
 
     def silver_orders(spark: SparkSession, deps) -> DataFrame:
