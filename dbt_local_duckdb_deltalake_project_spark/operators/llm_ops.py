@@ -772,3 +772,54 @@ def llm_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", F.round(cos, 6).alias("cosine"))
         .orderBy("vec_a", "vec_b")
     )
+
+
+@register("llm_fingerprint_rolling")  # rows-mode: xxhash64 is engine-specific
+def llm_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprints (winnowing selection).
+
+    The plagiarism/near-dup fingerprint classic: slide a 4-token window
+    over the document, hash each window, then keep the MINIMUM window
+    hash per stride-of-8 bucket (winnowing guarantees ≥1 fingerprint per
+    stride while keeping the set small and position-robust).
+
+    Codegen shape: tokens explode once with their position, each token
+    hashed once; the rolling window is 3 ``lead``s over the per-doc
+    position order (same single-shuffle pattern as shingling); the
+    window hash packs 4×15-bit slices — pure bitwise, ANSI-safe, no
+    overflow. Selection is two algebraic min/collect aggregates on the
+    (doc, bucket) grain. State scales O(docs × windows/8).
+    """
+    d = t(spark, sf_dir, "documents")
+    win = W.partitionBy("doc_id").orderBy("p")
+    tok = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("p", "w")
+    ).select("doc_id", "p", (F.xxhash64("w").bitwiseAND(F.lit(0x7FFF))).alias("h"))
+    rolled = (
+        tok.select(
+            "doc_id",
+            "p",
+            "h",
+            F.lead("h", 1).over(win).alias("h1"),
+            F.lead("h", 2).over(win).alias("h2"),
+            F.lead("h", 3).over(win).alias("h3"),
+        )
+        .filter(F.col("h3").isNotNull())
+        .select(
+            "doc_id",
+            (F.col("p") / 8).cast("int").alias("bucket"),
+            (
+                F.shiftleft(F.col("h"), 45)
+                .bitwiseOR(F.shiftleft(F.col("h1"), 30))
+                .bitwiseOR(F.shiftleft(F.col("h2"), 15))
+                .bitwiseOR(F.col("h3"))
+            ).alias("whash"),
+        )
+    )
+    return (
+        rolled.groupBy("doc_id", "bucket")
+        .agg(F.min("whash").alias("fp"))
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list("fp")).alias("fingerprints"))
+        .orderBy("doc_id")
+    )
