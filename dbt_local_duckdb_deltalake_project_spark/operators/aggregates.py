@@ -535,3 +535,102 @@ def agg_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.grouping("mo").cast("int").alias("g_mo"),
         )
     )
+
+
+@register(
+    "agg_pivot",
+    f"""
+    SELECT l_returnflag,
+           {sql_dsum("CASE WHEN l_linestatus = 'F' THEN l_quantity END",
+                     "qty_F")},
+           {sql_dsum("CASE WHEN l_linestatus = 'O' THEN l_quantity END",
+                     "qty_O")}
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # PIVOT (long → wide): groupBy().pivot() with EXPLICIT pivot values —
+    # omitting them forces an extra distinct-scan job to discover the
+    # domain, which at 100 TB is a full pass you didn't need. The oracle
+    # is the portable CASE-aggregation form (one shuffle either way).
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(dsum(F.col("l_quantity"), "q"))
+        .select(
+            "l_returnflag",
+            F.col("F").alias("qty_F"),
+            F.col("O").alias("qty_O"),
+        )
+    )
+
+
+@register(
+    "agg_unpivot",
+    """
+    SELECT o_orderkey, 'totalprice' AS measure, o_totalprice AS value
+    FROM orders
+    UNION ALL
+    SELECT o_orderkey, 'custkey' AS measure, CAST(o_custkey AS DOUBLE) AS value
+    FROM orders
+    """,
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # UNPIVOT (wide → long) via the native unpivot operator — a narrow
+    # per-row explode, no shuffle; the portable oracle is the UNION ALL
+    # form.
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("totalprice"),
+        F.col("o_custkey").cast("double").alias("custkey"),
+    )
+    return o.unpivot(
+        ["o_orderkey"], ["totalprice", "custkey"], "measure", "value"
+    )
+
+
+@register(
+    "agg_date_spine",
+    """
+    WITH spine AS (
+      SELECT unnest(generate_series(
+        TIMESTAMP '1998-01-01', TIMESTAMP '1998-01-31', INTERVAL 1 DAY)) AS day
+    ), daily AS (
+      SELECT date_trunc('day', o_orderdate) AS day, COUNT(*) AS n
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+        AND o_orderdate < TIMESTAMP '1998-02-01'
+      GROUP BY 1
+    )
+    SELECT spine.day, COALESCE(daily.n, 0) AS n_orders
+    FROM spine LEFT JOIN daily ON spine.day = daily.day
+    """,
+)
+def agg_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Date spine (dbt-utils classic): a generated calendar LEFT JOINed
+    # against facts so empty days surface as zeros. The spine is a
+    # sequence() explode of a literal range — tiny, always broadcast;
+    # gaps appear as NULL → COALESCE 0.
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1998-01-01").cast("timestamp"),
+                F.lit("1998-01-31").cast("timestamp"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day")
+    )
+    daily = (
+        t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= "1998-01-01")
+            & (F.col("o_orderdate") < "1998-02-01")
+        )
+        .groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return spine.join(daily, "day", "left").select(
+        "day", F.coalesce(F.col("n"), F.lit(0)).alias("n_orders")
+    )
