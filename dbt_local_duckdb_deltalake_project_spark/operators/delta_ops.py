@@ -169,3 +169,38 @@ def scd2_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("c_custkey", "c_mktsegment", "valid_from", "valid_to")
     tbl.write(unchanged.unionByName(closed).unionByName(opened), mode="overwrite")
     return tbl.read(spark)
+
+
+@register(
+    "delta_schema_evolution",
+    """
+    SELECT o_orderkey, o_totalprice,
+           CAST(NULL AS VARCHAR) AS channel
+    FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01'
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, 'online' AS channel
+    FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+    """,
+)
+def delta_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Schema evolution: a later append carries a NEW column; reading with
+    # schema merge surfaces it as NULL for pre-evolution files — no
+    # rewrite of history (the Delta additive-evolution contract). At
+    # 100 TB this is why adding a column is O(1), not O(table).
+    tbl = DeltaLikeTable(workdir(sf_dir, "delta_evolution"))
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    tbl.write(
+        o.filter(F.col("o_orderdate") < _CUT).drop("o_orderdate"),
+        mode="overwrite",
+    )
+    tbl.write(
+        o.filter(F.col("o_orderdate") >= _CUT)
+        .drop("o_orderdate")
+        .withColumn("channel", F.lit("online")),
+        mode="append",
+    )
+    return tbl.read(spark, merge_schema=True).select(
+        "o_orderkey", "o_totalprice", "channel"
+    )

@@ -391,3 +391,30 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(k, 3).alias("shifted_r"),
         F.bit_count(k).alias("popcount"),
     )
+
+
+@register(
+    "fn_try_ops",
+    """
+    SELECT o_orderkey,
+           o_totalprice / NULLIF(o_orderkey % 3, 0) AS safe_div,
+           TRY_CAST(o_orderstatus AS INTEGER) AS bad_cast,
+           TRY_CAST(CAST(o_orderkey AS VARCHAR) AS INTEGER) AS good_cast
+    FROM orders
+    """,
+)
+def fn_try_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ANSI-mode error guards: Spark 4 ERRORS on div-by-zero and bad
+    # casts (as does DuckDB); try_* / NULLIF turn the poison rows into
+    # NULLs so one malformed record can't kill a 100 TB job.
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.try_divide(
+            F.col("o_totalprice"), F.nullif(F.col("o_orderkey") % 3, F.lit(0))
+        ).alias("safe_div"),
+        F.try_to_number(F.col("o_orderstatus"), F.lit("999")).cast("int").alias(
+            "bad_cast"
+        ),
+        F.col("o_orderkey").cast("string").cast("int").alias("good_cast"),
+    )

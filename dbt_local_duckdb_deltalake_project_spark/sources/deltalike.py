@@ -71,11 +71,19 @@ class DeltaLikeTable:
         return version
 
     # -- reads ------------------------------------------------------------
-    def read(self, spark: SparkSession, as_of: int | None = None) -> DataFrame:
+    def read(
+        self,
+        spark: SparkSession,
+        as_of: int | None = None,
+        merge_schema: bool = False,
+    ) -> DataFrame:
         """Table state at version ``as_of`` (default: latest).
 
         Replays the log: the live file set is every commit after (and
         including) the most recent overwrite at or before ``as_of``.
+        ``merge_schema`` unions the schemas across live commits (Delta
+        schema evolution: columns added by later appends surface as NULL
+        for earlier files).
         """
         log = self._log()
         if as_of is not None:
@@ -87,7 +95,10 @@ class DeltaLikeTable:
             if entry["mode"] == "overwrite":
                 start = i
         dirs = [os.path.join(self.path, e["dir"]) for e in log[start:]]
-        return spark.read.parquet(*dirs)
+        reader = spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*dirs)
 
     # -- MERGE (upsert) ---------------------------------------------------
     def merge(
