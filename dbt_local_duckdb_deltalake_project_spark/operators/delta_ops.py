@@ -204,3 +204,26 @@ def delta_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tbl.read(spark, merge_schema=True).select(
         "o_orderkey", "o_totalprice", "channel"
     )
+
+
+@register(
+    "delta_compact",
+    """
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    """,
+)
+def delta_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # OPTIMIZE + VACUUM: many small append commits (the streaming-ingest
+    # pathology) compacted into one bin-packed file set; content must be
+    # byte-identical to the logical table (the oracle). Vacuum then
+    # reclaims the superseded files while version numbering stays stable.
+    tbl = DeltaLikeTable(workdir(sf_dir, "delta_compact"))
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    tbl.write(o.filter(F.col("o_orderkey") % 4 == 0), mode="overwrite")
+    for r in (1, 2, 3):
+        tbl.write(o.filter(F.col("o_orderkey") % 4 == r), mode="append")
+    tbl.compact(spark, target_files=2)
+    tbl.vacuum()
+    return tbl.read(spark)

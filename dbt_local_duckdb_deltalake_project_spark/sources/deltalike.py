@@ -100,6 +100,44 @@ class DeltaLikeTable:
             reader = reader.option("mergeSchema", "true")
         return reader.parquet(*dirs)
 
+    # -- maintenance ------------------------------------------------------
+    def compact(self, spark: SparkSession, target_files: int = 1) -> int:
+        """OPTIMIZE-style compaction: rewrite the live file set into
+        ``target_files`` bin-packed files as a new overwrite commit.
+
+        Content is unchanged — only the physical layout. At 100 TB this
+        is the small-files cure for streaming-append tables (thousands
+        of per-batch files → scan-efficient large files), run as a
+        maintenance job; old versions stay readable until vacuumed.
+        """
+        current = self.read(spark)
+        return self.write(current.coalesce(target_files), mode="overwrite")
+
+    def vacuum(self) -> list[int]:
+        """Delete data directories no longer reachable from the latest
+        version (everything before the last overwrite). Returns the
+        vacuumed version numbers; the log keeps their entries (marked)
+        so version numbering stays stable."""
+        import shutil
+
+        log = self._log()
+        start = 0
+        for i, entry in enumerate(log):
+            if entry["mode"] == "overwrite":
+                start = i
+        removed = []
+        for entry in log[:start]:
+            d = os.path.join(self.path, entry["dir"])
+            if not entry.get("vacuumed") and os.path.exists(d):
+                shutil.rmtree(d)
+                removed.append(entry["version"])
+            entry["vacuumed"] = True
+        tmp = self._log_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(log, f)
+        os.replace(tmp, self._log_path)
+        return removed
+
     # -- MERGE (upsert) ---------------------------------------------------
     def merge(
         self,

@@ -116,3 +116,16 @@ def test_incremental_high_watermark_appends_only_new(spark, tmp_path):
         (2, "b"),
         (3, "c"),
     ]
+
+
+def test_compact_preserves_content_and_vacuum_reclaims(spark, tbl, tmp_path):
+    tbl.write(_df(spark, [(1, "a")]), mode="overwrite")
+    tbl.write(_df(spark, [(2, "b")]), mode="append")
+    tbl.write(_df(spark, [(3, "c")]), mode="append")
+    v = tbl.compact(spark, target_files=1)
+    assert sorted(r.k for r in tbl.read(spark).collect()) == [1, 2, 3]
+    removed = tbl.vacuum()
+    assert removed == [0, 1, 2]
+    # latest still reads fine after vacuum; version numbering stable
+    assert tbl.latest_version == v
+    assert sorted(r.k for r in tbl.read(spark).collect()) == [1, 2, 3]
