@@ -102,3 +102,20 @@ _shared(
     ORDER BY t.code
     """,
 )
+
+
+_shared(
+    "join_lateral",
+    """
+    SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+    FROM customer c, LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 1
+    ) o
+    """,
+)
+# join_lateral: correlated per-row subquery (top-1 order per customer).
+# Catalyst decorrelates the LATERAL into a ranked window join — same
+# plan family as win_topk_per_group, so it scales as one shuffle on the
+# correlation key rather than a per-row probe loop.
