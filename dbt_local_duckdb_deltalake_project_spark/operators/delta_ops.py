@@ -227,3 +227,25 @@ def delta_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     tbl.compact(spark, target_files=2)
     tbl.vacuum()
     return tbl.read(spark)
+
+
+@register(
+    "delta_delete",
+    """
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 50000)
+    """,
+)
+def delta_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Delta DELETE (GDPR/right-to-be-forgotten shape): copy-on-write
+    # rewrite of surviving rows as a new version; the deleted slice
+    # remains in history until VACUUM — exactly Delta's contract.
+    tbl = DeltaLikeTable(workdir(sf_dir, "delta_delete"))
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    tbl.write(o, mode="overwrite")
+    return tbl.delete(
+        spark,
+        (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") < 50000),
+    )

@@ -234,3 +234,35 @@ def stream_sink_deltalike(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("window_start", "n_events")
     )
+
+
+@register("stream_session_streamed")
+def stream_session_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ``session_window`` twin of the batch gaps-and-islands
+    sessionization (eventtime.stream_session).
+
+    Native session windows need a watermark and merge adjacent state as
+    events arrive; sessions are emitted once the watermark passes their
+    gap. With availableNow replay the final still-open sessions never
+    finalize in append mode — streaming-only emission semantics, hence
+    rows mode (the batch twin is the oracle-checked form).
+    """
+
+    def sessionize(stream: DataFrame) -> DataFrame:
+        return (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(
+                F.session_window("ts", "30 minutes").alias("w"), "user_id"
+            )
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                "user_id",
+                F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"),
+                "n_events",
+            )
+        )
+
+    return run_stream_to_batch(
+        spark, sf_dir, "sessionw", sessionize, output_mode="append"
+    )

@@ -100,6 +100,16 @@ class DeltaLikeTable:
             reader = reader.option("mergeSchema", "true")
         return reader.parquet(*dirs)
 
+    # -- DML --------------------------------------------------------------
+    def delete(self, spark: SparkSession, condition) -> DataFrame:
+        """Delta ``DELETE WHERE condition``: commit the surviving rows as
+        a new overwrite version (copy-on-write, like Delta's file
+        rewrite); history stays time-travelable. Returns the new state.
+        """
+        kept = self.read(spark).filter(~condition)
+        self.write(kept, mode="overwrite")
+        return self.read(spark)
+
     # -- maintenance ------------------------------------------------------
     def compact(self, spark: SparkSession, target_files: int = 1) -> int:
         """OPTIMIZE-style compaction: rewrite the live file set into
