@@ -82,3 +82,37 @@ def test_groupby_sum_equals_total(spark, rows):
     total = per_group.agg(F.sum("s")).collect()[0][0]
     expected = sum(v for _, v in rows) if rows else None
     assert total == expected
+
+
+@given(a=ROWS, b=ROWS)
+@_settings
+def test_semi_anti_partition(spark, a, b):
+    # semi(A,B) ⊎ anti(A,B) == A row-for-row (on distinct-keyed probes)
+    da, db = _df(spark, a), _df(spark, b)
+    semi = da.join(db.select("k").distinct(), "k", "left_semi").count()
+    anti = da.join(db.select("k").distinct(), "k", "left_anti").count()
+    assert semi + anti == len(a)
+
+
+@given(rows=ROWS)
+@_settings
+def test_distinct_bounded_by_count(spark, rows):
+    df = _df(spark, rows)
+    assert df.distinct().count() <= len(rows)
+    assert df.select("k").distinct().count() <= max(len(rows), 1)
+
+
+@given(rows=ROWS)
+@_settings
+def test_row_number_is_a_permutation(spark, rows):
+    # rank assignment covers 1..n exactly once per partition
+    from pyspark.sql import Window
+
+    df = _df(spark, rows)
+    w = Window.partitionBy("k").orderBy("v", "k")
+    rn = df.select("k", F.row_number().over(w).alias("rn"))
+    per_key = rn.groupBy("k").agg(
+        F.count("*").alias("n"), F.max("rn").alias("mx"), F.min("rn").alias("mn")
+    )
+    for r in per_key.collect():
+        assert r.mn == 1 and r.mx == r.n
