@@ -30,14 +30,21 @@ TABLES: tuple[str, ...] = (
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
-# last sf_dir whose views were registered, per live SparkSession id —
-# re-register only when the target directory changes.
-_registered: dict[int, str] = {}
+# last sf_dir whose views were registered, per live SparkSession —
+# re-register only when the target directory changes. Keyed on the Spark
+# applicationId (stable for a session's lifetime, never reused the way a
+# garbage-collected id() can be), so a stopped-then-recreated session
+# never receives DataFrame handles bound to the dead session.
+_registered: dict[str, str] = {}
 
 # DataFrame handles are immutable and lazily evaluated — cache them per
 # (session, sf_dir, table) so repeated t() calls skip re-reading parquet
 # footers for schema (a measurable slice of the per-query floor).
-_df_cache: dict[tuple[int, str, str], DataFrame] = {}
+_df_cache: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _session_key(spark: SparkSession) -> str:
+    return spark.sparkContext.applicationId
 
 
 def table_path(sf_dir: str, name: str) -> str:
@@ -53,7 +60,7 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     timestamps — the same ns→µs truncation DuckDB applies, so the oracle
     sees identical values (SURVEY.md §1.1).
     """
-    key = (id(spark), sf_dir, name)
+    key = (_session_key(spark), sf_dir, name)
     cached = _df_cache.get(key)
     if cached is not None:
         return cached
@@ -74,7 +81,7 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     Idempotent per (session, sf_dir); re-points the views when sf_dir
     changes (e.g. correctness at sf0.01 then bench at sf0.1).
     """
-    key = id(spark)
+    key = _session_key(spark)
     if _registered.get(key) == sf_dir:
         return
     for t in TABLES:

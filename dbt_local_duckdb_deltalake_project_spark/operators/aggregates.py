@@ -339,7 +339,7 @@ def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect",
     """
     SELECT n_regionkey,
-           list(n_name ORDER BY n_name) AS nations,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations,
            COUNT(*) AS n_nations
     FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
     """,
@@ -347,12 +347,16 @@ def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     # collect_list order is partition-dependent → always array_sort for a
     # deterministic value. Only safe for bounded groups (dims), never the
-    # fact table.
+    # fact table. The collected list surfaces as a comma-joined string so
+    # the flat value is hashable by any row-comparison harness (a true
+    # array<string> column is not).
     return (
         t(spark, sf_dir, "nation")
         .groupBy("n_regionkey")
         .agg(
-            F.array_sort(F.collect_list("n_name")).alias("nations"),
+            F.array_join(
+                F.array_sort(F.collect_list("n_name")), ","
+            ).alias("nations"),
             F.count(F.lit(1)).alias("n_nations"),
         )
         .orderBy("n_regionkey")

@@ -54,7 +54,9 @@ def _gold(spark: SparkSession, deps: dict[str, DataFrame]) -> DataFrame:
     return (
         deps["silver_items"]
         .groupBy(
-            F.date_trunc("month", "o_orderdate").alias("order_month"),
+            # Spark's date_trunc returns TIMESTAMP; DuckDB's returns DATE
+            # for a date input — cast so both engines emit a date value.
+            F.date_trunc("month", "o_orderdate").cast("date").alias("order_month"),
             "o_orderstatus",
         )
         .agg(F.count("*").alias("n_items"), dsum(F.col("net"), "revenue"))

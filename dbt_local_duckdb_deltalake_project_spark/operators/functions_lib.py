@@ -357,8 +357,11 @@ def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.lit(None), F.col("event_type"), F.lit("fallback")).alias(
             "first_non_null"
         ),
-        F.nanvl(
-            v / F.when(v == 0, None).otherwise(1), F.lit(0.0)
+        # nanvl substitutes only NaN, not NULL — the value==0 row yields
+        # NULL (0/NULL) which the oracle's CASE sends to its ELSE branch;
+        # coalesce mirrors that ELSE so both engines agree on zeros.
+        F.coalesce(
+            F.nanvl(v / F.when(v == 0, None).otherwise(1), F.lit(0.0)), v
         ).alias("nan_guarded"),
         v.isNull().alias("is_null_value"),
     )

@@ -426,28 +426,14 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bucket count; Spark's bucketed scan then satisfies the join's
     # hash-partitioning requirement FROM STORAGE: no Exchange on either
     # side (asserted in tests/test_plans.py), and the post-join groupBy
-    # on the same key reuses the bucketing too. On a warehouse this is a
-    # one-time ETL cost that removes the dominant shuffle from every
-    # subsequent join on that key. (merge hint: keep SMJ so the
-    # demonstration isn't absorbed by a broadcast at fixture scale.)
-    from ..sources.workspace import workdir
+    # on the same key reuses the bucketing too. Staging is a one-time
+    # cost per fixture dir (sources/bucketed.py reattaches existing
+    # files via metadata-only DDL), mirroring the warehouse reality
+    # where bucketing is ETL, not query work. (merge hint: keep SMJ so
+    # the demonstration isn't absorbed by a broadcast at fixture scale.)
+    from ..sources.bucketed import ensure_bucketed_tables
 
-    path_o = workdir(sf_dir, "bucketed_orders")
-    path_l = workdir(sf_dir, "bucketed_lineitem")
-    tag = abs(hash(sf_dir)) % 10**8
-    to_, tl_ = f"bkt_orders_{tag}", f"bkt_lineitem_{tag}"
-    spark.sql(f"DROP TABLE IF EXISTS {to_}")
-    spark.sql(f"DROP TABLE IF EXISTS {tl_}")
-    t(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_totalprice"
-    ).write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").option(
-        "path", path_o
-    ).mode("overwrite").saveAsTable(to_)
-    t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_extendedprice"
-    ).write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").option(
-        "path", path_l
-    ).mode("overwrite").saveAsTable(tl_)
+    to_, tl_ = ensure_bucketed_tables(spark, sf_dir)
     o, li = spark.table(to_), spark.table(tl_)
     return (
         o.hint("merge")

@@ -109,10 +109,16 @@ def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ≥1 shingle → exact Jaccard ≥ 0.5. The explode+self-join is the
     # textbook exact algorithm; hot shingles are the skew risk (AQE skew
     # join handles it; the MinHash variant below removes it entirely).
+    #
+    # Shuffle discipline: the self-join moves only (doc_id, s) — 16-byte
+    # rows. Per-doc shingle counts are aggregated ONCE (o(docs) rows) and
+    # attached to the much smaller post-aggregation pair set, instead of
+    # a per-row window that re-shuffles and sorts the full shingle set on
+    # both join sides. AQE broadcasts the counts side when it is small;
+    # at 100 TB it degrades gracefully to a shuffle join on doc_id.
     d = t(spark, sf_dir, "documents")
-    sh = _shingle_rows(d).withColumn(
-        "n", F.count(F.lit(1)).over(W.partitionBy("doc_id"))
-    )
+    sh = _shingle_rows(d)
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     pairs = (
         a.join(
@@ -123,10 +129,16 @@ def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.n").alias("na"),
-            F.col("b.n").alias("nb"),
         )
         .agg(F.count(F.lit(1)).alias("shared"))
+        .join(
+            counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+            "doc_a",
+        )
+        .join(
+            counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
+            "doc_b",
+        )
     )
     jac = F.col("shared").cast("double") / (
         F.col("na") + F.col("nb") - F.col("shared")
@@ -567,21 +579,27 @@ def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("w")
     ).select("doc_id", F.xxhash64("w").alias("h"))
-    bit_sums = tok.groupBy("doc_id").agg(
+    # Collapse repeated tokens first: each doc's tokens sit in one input
+    # partition, so this groupBy combines map-side into (doc, token, c)
+    # before any shuffle — the 64 bit-extraction expressions then run
+    # once per DISTINCT token, weighted by c, not once per occurrence.
+    tokc = tok.groupBy("doc_id", "h").agg(F.count(F.lit(1)).alias("c"))
+    # Branch-free bit sums: b_i = Σ c·bit_i(h); the ±1 sign sum equals
+    # 2·b_i − n, so only the raw bit counts are aggregated (no CASE).
+    bit_sums = tokc.groupBy("doc_id").agg(
+        F.sum("c").alias("n"),
         *[
             F.sum(
-                F.when(
-                    F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1
-                ).otherwise(-1)
+                F.shiftright("h", i).bitwiseAND(F.lit(1)) * F.col("c")
             ).alias(f"b{i}")
             for i in range(64)
-        ]
+        ],
     )
     simhash = None
     for i in range(64):
-        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
+        bit = F.when(
+            F.col(f"b{i}") * 2 > F.col("n"), F.lit(1).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
         term = F.shiftleft(bit, i)
         simhash = term if simhash is None else simhash.bitwiseXOR(term)
     return bit_sums.select("doc_id", simhash.alias("simhash")).orderBy("doc_id")
@@ -669,45 +687,78 @@ def llm_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracle-checkable slice; the full-corpus path is LSH-bucketed).
     #
     # Two-phase, the shape that survives 100 TB:
-    # 1. PREFILTER — blocked GEMM via mapInPandas: the sampled matrix is
-    #    broadcast into each Arrow batch's closure; numpy computes the
-    #    batch's full cosine row-block in one matrix multiply and keeps
-    #    pairs above (threshold − margin). All-pairs work happens at
-    #    BLAS speed, never in interpreted expression folds (which cost
-    #    7s at sf0.1) and never through a shuffle.
+    # 1. PREFILTER — distributed block GEMM: vectors hash into B blocks;
+    #    every unordered block pair (ba ≤ bb) cogroups the two blocks
+    #    into one Arrow task where numpy computes the full cosine block
+    #    in a single matrix multiply and keeps pairs above
+    #    (threshold − margin). Exact all-pairs coverage with NO driver
+    #    collect and no O(corpus) broadcast: replication factor is B and
+    #    per-task memory is two blocks, both tunable — at 100 TB you
+    #    raise B so blocks stay executor-sized; here B=4 keeps group
+    #    count ≈ cores. BLAS does the O(n²) arithmetic, never
+    #    interpreted expression folds (7s at sf0.1) or a pair shuffle.
     # 2. VERIFY — the few surviving candidates are re-computed with
     #    exact decimal accumulation (bit-equal to the DuckDB oracle's
     #    decimal SUM). float64 cosine differs from the exact value by
     #    <1e-12, so a 1e-6 margin makes phase 1 lossless; phase 2 makes
     #    the final set and the 6-dp rounding exact.
-    import numpy as np
-    import pandas as pd
+    B = 4
+    e = (
+        t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % 7 == 0)
+        .select("vec_id", "embedding")
+    )
+    a = e.withColumn(
+        "blk", F.pmod(F.xxhash64("vec_id"), F.lit(B)).cast("int")
+    )
+    left = a.select(
+        "vec_id",
+        "embedding",
+        F.col("blk").alias("ba"),
+        F.explode(F.sequence(F.col("blk"), F.lit(B - 1))).alias("bb"),
+    )
+    right = a.select(
+        "vec_id",
+        "embedding",
+        F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("ba"),
+        F.col("blk").alias("bb"),
+    )
 
-    e = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 7 == 0)
-    rows = e.select("vec_id", "embedding").collect()
-    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    m = np.array([r["embedding"] for r in rows], dtype=np.float64)
-    mn = m / np.sqrt((m * m).sum(axis=1, keepdims=True))
-    bm = spark.sparkContext.broadcast((ids, mn))
+    def gemm_block(key, lpdf, rpdf):
+        # local imports: executor closures must not touch repo globals
+        import numpy as np
+        import pandas as pd
 
-    def gemm_prefilter(batches):
-        bids, bmn = bm.value
-        for pdf in batches:
-            keep = (pdf.vec_id % 7 == 0).to_numpy()
-            if not keep.any():
-                continue
-            sub = pdf[keep]
-            x = np.stack(sub.embedding.to_numpy()).astype(np.float64)
-            x = x / np.sqrt((x * x).sum(axis=1, keepdims=True))
-            cos = x @ bmn.T  # (batch, sample) cosine block
-            ai, bj = np.nonzero(cos > 0.8 - 1e-6)
-            va = sub.vec_id.to_numpy()[ai]
-            vb = bids[bj]
+        empty = pd.DataFrame(
+            {
+                "vec_a": np.array([], dtype=np.int64),
+                "vec_b": np.array([], dtype=np.int64),
+            }
+        )
+        if len(lpdf) == 0 or len(rpdf) == 0:
+            return empty
+        xa = np.stack(lpdf.embedding.to_numpy()).astype(np.float64)
+        xb = np.stack(rpdf.embedding.to_numpy()).astype(np.float64)
+        xa = xa / np.sqrt((xa * xa).sum(axis=1, keepdims=True))
+        xb = xb / np.sqrt((xb * xb).sum(axis=1, keepdims=True))
+        cos = xa @ xb.T
+        ai, bj = np.nonzero(cos > 0.8 - 1e-6)
+        if len(ai) == 0:
+            return empty
+        va = lpdf.vec_id.to_numpy()[ai]
+        vb = rpdf.vec_id.to_numpy()[bj]
+        if key[0] == key[1]:
+            # diagonal block: both orientations present — keep one
             mask = vb > va
-            yield pd.DataFrame({"vec_a": va[mask], "vec_b": vb[mask]})
+            va, vb = va[mask], vb[mask]
+        return pd.DataFrame(
+            {"vec_a": np.minimum(va, vb), "vec_b": np.maximum(va, vb)}
+        )
 
-    cand = t(spark, sf_dir, "embeddings").mapInPandas(
-        gemm_prefilter, schema="vec_a long, vec_b long"
+    cand = (
+        left.groupBy("ba", "bb")
+        .cogroup(right.groupBy("ba", "bb"))
+        .applyInPandas(gemm_block, schema="vec_a long, vec_b long")
     )
 
     # exact decimal verify on the candidate set only

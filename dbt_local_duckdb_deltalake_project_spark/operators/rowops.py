@@ -193,8 +193,27 @@ def cast_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sample_rows")  # rows-mode: sampler RNGs differ across engines
+@register(
+    "sample_rows",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE substr(md5(CAST(l_orderkey AS VARCHAR) || '-'
+                     || CAST(l_linenumber AS VARCHAR)), 1, 1) < '2'
+    """,
+)
 def sample_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Bernoulli sampling: embarrassingly parallel, no shuffle; seed makes
-    # it reproducible within Spark (not across engines → no oracle).
-    return t(spark, sf_dir, "lineitem").sample(fraction=0.1, seed=42)
+    # Deterministic hash-Bernoulli sample (~2/16 = 12.5%): md5 of the row
+    # key is engine-independent, so the same rows are selected in any
+    # engine — unlike seeded RNG samplers. Embarrassingly parallel, no
+    # shuffle, and the filter stays in codegen.
+    key = F.concat_ws(
+        "-",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+    )
+    return (
+        t(spark, sf_dir, "lineitem")
+        .where(F.substring(F.md5(key), 1, 1) < "2")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    )

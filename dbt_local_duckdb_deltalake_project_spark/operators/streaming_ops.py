@@ -25,7 +25,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..streaming.twins import run_stream_to_batch, stage_event_files
+from ..streaming.twins import (
+    replay_shuffle,
+    run_stream_to_batch,
+    stage_event_files,
+)
 from .registry import register
 
 DEC = "decimal(38,6)"
@@ -215,15 +219,16 @@ def stream_sink_deltalike(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("recursiveFileLookup", "true")
         .parquet(src)
     )
-    q = (
-        transform(stream)
-        .writeStream.foreachBatch(commit_batch)
-        .outputMode("update")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with replay_shuffle(spark):
+        q = (
+            transform(stream)
+            .writeStream.foreachBatch(commit_batch)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
     # latest state per window across appended versions (update mode may
     # re-emit a window in a later batch; keep the newest batch's row).

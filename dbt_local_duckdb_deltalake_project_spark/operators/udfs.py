@@ -163,10 +163,13 @@ def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 def udtf_explode_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Python UDTF (Spark 4): one order row → (o_orderkey % 3 + 1) slot
     # rows. The lateral-join shape is how dbt-style date spines / row
-    # multiplexers are built.
+    # multiplexers are built. useArrow batches rows over Arrow instead
+    # of pickling them one at a time (~2× less serialization overhead);
+    # the pure-codegen alternative for this shape is
+    # explode(sequence(...)) — see join_lateral / agg_date_spine.
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="slot: bigint")
+    @udtf(returnType="slot: bigint", useArrow=True)
     class ExplodeN:
         def eval(self, n: int):
             for i in range(1, n + 1):

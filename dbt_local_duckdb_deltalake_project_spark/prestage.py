@@ -1,0 +1,25 @@
+"""One-time fixture staging, kept OUT of query timing.
+
+Several operators exercise storage layouts that on a warehouse are built
+once by ETL, not per query: bucketed fact tables (co-located joins) and
+the ordered file sequences the streaming twins replay. ``prestage`` runs
+all of that staging idempotently for a fixture dir; bench.py calls it in
+its untimed warm-up so the timed region measures query execution, the
+same way the DuckDB oracle side only runs queries over pre-existing
+parquet. Every operator still works standalone — each one re-invokes the
+same idempotent helpers and pays the staging cost itself on first touch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from .sources.bucketed import ensure_bucketed_tables
+from .streaming.twins import stage_event_files
+
+
+def prestage(spark: SparkSession, sf_dir: str) -> None:
+    ensure_bucketed_tables(spark, sf_dir)
+    # Both replay orders: in-order (fwd) and late-half-first (rev).
+    stage_event_files(spark, sf_dir, "prestage_fwd", late_fraction=False)
+    stage_event_files(spark, sf_dir, "prestage_rev", late_fraction=True)

@@ -106,7 +106,9 @@ class DeltaLikeTable:
         a new overwrite version (copy-on-write, like Delta's file
         rewrite); history stays time-travelable. Returns the new state.
         """
-        kept = self.read(spark).filter(~condition)
+        # Delta DELETE removes rows where the predicate is TRUE; rows where
+        # it evaluates NULL are KEPT (plain ~condition would drop them).
+        kept = self.read(spark).filter(~condition.eqNullSafe(True))
         self.write(kept, mode="overwrite")
         return self.read(spark)
 
@@ -170,17 +172,28 @@ class DeltaLikeTable:
         s = source.alias("s")
         tgt = target.alias("t")
         joined = tgt.join(s, F.col(f"t.{on}") == F.col(f"s.{on}"), "full_outer")
+        # Matched/insert are decided by join-key presence, NOT coalesce on
+        # values: WHEN MATCHED THEN UPDATE sets the column to the source
+        # value even when that value is NULL, and inserted rows take source
+        # values for every column the source carries.
+        matched = F.col(f"s.{on}").isNotNull() & F.col(f"t.{on}").isNotNull()
+        inserted = F.col(f"t.{on}").isNull()
+
+        def _merged_col(c: str):
+            s_c = (
+                F.col(f"s.{c}")
+                if c in source.columns
+                else F.lit(None).cast(target.schema[c].dataType)
+            )
+            t_c = F.col(f"t.{c}")
+            upd = s_c if (c in update_cols and c in source.columns) else t_c
+            return (
+                F.when(matched, upd).when(inserted, s_c).otherwise(t_c).alias(c)
+            )
+
         merged = joined.select(
             F.coalesce(F.col(f"s.{on}"), F.col(f"t.{on}")).alias(on),
-            *[
-                (
-                    F.coalesce(F.col(f"s.{c}"), F.col(f"t.{c}")).alias(c)
-                    if c in update_cols and c in source.columns
-                    else F.col(f"t.{c}").alias(c)
-                )
-                for c in cols
-                if c != on
-            ],
+            *[_merged_col(c) for c in cols if c != on],
         )
         self.write(merged, mode="overwrite")
         return self.read(spark)

@@ -56,6 +56,26 @@ def stage_event_files(
     return src, ckpt
 
 
+class replay_shuffle:
+    """Temporarily shrink ``spark.sql.shuffle.partitions`` for a local
+    micro-batch replay. Streaming aggregations checkpoint one state-store
+    file PER shuffle partition PER micro-batch and AQE cannot coalesce
+    streaming plans, so a 200-partition default turns a tiny replay into
+    hundreds of checkpoint files (measured 12s for one query on a vanilla
+    session). A cluster deployment sizes this to key cardinality instead.
+    """
+
+    def __init__(self, spark: SparkSession, n: int = 4):
+        self.spark, self.n = spark, n
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+
+
 def run_stream_to_batch(
     spark: SparkSession,
     sf_dir: str,
@@ -75,13 +95,7 @@ def run_stream_to_batch(
         .parquet(src)
     )
     sink = f"sink_{tag}_{uuid.uuid4().hex[:8]}"
-    # Streaming aggregations checkpoint one state-store file PER shuffle
-    # partition PER micro-batch, and AQE cannot coalesce streaming plans —
-    # keep the replay's state fan-out small locally (a cluster deployment
-    # would size this to the key cardinality instead).
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
+    with replay_shuffle(spark):
         q = (
             transform(stream)
             .writeStream.format("memory")
@@ -92,6 +106,4 @@ def run_stream_to_batch(
             .start()
         )
         q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(sink)

@@ -121,6 +121,35 @@ def test_udf_surface_is_quarantined(spark, sf_dir, qid):
     assert ("BatchEvalPython" in p) or ("ArrowEvalPython" in p)
 
 
+def test_no_unbounded_driver_collect_in_operators():
+    # A .collect() whose size grows with the corpus is a driver OOM at
+    # 100 TB. The only collects allowed in operator code are explicitly
+    # bounded ones (a LIMIT/filter to a constant row count). Source lint:
+    # every .collect( in operators/ must sit on a whitelisted line.
+    import os
+    import re
+
+    import dbt_local_duckdb_deltalake_project_spark.operators as ops
+
+    opdir = os.path.dirname(ops.__file__)
+    allowed = {
+        # llm_ops: 5-row anchor fetch (vec_id <= 4 — constant bound)
+        ("llm_ops.py", "vec_id"),
+    }
+    offenders = []
+    for fname in sorted(os.listdir(opdir)):
+        if not fname.endswith(".py"):
+            continue
+        with open(os.path.join(opdir, fname)) as f:
+            for ln in f:
+                if re.search(r"\.collect\(", ln):
+                    if not any(
+                        fname == af and marker in ln for af, marker in allowed
+                    ):
+                        offenders.append((fname, ln.strip()))
+    assert not offenders, f"unbounded driver collect(s): {offenders}"
+
+
 def test_hot_queries_have_no_python_eval(spark, sf_dir):
     # the relational core must never fall off the codegen path.
     for qid in [

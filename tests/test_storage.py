@@ -61,6 +61,27 @@ def test_empty_table_read_raises(spark, tbl):
         tbl.read(spark)
 
 
+def test_delete_keeps_null_predicate_rows(spark, tbl):
+    # DELETE WHERE v = 'a' must keep the row whose predicate is NULL
+    # (v IS NULL), matching SQL/Delta DELETE semantics.
+    df = spark.createDataFrame([(1, "a"), (2, "b"), (3, None)], "k int, v string")
+    tbl.write(df, mode="overwrite")
+    out = tbl.delete(spark, F.col("v") == "a")
+    assert sorted([(r.k, r.v) for r in out.collect()], key=lambda x: x[0]) == [
+        (2, "b"),
+        (3, None),
+    ]
+
+
+def test_merge_null_source_value_overwrites(spark, tbl):
+    # WHEN MATCHED THEN UPDATE sets the target to the source value even
+    # when that value is NULL (coalesce-style merge would keep 'old').
+    tbl.write(_df(spark, [(1, "old"), (2, "keep")]), mode="overwrite")
+    merged = tbl.merge(spark, _df(spark, [(1, None), (3, "ins")]), on="k")
+    got = {r.k: r.v for r in merged.collect()}
+    assert got == {1: None, 2: "keep", 3: "ins"}
+
+
 def test_model_graph_topo_and_ephemeral(spark, tmp_path):
     g = ModelGraph(str(tmp_path / "models"))
     calls = []
