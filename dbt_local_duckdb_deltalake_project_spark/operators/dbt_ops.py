@@ -23,7 +23,8 @@ from .registry import register
 # month and status over non-returned lineitems. One canonical SQL, four
 # execution strategies — results must be identical.
 _GOLD_SQL = f"""
-    SELECT DATE_TRUNC('month', o.o_orderdate) AS order_month,
+    SELECT CAST(DATE_TRUNC('month', o.o_orderdate) AS TIMESTAMP)
+             AS order_month,
            o.o_orderstatus,
            COUNT(*) AS n_items,
            {sql_dsum("l.l_extendedprice * (1 - l.l_discount)", "revenue")}
@@ -55,8 +56,9 @@ def _gold(spark: SparkSession, deps: dict[str, DataFrame]) -> DataFrame:
         deps["silver_items"]
         .groupBy(
             # Spark's date_trunc returns TIMESTAMP; DuckDB's returns DATE
-            # for a date input — cast so both engines emit a date value.
-            F.date_trunc("month", "o_orderdate").cast("date").alias("order_month"),
+            # for a date input — the oracle casts its side to TIMESTAMP
+            # (the fn_date pattern) so both engines emit timestamps.
+            F.date_trunc("month", "o_orderdate").alias("order_month"),
             "o_orderstatus",
         )
         .agg(F.count("*").alias("n_items"), dsum(F.col("net"), "revenue"))

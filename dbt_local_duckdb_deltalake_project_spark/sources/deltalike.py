@@ -1,74 +1,163 @@
-"""Delta-protocol-shaped versioned parquet table (SURVEY.md §2.1).
+"""Delta-protocol versioned parquet table (SURVEY.md §2.1).
 
 The reference stack stores every medallion layer as Delta Lake tables
 (ref README.md:2 "full deltalake implementation"). ``delta-spark`` is not
-installed here, so this module re-creates the protocol's *shape* from
-public knowledge of the Delta Lake spec — ordered commit log + immutable
-parquet data files — with the three capabilities the stack exercises:
+installed here, so this module implements the storage layer from the
+PUBLIC Delta Lake protocol spec (delta-io/delta PROTOCOL.md): an ordered
+``_delta_log/`` of JSON commit files holding ``protocol`` / ``metaData``
+/ ``add`` / ``remove`` actions over immutable parquet data files at the
+table root. Tables written here follow the spec's layout::
+
+    <path>/_delta_log/00000000000000000000.json   commit 0 (one action/line)
+    <path>/_delta_log/00000000000000000001.json   commit 1
+    <path>/part-*.parquet                         data files
+
+Capabilities the stack exercises:
 
 - append / overwrite writes (``write``)
-- read as of any version (``read(as_of=...)`` — time travel)
-- MERGE upsert (``merge`` — dbt incremental merge strategy), implemented
-  as the standard full-outer-join rewrite because that is exactly what a
-  sort-merge MERGE does on a cluster.
-
-Layout::
-
-    <path>/_log.json          ordered list of commits
-    <path>/v000/...parquet    data files of commit 0
-    <path>/v001/...parquet    data files of commit 1
+- read as of any version (``read(as_of=...)`` — time travel, by
+  replaying add/remove actions up to that commit)
+- DELETE / MERGE upsert (copy-on-write rewrites, like Delta)
+- OPTIMIZE-style compaction and VACUUM of unreachable files
 
 Scale notes (100 TB): reads are plain multi-path parquet scans, so column
-pruning / predicate pushdown / partition pruning all still fire; the log
-is O(#commits) driver-side JSON, never shipped to executors. MERGE
-shuffles both sides on the key — on a real cluster you'd bucket the
-target by the merge key to make re-merges shuffle-free; with delta-spark
-installed the same call maps 1:1 onto ``DeltaTable.merge``.
+pruning / predicate pushdown all still fire; the log is O(#commits)
+driver-side JSON (a real deployment adds checkpoint parquet every N
+commits — same replay semantics), never shipped to executors. Commit =
+atomic rename of the next numbered log file, exactly the spec's
+put-if-absent contract. MERGE shuffles both sides on the key — on a
+cluster you'd bucket the target by the merge key to make re-merges
+shuffle-free; with delta-spark installed the same calls map 1:1 onto
+``DeltaTable`` operations and these tables are readable as real Delta.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
+import time
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
 
 
 class DeltaLikeTable:
     def __init__(self, path: str):
         self.path = path
-        self._log_path = os.path.join(path, "_log.json")
+        self._log_dir = os.path.join(path, "_delta_log")
 
     # -- commit log -------------------------------------------------------
-    def _log(self) -> list[dict]:
-        if not os.path.exists(self._log_path):
+    def _commit_files(self) -> list[str]:
+        if not os.path.isdir(self._log_dir):
             return []
-        with open(self._log_path) as f:
-            return json.load(f)
+        return sorted(
+            f for f in os.listdir(self._log_dir) if f.endswith(".json")
+        )
 
-    def _commit(self, entry: dict) -> None:
-        log = self._log()
-        entry["version"] = len(log)
-        log.append(entry)
-        tmp = self._log_path + ".tmp"
+    def _actions(self, upto: int | None = None) -> list[dict]:
+        """All actions of commits 0..upto (default: all), in order."""
+        files = self._commit_files()
+        if upto is not None:
+            files = files[: upto + 1]
+        acts: list[dict] = []
+        for fname in files:
+            with open(os.path.join(self._log_dir, fname)) as f:
+                acts.extend(json.loads(ln) for ln in f if ln.strip())
+        return acts
+
+    def _active_files(self, as_of: int | None = None) -> list[dict]:
+        """Replay add/remove actions → the live ``add`` set at a version."""
+        live: dict[str, dict] = {}
+        for act in self._actions(upto=as_of):
+            if "add" in act:
+                live[act["add"]["path"]] = act["add"]
+            elif "remove" in act:
+                live.pop(act["remove"]["path"], None)
+        return list(live.values())
+
+    def _commit(self, actions: list[dict]) -> int:
+        os.makedirs(self._log_dir, exist_ok=True)
+        version = len(self._commit_files())
+        if version == 0:
+            actions = [{"protocol": PROTOCOL}, *actions]
+        final = os.path.join(self._log_dir, f"{version:020d}.json")
+        tmp = final + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
-            json.dump(log, f)
-        os.replace(tmp, self._log_path)  # atomic, like a Delta log commit
+            for act in actions:
+                f.write(json.dumps(act) + "\n")
+        os.replace(tmp, final)  # atomic put-if-absent, per the spec
+        return version
 
     @property
     def latest_version(self) -> int:
-        return len(self._log()) - 1
+        return len(self._commit_files()) - 1
 
     # -- writes -----------------------------------------------------------
+    def _stage_data_files(self, df: DataFrame) -> list[dict]:
+        """Write ``df``'s parquet files into the table root; return their
+        ``add`` actions. Spark part-file names embed a job UUID, so moved
+        files never collide."""
+        tmp = os.path.join(self.path, f".tmp-{uuid.uuid4().hex}")
+        df.write.mode("overwrite").parquet(tmp)
+        now = int(time.time() * 1000)
+        adds = []
+        for fname in sorted(os.listdir(tmp)):
+            if not fname.endswith(".parquet"):
+                continue
+            src = os.path.join(tmp, fname)
+            os.replace(src, os.path.join(self.path, fname))
+            adds.append(
+                {
+                    "add": {
+                        "path": fname,
+                        "partitionValues": {},
+                        "size": os.path.getsize(
+                            os.path.join(self.path, fname)
+                        ),
+                        "modificationTime": now,
+                        "dataChange": True,
+                    }
+                }
+            )
+        shutil.rmtree(tmp)
+        return adds
+
+    def _metadata_action(self, df: DataFrame) -> dict:
+        return {
+            "metaData": {
+                "id": str(uuid.uuid4()),
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": df.schema.json(),
+                "partitionColumns": [],
+                "configuration": {},
+                "createdTime": int(time.time() * 1000),
+            }
+        }
+
     def write(self, df: DataFrame, mode: str = "append") -> int:
         """Commit ``df`` as a new version; returns the version number."""
         assert mode in ("append", "overwrite")
-        version = len(self._log())
-        data_dir = os.path.join(self.path, f"v{version:03d}")
-        df.write.mode("overwrite").parquet(data_dir)
-        self._commit({"mode": mode, "dir": f"v{version:03d}"})
-        return version
+        os.makedirs(self.path, exist_ok=True)
+        actions: list[dict] = []
+        if mode == "overwrite":
+            now = int(time.time() * 1000)
+            actions.extend(
+                {
+                    "remove": {
+                        "path": a["path"],
+                        "deletionTimestamp": now,
+                        "dataChange": True,
+                    }
+                }
+                for a in self._active_files()
+            )
+        actions.extend(self._stage_data_files(df))
+        actions.append(self._metadata_action(df))
+        return self._commit(actions)
 
     # -- reads ------------------------------------------------------------
     def read(
@@ -77,28 +166,22 @@ class DeltaLikeTable:
         as_of: int | None = None,
         merge_schema: bool = False,
     ) -> DataFrame:
-        """Table state at version ``as_of`` (default: latest).
-
-        Replays the log: the live file set is every commit after (and
-        including) the most recent overwrite at or before ``as_of``.
-        ``merge_schema`` unions the schemas across live commits (Delta
+        """Table state at version ``as_of`` (default: latest), by action
+        replay. ``merge_schema`` unions schemas across live files (Delta
         schema evolution: columns added by later appends surface as NULL
-        for earlier files).
-        """
-        log = self._log()
-        if as_of is not None:
-            log = log[: as_of + 1]
-        if not log:
+        for earlier files)."""
+        if not self._commit_files():
             raise ValueError(f"empty table at {self.path}")
-        start = 0
-        for i, entry in enumerate(log):
-            if entry["mode"] == "overwrite":
-                start = i
-        dirs = [os.path.join(self.path, e["dir"]) for e in log[start:]]
+        files = [
+            os.path.join(self.path, a["path"])
+            for a in self._active_files(as_of=as_of)
+        ]
+        if not files:
+            raise ValueError(f"no live files at version {as_of} in {self.path}")
         reader = spark.read
         if merge_schema:
             reader = reader.option("mergeSchema", "true")
-        return reader.parquet(*dirs)
+        return reader.parquet(*files)
 
     # -- DML --------------------------------------------------------------
     def delete(self, spark: SparkSession, condition) -> DataFrame:
@@ -115,40 +198,35 @@ class DeltaLikeTable:
     # -- maintenance ------------------------------------------------------
     def compact(self, spark: SparkSession, target_files: int = 1) -> int:
         """OPTIMIZE-style compaction: rewrite the live file set into
-        ``target_files`` bin-packed files as a new overwrite commit.
-
-        Content is unchanged — only the physical layout. At 100 TB this
-        is the small-files cure for streaming-append tables (thousands
-        of per-batch files → scan-efficient large files), run as a
-        maintenance job; old versions stay readable until vacuumed.
-        """
+        ``target_files`` bin-packed files as a new overwrite commit
+        (``dataChange: false`` in spirit — content is unchanged, only
+        layout). At 100 TB this is the small-files cure for
+        streaming-append tables, run as a maintenance job; old versions
+        stay readable until vacuumed."""
         current = self.read(spark)
         return self.write(current.coalesce(target_files), mode="overwrite")
 
     def vacuum(self) -> list[int]:
-        """Delete data directories no longer reachable from the latest
-        version (everything before the last overwrite). Returns the
-        vacuumed version numbers; the log keeps their entries (marked)
-        so version numbering stays stable."""
-        import shutil
-
-        log = self._log()
-        start = 0
-        for i, entry in enumerate(log):
-            if entry["mode"] == "overwrite":
-                start = i
-        removed = []
-        for entry in log[:start]:
-            d = os.path.join(self.path, entry["dir"])
-            if not entry.get("vacuumed") and os.path.exists(d):
-                shutil.rmtree(d)
-                removed.append(entry["version"])
-            entry["vacuumed"] = True
-        tmp = self._log_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(log, f)
-        os.replace(tmp, self._log_path)
-        return removed
+        """Physically delete data files no longer in the latest version's
+        live set (the spec's VACUUM with retention 0). Returns the sorted
+        commit versions whose files were reclaimed; the log keeps every
+        commit so version numbering stays stable (older versions simply
+        stop being time-travelable, as after a real VACUUM)."""
+        live = {a["path"] for a in self._active_files()}
+        added_at: dict[str, int] = {}
+        for i, fname in enumerate(self._commit_files()):
+            with open(os.path.join(self._log_dir, fname)) as f:
+                for ln in f:
+                    act = json.loads(ln)
+                    if "add" in act:
+                        added_at.setdefault(act["add"]["path"], i)
+        reclaimed: set[int] = set()
+        for path, version in added_at.items():
+            full = os.path.join(self.path, path)
+            if path not in live and os.path.exists(full):
+                os.remove(full)
+                reclaimed.add(version)
+        return sorted(reclaimed)
 
     # -- MERGE (upsert) ---------------------------------------------------
     def merge(
