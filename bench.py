@@ -113,7 +113,17 @@ def main() -> None:
 
     from concurrent.futures import ThreadPoolExecutor
 
+    # Longest-processing-time-first: start the long poles before the
+    # cheap queries so the pool's makespan isn't a heavy query scheduled
+    # last. Costs come from the previous run's sidecar when present.
+    try:
+        with open(os.path.join(_REPO, "BENCH_DETAIL.json")) as f:
+            prev_cost = json.load(f).get("queries", {})
+    except Exception:  # noqa: BLE001 — first run: name order
+        prev_cost = {}
+
     def phase(serial: list[str], pooled: list[str]) -> float:
+        pooled = sorted(pooled, key=lambda n: -prev_cost.get(n, 0.0))
         t0 = time.perf_counter()
         for name in serial:
             run_one(name)

@@ -80,25 +80,30 @@ ORDER BY doc_a, doc_b
 def _shingle_rows(d: DataFrame) -> DataFrame:
     """Distinct 3-word shingles per doc as 64-bit hashes: (doc_id, s).
 
-    Codegen pipeline: posexplode tokens → window ``lead`` stitches each
-    3-gram → hash → distinct. Building the shingle ARRAY with
-    transform/element_at lambdas runs interpreted in Spark (~10s at
-    sf0.1 measured); this formulation never leaves whole-stage codegen.
-    The shuffle key (doc_id) is uniform; shingles travel as 8-byte longs
-    (collision odds over ~10^7 distinct shingles ≈ 10^-3 per run — below
-    the noise floor this pipeline tolerates).
+    Codegen pipeline with NO shuffle before the distinct: three offset
+    ``slice``s of the token array are ``arrays_zip``ped and exploded, so
+    each 3-gram is stitched inside the row it came from (the earlier
+    window-``lead`` form paid a per-doc shuffle+sort; transform/
+    element_at lambdas run interpreted — ~10s at sf0.1 measured). The
+    distinct's shuffle key (doc_id, s) is uniform; shingles travel as
+    8-byte longs (collision odds over ~10^7 distinct shingles ≈ 10^-3
+    per run — below the noise floor this pipeline tolerates).
     """
-    win = W.partitionBy("doc_id").orderBy("p")
+    w = F.split("text", " ")
+    n3 = F.greatest(F.size(w) - 2, F.lit(0))  # docs under 3 tokens → none
+    z = F.arrays_zip(
+        F.slice(w, 1, n3).alias("a"),
+        F.slice(w, 2, n3).alias("b"),
+        F.slice(w, 3, n3).alias("c"),
+    )
     return (
-        d.select("doc_id", F.posexplode(F.split("text", " ")).alias("p", "w"))
+        d.select("doc_id", F.explode(z).alias("g"))
         .select(
             "doc_id",
-            "w",
-            F.lead("w", 1).over(win).alias("w1"),
-            F.lead("w", 2).over(win).alias("w2"),
+            F.xxhash64(
+                F.concat_ws(" ", F.col("g.a"), F.col("g.b"), F.col("g.c"))
+            ).alias("s"),
         )
-        .filter(F.col("w2").isNotNull())
-        .select("doc_id", F.xxhash64(F.concat_ws(" ", "w", "w1", "w2")).alias("s"))
         .distinct()
     )
 

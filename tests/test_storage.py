@@ -73,6 +73,57 @@ def test_delete_keeps_null_predicate_rows(spark, tbl):
     ]
 
 
+def test_delta_log_layout_matches_spec(spark, tbl, tmp_path):
+    # _delta_log/%020d.json with one JSON action per line: protocol on
+    # commit 0, metaData + add on every commit, remove on overwrite.
+    import json
+    import os
+
+    tbl.write(_df(spark, [(1, "a")]), mode="overwrite")
+    tbl.write(_df(spark, [(2, "b")]), mode="append")
+    tbl.write(_df(spark, [(9, "z")]), mode="overwrite")
+    log_dir = os.path.join(tbl.path, "_delta_log")
+    files = sorted(os.listdir(log_dir))
+    assert files == [f"{v:020d}.json" for v in range(3)]
+    commits = []
+    for fname in files:
+        with open(os.path.join(log_dir, fname)) as f:
+            commits.append([json.loads(ln) for ln in f if ln.strip()])
+    assert any("protocol" in a for a in commits[0])
+    for acts in commits:
+        assert any("add" in a for a in acts)
+        assert any("metaData" in a for a in acts)
+    assert any("remove" in a for a in commits[2])
+    # data files live at the table root, named as parquet part files
+    adds = [a["add"]["path"] for acts in commits for a in acts if "add" in a]
+    for p in adds:
+        assert "/" not in p and p.endswith(".parquet")
+
+
+def test_bucketed_tables_reattach_without_rewrite(spark, sf_dir):
+    # second registration (fresh catalog, files on disk) must be
+    # metadata-only DDL — and the reattached table still joins
+    # exchange-free.
+    import os
+    import time
+
+    from dbt_local_duckdb_deltalake_project_spark.sources.bucketed import (
+        ensure_bucketed_tables,
+    )
+
+    to_, tl_ = ensure_bucketed_tables(spark, sf_dir)
+    spark.sql(f"DROP TABLE {to_}")
+    spark.sql(f"DROP TABLE {tl_}")
+    t0 = time.time()
+    to2, tl2 = ensure_bucketed_tables(spark, sf_dir)
+    assert (to2, tl2) == (to_, tl_)
+    assert time.time() - t0 < 5  # DDL, not a data rewrite
+    o, li = spark.table(to2), spark.table(tl2)
+    joined = o.hint("merge").join(li, li.l_orderkey == o.o_orderkey)
+    p = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in p
+
+
 def test_merge_null_source_value_overwrites(spark, tbl):
     # WHEN MATCHED THEN UPDATE sets the target to the source value even
     # when that value is NULL (coalesce-style merge would keep 'old').
