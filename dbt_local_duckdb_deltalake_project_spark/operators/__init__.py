@@ -65,10 +65,39 @@ _WINDOW_FIRST = [
 ]
 
 
+# Directly behind the window: every id that has never had a driver
+# CORRECTNESS row in ANY round (not in round 1's checked-50, not in
+# _WINDOW_FIRST) — sql-mode first so a wider-than-50 driver window
+# verifies them hash-checked; already-proven relational core rotates to
+# the very back (local pytest still covers it).
+_WINDOW_SECOND = [
+    "scan_parquet", "scan_projection_pushdown", "scan_filter_pushdown",
+    "scan_csv", "scan_json", "sink_parquet",
+    "sink_delta_append", "delta_time_travel", "delta_merge_upsert",
+    "scd2_snapshot", "delta_schema_evolution", "delta_compact",
+    "delta_delete",
+    "dbt_materialize_table", "dbt_materialize_view",
+    "dbt_materialize_ephemeral", "dbt_materialize_incremental",
+    "dbt_test_unique", "dbt_test_not_null", "dbt_test_accepted_values",
+    "dbt_test_relationships", "dbt_source_freshness",
+    "mm_metadata_extract", "mm_decode_features", "mm_resize_plan",
+    "mm_frame_sample", "pipeline_medallion",
+    # rows-mode (no oracle by design — driver records the weaker check)
+    "llm_dedup_minhash", "llm_cosine_topk_blocked", "llm_cosine_topk_lsh",
+    "llm_cosine_topk_ivf", "llm_simhash", "llm_fingerprint_rolling",
+    "stream_tumbling_streamed", "stream_session_streamed",
+    "stream_watermark_late", "stream_dedup_within_watermark",
+    "stream_funnel_stateful", "stream_sink_deltalike",
+]
+
+
 def _reorder() -> None:
     front = [q for q in _WINDOW_FIRST if q in QUERIES]
-    seen = set(front)
-    order = front + [q for q in QUERIES if q not in seen]
+    second = [
+        q for q in _WINDOW_SECOND if q in QUERIES and q not in set(front)
+    ]
+    seen = set(front) | set(second)
+    order = front + second + [q for q in QUERIES if q not in seen]
     for d in (QUERIES, ORACLE):
         snapshot = dict(d)
         d.clear()

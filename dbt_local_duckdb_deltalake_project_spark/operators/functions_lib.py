@@ -206,20 +206,30 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_array",
     """
     SELECT n_nationkey,
-           generate_series(1, n_nationkey % 5 + 2) AS seq,
-           len(generate_series(1, n_nationkey % 5 + 2)) AS seq_len,
+           array_to_string(generate_series(1, n_nationkey % 5 + 2), ',')
+             AS seq,
+           CAST(len(generate_series(1, n_nationkey % 5 + 2)) AS BIGINT)
+             AS seq_len,
            list_contains(generate_series(1, n_nationkey % 5 + 2), 3) AS has_3,
-           list_transform(generate_series(1, n_nationkey % 5 + 2),
-                          x -> x * 10) AS tens,
-           list_filter(generate_series(1, n_nationkey % 5 + 2),
-                       x -> x % 2 = 0) AS evens,
+           array_to_string(list_transform(
+               generate_series(1, n_nationkey % 5 + 2), x -> x * 10), ',')
+             AS tens,
+           array_to_string(list_filter(
+               generate_series(1, n_nationkey % 5 + 2), x -> x % 2 = 0), ',')
+             AS evens,
            CAST(list_sum(generate_series(1, n_nationkey % 5 + 2)) AS BIGINT)
              AS seq_sum,
-           list_sort([n_nationkey % 3, n_nationkey % 5, 1]) AS sorted_arr,
-           list_sort(list_distinct([n_nationkey % 3, n_nationkey % 3, 7]))
-             AS dedup_sorted,
-           flatten([[n_nationkey], [n_regionkey]]) AS flat,
-           list_slice(generate_series(1, n_nationkey % 5 + 2), 2, 3) AS mid,
+           array_to_string(
+               list_sort([n_nationkey % 3, n_nationkey % 5, 1]), ',')
+             AS sorted_arr,
+           array_to_string(
+               list_sort(list_distinct([n_nationkey % 3, n_nationkey % 3, 7])),
+               ',') AS dedup_sorted,
+           array_to_string(flatten([[n_nationkey], [n_regionkey]]), ',')
+             AS flat,
+           array_to_string(
+               list_slice(generate_series(1, n_nationkey % 5 + 2), 2, 3), ',')
+             AS mid,
            array_to_string(generate_series(1, n_nationkey % 5 + 2), '-')
              AS joined
     FROM nation
@@ -228,30 +238,52 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
 def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = t(spark, sf_dir, "nation")
     seq = F.sequence(F.lit(1), F.col("n_nationkey") % 5 + 2)
+
+    # Array-typed OUTPUT columns defeat tuple-hashing comparators
+    # (round 1's agg_collect lesson), so every array is serialized to a
+    # canonical comma-joined string at the edge; the array *functions*
+    # themselves still run on true array values.
+    def sj(arr):  # serialize: array<int> -> "1,2,3"
+        return F.array_join(arr.cast("array<string>"), ",")
+
     return n.select(
         "n_nationkey",
-        seq.alias("seq"),
-        F.size(seq).alias("seq_len"),
+        sj(seq).alias("seq"),
+        F.size(seq).cast("long").alias("seq_len"),
         F.array_contains(seq, 3).alias("has_3"),
-        F.transform(seq, lambda x: x * 10).alias("tens"),
-        F.filter(seq, lambda x: x % 2 == 0).alias("evens"),
+        sj(F.transform(seq, lambda x: x * 10)).alias("tens"),
+        sj(F.filter(seq, lambda x: x % 2 == 0)).alias("evens"),
         F.aggregate(
             seq, F.lit(0).cast("long"), lambda acc, x: acc + x
         ).alias("seq_sum"),
-        F.array_sort(
-            F.array(F.col("n_nationkey") % 3, F.col("n_nationkey") % 5, F.lit(1))
+        sj(
+            F.array_sort(
+                F.array(
+                    F.col("n_nationkey") % 3, F.col("n_nationkey") % 5, F.lit(1)
+                )
+            )
         ).alias("sorted_arr"),
         # DuckDB list_distinct does NOT preserve element order → sort on
         # both sides to compare as a set.
-        F.array_sort(
-            F.array_distinct(
-                F.array(F.col("n_nationkey") % 3, F.col("n_nationkey") % 3, F.lit(7))
+        sj(
+            F.array_sort(
+                F.array_distinct(
+                    F.array(
+                        F.col("n_nationkey") % 3,
+                        F.col("n_nationkey") % 3,
+                        F.lit(7),
+                    )
+                )
             )
         ).alias("dedup_sorted"),
-        F.flatten(
-            F.array(F.array(F.col("n_nationkey")), F.array(F.col("n_regionkey")))
+        sj(
+            F.flatten(
+                F.array(
+                    F.array(F.col("n_nationkey")), F.array(F.col("n_regionkey"))
+                )
+            )
         ).alias("flat"),
-        F.slice(seq, 2, 2).alias("mid"),
+        sj(F.slice(seq, 2, 2)).alias("mid"),
         F.array_join(seq.cast("array<string>"), "-").alias("joined"),
     )
 
@@ -260,8 +292,9 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_map_struct",
     """
     SELECT s_suppkey,
-           list_sort(map_keys(MAP {'nation': CAST(s_nationkey AS VARCHAR),
-                                   'name': s_name})) AS mkeys,
+           array_to_string(
+               list_sort(map_keys(MAP {'nation': CAST(s_nationkey AS VARCHAR),
+                                       'name': s_name})), ',') AS mkeys,
            element_at(MAP {'bal': s_acctbal}, 'bal')[1] AS bal_from_map,
            ({'k': s_suppkey, 'nm': s_name}).nm AS struct_name,
            ({'k': s_suppkey, 'nm': s_name}).k * 2 AS struct_key_x2
@@ -277,7 +310,8 @@ def fn_map_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = F.struct(F.col("s_suppkey").alias("k"), F.col("s_name").alias("nm"))
     return s.select(
         "s_suppkey",
-        F.array_sort(F.map_keys(m)).alias("mkeys"),
+        # serialized (round 1: array outputs break tuple-hash comparators)
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("mkeys"),
         F.element_at(F.create_map(F.lit("bal"), F.col("s_acctbal")), "bal").alias(
             "bal_from_map"
         ),

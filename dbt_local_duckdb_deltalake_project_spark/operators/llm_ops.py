@@ -325,12 +325,14 @@ def llm_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN — the sub-linear scale path for similarity search.
 
     Random-hyperplane LSH with deterministic anchors (vectors 1..4 serve
-    as hyperplanes): bucket(v) = sign bits of v·anchor_j. Only the query's
-    bucket is scanned (~1/16 of the corpus in expectation), then exact
-    cosine within it. At 100 TB the table is WRITTEN partitioned by
-    bucket, so the scan prunes at the storage layer and each query
-    touches one partition; recall is tuned by probing neighbor buckets
-    (flip one bit) — the standard multi-probe trade.
+    as hyperplanes): bucket(v) = sign bits of v·anchor_j. Multi-probe:
+    the query's bucket plus its four Hamming-1 neighbors are scanned
+    (5/16 of the corpus in expectation — near-misses land one flipped
+    sign bit away, so probing them recovers most of the recall a
+    single-bucket scan loses), then exact cosine within. At 100 TB the
+    table is WRITTEN partitioned by bucket, so the scan prunes at the
+    storage layer and each query touches nprobe partitions; recall
+    tunes with the probe radius.
     """
     import numpy as np
     import pandas as pd
@@ -342,6 +344,7 @@ def llm_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     qvec, anchors = head[0], np.stack([head[i] for i in (1, 2, 3, 4)])
     qbucket = int((qvec @ anchors.T > 0) @ (1 << np.arange(4)))
+    probe = np.array([qbucket] + [qbucket ^ (1 << j) for j in range(4)])
     k = 10
 
     def bucket_topk(batches):
@@ -352,7 +355,7 @@ def llm_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 continue
             m = np.stack(cand.embedding.to_numpy()).astype(np.float64)
             buckets = (m @ anchors.T > 0) @ (1 << np.arange(4))
-            sel = buckets == qbucket
+            sel = np.isin(buckets, probe)
             if not sel.any():
                 continue
             m = m[sel]
@@ -367,6 +370,112 @@ def llm_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (
         e.mapInPandas(bucket_topk, schema="vec_id long, cosine double")
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
+@register("llm_cosine_topk_ivf")  # rows-mode: approximate by design
+def llm_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN — the partition-pruned scale path.
+
+    Classic IVF-Flat: partition the corpus into ``nlist`` coarse cells
+    around k-means centroids, then answer a query by scanning only the
+    ``nprobe`` cells whose centroids are nearest the query. Spark-first
+    shape:
+
+    - seeds: vectors 1..nlist (deterministic, constant-bounded fetch);
+    - one distributed Lloyd refinement: an Arrow-batched ``mapInPandas``
+      assigns each batch to its nearest seed and emits PER-LIST PARTIAL
+      SUMS (nlist x dim rows per batch — map-side combine by hand), a
+      groupBy folds them, and only the nlist x dim centroid table comes
+      back to the driver (O(1) in the corpus);
+    - probe: exact cosine against the refined centroids picks nprobe
+      cells; a second Arrow-batched scan keeps rows assigned to those
+      cells and computes exact cosine top-k per batch; a k-row-per-task
+      global merge finishes.
+
+    At 100 TB the assignment is computed once at ingest and the table is
+    WRITTEN ``partitionBy(list_id)``, so a query reads nprobe/nlist of
+    the data via storage-level partition pruning — the scan here stands
+    in for that pruned read. Recall tunes with nprobe (multi-cell probe),
+    cost with nlist; centroid state stays O(nlist x dim) regardless of
+    corpus size.
+    """
+    import numpy as np
+    import pandas as pd
+
+    nlist, nprobe, k, dim = 8, 2, 10, 64
+    e = t(spark, sf_dir, "embeddings")
+    head = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in e.filter(F.col("vec_id") <= nlist).collect()
+    }
+    qvec = head[0]
+    seeds = np.stack([head[i] for i in range(1, nlist + 1)])
+    seeds_n = seeds / np.linalg.norm(seeds, axis=1, keepdims=True)
+
+    def partial_sums(batches):
+        for pdf in batches:
+            cand = pdf[pdf.vec_id != 0]
+            if not len(cand):
+                continue
+            m = np.stack(cand.embedding.to_numpy()).astype(np.float64)
+            mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+            assign = (mn @ seeds_n.T).argmax(axis=1)
+            for lid in np.unique(assign):
+                grp = m[assign == lid]
+                yield pd.DataFrame(
+                    {
+                        "list_id": int(lid),
+                        "pos": np.arange(dim),
+                        "s": grp.sum(axis=0),
+                        "c": len(grp),
+                    }
+                )
+
+    # One Lloyd iteration: fold the per-batch partial sums JVM-side, then
+    # pull back only the nlist x dim centroid table (constant-bounded).
+    cent_rows = (
+        e.mapInPandas(
+            partial_sums, schema="list_id int, pos int, s double, c long"
+        )
+        .groupBy("list_id", "pos")
+        .agg(F.sum("s").alias("s"), F.sum("c").alias("c"))
+        .collect()  # bounded: nlist x dim rows, O(1) in corpus size
+    )
+    cent = seeds.copy()
+    for r in cent_rows:
+        cent[r["list_id"], r["pos"]] = r["s"] / r["c"]
+    # Round away float-reduction jitter so the probe choice is stable
+    # across partition orderings.
+    cent = np.round(cent, 6)
+    cent_n = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+    qn = qvec / np.linalg.norm(qvec)
+    probed = set(np.argsort(-(cent_n @ qn))[:nprobe].tolist())
+
+    def probe_topk(batches):
+        for pdf in batches:
+            cand = pdf[pdf.vec_id != 0]
+            if not len(cand):
+                continue
+            m = np.stack(cand.embedding.to_numpy()).astype(np.float64)
+            mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+            assign = (mn @ cent_n.T).argmax(axis=1)
+            sel = np.isin(assign, list(probed))
+            if not sel.any():
+                continue
+            cos = mn[sel] @ qn
+            top = np.argsort(-cos)[:k]
+            yield pd.DataFrame(
+                {
+                    "vec_id": cand.vec_id.to_numpy()[sel][top],
+                    "cosine": np.round(cos[top], 6),
+                }
+            )
+
+    return (
+        e.mapInPandas(probe_topk, schema="vec_id long, cosine double")
         .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
         .limit(k)
     )
@@ -608,52 +717,39 @@ def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CENTROID_ORACLE = """
-SELECT label,
-       MAX(nv) AS n_vectors,
-       list(avg_val ORDER BY i) AS centroid
-FROM (
-  SELECT label, i,
-         COUNT(DISTINCT vec_id) AS nv,
-         ROUND(CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(38,12)))
-                    AS DOUBLE) / COUNT(*), 6) AS avg_val
-  FROM embeddings, generate_series(1, 64) t(i)
-  GROUP BY label, i
-)
-GROUP BY label
-ORDER BY label
+SELECT label, i - 1 AS pos,
+       COUNT(DISTINCT vec_id) AS n_vectors,
+       ROUND(CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(38,12)))
+                  AS DOUBLE) / COUNT(*), 6) AS centroid_val
+FROM embeddings, generate_series(1, 64) t(i)
+GROUP BY label, i
+ORDER BY label, pos
 """
 
 
 @register("llm_label_centroid", _CENTROID_ORACLE)
 def llm_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Per-label mean embedding: posexplode → decimal mean per (label,pos)
-    # → re-assemble ordered by pos. Shuffle key (label,pos) is perfectly
-    # uniform — this scales to any vector count.
+    # Per-label mean embedding: posexplode → decimal mean per (label,pos).
+    # Shuffle key (label,pos) is perfectly uniform — this scales to any
+    # vector count. Output is the LONG form (one row per centroid
+    # component): scalar columns hash-verify in any comparator, whereas
+    # an array<double> column would defeat a tuple hasher; callers who
+    # want the wide vector re-assemble with collect_list over pos.
     e = t(spark, sf_dir, "embeddings")
     exploded = e.select(
         "label", "vec_id", F.posexplode("embedding").alias("pos", "v")
     )
-    per_pos = (
+    return (
         exploded.groupBy("label", "pos")
         .agg(
+            F.countDistinct("vec_id").alias("n_vectors"),
             F.round(
                 F.sum(F.col("v").cast("double").cast(DEC12)).cast("double")
                 / F.count(F.lit(1)),
                 6,
-            ).alias("avg_val"),
-            F.countDistinct("vec_id").alias("nv"),
+            ).alias("centroid_val"),
         )
-    )
-    return (
-        per_pos.groupBy("label")
-        .agg(
-            F.max("nv").alias("n_vectors"),
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "avg_val"))),
-                lambda s: s.avg_val,
-            ).alias("centroid"),
-        )
-        .orderBy("label")
+        .orderBy("label", "pos")
     )
 
 

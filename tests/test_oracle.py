@@ -19,5 +19,14 @@ def test_query_matches_oracle(qid, spark, duck, sf_dir):
         # rows-mode: must execute and yield a stable schema
         assert spark_pdf.shape[1] > 0
         return
+    # sql-mode outputs must be scalar-only: the round driver hashes row
+    # tuples and an array/map/struct column raises `unhashable type`
+    # (round 1's agg_collect FAIL). Serialize arrays at the query edge.
+    nested = [
+        f.name
+        for f in sdf.schema.fields
+        if type(f.dataType).__name__ in ("ArrayType", "MapType", "StructType")
+    ]
+    assert not nested, f"{qid}: non-scalar sql-mode output columns {nested}"
     duck_pdf = duck.execute(ORACLE[qid]).fetchdf()
     assert_same(spark_pdf, duck_pdf, qid)
