@@ -82,6 +82,9 @@ _WINDOW_SECOND = [
     "dbt_test_relationships", "dbt_source_freshness",
     "mm_metadata_extract", "mm_decode_features", "mm_resize_plan",
     "mm_frame_sample", "pipeline_medallion",
+    # corpus-management ops added in round 2 (sql-mode)
+    "llm_split_assign", "llm_shuffle_deterministic", "llm_pii_redact",
+    "llm_decontaminate",
     # rows-mode (no oracle by design — driver records the weaker check)
     "llm_dedup_minhash", "llm_cosine_topk_blocked", "llm_cosine_topk_lsh",
     "llm_cosine_topk_ivf", "llm_simhash", "llm_fingerprint_rolling",

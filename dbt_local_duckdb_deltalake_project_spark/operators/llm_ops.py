@@ -972,3 +972,199 @@ def llm_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.array_sort(F.collect_list("fp")).alias("fingerprints"))
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-management operators: the bookkeeping a 100 TB training-data
+# pipeline runs around the dedup/quality core — deterministic split
+# assignment, epoch shuffling, PII redaction, benchmark decontamination.
+# All are content/key-addressed (md5-derived), never RNG-seeded: re-runs
+# and backfills assign identically, which is the property training
+# reproducibility actually needs.
+# ---------------------------------------------------------------------------
+
+_SPLIT_ORACLE = """
+SELECT doc_id,
+       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register("llm_split_assign", _SPLIT_ORACLE)
+def llm_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (~80/10/10).
+
+    Key-addressed, not RNG: split = range of the first md5 byte of the
+    stable doc key ('cd'=205/256~80%, 'e6'=230/256~90%). Pure map-side
+    codegen — no shuffle, no state, and a re-run (or a late-arriving
+    backfill partition) lands every doc in the same split, which is the
+    contamination guarantee sampling-based splitters can't give.
+    """
+    d = t(spark, sf_dir, "documents")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return d.select(
+        "doc_id",
+        F.when(h < "cd", "train").when(h < "e6", "val").otherwise("test")
+        .alias("split"),
+    ).orderBy("doc_id")
+
+
+_SHUFFLE_ORACLE = """
+SELECT doc_id,
+       substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
+       ROW_NUMBER() OVER (
+         PARTITION BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS pos_in_bucket
+FROM documents
+ORDER BY bucket, pos_in_bucket
+"""
+
+
+@register("llm_shuffle_deterministic", _SHUFFLE_ORACLE)
+def llm_shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle for epoch ordering.
+
+    Training wants data order that is (a) uniformly random-looking,
+    (b) reproducible, (c) computable WITHOUT a total sort. md5 of the
+    doc key gives (a)+(b); (c) comes from ranking only within the
+    256-way bucket of the first hash byte — the window partitions by
+    bucket, so rank state never crosses executors and no single-
+    partition global window exists. A reader consumes buckets in order
+    (epoch N rotates the bucket order by N) and gets a stable
+    permutation of the corpus at scan cost, not sort cost.
+    """
+    d = t(spark, sf_dir, "documents")
+    key = F.md5(F.col("doc_id").cast("string"))
+    d = d.select("doc_id", key.alias("k"), F.substring(key, 1, 2).alias("bucket"))
+    w = W.partitionBy("bucket").orderBy("k", "doc_id")
+    return (
+        d.select(
+            "doc_id", "bucket", F.row_number().over(w).alias("pos_in_bucket")
+        )
+        .orderBy("bucket", "pos_in_bucket")
+    )
+
+
+_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+_PHONE_RE = "\\b555-[0-9]{4}\\b"
+
+_PII_ORACLE = f"""
+WITH pii AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or call 555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+       regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+                      '{_PHONE_RE}', '[PHONE]', 'g') AS redacted
+FROM pii
+ORDER BY doc_id
+"""
+
+
+@register("llm_pii_redact", _PII_ORACLE)
+def llm_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (email / phone patterns).
+
+    The fixture corpus carries no PII, so a deterministic synthetic
+    email+phone is appended per doc BEFORE redaction — both engines
+    build the identical string, so the differential test exercises real
+    matches, not vacuous zero-counts. Pure codegen regexp (Java regex /
+    RE2 agree on this conservative char-class syntax); map-side only,
+    no shuffle — at 100 TB this is scan-bound, exactly what a redaction
+    pass should be.
+    """
+    d = t(spark, sf_dir, "documents")
+    pii = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or call 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    d = d.select("doc_id", pii.alias("t"))
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("t", F.lit(_EMAIL_RE), F.lit(0)))
+        .cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all("t", F.lit(_PHONE_RE), F.lit(0)))
+        .cast("long").alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace("t", _EMAIL_RE, "[EMAIL]"),
+            _PHONE_RE,
+            "[PHONE]",
+        ).alias("redacted"),
+    ).orderBy("doc_id")
+
+
+_DECON_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS h,
+         string_split(text, ' ') AS w
+  FROM documents
+), sh AS (
+  SELECT doc_id, h,
+         unnest(list_distinct(list_transform(range(1, len(w) - 3),
+           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+                || w[i+3] || ' ' || w[i+4]))) AS s
+  FROM toks
+)
+SELECT t.doc_id, CAST(COUNT(DISTINCT t.s) AS BIGINT) AS n_hit_shingles
+FROM sh t JOIN (SELECT DISTINCT s FROM sh WHERE h < '08') b ON t.s = b.s
+WHERE t.h >= '08'
+GROUP BY t.doc_id
+ORDER BY t.doc_id
+"""
+
+
+@register("llm_decontaminate", _DECON_ORACLE)
+def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any 5-gram
+    with the held-out set.
+
+    The held-out side here is the ~3% of docs whose md5 prefix < '08'
+    (standing in for an eval benchmark); a training doc is contaminated
+    if any of its distinct 5-word shingles appears in any held-out doc.
+    Shingles are built shuffle-free (offset slices + arrays_zip, same
+    scheme as _shingle_rows) and travel as 8-byte xxhash64 values —
+    equality-only use, so the engine-specific hash never reaches the
+    output. At 100 TB the benchmark shingle set is small (eval sets are
+    thousands of docs, not corpora) — Spark broadcast-joins it against
+    the full training shingle stream: scan-bound, no corpus-sized
+    shuffle at all.
+    """
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2).alias("h"),
+        F.split("text", " ").alias("w"),
+    )
+    n5 = F.greatest(F.size("w") - 4, F.lit(0))
+    z = F.arrays_zip(
+        *[F.slice("w", i + 1, n5).alias(c) for i, c in enumerate("abcde")]
+    )
+    sh = (
+        d.select("doc_id", "h", F.explode(z).alias("g"))
+        .select(
+            "doc_id",
+            "h",
+            F.xxhash64(
+                F.concat_ws(" ", *[F.col(f"g.{c}") for c in "abcde"])
+            ).alias("s"),
+        )
+        .distinct()
+    )
+    bench = sh.filter(F.col("h") < "08").select("s").distinct()
+    return (
+        sh.filter(F.col("h") >= "08")
+        .join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("s").alias("n_hit_shingles"))
+        .orderBy("doc_id")
+    )
