@@ -75,7 +75,7 @@ _WINDOW_SECOND = [
     "scan_csv", "scan_json", "sink_parquet",
     "sink_delta_append", "delta_time_travel", "delta_merge_upsert",
     "scd2_snapshot", "delta_schema_evolution", "delta_compact",
-    "delta_delete",
+    "delta_delete", "delta_restore",
     "dbt_materialize_table", "dbt_materialize_view",
     "dbt_materialize_ephemeral", "dbt_materialize_incremental",
     "dbt_test_unique", "dbt_test_not_null", "dbt_test_accepted_values",
@@ -85,6 +85,8 @@ _WINDOW_SECOND = [
     # corpus-management ops added in round 2 (sql-mode)
     "llm_split_assign", "llm_shuffle_deterministic", "llm_pii_redact",
     "llm_decontaminate",
+    # round-2 addition to the streaming surface (sql-mode)
+    "stream_sliding_streamed",
     # rows-mode (no oracle by design — driver records the weaker check)
     "llm_dedup_minhash", "llm_cosine_topk_blocked", "llm_cosine_topk_lsh",
     "llm_cosine_topk_ivf", "llm_simhash", "llm_fingerprint_rolling",

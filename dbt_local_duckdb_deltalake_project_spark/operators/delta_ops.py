@@ -249,3 +249,31 @@ def delta_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") < 50000),
     )
+
+
+@register(
+    "delta_restore",
+    """
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    """,
+)
+def delta_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # RESTORE TO VERSION AS OF (the bad-deploy undo): v0+v1 build the
+    # full table, v2 deletes a slice, restore(1) rolls back to the
+    # pre-delete state as a NEW metadata-only commit — no data rewrite
+    # (O(log) at 100 TB), history intact. Reading latest must equal the
+    # full orders slice again.
+    tbl = DeltaLikeTable(workdir(sf_dir, "delta_restore"))
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    tbl.write(o.filter(F.col("o_orderdate") < _CUT).drop("o_orderdate"),
+              mode="overwrite")
+    tbl.write(o.filter(F.col("o_orderdate") >= _CUT).drop("o_orderdate"),
+              mode="append")
+    tbl.delete(
+        spark,
+        (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") < 50000),
+    )
+    tbl.restore(1)
+    return tbl.read(spark)

@@ -278,3 +278,35 @@ def stream_session_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_batch(
         spark, sf_dir, "sessionw", sessionize, output_mode="append"
     )
+
+
+def _sliding(stream: DataFrame) -> DataFrame:
+    return (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
+@register(
+    "stream_sliding_streamed",
+    """
+    WITH offsets AS (SELECT unnest([0, 1, 2, 3]) AS k)
+    SELECT time_bucket(INTERVAL '15 minutes', ts)
+             - k * INTERVAL '15 minutes' AS window_start,
+           COUNT(*) AS n_events
+    FROM events CROSS JOIN offsets
+    GROUP BY 1
+    """,
+)
+def stream_sliding_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Overlapping 1h/15m windows through a real micro-batch replay:
+    # in-order, complete mode → every open window is emitted at
+    # termination and the result hash-matches the batch oracle (the
+    # stream/batch parity contract for overlapping windows). Each event
+    # updates 4 window states; the state store carries one entry per
+    # open window, bounded by the watermark at scale.
+    return run_stream_to_batch(
+        spark, sf_dir, "slide", _sliding, output_mode="complete"
+    )

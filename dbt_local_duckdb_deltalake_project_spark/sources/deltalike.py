@@ -195,6 +195,34 @@ class DeltaLikeTable:
         self.write(kept, mode="overwrite")
         return self.read(spark)
 
+    def restore(self, version: int) -> int:
+        """``RESTORE TABLE ... TO VERSION AS OF version``: commit a new
+        version whose live file set equals ``version``'s — METADATA-ONLY
+        (re-add old files / remove newer ones in the log; no data file is
+        read or rewritten, so restoring a 100 TB table is O(log) driver
+        work, exactly Delta's RESTORE). The restore is itself a new
+        commit: history stays intact and time-travelable, and restoring
+        past a VACUUM fails on read just as in Delta (the old files are
+        physically gone)."""
+        target = {a["path"]: a for a in self._active_files(as_of=version)}
+        current = {a["path"]: a for a in self._active_files()}
+        now = int(time.time() * 1000)
+        actions: list[dict] = [
+            {
+                "remove": {
+                    "path": p,
+                    "deletionTimestamp": now,
+                    "dataChange": True,
+                }
+            }
+            for p in current
+            if p not in target
+        ]
+        actions.extend(
+            {"add": add} for p, add in target.items() if p not in current
+        )
+        return self._commit(actions)
+
     # -- maintenance ------------------------------------------------------
     def compact(self, spark: SparkSession, target_files: int = 1) -> int:
         """OPTIMIZE-style compaction: rewrite the live file set into

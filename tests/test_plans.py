@@ -164,3 +164,21 @@ def test_hot_queries_have_no_python_eval(spark, sf_dir):
     ]:
         p = plan(QUERIES[qid](spark, sf_dir))
         assert "EvalPython" not in p, f"{qid} fell back to Python eval"
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark, sf_dir):
+    # the held-out shingle set is eval-benchmark sized (small), so the
+    # contamination join must broadcast it — a shuffle join here would
+    # move the full training shingle stream at 100 TB.
+    df = QUERIES["llm_decontaminate"](spark, sf_dir)
+    assert "BroadcastHashJoin" in plan(df)
+
+
+def test_corpus_mapside_ops_have_no_join_or_agg_exchange(spark, sf_dir):
+    # split assignment and PII redaction are pure map-side codegen: the
+    # only acceptable Exchange is the final presentation orderBy's range
+    # shuffle — no hash-partition Exchange (join/agg) may appear.
+    for qid in ("llm_split_assign", "llm_pii_redact"):
+        p = plan(QUERIES[qid](spark, sf_dir))
+        assert "hashpartitioning" not in p, f"{qid} shuffles"
+        assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p

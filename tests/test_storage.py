@@ -201,3 +201,25 @@ def test_compact_preserves_content_and_vacuum_reclaims(spark, tbl, tmp_path):
     # latest still reads fine after vacuum; version numbering stable
     assert tbl.latest_version == v
     assert sorted(r.k for r in tbl.read(spark).collect()) == [1, 2, 3]
+
+
+def test_restore_is_metadata_only_and_keeps_history(spark, tbl):
+    import os
+
+    tbl.write(_df(spark, [(1, "a")]), mode="overwrite")       # v0
+    tbl.write(_df(spark, [(2, "b")]), mode="append")          # v1
+    tbl.write(_df(spark, [(9, "z")]), mode="overwrite")       # v2
+    files_before = {
+        f for f in os.listdir(tbl.path) if f.endswith(".parquet")
+    }
+    v = tbl.restore(1)                                        # v3
+    files_after = {
+        f for f in os.listdir(tbl.path) if f.endswith(".parquet")
+    }
+    # metadata-only: the restore wrote no new data files
+    assert files_after == files_before
+    assert v == tbl.latest_version == 3
+    # latest equals v1's content; every prior version still time-travels
+    assert sorted(r.k for r in tbl.read(spark).collect()) == [1, 2]
+    assert sorted(r.k for r in tbl.read(spark, as_of=2).collect()) == [9]
+    assert sorted(r.k for r in tbl.read(spark, as_of=0).collect()) == [1]
