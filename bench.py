@@ -33,8 +33,9 @@ machine — suite throughput is the metric. The suite is 130+ independent
 queries, each using a fraction of the machine (single-row-group parquet
 fixtures → one scan task in either engine). Spark drains the suite
 through an 8-way query pool (per-query scheduling latency amortizes;
-idle cores fill); its six streamed twins run serially first because they
-clamp session-global shuffle partitions for the micro-batch replay.
+idle cores fill); streamed twins each run on their own
+``spark.newSession()`` so their shuffle-partition clamp stays
+session-local and they pool like everything else.
 DuckDB runs serially — its best configuration: each query parallelizes
 internally across all cores, and concurrent connections were measured to
 ANTI-scale (sf0.1: serial 14.3s, 4-way pool 44s, 8-way 130s+).
@@ -81,22 +82,20 @@ def main() -> None:
     ).save()
 
     # Streamed twins temporarily clamp spark.sql.shuffle.partitions for
-    # their micro-batch replay (session-global conf) — run them serially
-    # so concurrent planning never observes the clamp. Everything else
-    # drains through the pool, sql-mode and rows-mode timed as separate
-    # phases so the DuckDB ratio compares identical query sets.
-    serial_names = {n for n in qs if n.endswith("_streamed") or n in (
+    # their micro-batch replay. The clamp is SESSION-scoped, so each twin
+    # gets its own ``spark.newSession()`` (isolated SQLConf, same shared
+    # SparkContext/JVM) and joins the pool like any other query —
+    # concurrent planning on the main session never observes the clamp.
+    # sql-mode and rows-mode run as separate phases so the DuckDB ratio
+    # compares identical query sets.
+    own_session = {n for n in qs if n.endswith("_streamed") or n in (
         "stream_watermark_late",
         "stream_dedup_within_watermark",
         "stream_funnel_stateful",
         "stream_sink_deltalike",
     )}
-    sql_serial = sorted(n for n in serial_names if n in oracles)
-    rows_serial = sorted(serial_names - set(sql_serial))
-    sql_pooled = sorted(n for n in qs if n in oracles and n not in serial_names)
-    rows_pooled = sorted(
-        n for n in qs if n not in oracles and n not in serial_names
-    )
+    sql_pooled = sorted(n for n in qs if n in oracles)
+    rows_pooled = sorted(n for n in qs if n not in oracles)
 
     per_query: dict[str, float] = {}
     errors: dict[str, str] = {}
@@ -104,7 +103,8 @@ def main() -> None:
     def run_one(name: str) -> None:
         t0 = time.perf_counter()
         try:
-            qs[name](spark, sf_dir).write.format("noop").mode(
+            s = spark.newSession() if name in own_session else spark
+            qs[name](s, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
             per_query[name] = round(time.perf_counter() - t0, 4)
@@ -122,18 +122,21 @@ def main() -> None:
     except Exception:  # noqa: BLE001 — first run: name order
         prev_cost = {}
 
-    def phase(serial: list[str], pooled: list[str]) -> float:
+    def phase(pooled: list[str]) -> float:
         pooled = sorted(pooled, key=lambda n: -prev_cost.get(n, 0.0))
         t0 = time.perf_counter()
-        for name in serial:
-            run_one(name)
         with ThreadPoolExecutor(max_workers=POOL) as pool:
             list(pool.map(run_one, pooled))
         return round(time.perf_counter() - t0, 3)
 
-    spark_sql_wall = phase(sql_serial, sql_pooled)
-    spark_rows_wall = phase(rows_serial, rows_pooled)
+    spark_sql_wall = phase(sql_pooled)
+    spark_rows_wall = phase(rows_pooled)
     spark_total = round(spark_sql_wall + spark_rows_wall, 3)
+
+    # Each engine gets the whole machine for its timed window: stop the
+    # Spark JVM (32 executor threads + GC) before timing DuckDB, which
+    # parallelizes internally across all cores.
+    spark.stop()
 
     # DuckDB baseline: same parquet, same queries, warm (BASELINE.md step 2).
     duck_total = None

@@ -79,7 +79,7 @@ _WINDOW_SECOND = [
     "dbt_materialize_table", "dbt_materialize_view",
     "dbt_materialize_ephemeral", "dbt_materialize_incremental",
     "dbt_test_unique", "dbt_test_not_null", "dbt_test_accepted_values",
-    "dbt_test_relationships", "dbt_source_freshness",
+    "dbt_test_relationships", "dbt_source_freshness", "dbt_seed",
     "mm_metadata_extract", "mm_decode_features", "mm_resize_plan",
     "mm_frame_sample", "pipeline_medallion",
     # corpus-management ops added in round 2 (sql-mode)

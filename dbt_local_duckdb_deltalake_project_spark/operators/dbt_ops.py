@@ -226,3 +226,54 @@ def dbt_source_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_fresh"
         ),
     )
+
+
+@register(
+    "dbt_seed",
+    """
+    SELECT * FROM (VALUES
+        (0, 'AFRICA',      'tier-2', 1.00),
+        (1, 'AMERICA',     'tier-1', 1.25),
+        (2, 'ASIA',        'tier-1', 1.10),
+        (3, 'EUROPE',      'tier-1', 1.20),
+        (4, 'MIDDLE EAST', 'tier-2', 1.05)
+    ) AS seed(region_key, region_name, tier, price_factor)
+    ORDER BY region_key
+    """,
+)
+def dbt_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # dbt seed: a version-controlled CSV loaded into the warehouse with
+    # DECLARED column types (dbt's seeds+column_types config — never
+    # schema inference, which can silently flip a column's type between
+    # environments). The CSV is written once per fixture dir (it stands
+    # in for the file in the dbt repo), ingested, materialized as a
+    # table, and read back from storage. Seeds are tiny lookup tables —
+    # at 100 TB they are exactly the broadcast side of dimension joins.
+    import os
+
+    seed_dir = workdir(sf_dir, "seed_csv", fresh=False)
+    path = os.path.join(seed_dir, "region_tiers.csv")
+    if not os.path.exists(path):
+        rows = [
+            "region_key,region_name,tier,price_factor",
+            "0,AFRICA,tier-2,1.00",
+            "1,AMERICA,tier-1,1.25",
+            "2,ASIA,tier-1,1.10",
+            "3,EUROPE,tier-1,1.20",
+            "4,MIDDLE EAST,tier-2,1.05",
+        ]
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write("\n".join(rows) + "\n")
+        os.replace(tmp, path)
+    seed = spark.read.csv(
+        path,
+        header=True,
+        schema="region_key int, region_name string, tier string, "
+        "price_factor double",
+    )
+    from ..sources.deltalike import DeltaLikeTable
+
+    tbl = DeltaLikeTable(workdir(sf_dir, "seed_table"))
+    tbl.write(seed, mode="overwrite")
+    return tbl.read(spark).orderBy("region_key")
