@@ -80,17 +80,32 @@ class DeltaLikeTable:
         return list(live.values())
 
     def _commit(self, actions: list[dict]) -> int:
+        """Optimistic-concurrency commit (the spec's put-if-absent
+        contract): stage the actions to a temp file, then publish with
+        ``os.link`` — which FAILS if the target commit number already
+        exists (``os.replace`` would silently clobber a concurrent
+        writer's commit). On collision, re-read the log and retry at the
+        next version, exactly Delta's optimistic retry loop. Object
+        stores swap the hard-link for their native if-none-match put."""
         os.makedirs(self._log_dir, exist_ok=True)
-        version = len(self._commit_files())
-        if version == 0:
-            actions = [{"protocol": PROTOCOL}, *actions]
-        final = os.path.join(self._log_dir, f"{version:020d}.json")
-        tmp = final + f".tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            for act in actions:
-                f.write(json.dumps(act) + "\n")
-        os.replace(tmp, final)  # atomic put-if-absent, per the spec
-        return version
+        tmp = os.path.join(self._log_dir, f".tmp-{uuid.uuid4().hex}")
+        while True:
+            version = len(self._commit_files())
+            staged = actions
+            if version == 0:
+                staged = [{"protocol": PROTOCOL}, *actions]
+            with open(tmp, "w") as f:
+                for act in staged:
+                    f.write(json.dumps(act) + "\n")
+            final = os.path.join(self._log_dir, f"{version:020d}.json")
+            try:
+                os.link(tmp, final)  # atomic put-if-absent
+            except FileExistsError:
+                continue  # lost the race — recompute version and retry
+            finally:
+                if os.path.exists(tmp):
+                    os.remove(tmp)
+            return version
 
     @property
     def latest_version(self) -> int:

@@ -223,3 +223,32 @@ def test_restore_is_metadata_only_and_keeps_history(spark, tbl):
     assert sorted(r.k for r in tbl.read(spark).collect()) == [1, 2]
     assert sorted(r.k for r in tbl.read(spark, as_of=2).collect()) == [9]
     assert sorted(r.k for r in tbl.read(spark, as_of=0).collect()) == [1]
+
+
+def test_concurrent_commits_never_lost(tbl):
+    # The spec's put-if-absent contract: two writers racing for commit N
+    # must BOTH land (one at N, one at N+1) — a clobbering rename would
+    # silently drop one. Drive the commit path directly from 8 threads.
+    import json
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    def commit_one(i):
+        return tbl._commit([{"add": {"path": f"f{i}.parquet",
+                                     "partitionValues": {}, "size": 1,
+                                     "modificationTime": 0,
+                                     "dataChange": True}}])
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        versions = list(pool.map(commit_one, range(8)))
+
+    assert sorted(versions) == list(range(8))  # all distinct, no loss
+    # every advertised file is present in the replayed live set
+    live = {a["path"] for a in tbl._active_files()}
+    assert live == {f"f{i}.parquet" for i in range(8)}
+    # no stray temp files left behind
+    assert not [f for f in os.listdir(tbl._log_dir) if f.startswith(".tmp")]
+    # commit 0 carries the protocol action exactly once
+    with open(os.path.join(tbl._log_dir, f"{0:020d}.json")) as f:
+        acts = [json.loads(ln) for ln in f]
+    assert sum(1 for a in acts if "protocol" in a) == 1
