@@ -84,7 +84,7 @@ _WINDOW_SECOND = [
     "mm_frame_sample", "pipeline_medallion",
     # corpus-management ops added in round 2 (sql-mode)
     "llm_split_assign", "llm_shuffle_deterministic", "llm_pii_redact",
-    "llm_decontaminate",
+    "llm_decontaminate", "llm_sequence_pack",
     # round-2 addition to the streaming surface (sql-mode)
     "stream_sliding_streamed",
     # rows-mode (no oracle by design — driver records the weaker check)

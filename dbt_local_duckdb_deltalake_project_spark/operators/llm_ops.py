@@ -1168,3 +1168,61 @@ def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("s").alias("n_hit_shingles"))
         .orderBy("doc_id")
     )
+
+
+_PACK_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bucket,
+         md5(CAST(doc_id AS VARCHAR)) AS k,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, bucket, n_tokens,
+       CAST(FLOOR(
+         (SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY k, doc_id
+                              ROWS UNBOUNDED PRECEDING) - n_tokens)
+         / 512.0) AS BIGINT) AS pack_id
+FROM d
+ORDER BY bucket, pack_id, doc_id
+"""
+
+
+@register("llm_sequence_pack", _PACK_ORACLE)
+def llm_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing: assign docs to fixed token-budget (512)
+    training sequences.
+
+    Chain packing via prefix sums: within a bucket, docs in
+    deterministic (hashed) order get pack_id = floor(tokens_before /
+    budget) — each pack fills to the budget with whole docs, the
+    standard greedy fill whose wasted capacity is bounded by one
+    average doc per pack. The window PARTITIONs BY a 16-way hash
+    bucket, so packing state never crosses executors and there is no
+    global sequential pass — at 100 TB buckets map to shuffle
+    partitions and each packs independently (sequences never span
+    buckets, which costs nothing: pack boundaries are arbitrary).
+    """
+    d = t(spark, sf_dir, "documents")
+    key = F.md5(F.col("doc_id").cast("string"))
+    d = d.select(
+        "doc_id",
+        F.substring(key, 1, 1).alias("bucket"),
+        key.alias("k"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        W.partitionBy("bucket")
+        .orderBy("k", "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    before = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return (
+        d.select(
+            "doc_id",
+            "bucket",
+            "n_tokens",
+            F.floor(before / 512.0).cast("long").alias("pack_id"),
+        )
+        .orderBy("bucket", "pack_id", "doc_id")
+    )
