@@ -1,0 +1,75 @@
+"""Semantic invariants for the corpus-management operators — properties
+the oracle diff can't express (it only proves Spark==DuckDB, not that
+both are right)."""
+
+from __future__ import annotations
+
+import re
+
+from dbt_local_duckdb_deltalake_project_spark.catalog import t
+from dbt_local_duckdb_deltalake_project_spark.operators import QUERIES
+
+
+def test_split_assign_is_total_and_balanced(spark, sf_dir):
+    pdf = QUERIES["llm_split_assign"](spark, sf_dir).toPandas()
+    n_docs = t(spark, sf_dir, "documents").count()
+    # total: every doc exactly once, only the three splits
+    assert len(pdf) == n_docs and pdf.doc_id.is_unique
+    assert set(pdf.split.unique()) <= {"train", "val", "test"}
+    # balanced: md5 is uniform, so shares track 80/10/10 loosely even
+    # at 500 docs (binomial 3-sigma ~ 5%)
+    shares = pdf.split.value_counts(normalize=True)
+    assert 0.70 <= shares.get("train", 0) <= 0.90
+    assert 0.04 <= shares.get("val", 0) <= 0.18
+    assert 0.04 <= shares.get("test", 0) <= 0.18
+
+
+def test_shuffle_is_a_permutation(spark, sf_dir):
+    pdf = QUERIES["llm_shuffle_deterministic"](spark, sf_dir).toPandas()
+    n_docs = t(spark, sf_dir, "documents").count()
+    assert len(pdf) == n_docs and pdf.doc_id.is_unique
+    # pos_in_bucket is 1..n contiguous within every bucket
+    for _, grp in pdf.groupby("bucket"):
+        assert sorted(grp.pos_in_bucket) == list(range(1, len(grp) + 1))
+
+
+def test_pii_redact_leaves_no_pii(spark, sf_dir):
+    pdf = QUERIES["llm_pii_redact"](spark, sf_dir).toPandas()
+    email = re.compile(r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}")
+    phone = re.compile(r"\b555-[0-9]{4}\b")
+    assert (pdf.n_emails >= 1).all() and (pdf.n_phones >= 1).all()
+    for s in pdf.redacted:
+        assert not email.search(s) and not phone.search(s)
+        assert "[EMAIL]" in s and "[PHONE]" in s
+
+
+def test_sequence_pack_fills_but_never_skips(spark, sf_dir):
+    pdf = QUERIES["llm_sequence_pack"](spark, sf_dir).toPandas()
+    budget = 512
+    n_docs = t(spark, sf_dir, "documents").count()
+    assert len(pdf) == n_docs and pdf.doc_id.is_unique
+    for _, grp in pdf.groupby("bucket"):
+        # pack ids start at 0 and are contiguous
+        ids = sorted(grp.pack_id.unique())
+        assert ids == list(range(len(ids)))
+        # greedy-fill bound: every pack except the last holds at least
+        # the budget minus one doc of slack… equivalently, a pack's
+        # tokens_before span never leaves a full-budget hole: each
+        # non-final pack's total >= budget - max doc size in the bucket
+        totals = grp.groupby("pack_id").n_tokens.sum()
+        max_doc = grp.n_tokens.max()
+        for pid in ids[:-1]:
+            assert totals[pid] >= budget - max_doc
+        # overflow bound: a pack exceeds the budget by less than one doc
+        assert (totals < budget + max_doc).all()
+
+
+def test_decontaminate_flags_only_training_docs(spark, sf_dir):
+    pdf = QUERIES["llm_decontaminate"](spark, sf_dir).toPandas()
+    # flagged docs must come from the training side (md5 prefix >= '08')
+    import hashlib
+
+    for d in pdf.doc_id:
+        h = hashlib.md5(str(d).encode()).hexdigest()[:2]
+        assert h >= "08", f"held-out doc {d} flagged as training"
+    assert (pdf.n_hit_shingles >= 1).all()
