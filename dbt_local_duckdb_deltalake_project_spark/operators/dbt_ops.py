@@ -231,13 +231,15 @@ def dbt_source_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dbt_seed",
     """
-    SELECT * FROM (VALUES
+    SELECT region_key, region_name, tier,
+           CAST(price_factor_dec AS DOUBLE) AS price_factor
+    FROM (VALUES
         (0, 'AFRICA',      'tier-2', 1.00),
         (1, 'AMERICA',     'tier-1', 1.25),
         (2, 'ASIA',        'tier-1', 1.10),
         (3, 'EUROPE',      'tier-1', 1.20),
         (4, 'MIDDLE EAST', 'tier-2', 1.05)
-    ) AS seed(region_key, region_name, tier, price_factor)
+    ) AS seed(region_key, region_name, tier, price_factor_dec)
     ORDER BY region_key
     """,
 )

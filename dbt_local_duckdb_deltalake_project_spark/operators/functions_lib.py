@@ -53,8 +53,8 @@ def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("p_name", 3, 8).alias("sliced"),
         F.concat_ws("|", "p_brand", "p_type").alias("joined"),
         F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("replaced"),
-        F.length("p_name").alias("name_len"),
-        F.instr("p_type", "ECONOMY").alias("econ_pos"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.instr("p_type", "ECONOMY").cast("long").alias("econ_pos"),
         F.startswith(F.col("p_brand"), F.lit("Brand#1")).alias("is_b1"),
         F.contains(F.col("p_type"), F.lit("PROMO")).alias("is_promo"),
     )
@@ -110,7 +110,7 @@ def fn_string_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.doc_id").alias("doc_b"),
         F.levenshtein(
             F.substring(F.col("a.text"), 1, 40), F.substring(F.col("b.text"), 1, 40)
-        ).alias("edit_dist"),
+        ).cast("long").alias("edit_dist"),
         F.round(
             F.size(F.array_intersect(wa, wb)).cast("double")
             / F.size(F.array_distinct(F.concat(wa, wb))),
@@ -410,7 +410,7 @@ def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
            xor(o_orderkey, 21845) AS mixed,
            o_orderkey << 2 AS shifted_l,
            o_orderkey >> 3 AS shifted_r,
-           bit_count(o_orderkey) AS popcount
+           CAST(bit_count(o_orderkey) AS BIGINT) AS popcount
     FROM orders
     """,
 )
@@ -426,7 +426,7 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         k.bitwiseXOR(F.lit(21845)).alias("mixed"),
         F.shiftleft(k, 2).alias("shifted_l"),
         F.shiftright(k, 3).alias("shifted_r"),
-        F.bit_count(k).alias("popcount"),
+        F.bit_count(k).cast("long").alias("popcount"),
     )
 
 
@@ -435,7 +435,7 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderkey,
            o_totalprice / NULLIF(o_orderkey % 3, 0) AS safe_div,
-           TRY_CAST(o_orderstatus AS INTEGER) AS bad_cast,
+           TRY_CAST(o_orderstatus AS BIGINT) AS bad_cast,
            TRY_CAST(CAST(o_orderkey AS VARCHAR) AS INTEGER) AS good_cast
     FROM orders
     """,
@@ -450,7 +450,7 @@ def fn_try_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_divide(
             F.col("o_totalprice"), F.nullif(F.col("o_orderkey") % 3, F.lit(0))
         ).alias("safe_div"),
-        F.try_to_number(F.col("o_orderstatus"), F.lit("999")).cast("int").alias(
+        F.try_to_number(F.col("o_orderstatus"), F.lit("999")).cast("long").alias(
             "bad_cast"
         ),
         F.col("o_orderkey").cast("string").cast("int").alias("good_cast"),

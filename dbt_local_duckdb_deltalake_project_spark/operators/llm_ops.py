@@ -500,10 +500,10 @@ def llm_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
-        F.size(F.split("text", " ")).alias("n_whitespace_tokens"),
+        F.size(F.split("text", " ")).cast("long").alias("n_whitespace_tokens"),
         F.size(
             F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)
-        ).alias("n_bpe_ish_tokens"),
+        ).cast("long").alias("n_bpe_ish_tokens"),
     )
 
 
@@ -593,10 +593,9 @@ def llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tokens = F.size(toks)
     return d.select(
         "doc_id",
-        n_tokens.alias("n_tokens"),
-        F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z]+"), F.lit(0))).alias(
-            "n_alpha_runs"
-        ),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z]+"), F.lit(0)))
+        .cast("long").alias("n_alpha_runs"),
         F.round(
             F.size(F.array_distinct(toks)).cast("double") / n_tokens, 6
         ).alias("uniq_ratio"),
@@ -649,8 +648,8 @@ def llm_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(s_en >= s_ops, "dialect_a").otherwise("dialect_b").alias(
             "predicted_dialect"
         ),
-        s_en.alias("s_en"),
-        s_ops.alias("s_ops"),
+        s_en.cast("long").alias("s_en"),
+        s_ops.cast("long").alias("s_ops"),
     )
 
 
@@ -738,7 +737,7 @@ def llm_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings")
     exploded = e.select(
         "label", "vec_id", F.posexplode("embedding").alias("pos", "v")
-    )
+    ).withColumn("pos", F.col("pos").cast("long"))
     return (
         exploded.groupBy("label", "pos")
         .agg(
@@ -1042,7 +1041,8 @@ def llm_shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("bucket").orderBy("k", "doc_id")
     return (
         d.select(
-            "doc_id", "bucket", F.row_number().over(w).alias("pos_in_bucket")
+            "doc_id", "bucket",
+            F.row_number().over(w).cast("long").alias("pos_in_bucket")
         )
         .orderBy("bucket", "pos_in_bucket")
     )

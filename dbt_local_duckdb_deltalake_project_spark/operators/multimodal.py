@@ -80,7 +80,7 @@ def mm_metadata_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select(
         "media_id",
         "media_type",
-        F.octet_length("payload").alias("n_bytes"),
+        F.octet_length("payload").cast("long").alias("n_bytes"),
         F.md5(F.col("payload").cast("string")).alias("content_key"),
     )
 
@@ -125,7 +125,7 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return p.mapInPandas(
-        decode_batch, schema="media_id long, n_bytes int, mean_byte double"
+        decode_batch, schema="media_id long, n_bytes long, mean_byte double"
     )
 
 

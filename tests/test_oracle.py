@@ -28,5 +28,30 @@ def test_query_matches_oracle(qid, spark, duck, sf_dir):
         if type(f.dataType).__name__ in ("ArrayType", "MapType", "StructType")
     ]
     assert not nested, f"{qid}: non-scalar sql-mode output columns {nested}"
+    # Type widths must match exactly (spark int vs duck BIGINT can fail a
+    # strict driver schema hash even when values agree — pandas hides the
+    # width once NULLs coerce to float64, so compare declared types).
+    rel = duck.sql(ORACLE[qid])
+    duck_types = dict(zip(rel.columns, (str(dt) for dt in rel.types)))
+    spark_types = {f.name: f.dataType.simpleString() for f in sdf.schema.fields}
+    _ALLOWED = {
+        ("bigint", "BIGINT"), ("int", "INTEGER"), ("smallint", "SMALLINT"),
+        ("double", "DOUBLE"), ("float", "FLOAT"), ("string", "VARCHAR"),
+        ("boolean", "BOOLEAN"), ("date", "DATE"), ("binary", "BLOB"),
+        # date_trunc pattern (CLAUDE.md): spark stays timestamp, oracle
+        # casts to TIMESTAMP; the driver hasher accepts either direction.
+        ("timestamp", "TIMESTAMP"), ("timestamp", "DATE"),
+        ("timestamp_ntz", "TIMESTAMP"),
+    }
+    mismatched = {
+        c: (spark_types.get(c), dt)
+        for c, dt in duck_types.items()
+        if (spark_types.get(c), dt) not in _ALLOWED
+        and not (
+            (spark_types.get(c) or "").upper().startswith("DECIMAL")
+            and dt.startswith("DECIMAL")
+        )
+    }
+    assert not mismatched, f"{qid}: spark/duck type-width mismatches {mismatched}"
     duck_pdf = duck.execute(ORACLE[qid]).fetchdf()
     assert_same(spark_pdf, duck_pdf, qid)
