@@ -1226,3 +1226,206 @@ def llm_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket", "pack_id", "doc_id")
     )
+
+
+_REP_ORACLE = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+idx AS (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM toks),
+bi AS (SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS bg FROM idx),
+top_bg AS (
+  SELECT doc_id, ROUND(MAX(c)::DOUBLE / SUM(c), 6) AS top_bigram_frac
+  FROM (SELECT doc_id, bg, COUNT(*) AS c FROM bi GROUP BY doc_id, bg)
+  GROUP BY doc_id
+),
+uni AS (
+  SELECT doc_id,
+         CAST(len(ws) AS BIGINT) AS n_tokens,
+         ROUND(1.0 - len(list_distinct(ws))::DOUBLE / len(ws), 6)
+           AS dup_token_frac
+  FROM toks
+)
+SELECT doc_id, n_tokens, dup_token_frac, top_bigram_frac,
+       (top_bigram_frac <= 0.05 AND dup_token_frac <= 0.6) AS keep
+FROM uni JOIN top_bg USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+@register("llm_repetition_filter", _REP_ORACLE)
+def llm_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter: flag docs dominated by repeated
+    tokens / repeated 2-grams (boilerplate, keyword stuffing, template
+    spam — the classic low-quality signals for pre-training corpora).
+
+    Two metrics per doc: duplicate-token fraction (1 - distinct/total,
+    computed from the token ARRAY with codegen array functions — no
+    explode, no shuffle) and top-bigram fraction (most frequent 2-gram's
+    share of all 2-gram occurrences). Bigrams come from
+    explode(sequence) + element_at — pure codegen, no interpreted
+    higher-order lambdas — and aggregate with algebraic count/max, so
+    both shuffles (doc_id+bg, then doc_id) get map-side partial agg.
+    At 100 TB this is a linear pipeline; the (doc_id, bg) shuffle rows
+    are ~30 bytes and per-doc group sizes are bounded by doc length.
+    """
+    d = t(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    uni = d.select(
+        "doc_id",
+        F.size(ws).cast("long").alias("n_tokens"),
+        F.round(
+            1.0 - F.size(F.array_distinct(ws)).cast("double") / F.size(ws), 6
+        ).alias("dup_token_frac"),
+    )
+    bi = (
+        d.select(
+            "doc_id",
+            ws.alias("ws"),
+            F.explode(F.sequence(F.lit(1), F.size(ws) - 1)).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                F.element_at("ws", F.col("i")),
+                F.element_at("ws", F.col("i") + 1),
+            ).alias("bg"),
+        )
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.max("c").cast("double") / F.sum("c"), 6
+            ).alias("top_bigram_frac")
+        )
+    )
+    return (
+        uni.join(bi, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "dup_token_frac",
+            "top_bigram_frac",
+            (
+                (F.col("top_bigram_frac") <= 0.05)
+                & (F.col("dup_token_frac") <= 0.6)
+            ).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_CHUNK_ORACLE = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+ch AS (
+  SELECT doc_id, ws,
+         unnest(range(0, CAST(ceil(greatest(len(ws) - 8, 1) / 24.0) AS BIGINT)))
+           AS i
+  FROM toks
+)
+SELECT doc_id,
+       i AS chunk_id,
+       i * 24 + 1 AS start_tok,
+       CAST(len(ws[i * 24 + 1 : i * 24 + 32]) AS BIGINT) AS chunk_tokens,
+       array_to_string(ws[i * 24 + 1 : i * 24 + 32], ' ') AS chunk_text
+FROM ch
+ORDER BY doc_id, chunk_id
+"""
+
+
+@register("llm_chunk_documents", _CHUNK_ORACLE)
+def llm_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking: 32-token chunks, stride 24
+    (8-token overlap) — the context-window packing step before
+    embedding or training-example generation.
+
+    One row in → ceil((n-overlap)/stride) rows out via
+    explode(sequence(...)) + slice(...): all codegen, no Python, no
+    shuffle — a pure map-side fan-out that composes with a downstream
+    repartition on chunk key. Chunk boundaries are token-aligned and
+    deterministic, so a re-run (or a backfill of one partition)
+    reproduces identical chunk_ids — required when chunk_id feeds
+    dedup or a vector index.
+    """
+    d = t(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    n_chunks = F.ceil(
+        F.greatest(F.size(ws) - 8, F.lit(1)) / 24.0
+    ).cast("long")
+    start = F.col("i") * 24 + 1
+    chunk = F.slice(F.col("ws"), start, 32)
+    return (
+        d.select(
+            "doc_id",
+            ws.alias("ws"),
+            F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias(
+                "i"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.col("i").alias("chunk_id"),
+            start.cast("long").alias("start_tok"),
+            F.size(chunk).cast("long").alias("chunk_tokens"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+_STRAT_ORACLE = """
+WITH keyed AS (
+  SELECT doc_id, lang, source, md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, lang, source,
+         ROW_NUMBER() OVER (PARTITION BY lang, source ORDER BY h, doc_id)
+           AS rank_in_stratum,
+         COUNT(*) OVER (PARTITION BY lang, source) AS stratum_size
+  FROM keyed
+)
+SELECT doc_id, lang, source,
+       CAST(rank_in_stratum AS BIGINT) AS rank_in_stratum,
+       CAST(stratum_size AS BIGINT) AS stratum_size
+FROM ranked
+WHERE rank_in_stratum <= CAST(ceil(stratum_size * 0.2) AS BIGINT)
+ORDER BY lang, source, rank_in_stratum
+"""
+
+
+@register("llm_sample_stratified", _STRAT_ORACLE)
+def llm_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact stratified sampling: the top ceil(20%) of each
+    (lang, source) stratum in deterministic hashed order — corpus
+    rebalancing with per-stratum exact rates (uniform hash-threshold
+    sampling only hits the rate in expectation, and drifts badly on
+    small strata).
+
+    Key-addressed (md5 of doc_id), never RNG: re-runs select the same
+    docs. One shuffle: both window functions share the (lang, source)
+    partitioning. Strata here are bounded (languages × sources), so the
+    per-stratum sort is cheap; for unbounded or skewed strata at 100 TB
+    the scale path is hash-threshold per stratum (keep h < rate) which
+    drops the sort entirely at the cost of approximate rates.
+    """
+    d = t(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id", "lang", "source",
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    part = W.partitionBy("lang", "source")
+    ranked = keyed.select(
+        "doc_id", "lang", "source",
+        F.row_number().over(part.orderBy("h", "doc_id")).cast("long").alias(
+            "rank_in_stratum"
+        ),
+        F.count(F.lit(1)).over(part).cast("long").alias("stratum_size"),
+    )
+    return (
+        ranked.filter(
+            F.col("rank_in_stratum")
+            <= F.ceil(F.col("stratum_size") * 0.2).cast("long")
+        )
+        .orderBy("lang", "source", "rank_in_stratum")
+    )

@@ -176,10 +176,16 @@ def udtf_explode_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
                 yield (i,)
 
     spark.udtf.register("explode_n", ExplodeN)
-    t(spark, sf_dir, "orders")  # registers the views
+    # The fixture parquet is a single row group, so the scan is one task —
+    # which would serialize every UDTF eval through ONE Python worker
+    # (measured 17s at sf0.1). Fan out first so the Python stage runs
+    # wide; on a real cluster the scan's own task count provides this.
+    o = t(spark, sf_dir, "orders").repartition(16)
+    o.createOrReplaceTempView("orders_udtf_fanout")
     return spark.sql(
         """
         SELECT o_orderkey, s.slot
-        FROM orders, LATERAL explode_n(CAST(o_orderkey % 3 + 1 AS INT)) s
+        FROM orders_udtf_fanout,
+             LATERAL explode_n(CAST(o_orderkey % 3 + 1 AS INT)) s
         """
     )
