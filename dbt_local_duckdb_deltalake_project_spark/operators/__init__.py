@@ -86,6 +86,7 @@ _WINDOW_SECOND = [
     "llm_split_assign", "llm_shuffle_deterministic", "llm_pii_redact",
     "llm_decontaminate", "llm_sequence_pack",
     "llm_repetition_filter", "llm_chunk_documents", "llm_sample_stratified",
+    "llm_tfidf", "llm_dedup_clusters",
     # round-2 addition to the streaming surface (sql-mode)
     "stream_sliding_streamed",
     # rows-mode (no oracle by design — driver records the weaker check)

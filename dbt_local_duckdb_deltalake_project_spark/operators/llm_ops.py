@@ -108,20 +108,21 @@ def _shingle_rows(d: DataFrame) -> DataFrame:
     )
 
 
-@register("llm_dedup_near", _SHINGLE_ORACLE)
-def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # 3-word shingles → inverted index (explode) → candidate pairs share
-    # ≥1 shingle → exact Jaccard ≥ 0.5. The explode+self-join is the
-    # textbook exact algorithm; hot shingles are the skew risk (AQE skew
-    # join handles it; the MinHash variant below removes it entirely).
-    #
-    # Shuffle discipline: the self-join moves only (doc_id, s) — 16-byte
-    # rows. Per-doc shingle counts are aggregated ONCE (o(docs) rows) and
-    # attached to the much smaller post-aggregation pair set, instead of
-    # a per-row window that re-shuffles and sorts the full shingle set on
-    # both join sides. AQE broadcasts the counts side when it is small;
-    # at 100 TB it degrades gracefully to a shuffle join on doc_id.
-    d = t(spark, sf_dir, "documents")
+def _neardup_pairs(d: DataFrame) -> DataFrame:
+    """Near-duplicate pairs (doc_a < doc_b, jaccard) at threshold 0.5.
+
+    3-word shingles → inverted index (explode) → candidate pairs share
+    ≥1 shingle → exact Jaccard ≥ 0.5. The explode+self-join is the
+    textbook exact algorithm; hot shingles are the skew risk (AQE skew
+    join handles it; the MinHash variant below removes it entirely).
+
+    Shuffle discipline: the self-join moves only (doc_id, s) — 16-byte
+    rows. Per-doc shingle counts are aggregated ONCE (o(docs) rows) and
+    attached to the much smaller post-aggregation pair set, instead of
+    a per-row window that re-shuffles and sorts the full shingle set on
+    both join sides. AQE broadcasts the counts side when it is small;
+    at 100 TB it degrades gracefully to a shuffle join on doc_id.
+    """
     sh = _shingle_rows(d)
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
@@ -148,11 +149,16 @@ def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.col("shared").cast("double") / (
         F.col("na") + F.col("nb") - F.col("shared")
     )
-    return (
-        pairs.filter(jac >= 0.5)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
-        .orderBy("doc_a", "doc_b")
+    return pairs.filter(jac >= 0.5).select(
+        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
     )
+
+
+@register("llm_dedup_near", _SHINGLE_ORACLE)
+def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # See _neardup_pairs for the algorithm and the shuffle story.
+    d = t(spark, sf_dir, "documents")
+    return _neardup_pairs(d).orderBy("doc_a", "doc_b")
 
 
 @register("llm_dedup_minhash")  # rows-mode: xxhash64 seeds are engine-specific
@@ -1428,4 +1434,174 @@ def llm_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.ceil(F.col("stratum_size") * 0.2).cast("long")
         )
         .orderBy("lang", "source", "rank_in_stratum")
+    )
+
+
+_TFIDF_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token
+),
+df AS (
+  SELECT token, COUNT(*) AS df
+  FROM (SELECT DISTINCT doc_id, token FROM tok) GROUP BY token
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT doc_id, token,
+       CAST(tf AS BIGINT) AS tf,
+       CAST(df AS BIGINT) AS df,
+       ROUND(tf * ln((n_docs + 1.0) / (df + 1.0)), 6) AS tfidf
+FROM tf JOIN df USING (token) CROSS JOIN n
+ORDER BY doc_id, token
+"""
+
+
+@register("llm_tfidf", _TFIDF_ORACLE)
+def llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF term weighting over the corpus — the classic retrieval /
+    keyword-extraction primitive (and the feature layer under cheap
+    quality classifiers).
+
+    Three aggregations, all algebraic (map-side partial agg): term
+    frequency per (doc, token), document frequency per token over the
+    deduped (doc, token) set, and the corpus size as a 1-row broadcast.
+    The df side joins back by token — vocabulary is sublinear in corpus
+    size, so AQE turns it into a broadcast join well past 100 TB of
+    text; idf = ln((N+1)/(df+1)) is the smoothed form that never
+    divides by zero.
+    """
+    d = t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = (
+        tok.distinct()
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        tf.join(df, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)),
+                6,
+            ).alias("tfidf"),
+        )
+        .orderBy("doc_id", "token")
+    )
+
+
+_CLUSTER_ORACLE = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(w) - 1),
+           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+  FROM toks
+), e AS (
+  SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh
+), p0 AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.n AS na, b.n AS nb, COUNT(*) AS shared
+  FROM e a JOIN e b ON a.s = b.s AND b.doc_id > a.doc_id
+  GROUP BY 1, 2, 3, 4
+), edges AS (
+  SELECT doc_a, doc_b FROM p0
+  WHERE CAST(shared AS DOUBLE) / (na + nb - shared) >= 0.5
+), sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM edges
+  UNION ALL SELECT doc_b, doc_a FROM edges
+), members AS (SELECT DISTINCT a FROM sym),
+reach(src, dst) AS (
+  SELECT a, a FROM members
+  UNION
+  SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a
+)
+SELECT src AS doc_id,
+       MIN(dst) AS cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS cluster_size,
+       (src = MIN(dst)) AS is_canonical
+FROM reach GROUP BY src ORDER BY doc_id
+"""
+
+
+@register("llm_dedup_clusters", _CLUSTER_ORACLE)
+def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resolve near-duplicate PAIRS into connected components and elect
+    one canonical doc per cluster — the step every dedup pipeline needs
+    after candidate generation (pairs alone over-delete: A~B and B~C
+    must keep exactly one of {A,B,C}, not zero).
+
+    Min-label propagation: label(doc) starts as doc_id; each round every
+    doc takes the min of its own label and its neighbors' labels, until
+    a fixed point. Rounds = cluster diameter (near-dup clusters are
+    short chains; the oracle's recursive CTE computes the same closure).
+    Each round is one shuffle join (edges × labels) plus one min-groupBy
+    — both algebraic. The convergence check is a single scalar count per
+    round (the standard Pregel-style driver loop, NOT an O(corpus)
+    collect); lineage is truncated with localCheckpoint so plans don't
+    grow with iterations. At 100 TB the same loop runs with the
+    large-star/small-star optimization (alternate min over full
+    neighborhood vs. strictly-larger neighbors) which converges in
+    O(log n) rounds on pathological chains.
+    """
+    d = t(spark, sf_dir, "documents")
+    edges = _neardup_pairs(d).select("doc_a", "doc_b")
+    sym = edges.union(
+        edges.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    )
+    # Checkpoint the edge set FIRST: everything downstream (the label
+    # seed and every propagation round) re-reads it, and without the
+    # checkpoint the whole shingle-join pipeline would re-execute per
+    # consumer.
+    sym = sym.localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(20):  # diameter bound; fixture converges in ≤3
+        neigh = (
+            sym.join(labels, sym.doc_a == labels.doc_id)
+            .groupBy(F.col("doc_b").alias("doc_id"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        updated = (
+            labels.join(neigh, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce("nlabel", F.col("label"))
+                ).alias("label"),
+                (
+                    F.coalesce("nlabel", F.col("label")) < F.col("label")
+                ).alias("changed"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        n_changed = updated.filter("changed").count()
+        labels = updated.select("doc_id", "label")
+        if n_changed == 0:
+            break
+    size_w = W.partitionBy("label")
+    return (
+        labels.select(
+            "doc_id",
+            F.col("label").alias("cluster_id"),
+            F.count(F.lit(1)).over(size_w).cast("long").alias("cluster_size"),
+            (F.col("doc_id") == F.col("label")).alias("is_canonical"),
+        )
+        .orderBy("doc_id")
     )
