@@ -17,7 +17,7 @@ import re
 from pyspark.sql import SparkSession
 
 from ..catalog import t
-from .workspace import workdir
+from .workspace import mark_staged, staging_current, workdir
 
 BUCKETS = 8
 
@@ -44,11 +44,14 @@ def ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     for suffix, source, key, cols in _SPECS:
         name = f"bkt_{suffix}_{tag}"
         names.append(name)
-        if spark.catalog.tableExists(name):
-            continue
         path = workdir(sf_dir, f"bucketed_{suffix}", fresh=False)
+        current = staging_current(path, sf_dir)
+        if spark.catalog.tableExists(name):
+            if current:
+                continue
+            spark.sql(f"DROP TABLE {name}")  # fixtures regenerated underneath
         src = t(spark, sf_dir, source).select(*cols)
-        if os.path.exists(os.path.join(path, "_SUCCESS")):
+        if current and os.path.exists(os.path.join(path, "_SUCCESS")):
             col_defs = ", ".join(
                 f"{f.name} {f.dataType.simpleString()}" for f in src.schema.fields
             )
@@ -61,4 +64,5 @@ def ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
             src.write.bucketBy(BUCKETS, key).sortBy(key).option(
                 "path", path
             ).mode("overwrite").saveAsTable(name)
+            mark_staged(path, sf_dir)
     return names[0], names[1]

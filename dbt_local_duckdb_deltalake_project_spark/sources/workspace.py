@@ -24,3 +24,34 @@ def workdir(sf_dir: str, name: str, fresh: bool = True) -> str:
         shutil.rmtree(path)
     os.makedirs(path, exist_ok=True)
     return path
+
+
+def fixture_fingerprint(sf_dir: str) -> str:
+    """Identity of the fixture dir's current contents (name/size/mtime of
+    every parquet file). Staged derivations (bucketed tables, streaming
+    replay files) record this so a driver-side regeneration of the
+    fixtures — which can change both values AND physical types — is
+    detected and the stale staging rebuilt instead of silently reused."""
+    parts = []
+    for fn in sorted(os.listdir(sf_dir)):
+        if fn.endswith(".parquet"):
+            st = os.stat(os.path.join(sf_dir, fn))
+            parts.append(f"{fn}:{st.st_size}:{st.st_mtime_ns}")
+    return "|".join(parts)
+
+
+_FP_FILE = ".fixture_fp"
+
+
+def staging_current(path: str, sf_dir: str) -> bool:
+    """True iff ``path`` was staged from the fixture dir's CURRENT files."""
+    try:
+        with open(os.path.join(path, _FP_FILE)) as fh:
+            return fh.read() == fixture_fingerprint(sf_dir)
+    except OSError:
+        return False
+
+
+def mark_staged(path: str, sf_dir: str) -> None:
+    with open(os.path.join(path, _FP_FILE), "w") as fh:
+        fh.write(fixture_fingerprint(sf_dir))

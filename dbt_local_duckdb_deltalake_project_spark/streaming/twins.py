@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import t
-from ..sources.workspace import workdir
+from ..sources.workspace import mark_staged, staging_current, workdir
 
 
 def stage_event_files(
@@ -41,7 +41,9 @@ def stage_event_files(
     src = workdir(sf_dir, f"stream_src_{order}", fresh=False)
     ckpt = workdir(sf_dir, f"stream_ckpt_{tag}")  # checkpoints never shared
     if not (
-        os.path.exists(f"{src}/f0/_SUCCESS") and os.path.exists(f"{src}/f1/_SUCCESS")
+        staging_current(src, sf_dir)
+        and os.path.exists(f"{src}/f0/_SUCCESS")
+        and os.path.exists(f"{src}/f1/_SUCCESS")
     ):
         ev = t(spark, sf_dir, "events").select(
             "event_id", "ts", "user_id", "event_type", "value"
@@ -53,6 +55,7 @@ def stage_event_files(
         # one file each: coalesce(1) so file order == micro-batch order
         first.coalesce(1).write.mode("overwrite").parquet(f"{src}/f0")
         second.coalesce(1).write.mode("overwrite").parquet(f"{src}/f1")
+        mark_staged(src, sf_dir)
     return src, ckpt
 
 
