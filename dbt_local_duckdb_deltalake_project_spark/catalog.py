@@ -65,12 +65,24 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if cached is not None:
         return cached
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Entry paths may hand us a vanilla session (the driver does); pin the
+    # tz here so NTZ→TIMESTAMP casts and window bucketing match the naive
+    # DuckDB oracle regardless of host tz.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(table_path(sf_dir, name))
     for field in df.schema.fields:
-        if name == "events" and field.name == "ts" and isinstance(
-            field.dataType, T.LongType
-        ):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if name == "events" and field.name == "ts":
+            if isinstance(field.dataType, T.LongType):
+                df = df.withColumn(
+                    "ts", F.timestamp_micros(F.expr("ts div 1000"))
+                )
+            elif isinstance(field.dataType, T.TimestampNTZType):
+                # A vanilla session (no nanosAsLong at first footer read)
+                # infers TIMESTAMP_NTZ (Spark 4 inferTimestampNTZ), which
+                # unix_micros() and withWatermark() both reject. The
+                # session tz is UTC in every entry path, so the cast is
+                # value-preserving.
+                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     _df_cache[key] = df
     return df
 

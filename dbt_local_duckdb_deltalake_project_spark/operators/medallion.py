@@ -22,7 +22,13 @@ from pyspark.sql import functions as F
 from ..catalog import t
 from ..functions.deterministic import dsum, sql_dsum
 from ..plans.graph import ModelGraph
-from ..sources.workspace import workdir
+from ..sources.workspace import (
+    fixture_fingerprint,
+    mark_staged,
+    staging_current,
+    staging_lock,
+    workdir,
+)
 from .registry import register
 
 _PIPELINE_ORACLE = f"""
@@ -53,10 +59,16 @@ def pipeline_medallion(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     bronze_dir = workdir(sf_dir, "medallion_bronze", fresh=False)
-    if not os.path.exists(os.path.join(bronze_dir, "_SUCCESS")):
-        t(spark, sf_dir, "orders").write.mode("overwrite").option(
-            "header", True
-        ).csv(bronze_dir)
+    with staging_lock:
+        if not (
+            staging_current(bronze_dir, sf_dir)
+            and os.path.exists(os.path.join(bronze_dir, "_SUCCESS"))
+        ):
+            fp = fixture_fingerprint(sf_dir)  # BEFORE reading the source
+            t(spark, sf_dir, "orders").write.mode("overwrite").option(
+                "header", True
+            ).csv(bronze_dir)
+            mark_staged(bronze_dir, sf_dir, fp)
 
     g = ModelGraph(workdir(sf_dir, "medallion_models"))
 

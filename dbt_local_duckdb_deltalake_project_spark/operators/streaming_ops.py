@@ -26,6 +26,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..streaming.twins import (
+    read_staged_stream,
     replay_shuffle,
     run_stream_to_batch,
     stage_event_files,
@@ -219,13 +220,7 @@ def stream_sink_deltalike(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     src, ckpt = stage_event_files(spark, sf_dir, "sinkdl", late_fraction=False)
-    schema = spark.read.parquet(f"{src}/f0").schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .option("recursiveFileLookup", "true")
-        .parquet(src)
-    )
+    stream = read_staged_stream(spark, src)
     with replay_shuffle(spark):
         q = (
             transform(stream)

@@ -17,7 +17,13 @@ import re
 from pyspark.sql import SparkSession
 
 from ..catalog import t
-from .workspace import mark_staged, staging_current, workdir
+from .workspace import (
+    fixture_fingerprint,
+    mark_staged,
+    staging_current,
+    staging_lock,
+    workdir,
+)
 
 BUCKETS = 8
 
@@ -41,28 +47,31 @@ def ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """
     tag = _sf_tag(sf_dir)
     names = []
-    for suffix, source, key, cols in _SPECS:
-        name = f"bkt_{suffix}_{tag}"
-        names.append(name)
-        path = workdir(sf_dir, f"bucketed_{suffix}", fresh=False)
-        current = staging_current(path, sf_dir)
-        if spark.catalog.tableExists(name):
-            if current:
-                continue
-            spark.sql(f"DROP TABLE {name}")  # fixtures regenerated underneath
-        src = t(spark, sf_dir, source).select(*cols)
-        if current and os.path.exists(os.path.join(path, "_SUCCESS")):
-            col_defs = ", ".join(
-                f"{f.name} {f.dataType.simpleString()}" for f in src.schema.fields
-            )
-            spark.sql(
-                f"CREATE TABLE {name} ({col_defs}) USING PARQUET "
-                f"CLUSTERED BY ({key}) SORTED BY ({key}) "
-                f"INTO {BUCKETS} BUCKETS LOCATION '{path}'"
-            )
-        else:
-            src.write.bucketBy(BUCKETS, key).sortBy(key).option(
-                "path", path
-            ).mode("overwrite").saveAsTable(name)
-            mark_staged(path, sf_dir)
+    with staging_lock:  # parallel bench threads: no drop-under-reader race
+        for suffix, source, key, cols in _SPECS:
+            name = f"bkt_{suffix}_{tag}"
+            names.append(name)
+            path = workdir(sf_dir, f"bucketed_{suffix}", fresh=False)
+            current = staging_current(path, sf_dir)
+            if spark.catalog.tableExists(name):
+                if current:
+                    continue
+                spark.sql(f"DROP TABLE {name}")  # fixtures regenerated underneath
+            fp = fixture_fingerprint(sf_dir)  # BEFORE reading the source
+            src = t(spark, sf_dir, source).select(*cols)
+            if current and os.path.exists(os.path.join(path, "_SUCCESS")):
+                col_defs = ", ".join(
+                    f"{f.name} {f.dataType.simpleString()}"
+                    for f in src.schema.fields
+                )
+                spark.sql(
+                    f"CREATE TABLE {name} ({col_defs}) USING PARQUET "
+                    f"CLUSTERED BY ({key}) SORTED BY ({key}) "
+                    f"INTO {BUCKETS} BUCKETS LOCATION '{path}'"
+                )
+            else:
+                src.write.bucketBy(BUCKETS, key).sortBy(key).option(
+                    "path", path
+                ).mode("overwrite").saveAsTable(name)
+                mark_staged(path, sf_dir, fp)
     return names[0], names[1]

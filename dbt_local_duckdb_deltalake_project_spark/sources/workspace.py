@@ -11,6 +11,19 @@ from __future__ import annotations
 
 import os
 import shutil
+import threading
+
+# Bump when the staged-file FORMAT changes (not just fixture contents):
+# old staged dirs then fingerprint-mismatch and restage. v2: events.ts
+# staged as TIMESTAMP (r2 vanilla sessions staged TIMESTAMP_NTZ files,
+# which watermarks reject).
+STAGING_VERSION = "2"
+
+# Staging is one-time work shared across the bench's parallel query
+# threads; serialize the check-then-write so concurrent callers can't
+# drop a table under a reader or double-CTAS (process-local is enough —
+# cross-process reuse goes through the fingerprint file).
+staging_lock = threading.Lock()
 
 _REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 WORK_ROOT = os.path.join(_REPO, ".work")
@@ -32,7 +45,7 @@ def fixture_fingerprint(sf_dir: str) -> str:
     replay files) record this so a driver-side regeneration of the
     fixtures — which can change both values AND physical types — is
     detected and the stale staging rebuilt instead of silently reused."""
-    parts = []
+    parts = [f"v{STAGING_VERSION}"]
     for fn in sorted(os.listdir(sf_dir)):
         if fn.endswith(".parquet"):
             st = os.stat(os.path.join(sf_dir, fn))
@@ -52,6 +65,13 @@ def staging_current(path: str, sf_dir: str) -> bool:
         return False
 
 
-def mark_staged(path: str, sf_dir: str) -> None:
+def mark_staged(path: str, sf_dir: str, fp: str | None = None) -> None:
+    """Stamp ``path`` as staged from ``sf_dir``.
+
+    Pass ``fp`` captured via ``fixture_fingerprint`` BEFORE reading the
+    source tables: if fixtures are regenerated mid-staging, the stale
+    staged data then carries the OLD stamp, mismatches, and is rebuilt —
+    stamping after the write would bless it forever.
+    """
     with open(os.path.join(path, _FP_FILE), "w") as fh:
-        fh.write(fixture_fingerprint(sf_dir))
+        fh.write(fp if fp is not None else fixture_fingerprint(sf_dir))

@@ -22,7 +22,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import t
-from ..sources.workspace import mark_staged, staging_current, workdir
+from ..sources.workspace import (
+    fixture_fingerprint,
+    mark_staged,
+    staging_current,
+    staging_lock,
+    workdir,
+)
 
 
 def stage_event_files(
@@ -40,23 +46,45 @@ def stage_event_files(
     order = "rev" if late_fraction else "fwd"
     src = workdir(sf_dir, f"stream_src_{order}", fresh=False)
     ckpt = workdir(sf_dir, f"stream_ckpt_{tag}")  # checkpoints never shared
-    if not (
-        staging_current(src, sf_dir)
-        and os.path.exists(f"{src}/f0/_SUCCESS")
-        and os.path.exists(f"{src}/f1/_SUCCESS")
-    ):
-        ev = t(spark, sf_dir, "events").select(
-            "event_id", "ts", "user_id", "event_type", "value"
-        )
-        cut = "2024-01-15 00:00:00"
-        early = ev.filter(F.col("ts") < cut)
-        late = ev.filter(F.col("ts") >= cut)
-        first, second = (late, early) if late_fraction else (early, late)
-        # one file each: coalesce(1) so file order == micro-batch order
-        first.coalesce(1).write.mode("overwrite").parquet(f"{src}/f0")
-        second.coalesce(1).write.mode("overwrite").parquet(f"{src}/f1")
-        mark_staged(src, sf_dir)
+    with staging_lock:
+        if not (
+            staging_current(src, sf_dir)
+            and os.path.exists(f"{src}/f0/_SUCCESS")
+            and os.path.exists(f"{src}/f1/_SUCCESS")
+        ):
+            fp = fixture_fingerprint(sf_dir)  # BEFORE reading the source
+            ev = t(spark, sf_dir, "events").select(
+                "event_id", "ts", "user_id", "event_type", "value"
+            )
+            cut = "2024-01-15 00:00:00"
+            early = ev.filter(F.col("ts") < cut)
+            late = ev.filter(F.col("ts") >= cut)
+            first, second = (late, early) if late_fraction else (early, late)
+            # one file each: coalesce(1) so file order == micro-batch order
+            first.coalesce(1).write.mode("overwrite").parquet(f"{src}/f0")
+            second.coalesce(1).write.mode("overwrite").parquet(f"{src}/f1")
+            mark_staged(src, sf_dir, fp)
     return src, ckpt
+
+
+def read_staged_stream(spark: SparkSession, src: str) -> DataFrame:
+    """``readStream`` over a staged source dir, one file per micro-batch.
+
+    Normalizes a TIMESTAMP_NTZ ``ts`` (staged by a pre-v2 vanilla
+    session) back to TIMESTAMP — ``withWatermark`` rejects NTZ.
+    """
+    from pyspark.sql import types as T
+
+    schema = spark.read.parquet(f"{src}/f0").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    if isinstance(schema["ts"].dataType, T.TimestampNTZType):
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
 
 
 class replay_shuffle:
@@ -98,13 +126,7 @@ def run_stream_to_batch(
     workers instead — pass more.
     """
     src, ckpt = stage_event_files(spark, sf_dir, tag, late_fraction)
-    schema = spark.read.parquet(f"{src}/f0").schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .option("recursiveFileLookup", "true")
-        .parquet(src)
-    )
+    stream = read_staged_stream(spark, src)
     sink = f"sink_{tag}_{uuid.uuid4().hex[:8]}"
     with replay_shuffle(spark, partitions):
         q = (

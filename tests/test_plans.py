@@ -75,6 +75,16 @@ def test_groupby_has_partial_aggregation(spark, sf_dir):
     assert "Exchange" in p
 
 
+def test_percentile_approx_has_partial_aggregation(spark, sf_dir):
+    # the sketch path must map-side combine: ObjectHashAggregate (the
+    # sketch-buffer agg) appears before AND after the exchange, so the
+    # shuffle carries per-partition GK sketches, not raw rows.
+    df = QUERIES["agg_percentile_approx"](spark, sf_dir)
+    p = plan(df)
+    assert "ObjectHashAggregate" in p
+    assert "partial_percentile_approx" in p or p.count("ObjectHashAggregate") >= 2
+
+
 def test_topk_uses_take_ordered(spark, sf_dir):
     # ORDER BY + LIMIT must fuse into TakeOrderedAndProject (no global
     # sort of the full table).
