@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession
 
+from .operators.medallion import stage_bronze_csv
 from .sources.bucketed import ensure_bucketed_tables
 from .streaming.twins import stage_event_files
 
@@ -23,3 +24,4 @@ def prestage(spark: SparkSession, sf_dir: str) -> None:
     # Both replay orders: in-order (fwd) and late-half-first (rev).
     stage_event_files(spark, sf_dir, "prestage_fwd", late_fraction=False)
     stage_event_files(spark, sf_dir, "prestage_rev", late_fraction=True)
+    stage_bronze_csv(spark, sf_dir)
