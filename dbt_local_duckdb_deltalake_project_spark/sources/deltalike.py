@@ -44,6 +44,58 @@ from pyspark.sql import functions as F
 
 PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
 
+# Write a parquet checkpoint every N commits (the protocol's default
+# checkpointInterval is 10): a reader then replays O(interval) JSON files
+# instead of O(#commits) — the difference between O(1) and minutes of log
+# replay on a 10k-commit streaming-append table.
+CHECKPOINT_INTERVAL = 10
+
+_LAST_CHECKPOINT = "_last_checkpoint"
+
+
+def _checkpoint_arrow_schema():
+    """Checkpoint rows follow the protocol's action-struct shape (one
+    struct column per action type, exactly one non-null per row)."""
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            (
+                "protocol",
+                pa.struct(
+                    [
+                        ("minReaderVersion", pa.int32()),
+                        ("minWriterVersion", pa.int32()),
+                    ]
+                ),
+            ),
+            (
+                "metaData",
+                pa.struct(
+                    [
+                        ("id", pa.string()),
+                        ("format", pa.struct([("provider", pa.string())])),
+                        ("schemaString", pa.string()),
+                        ("partitionColumns", pa.list_(pa.string())),
+                        ("createdTime", pa.int64()),
+                    ]
+                ),
+            ),
+            (
+                "add",
+                pa.struct(
+                    [
+                        ("path", pa.string()),
+                        ("partitionValues", pa.map_(pa.string(), pa.string())),
+                        ("size", pa.int64()),
+                        ("modificationTime", pa.int64()),
+                        ("dataChange", pa.bool_()),
+                    ]
+                ),
+            ),
+        ]
+    )
+
 
 class DeltaLikeTable:
     def __init__(self, path: str):
@@ -55,19 +107,113 @@ class DeltaLikeTable:
         if not os.path.isdir(self._log_dir):
             return []
         return sorted(
-            f for f in os.listdir(self._log_dir) if f.endswith(".json")
+            f for f in os.listdir(self._log_dir)
+            if f.endswith(".json") and not f.startswith(".")
         )
 
-    def _actions(self, upto: int | None = None) -> list[dict]:
-        """All actions of commits 0..upto (default: all), in order."""
+    def _last_checkpoint(self) -> dict | None:
+        try:
+            with open(os.path.join(self._log_dir, _LAST_CHECKPOINT)) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return None
+
+    def _read_checkpoint(self, version: int) -> list[dict]:
+        import pyarrow.parquet as pq
+
+        path = os.path.join(self._log_dir, f"{version:020d}.checkpoint.parquet")
+        acts: list[dict] = []
+        for row in pq.read_table(path).to_pylist():
+            for kind in ("protocol", "metaData", "add"):
+                val = row.get(kind)
+                if val is None:
+                    continue
+                if kind == "add":
+                    val = dict(val)
+                    val["partitionValues"] = dict(val.get("partitionValues") or [])
+                acts.append({kind: val})
+        return acts
+
+    def _write_checkpoint(self, version: int) -> None:
+        """Compact the log state at ``version`` into
+        ``<v>.checkpoint.parquet`` + ``_last_checkpoint`` (both the
+        protocol's names). The checkpoint holds the REPLAYED state —
+        protocol, latest metaData, live add set — so a reader starts
+        there and only replays newer JSON commits. JSON commit files are
+        kept (history/time-travel before the checkpoint still works);
+        VACUUM owns physical cleanup."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        acts = self._replay_json(upto=version)
+        protocol = PROTOCOL
+        metadata = None
+        live: dict[str, dict] = {}
+        for act in acts:
+            if "protocol" in act:
+                protocol = act["protocol"]
+            elif "metaData" in act:
+                metadata = act["metaData"]
+            elif "add" in act:
+                live[act["add"]["path"]] = act["add"]
+            elif "remove" in act:
+                live.pop(act["remove"]["path"], None)
+        rows: list[dict] = [{"protocol": protocol}, {"metaData": metadata}]
+        rows += [{"add": a} for a in live.values()]
+        schema = _checkpoint_arrow_schema()
+        cols: dict[str, list] = {name: [] for name in schema.names}
+        for row in rows:
+            for name in schema.names:
+                val = row.get(name)
+                if name == "add" and val is not None:
+                    val = {**val, "partitionValues": list(
+                        (val.get("partitionValues") or {}).items()
+                    )}
+                if name == "metaData" and val is not None:
+                    val = {
+                        "id": val.get("id"),
+                        "format": {"provider": val.get("format", {}).get("provider")},
+                        "schemaString": val.get("schemaString"),
+                        "partitionColumns": val.get("partitionColumns", []),
+                        "createdTime": val.get("createdTime"),
+                    }
+                cols[name].append(val)
+        table = pa.Table.from_pydict(cols, schema=schema)
+        cp_path = os.path.join(
+            self._log_dir, f"{version:020d}.checkpoint.parquet"
+        )
+        tmp = cp_path + f".tmp-{uuid.uuid4().hex}"
+        pq.write_table(table, tmp)
+        os.replace(tmp, cp_path)
+        lc_tmp = os.path.join(self._log_dir, f".lc-{uuid.uuid4().hex}")
+        with open(lc_tmp, "w") as f:
+            json.dump({"version": version, "size": len(rows)}, f)
+        os.replace(lc_tmp, os.path.join(self._log_dir, _LAST_CHECKPOINT))
+
+    def _replay_json(self, upto: int | None = None, start: int = 0) -> list[dict]:
         files = self._commit_files()
-        if upto is not None:
-            files = files[: upto + 1]
+        files = files[start : upto + 1 if upto is not None else None]
         acts: list[dict] = []
         for fname in files:
             with open(os.path.join(self._log_dir, fname)) as f:
                 acts.extend(json.loads(ln) for ln in f if ln.strip())
         return acts
+
+    def _actions(self, upto: int | None = None) -> list[dict]:
+        """All actions of commits 0..upto (default: all), in order.
+
+        Starts from the newest parquet checkpoint at or before ``upto``
+        when one exists — pre-checkpoint JSON commits are never opened —
+        and falls back to full JSON replay otherwise (e.g. time travel to
+        a version older than the checkpoint)."""
+        cp = self._last_checkpoint()
+        if cp is not None and (upto is None or cp["version"] <= upto):
+            try:
+                base = self._read_checkpoint(cp["version"])
+            except OSError:
+                return self._replay_json(upto=upto)
+            return base + self._replay_json(upto=upto, start=cp["version"] + 1)
+        return self._replay_json(upto=upto)
 
     def _active_files(self, as_of: int | None = None) -> list[dict]:
         """Replay add/remove actions → the live ``add`` set at a version."""
@@ -105,6 +251,8 @@ class DeltaLikeTable:
             finally:
                 if os.path.exists(tmp):
                     os.remove(tmp)
+            if version > 0 and version % CHECKPOINT_INTERVAL == 0:
+                self._write_checkpoint(version)
             return version
 
     @property

@@ -252,3 +252,64 @@ def test_concurrent_commits_never_lost(tbl):
     with open(os.path.join(tbl._log_dir, f"{0:020d}.json")) as f:
         acts = [json.loads(ln) for ln in f]
     assert sum(1 for a in acts if "protocol" in a) == 1
+
+
+def test_checkpoint_written_every_interval(spark, tbl):
+    import os
+
+    from dbt_local_duckdb_deltalake_project_spark.sources.deltalike import (
+        CHECKPOINT_INTERVAL,
+    )
+
+    tbl.write(_df(spark, [(0, "x")]), mode="overwrite")
+    for i in range(1, CHECKPOINT_INTERVAL + 1):
+        tbl.write(_df(spark, [(i, "x")]), mode="append")
+    cp = os.path.join(
+        tbl._log_dir, f"{CHECKPOINT_INTERVAL:020d}.checkpoint.parquet"
+    )
+    assert os.path.exists(cp)
+    lc = tbl._last_checkpoint()
+    assert lc["version"] == CHECKPOINT_INTERVAL
+    # protocol + metaData + the live add set (≥1 part-file per append)
+    assert lc["size"] == 2 + len(tbl._active_files(as_of=CHECKPOINT_INTERVAL))
+
+
+def test_reader_ignores_precheckpoint_json(spark, tbl):
+    # A post-checkpoint reader must start from the parquet snapshot and
+    # never open the JSON commits it covers: corrupt them all and prove
+    # both latest-read and post-checkpoint time travel still replay.
+    import os
+
+    from dbt_local_duckdb_deltalake_project_spark.sources.deltalike import (
+        CHECKPOINT_INTERVAL,
+    )
+
+    tbl.write(_df(spark, [(0, "x")]), mode="overwrite")
+    for i in range(1, CHECKPOINT_INTERVAL + 2):
+        tbl.write(_df(spark, [(i, "x")]), mode="append")
+    for v in range(CHECKPOINT_INTERVAL + 1):
+        with open(os.path.join(tbl._log_dir, f"{v:020d}.json"), "w") as f:
+            f.write("NOT JSON — a reader opening this must explode\n")
+    expect = sorted(range(CHECKPOINT_INTERVAL + 2))
+    assert sorted(r.k for r in tbl.read(spark).collect()) == expect
+    assert sorted(
+        r.k for r in tbl.read(spark, as_of=CHECKPOINT_INTERVAL).collect()
+    ) == expect[:-1]
+    # pre-checkpoint time travel legitimately needs those JSON files
+    with pytest.raises(Exception):
+        tbl.read(spark, as_of=1)
+
+
+def test_restore_and_vacuum_work_across_checkpoint(spark, tbl):
+    from dbt_local_duckdb_deltalake_project_spark.sources.deltalike import (
+        CHECKPOINT_INTERVAL,
+    )
+
+    tbl.write(_df(spark, [(0, "x")]), mode="overwrite")
+    for i in range(1, CHECKPOINT_INTERVAL + 1):
+        tbl.write(_df(spark, [(i, "x")]), mode="append")
+    tbl.write(_df(spark, [(99, "z")]), mode="overwrite")
+    tbl.restore(CHECKPOINT_INTERVAL)
+    assert sorted(r.k for r in tbl.read(spark).collect()) == sorted(
+        range(CHECKPOINT_INTERVAL + 1)
+    )
