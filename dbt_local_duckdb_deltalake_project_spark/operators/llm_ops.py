@@ -1551,6 +1551,10 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc takes the min of its own label and its neighbors' labels, until
     a fixed point. Rounds = cluster diameter (near-dup clusters are
     short chains; the oracle's recursive CTE computes the same closure).
+    Spark 4.1's WITH RECURSIVE cannot express this closure in one
+    statement: cyclic graphs need UNION-dedup termination and Spark
+    supports UNION ALL only (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE) —
+    see cte_recursive for the acyclic form that IS expressible.
     Each round is one shuffle join (edges × labels) plus one min-groupBy
     — both algebraic. The convergence check is a single scalar count per
     round (the standard Pregel-style driver loop, NOT an O(corpus)

@@ -119,3 +119,41 @@ _shared(
 # Catalyst decorrelates the LATERAL into a ranked window join — same
 # plan family as win_topk_per_group, so it scales as one shuffle on the
 # correlation key rather than a per-row probe loop.
+
+
+_shared(
+    "cte_recursive",
+    # Recursive CTE (Spark 4 WITH RECURSIVE): generate the 80-month spine
+    # bounded by the fixture's order-date range, then left-join monthly
+    # aggregates — the canonical "fill calendar gaps" pattern that a
+    # sequence()/explode spine (agg_date_spine) expresses without
+    # recursion. Recursion depth = months, driver-side rounds are
+    # bounded and data-independent; each round is a 1-row union, so this
+    # scales with the calendar, not the fact table.
+    #
+    # NOTE: Spark 4.1 recursive CTEs support UNION ALL only
+    # (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE), so a cyclic-graph
+    # transitive closure (llm_dedup_clusters' oracle form) is NOT yet
+    # expressible — the iterative min-label propagation there remains
+    # the Spark-side implementation.
+    """
+    WITH RECURSIVE months(month_start) AS (
+      SELECT CAST('1995-01-01' AS TIMESTAMP) AS month_start
+      UNION ALL
+      SELECT CAST(month_start + INTERVAL 1 MONTH AS TIMESTAMP)
+      FROM months WHERE month_start < CAST('2001-08-01' AS TIMESTAMP)
+    ),
+    mo AS (
+      SELECT date_trunc('month', o_orderdate) AS m,
+             COUNT(*) AS n_orders,
+             ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 2)
+               AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT months.month_start,
+           COALESCE(n_orders, 0) AS n_orders,
+           COALESCE(revenue, 0.0) AS revenue
+    FROM months LEFT JOIN mo ON months.month_start = mo.m
+    ORDER BY months.month_start
+    """,
+)
