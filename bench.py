@@ -93,6 +93,7 @@ def main() -> None:
         "stream_dedup_within_watermark",
         "stream_funnel_stateful",
         "stream_sink_deltalike",
+        "stream_join_static",
     )}
     sql_pooled = sorted(n for n in qs if n in oracles)
     rows_pooled = sorted(n for n in qs if n not in oracles)

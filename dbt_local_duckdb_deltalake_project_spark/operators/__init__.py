@@ -73,7 +73,7 @@ _WINDOW_FIRST = [
 # case the driver window is wider than 50; the already-proven relational
 # core rotates to the very back (local pytest still covers it).
 _WINDOW_SECOND = [
-    "cte_recursive",
+    "cte_recursive", "stream_join_static", "mm_dedup_exact",
     "llm_cosine_topk_blocked", "llm_cosine_topk_lsh",
     "llm_fingerprint_rolling",
     "stream_watermark_late", "stream_session_streamed",

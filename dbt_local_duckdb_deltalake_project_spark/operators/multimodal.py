@@ -190,3 +190,41 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("frame_idx"),
     )
+
+
+@register(
+    "mm_dedup_exact",
+    """
+    WITH hashed AS (
+      SELECT doc_id AS media_id, md5(text) AS content_hash FROM documents
+    )
+    SELECT content_hash,
+           MIN(media_id) AS keeper_media,
+           COUNT(*) AS n_copies
+    FROM hashed GROUP BY content_hash ORDER BY keeper_media
+    """,
+)
+def mm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed media dedup: hash the opaque payload BYTES and
+    keep one copy per digest — the first pass of any media-corpus
+    pipeline (identical files re-crawled under different URLs). The
+    payload never decodes: md5 runs JVM-side over the binary column, the
+    shuffle carries (digest, id) only, and the groupBy is a plain
+    partial-agg min/count. At 100 TB: identical plan; the digest is also
+    the natural content-addressed partition key for downstream decode.
+
+    Oracle note: payload = utf-8 bytes of text (see _payloads), so
+    DuckDB's md5(text) over the same fixture computes the same digests.
+    """
+    p = _payloads(spark, sf_dir)
+    return (
+        p.select(
+            "media_id", F.md5(F.col("payload")).alias("content_hash")
+        )
+        .groupBy("content_hash")
+        .agg(
+            F.min("media_id").alias("keeper_media"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .orderBy("keeper_media")
+    )

@@ -305,3 +305,55 @@ def stream_sliding_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_batch(
         spark, sf_dir, "slide", _sliding, output_mode="complete"
     )
+
+
+@register(
+    "stream_join_static",
+    """
+    SELECT date_trunc('hour', ts) AS window_start,
+           c_mktsegment,
+           COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 4)
+             AS total_value
+    FROM events JOIN customer ON c_custkey = user_id
+    GROUP BY 1, 2
+    """,
+)
+def stream_join_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the streaming side joins a static
+    dimension BEFORE the windowed aggregation — the canonical "enrich
+    events with user attributes" shape. The static side re-reads per
+    micro-batch (so a dim update is picked up mid-stream) and broadcasts:
+    no state, no shuffle of the stream on the join key, and the
+    aggregation state is keyed by (window, segment) — tiny. In-order
+    replay + complete mode → result equals the batch join (oracle
+    parity). At 100 TB the dim broadcast is the same plan; a BIG dim
+    would switch to a stream-stream join with watermarks instead.
+    """
+    from ..catalog import t as _t
+
+    def join_agg(stream: DataFrame) -> DataFrame:
+        cust = _t(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment"
+        )
+        return (
+            stream.withWatermark("ts", "10 minutes")
+            .join(F.broadcast(cust), F.col("user_id") == F.col("c_custkey"))
+            .groupBy(F.window("ts", "1 hour").alias("w"), "c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(
+                    F.sum(F.col("value").cast(DEC)).cast("double"), 4
+                ).alias("total_value"),
+            )
+            .select(
+                F.col("w.start").alias("window_start"),
+                "c_mktsegment",
+                "n_events",
+                "total_value",
+            )
+        )
+
+    return run_stream_to_batch(
+        spark, sf_dir, "joinstatic", join_agg, output_mode="complete"
+    )
