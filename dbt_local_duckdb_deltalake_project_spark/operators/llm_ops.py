@@ -1615,3 +1615,116 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "llm_rarity_score",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ), vocab AS (
+      SELECT token, COUNT(*) AS freq FROM tok GROUP BY token
+    )
+    SELECT t.doc_id,
+           COUNT(*) AS n_tokens,
+           COUNT(*) FILTER (WHERE v.freq <= 2) AS n_rare,
+           ROUND(CAST(COUNT(*) FILTER (WHERE v.freq <= 2) AS DOUBLE)
+                 / COUNT(*), 6) AS rare_ratio,
+           ROUND(CAST(SUM(v.freq) AS DOUBLE) / COUNT(*), 6) AS mean_freq
+    FROM tok t JOIN vocab v USING (token)
+    GROUP BY t.doc_id ORDER BY t.doc_id
+    """,
+)
+def llm_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency quality signal: per-doc rare-token ratio and mean
+    token frequency — the CCNet-style "is this document full of junk
+    tokens?" heuristic, using corpus statistics (unlike llm_quality_score
+    which is per-doc only).
+
+    Two passes over the exploded tokens: (1) vocab = token→frequency
+    (algebraic count, partial-agged), (2) re-join tokens to vocab and
+    aggregate per doc. Determinism: every measure is an INTEGER sum or a
+    single IEEE division of two exact integers — no float accumulation,
+    so the rounded doubles hash-match DuckDB exactly.
+
+    Scale: both shuffles key on `token`; the vocab side is Zipf-skewed,
+    so at 100 TB the join inherits AQE skew-split (stop-word tokens),
+    or drops the long tail first (freq > K covers stop-words with a
+    broadcastable vocab slice). The fixture vocab is small enough that
+    Spark's CBO would broadcast it — we leave the hint out so the plan
+    stays the honest shuffle join the full-vocab case needs.
+    """
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    return (
+        tok.join(vocab, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count(F.when(F.col("freq") <= 2, 1)).alias("n_rare"),
+            F.round(
+                F.count(F.when(F.col("freq") <= 2, 1)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("rare_ratio"),
+            F.round(
+                F.sum("freq").cast("double") / F.count(F.lit(1)), 6
+            ).alias("mean_freq"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "llm_bpe_pairs",
+    """
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ), pairs AS (
+      SELECT unnest(list_transform(range(1, len(w)), i -> w[i:i+1])) AS pair
+      FROM tok WHERE len(w) >= 2
+    )
+    SELECT pair, COUNT(*) AS cnt FROM pairs
+    GROUP BY pair ORDER BY cnt DESC, pair LIMIT 50
+    """,
+)
+def llm_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-symbol pair frequencies — the inner statistic of BPE
+    tokenizer training (each BPE merge round = "count all adjacent pairs,
+    merge the most frequent"). This is round one over raw characters;
+    a full trainer iterates merge→recount, each round this same job.
+
+    Shape: explode words, expand each word's (len-1) adjacent char pairs,
+    algebraic count, TakeOrdered top-50 (no global sort). The pair
+    expansion uses a higher-order ``transform`` (interpreted, not
+    codegen) — acceptable here because the downstream partial count
+    collapses rows before any shuffle; ordering ties break on the pair
+    string so the top-50 is deterministic in both engines.
+
+    Scale: identical plan at 100 TB; pair-space is bounded (vocab² of
+    single chars ≈ small), so the final agg state is tiny and top-k
+    never materializes a global sort.
+    """
+    d = t(spark, sf_dir, "documents")
+    pairs = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(w) - 1),"
+                    " i -> substring(w, i, 2))"
+                )
+            ).alias("pair")
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "pair")
+        .limit(50)
+    )
