@@ -277,3 +277,38 @@ def delta_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tbl.restore(1)
     return tbl.read(spark)
+
+
+@register(
+    "delta_partition_pruning",
+    """
+    SELECT event_type,
+           date_trunc('hour', ts) AS window_start,
+           COUNT(*) AS n_events
+    FROM events WHERE event_type = 'click'
+    GROUP BY 1, 2 ORDER BY 2
+    """,
+)
+def delta_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned Delta write + log-metadata partition pruning.
+
+    Events land partitioned by event_type (hive layout, the spec's
+    ``partitionValues`` on every add action); the read then selects ONE
+    partition by filtering those log entries — no directory listing, no
+    file opened outside the partition, O(live add actions) driver work.
+    At 100 TB this is the difference between scanning a full table and
+    one partition; the same log metadata also answers per-partition
+    file/size stats without touching storage. The pruned-file-set
+    property is asserted in tests/test_storage.py.
+    """
+    tbl = DeltaLikeTable(workdir(sf_dir, "delta_partitioned"))
+    ev = t(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+    tbl.write(ev, mode="overwrite", partition_by=["event_type"])
+    pruned = tbl.read(spark, partition_filter={"event_type": "click"})
+    return (
+        pruned.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("window_start")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("window_start")
+    )

@@ -260,48 +260,69 @@ class DeltaLikeTable:
         return len(self._commit_files()) - 1
 
     # -- writes -----------------------------------------------------------
-    def _stage_data_files(self, df: DataFrame) -> list[dict]:
+    def _stage_data_files(
+        self, df: DataFrame, partition_by: list[str] | None = None
+    ) -> list[dict]:
         """Write ``df``'s parquet files into the table root; return their
         ``add`` actions. Spark part-file names embed a job UUID, so moved
-        files never collide."""
+        files never collide. With ``partition_by``, files land under
+        hive-style ``col=value/`` directories and each ``add`` carries
+        the spec's ``partitionValues`` map — the metadata a reader prunes
+        on without listing or opening any file."""
         tmp = os.path.join(self.path, f".tmp-{uuid.uuid4().hex}")
-        df.write.mode("overwrite").parquet(tmp)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(tmp)
         now = int(time.time() * 1000)
         adds = []
-        for fname in sorted(os.listdir(tmp)):
-            if not fname.endswith(".parquet"):
-                continue
-            src = os.path.join(tmp, fname)
-            os.replace(src, os.path.join(self.path, fname))
-            adds.append(
-                {
-                    "add": {
-                        "path": fname,
-                        "partitionValues": {},
-                        "size": os.path.getsize(
-                            os.path.join(self.path, fname)
-                        ),
-                        "modificationTime": now,
-                        "dataChange": True,
+        for dirpath, _dirs, fnames in sorted(os.walk(tmp)):
+            for fname in sorted(fnames):
+                if not fname.endswith(".parquet"):
+                    continue
+                rel = os.path.relpath(os.path.join(dirpath, fname), tmp)
+                pvals = dict(
+                    part.split("=", 1)
+                    for part in rel.split(os.sep)[:-1]
+                    if "=" in part
+                )
+                dst = os.path.join(self.path, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.replace(os.path.join(dirpath, fname), dst)
+                adds.append(
+                    {
+                        "add": {
+                            "path": rel.replace(os.sep, "/"),
+                            "partitionValues": pvals,
+                            "size": os.path.getsize(dst),
+                            "modificationTime": now,
+                            "dataChange": True,
+                        }
                     }
-                }
-            )
+                )
         shutil.rmtree(tmp)
         return adds
 
-    def _metadata_action(self, df: DataFrame) -> dict:
+    def _metadata_action(
+        self, df: DataFrame, partition_by: list[str] | None = None
+    ) -> dict:
         return {
             "metaData": {
                 "id": str(uuid.uuid4()),
                 "format": {"provider": "parquet", "options": {}},
                 "schemaString": df.schema.json(),
-                "partitionColumns": [],
+                "partitionColumns": partition_by or [],
                 "configuration": {},
                 "createdTime": int(time.time() * 1000),
             }
         }
 
-    def write(self, df: DataFrame, mode: str = "append") -> int:
+    def write(
+        self,
+        df: DataFrame,
+        mode: str = "append",
+        partition_by: list[str] | None = None,
+    ) -> int:
         """Commit ``df`` as a new version; returns the version number."""
         assert mode in ("append", "overwrite")
         os.makedirs(self.path, exist_ok=True)
@@ -318,8 +339,8 @@ class DeltaLikeTable:
                 }
                 for a in self._active_files()
             )
-        actions.extend(self._stage_data_files(df))
-        actions.append(self._metadata_action(df))
+        actions.extend(self._stage_data_files(df, partition_by))
+        actions.append(self._metadata_action(df, partition_by))
         return self._commit(actions)
 
     # -- reads ------------------------------------------------------------
@@ -328,22 +349,40 @@ class DeltaLikeTable:
         spark: SparkSession,
         as_of: int | None = None,
         merge_schema: bool = False,
+        partition_filter: dict[str, str] | None = None,
     ) -> DataFrame:
         """Table state at version ``as_of`` (default: latest), by action
         replay. ``merge_schema`` unions schemas across live files (Delta
         schema evolution: columns added by later appends surface as NULL
-        for earlier files)."""
+        for earlier files).
+
+        ``partition_filter`` ({col: value}) prunes on the log's
+        ``partitionValues`` metadata BEFORE any file is listed or opened
+        — Delta's partition pruning: selecting one partition of a 100 TB
+        table costs O(live add actions) driver work and reads only that
+        partition's files. Filtered reads use a ``basePath`` so hive
+        partition columns re-materialize in the DataFrame."""
         if not self._commit_files():
             raise ValueError(f"empty table at {self.path}")
-        files = [
-            os.path.join(self.path, a["path"])
-            for a in self._active_files(as_of=as_of)
-        ]
+        active = self._active_files(as_of=as_of)
+        partitioned = any(a.get("partitionValues") for a in active)
+        if partition_filter:
+            active = [
+                a
+                for a in active
+                if all(
+                    a.get("partitionValues", {}).get(k) == v
+                    for k, v in partition_filter.items()
+                )
+            ]
+        files = [os.path.join(self.path, a["path"]) for a in active]
         if not files:
             raise ValueError(f"no live files at version {as_of} in {self.path}")
         reader = spark.read
         if merge_schema:
             reader = reader.option("mergeSchema", "true")
+        if partitioned:
+            reader = reader.option("basePath", self.path)
         return reader.parquet(*files)
 
     # -- DML --------------------------------------------------------------

@@ -313,3 +313,24 @@ def test_restore_and_vacuum_work_across_checkpoint(spark, tbl):
     assert sorted(r.k for r in tbl.read(spark).collect()) == sorted(
         range(CHECKPOINT_INTERVAL + 1)
     )
+
+
+def test_partitioned_write_prunes_on_log_metadata(spark, tbl):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "a"), (4, "c")], "k int, pt string"
+    )
+    tbl.write(df, mode="overwrite", partition_by=["pt"])
+    # add actions carry partitionValues; the filtered read must select
+    # ONLY partition pt=a files (pruning happens on log metadata).
+    active = tbl._active_files()
+    assert all(a["partitionValues"].get("pt") for a in active)
+    pruned = [
+        a for a in active if a["partitionValues"]["pt"] == "a"
+    ]
+    assert 0 < len(pruned) < len(active)
+    got = tbl.read(spark, partition_filter={"pt": "a"})
+    assert sorted(r.k for r in got.collect()) == [1, 3]
+    # partition column re-materializes from the hive path
+    assert set(got.columns) == {"k", "pt"}
+    # unfiltered read still returns everything
+    assert sorted(r.k for r in tbl.read(spark).collect()) == [1, 2, 3, 4]
