@@ -94,6 +94,7 @@ def main() -> None:
         "stream_funnel_stateful",
         "stream_sink_deltalike",
         "stream_join_static",
+        "stream_stream_join",
     )}
     sql_pooled = sorted(n for n in qs if n in oracles)
     rows_pooled = sorted(n for n in qs if n not in oracles)

@@ -357,3 +357,79 @@ def stream_join_static(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_batch(
         spark, sf_dir, "joinstatic", join_agg, output_mode="complete"
     )
+
+
+@register(
+    "stream_stream_join",
+    """
+    SELECT c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           c.user_id,
+           c.ts AS click_ts,
+           p.ts AS purchase_ts
+    FROM events c
+    JOIN events p
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with event-time range condition — the
+    attribution classic (purchase within 1h of a click, per user), run
+    through two watermarked branches of one replayed stream.
+
+    Both sides buffer state keyed by user_id; the range condition plus
+    both watermarks let Spark evict: click state older than
+    watermark − 1h can never match a future purchase and is dropped —
+    bounded state, the property a raw unbounded self-join lacks. Inner
+    join + in-order availableNow replay → every pair eventually emits,
+    so the result hash-matches the batch join (oracle parity): a click
+    whose purchase falls in the next micro-batch survives because the
+    eviction bound (watermark − join window) trails the file cut by the
+    watermark delay. At 100 TB the same plan shuffles both streams on
+    user_id once; state size = clicks within the 1h horizon.
+    """
+
+    def join_pairs(stream: DataFrame) -> DataFrame:
+        clicks = (
+            stream.filter(F.col("event_type") == "click")
+            .select(
+                F.col("event_id").alias("click_id"),
+                F.col("user_id").alias("c_user"),
+                F.col("ts").alias("click_ts"),
+            )
+            .withWatermark("click_ts", "10 minutes")
+        )
+        purchases = (
+            stream.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("purchase_ts"),
+            )
+            .withWatermark("purchase_ts", "10 minutes")
+        )
+        return (
+            clicks.join(
+                purchases,
+                (F.col("p_user") == F.col("c_user"))
+                & (F.col("purchase_ts") >= F.col("click_ts"))
+                & (
+                    F.col("purchase_ts")
+                    <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")
+                ),
+            )
+            .select(
+                "click_id",
+                "purchase_id",
+                F.col("c_user").alias("user_id"),
+                "click_ts",
+                "purchase_ts",
+            )
+        )
+
+    return run_stream_to_batch(
+        spark, sf_dir, "ssjoin", join_pairs, output_mode="append",
+        partitions=4,
+    )
