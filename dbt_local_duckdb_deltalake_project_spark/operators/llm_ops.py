@@ -1728,3 +1728,66 @@ def llm_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), "pair")
         .limit(50)
     )
+
+
+@register(
+    "llm_embed_quantize",
+    """
+    WITH e AS (
+      SELECT vec_id, unnest(embedding) AS v FROM embeddings
+    ), m AS (
+      -- CAST: DuckDB keeps FLOAT/INT as float32, Spark promotes to
+      -- double — align on double before dividing
+      SELECT vec_id, CAST(max(abs(v)) AS DOUBLE) / 127 AS scale
+      FROM e GROUP BY vec_id
+    )
+    SELECT e.vec_id,
+           ROUND(m.scale, 9) AS scale_r,
+           CAST(SUM(CAST(ROUND(v / NULLIF(m.scale, 0), 0) AS BIGINT))
+                AS BIGINT) AS q_checksum,
+           COUNT(*) FILTER (WHERE ABS(ROUND(v / NULLIF(m.scale, 0), 0)) >= 127)
+             AS n_saturated
+    FROM e JOIN m USING (vec_id)
+    GROUP BY e.vec_id, m.scale ORDER BY e.vec_id
+    """,
+)
+def llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 vector quantization — the 4× index-compression
+    step every large ANN deployment runs before serving (float32 →
+    int8 with one per-vector scale = max|v|/127).
+
+    Long-form codegen: posexplode once, per-vector max|v| via window
+    (64-row partitions, no join), then quantize + integer checksum in
+    one pass. Every emitted measure is an integer sum or a single IEEE
+    division of identical operands, so it hash-matches the oracle
+    exactly despite float inputs. At 100 TB: embarrassingly parallel on
+    vec_id, shuffle only for the final per-vector agg which the partial
+    agg collapses to one row per vector per mapper.
+    """
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.posexplode("embedding").alias("pos", "v")
+    )
+    w = W.partitionBy("vec_id")
+    q = (
+        e.withColumn("scale", F.max(F.abs("v")).over(w) / F.lit(127))
+        .withColumn(
+            "q",
+            F.round(
+                F.col("v") / F.nullif(F.col("scale"), F.lit(0)), 0
+            ).cast("long"),
+        )
+    )
+    return (
+        q.groupBy("vec_id", "scale")
+        .agg(
+            F.sum("q").cast("long").alias("q_checksum"),
+            F.count(F.when(F.abs("q") >= 127, 1)).alias("n_saturated"),
+        )
+        .select(
+            "vec_id",
+            F.round("scale", 9).alias("scale_r"),
+            "q_checksum",
+            "n_saturated",
+        )
+        .orderBy("vec_id")
+    )

@@ -122,3 +122,93 @@ def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         dsum(F.col("l_quantity"), "sum_qty"),
     )
+
+
+@register(
+    "scan_deltalike_datasource",
+    """
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 2)
+             AS revenue
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def scan_deltalike_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The versioned storage exposed as a first-class Spark source via
+    the Python Data Source API (Spark 4): ``spark.read.format(...)`` over
+    a Delta-like table, with the log replay (live-file selection) as the
+    source's partition planning — one InputPartition per live data file,
+    executors stream Arrow batches straight from parquet.
+
+    The reader classes are defined INSIDE this function on purpose:
+    cloudpickle then ships them by value, so executors never need the
+    repo package importable (the CLAUDE.md closure gotcha). Driver-side
+    planning (log replay) uses the real DeltaLikeTable; executor-side
+    read() is pure pyarrow over an absolute file path.
+
+    Scale: partition planning is O(live add actions) metadata work;
+    reads parallelize per file exactly like the native parquet source,
+    and Arrow batch yield keeps the Python worker vectorized.
+    """
+    import os
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    from ..sources.deltalike import DeltaLikeTable
+    from ..sources.workspace import workdir
+
+    tbl = DeltaLikeTable(workdir(sf_dir, "delta_pyds"))
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    tbl.write(o, mode="overwrite")
+
+    # driver-side planning: log replay picks the live file set
+    files = [
+        os.path.join(tbl.path, a["path"]) for a in tbl._active_files()
+    ]
+    schema_ddl = "o_orderkey bigint, o_orderstatus string, o_totalprice double"
+
+    class _Reader(DataSourceReader):
+        def __init__(self, paths):
+            self._paths = paths
+
+        def partitions(self):
+            return [InputPartition(p) for p in self._paths]
+
+        def read(self, partition):
+            import pyarrow.parquet as pq  # executor-side, stdlib+arrow only
+
+            yield from pq.read_table(partition.value).to_batches()
+
+    class _DeltaLikeSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "deltalike_pyds"
+
+        def schema(self):
+            return schema_ddl
+
+        def reader(self, schema):
+            return _Reader(files)
+
+    spark.dataSource.register(_DeltaLikeSource)
+    df = spark.read.format("deltalike_pyds").load()
+    return (
+        df.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("revenue"),
+        )
+        .orderBy("o_orderstatus")
+    )
