@@ -171,9 +171,25 @@ def test_hot_queries_have_no_python_eval(spark, sf_dir):
         "cte_chain",
         "llm_dedup_near",
         "llm_simhash",
+        "llm_rarity_score",
+        "llm_embed_quantize",
+        "llm_bpe_pairs",
     ]:
         p = plan(QUERIES[qid](spark, sf_dir))
         assert "EvalPython" not in p, f"{qid} fell back to Python eval"
+
+
+def test_rarity_vocab_build_has_partial_aggregation(spark, sf_dir):
+    # the vocab count and the per-doc re-aggregation must both map-side
+    # combine: exploded token rows collapse before every shuffle.
+    df = QUERIES["llm_rarity_score"](spark, sf_dir)
+    p = plan(df)
+    assert p.count("HashAggregate") >= 4  # partial+final × two aggs
+
+
+def test_bpe_pairs_top50_avoids_global_sort(spark, sf_dir):
+    df = QUERIES["llm_bpe_pairs"](spark, sf_dir)
+    assert "TakeOrderedAndProject" in plan(df)
 
 
 def test_decontaminate_broadcasts_benchmark_side(spark, sf_dir):
