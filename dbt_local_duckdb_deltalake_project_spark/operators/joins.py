@@ -444,3 +444,65 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("l_extendedprice"), "item_total"),
         )
     )
+
+
+@register(
+    "join_bloom_runtime_filter",
+    f"""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_items,
+           {sql_dsum("l_extendedprice", "revenue")}
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    WHERE o_totalprice > 500000
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def join_bloom_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom-filter join (Spark's injected semi-join reduction):
+    a selective dimension-side predicate builds a Bloom filter at run
+    time, and the fact scan drops non-matching rows BEFORE the shuffle —
+    at 100 TB this cuts the shuffled fact volume to ~the join
+    selectivity, the single biggest lever on selective fact⋈fact joins
+    (plan-asserted: `might_contain` on the probe side,
+    `bloom_filter_agg` on the build side; semantics unchanged, so the
+    oracle is the plain join).
+
+    Runs on its own ``newSession`` with the injection thresholds forced
+    (fixture tables are far below the 10 MB production defaults) and
+    broadcast disabled (a broadcast join needs no runtime filter) —
+    session-local conf, nothing leaks to the shared session. Reads bind
+    to that session directly; orders/lineitem carry no ns-timestamps so
+    the catalog's events normalization isn't needed.
+    """
+    from ..catalog import table_path
+
+    s2 = spark.newSession()
+    s2.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        "10GB",
+    )
+    s2.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold",
+        "0",
+    )
+    s2.conf.set("spark.sql.optimizer.runtimeFilter.number.threshold", "10")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    o = (
+        s2.read.parquet(table_path(sf_dir, "orders"))
+        .filter(F.col("o_totalprice") > 500000)
+        .select("o_orderkey", "o_orderstatus")
+    )
+    li = s2.read.parquet(table_path(sf_dir, "lineitem")).select(
+        "l_orderkey", "l_extendedprice"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(F.col("l_extendedprice"), "revenue"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -179,6 +179,16 @@ def test_hot_queries_have_no_python_eval(spark, sf_dir):
         assert "EvalPython" not in p, f"{qid} fell back to Python eval"
 
 
+def test_bloom_runtime_filter_injected(spark, sf_dir):
+    # the selective side must inject a Bloom filter that prunes the fact
+    # scan before the shuffle: build side aggregates bloom_filter_agg,
+    # probe side filters with might_contain.
+    df = QUERIES["join_bloom_runtime_filter"](spark, sf_dir)
+    p = plan(df)
+    assert "might_contain" in p
+    assert "bloom_filter_agg" in p
+
+
 def test_rarity_vocab_build_has_partial_aggregation(spark, sf_dir):
     # the vocab count and the per-doc re-aggregation must both map-side
     # combine: exploded token rows collapse before every shuffle.
