@@ -76,7 +76,7 @@ _WINDOW_SECOND = [
     "cte_recursive", "stream_join_static", "mm_dedup_exact",
     "llm_rarity_score", "llm_bpe_pairs", "delta_partition_pruning",
     "stream_stream_join", "llm_embed_quantize", "scan_deltalike_datasource",
-    "join_bloom_runtime_filter",
+    "join_bloom_runtime_filter", "delta_data_skipping",
     "llm_cosine_topk_blocked", "llm_cosine_topk_lsh",
     "llm_fingerprint_rolling",
     "stream_watermark_late", "stream_session_streamed",

@@ -312,3 +312,55 @@ def delta_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
         .orderBy("window_start")
     )
+
+
+@register(
+    "delta_data_skipping",
+    """
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 2)
+             AS revenue
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def delta_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats-based data skipping (the add action's ``stats`` field):
+    orders land as one file per year (range-partitioned appends, the
+    natural layout of a date-loaded table), so each add action carries a
+    tight o_orderdate min/max; the read's stats_filter drops every file
+    whose range cannot contain the predicate BEFORE it is opened —
+    O(log metadata) driver work, not a scan. The residual row-level
+    filter keeps the semantics exact (skipping is conservative). On a
+    100 TB date-sorted table this prunes most of the table for any
+    time-bounded query — the same mechanics Delta/Iceberg readers run.
+    The pruned-file-set property is asserted in tests/test_storage.py.
+    """
+    tbl = DeltaLikeTable(workdir(sf_dir, "delta_skipping"))
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    for year in range(1995, 2002):
+        tbl.write(
+            o.filter(F.year("o_orderdate") == year).coalesce(1),
+            mode="append" if year > 1995 else "overwrite",
+        )
+    pruned = tbl.read(
+        spark, stats_filter={"o_orderdate": ("2000-01-01", None)}
+    )
+    return (
+        pruned.filter(F.col("o_orderdate") >= "2000-01-01")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("revenue"),
+        )
+        .orderBy("o_orderstatus")
+    )

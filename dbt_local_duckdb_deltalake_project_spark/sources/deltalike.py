@@ -90,10 +90,51 @@ def _checkpoint_arrow_schema():
                         ("size", pa.int64()),
                         ("modificationTime", pa.int64()),
                         ("dataChange", pa.bool_()),
+                        ("stats", pa.string()),
                     ]
                 ),
             ),
         ]
+    )
+
+
+def _file_stats(path: str) -> str:
+    """Per-file column statistics for the add action's ``stats`` field
+    (the protocol stores them as a JSON string): numRecords plus
+    min/maxValues per leaf column, read from the parquet footer — no
+    data pages touched. Readers use them for data skipping."""
+    import datetime
+
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+
+    def _jsonable(v):
+        if isinstance(v, (datetime.datetime, datetime.date)):
+            return str(v)
+        if isinstance(v, bytes):
+            return v.decode("utf-8", "replace")
+        return v
+
+    raw_min: dict = {}
+    raw_max: dict = {}
+    for rg in range(md.num_row_groups):
+        for ci in range(md.num_columns):
+            col = md.row_group(rg).column(ci)
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            name = col.path_in_schema
+            if name not in raw_min or st.min < raw_min[name]:
+                raw_min[name] = st.min
+            if name not in raw_max or st.max > raw_max[name]:
+                raw_max[name] = st.max
+    return json.dumps(
+        {
+            "numRecords": md.num_rows,
+            "minValues": {k: _jsonable(v) for k, v in raw_min.items()},
+            "maxValues": {k: _jsonable(v) for k, v in raw_max.items()},
+        }
     )
 
 
@@ -297,6 +338,7 @@ class DeltaLikeTable:
                             "size": os.path.getsize(dst),
                             "modificationTime": now,
                             "dataChange": True,
+                            "stats": _file_stats(dst),
                         }
                     }
                 )
@@ -350,6 +392,7 @@ class DeltaLikeTable:
         as_of: int | None = None,
         merge_schema: bool = False,
         partition_filter: dict[str, str] | None = None,
+        stats_filter: dict[str, tuple] | None = None,
     ) -> DataFrame:
         """Table state at version ``as_of`` (default: latest), by action
         replay. ``merge_schema`` unions schemas across live files (Delta
@@ -361,7 +404,14 @@ class DeltaLikeTable:
         — Delta's partition pruning: selecting one partition of a 100 TB
         table costs O(live add actions) driver work and reads only that
         partition's files. Filtered reads use a ``basePath`` so hive
-        partition columns re-materialize in the DataFrame."""
+        partition columns re-materialize in the DataFrame.
+
+        ``stats_filter`` ({col: (lo, hi)}) is Delta's data skipping:
+        drop files whose per-file min/max (the add action's ``stats``)
+        cannot overlap [lo, hi]. Conservative — files without stats are
+        kept, and the caller still applies the row-level filter; the
+        win is unopened files, which on a date-sorted 100 TB table is
+        most of them."""
         if not self._commit_files():
             raise ValueError(f"empty table at {self.path}")
         active = self._active_files(as_of=as_of)
@@ -375,6 +425,24 @@ class DeltaLikeTable:
                     for k, v in partition_filter.items()
                 )
             ]
+        if stats_filter:
+            def overlaps(a: dict) -> bool:
+                raw = a.get("stats")
+                if not raw:
+                    return True  # no stats → cannot skip
+                st = json.loads(raw)
+                for col, (lo, hi) in stats_filter.items():
+                    fmin = st.get("minValues", {}).get(col)
+                    fmax = st.get("maxValues", {}).get(col)
+                    if fmin is None or fmax is None:
+                        continue
+                    if (hi is not None and fmin > hi) or (
+                        lo is not None and fmax < lo
+                    ):
+                        return False
+                return True
+
+            active = [a for a in active if overlaps(a)]
         files = [os.path.join(self.path, a["path"]) for a in active]
         if not files:
             raise ValueError(f"no live files at version {as_of} in {self.path}")

@@ -334,3 +334,27 @@ def test_partitioned_write_prunes_on_log_metadata(spark, tbl):
     assert set(got.columns) == {"k", "pt"}
     # unfiltered read still returns everything
     assert sorted(r.k for r in tbl.read(spark).collect()) == [1, 2, 3, 4]
+
+
+def test_stats_data_skipping_prunes_files(spark, tbl):
+    # 3 appends with disjoint k ranges → a range stats_filter must keep
+    # only overlapping files, and stats must survive the log round-trip.
+    import json
+
+    for i, rows in enumerate([[(1, "a"), (2, "b")], [(10, "c")], [(20, "d")]]):
+        tbl.write(
+            _df(spark, rows).coalesce(1),
+            mode="overwrite" if i == 0 else "append",
+        )
+    active = tbl._active_files()
+    stats = [json.loads(a["stats"]) for a in active if a.get("stats")]
+    assert len(stats) == len(active)
+    assert sum(s["numRecords"] for s in stats) == 4
+    pruned = tbl.read(spark, stats_filter={"k": (9, 15)})
+    assert sorted(r.k for r in pruned.collect()) == [10]
+    # conservative: the k∈[1,2] file overlaps lo=2, so its k=1 row still
+    # surfaces — skipping prunes files, the caller filters rows
+    assert sorted(
+        r.k for r in tbl.read(spark, stats_filter={"k": (2, None)}).collect()
+    ) == [1, 2, 10, 20]
+    assert sorted(r.k for r in tbl.read(spark).collect()) == [1, 2, 10, 20]
