@@ -364,3 +364,68 @@ def delta_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "delta_change_data_feed",
+    """
+    SELECT 'insert' AS change_type,
+           c_custkey + 1000000 AS c_custkey,
+           ROUND(c_acctbal, 2) AS acctbal
+    FROM customer WHERE c_custkey % 97 = 0
+    UNION ALL
+    SELECT 'update_postimage', c_custkey, ROUND(c_acctbal + 1000, 2)
+    FROM customer WHERE c_custkey % 10 = 0
+    UNION ALL
+    SELECT 'update_preimage', c_custkey, ROUND(c_acctbal, 2)
+    FROM customer WHERE c_custkey % 10 = 0
+    ORDER BY change_type, c_custkey
+    """,
+)
+def delta_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change Data Feed: row-level changes between two table versions,
+    derived from the log by diffing the version states — what an
+    incremental downstream (dbt incremental model, CDC consumer) reads
+    instead of the full table.
+
+    v0 = customers; v1 = MERGE of updates (+1000 balance for key%10=0)
+    and inserts (key%97=0 re-keyed). The feed classifies EXCEPT ALL
+    diffs: post-not-pre rows are inserts or update post-images (by key
+    presence in v0), pre-not-post rows are update pre-images (or
+    deletes, none here). Diff cost is one shuffle per side on the full
+    row — at 100 TB a native CDF writes change files at commit time
+    instead (the protocol's cdc actions); the read semantics shown here
+    are identical.
+    """
+    tbl = DeltaLikeTable(workdir(sf_dir, "delta_cdf"))
+    c = t(spark, sf_dir, "customer").select(
+        "c_custkey", F.round("c_acctbal", 2).alias("acctbal")
+    )
+    tbl.write(c, mode="overwrite")
+    updates = c.filter(F.col("c_custkey") % 10 == 0).withColumn(
+        "acctbal", F.round(F.col("acctbal") + 1000, 2)
+    )
+    inserts = c.filter(F.col("c_custkey") % 97 == 0).withColumn(
+        "c_custkey", F.col("c_custkey") + 1000000
+    )
+    tbl.merge(spark, updates.unionByName(inserts), on="c_custkey")
+    pre = tbl.read(spark, as_of=0)
+    post = tbl.read(spark)
+    pre_keys = pre.select("c_custkey").distinct()
+    appeared = post.exceptAll(pre)
+    vanished = pre.exceptAll(post)
+    feed = (
+        appeared.join(pre_keys, "c_custkey", "left_semi")
+        .withColumn("change_type", F.lit("update_postimage"))
+        .unionByName(
+            appeared.join(pre_keys, "c_custkey", "left_anti").withColumn(
+                "change_type", F.lit("insert")
+            )
+        )
+        .unionByName(
+            vanished.withColumn("change_type", F.lit("update_preimage"))
+        )
+    )
+    return feed.select("change_type", "c_custkey", "acctbal").orderBy(
+        "change_type", "c_custkey"
+    )
