@@ -415,6 +415,7 @@ class DeltaLikeTable:
         if not self._commit_files():
             raise ValueError(f"empty table at {self.path}")
         active = self._active_files(as_of=as_of)
+        unpruned = list(active)
         partitioned = any(a.get("partitionValues") for a in active)
         if partition_filter:
             active = [
@@ -445,6 +446,14 @@ class DeltaLikeTable:
             active = [a for a in active if overlaps(a)]
         files = [os.path.join(self.path, a["path"]) for a in active]
         if not files:
+            if unpruned:
+                # every file pruned away — an EMPTY relation with the
+                # table schema, not an error (a filter can match nothing)
+                first = os.path.join(self.path, unpruned[0]["path"])
+                reader = spark.read
+                if partitioned:
+                    reader = reader.option("basePath", self.path)
+                return reader.parquet(first).limit(0)
             raise ValueError(f"no live files at version {as_of} in {self.path}")
         reader = spark.read
         if merge_schema:

@@ -116,3 +116,49 @@ def test_row_number_is_a_permutation(spark, rows):
     )
     for r in per_key.collect():
         assert r.mn == 1 and r.mx == r.n
+
+
+@given(
+    rows=st.lists(
+        st.lists(
+            st.integers(min_value=-1000, max_value=1000),
+            min_size=1,
+            max_size=5,
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+    lo=st.integers(min_value=-1000, max_value=1000),
+    hi=st.integers(min_value=-1000, max_value=1000),
+)
+@_settings
+def test_stats_skipping_never_loses_matching_rows(spark, tmp_path_factory, rows, lo, hi):
+    # Data skipping is an OPTIMIZATION: for any file layout and any
+    # range, (pruned read + row filter) == (full read + row filter).
+    import uuid as _uuid
+
+    from dbt_local_duckdb_deltalake_project_spark.sources.deltalike import (
+        DeltaLikeTable,
+    )
+
+    if lo > hi:
+        lo, hi = hi, lo
+    tbl = DeltaLikeTable(
+        str(tmp_path_factory.mktemp("skip") / _uuid.uuid4().hex)
+    )
+    for i, chunk in enumerate(rows):
+        tbl.write(
+            spark.createDataFrame([(k,) for k in chunk], "k int").coalesce(1),
+            mode="overwrite" if i == 0 else "append",
+        )
+    full = sorted(
+        r.k
+        for r in tbl.read(spark).filter(F.col("k").between(lo, hi)).collect()
+    )
+    pruned = sorted(
+        r.k
+        for r in tbl.read(spark, stats_filter={"k": (lo, hi)})
+        .filter(F.col("k").between(lo, hi))
+        .collect()
+    )
+    assert pruned == full
