@@ -200,6 +200,7 @@ def delta_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("o_orderdate")
         .withColumn("channel", F.lit("online")),
         mode="append",
+        merge_schema=True,  # adding a column requires the explicit opt-in
     )
     return tbl.read(spark, merge_schema=True).select(
         "o_orderkey", "o_totalprice", "channel"

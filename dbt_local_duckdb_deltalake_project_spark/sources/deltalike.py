@@ -359,14 +359,50 @@ class DeltaLikeTable:
             }
         }
 
+    def _latest_schema(self):
+        from pyspark.sql.types import StructType
+
+        metas = [a["metaData"] for a in self._actions() if "metaData" in a]
+        if not metas:
+            return None
+        return StructType.fromJson(json.loads(metas[-1]["schemaString"]))
+
+    def _enforce_schema(self, df: DataFrame, merge_schema: bool) -> None:
+        """Delta's schema-on-write: an append may not change a column's
+        type, and may only ADD columns when schema merging is opted in
+        (``mergeSchema``). Missing nullable columns are allowed (they
+        read as NULL). Overwrites replace the schema freely."""
+        current = self._latest_schema()
+        if current is None:
+            return
+        cur = {f.name: f.dataType for f in current.fields}
+        inc = {f.name: f.dataType for f in df.schema.fields}
+        mismatched = sorted(
+            n for n in cur.keys() & inc.keys() if cur[n] != inc[n]
+        )
+        if mismatched:
+            raise ValueError(
+                f"schema mismatch on append to {self.path}: column types "
+                f"changed for {mismatched} (overwrite to change types)"
+            )
+        extra = sorted(inc.keys() - cur.keys())
+        if extra and not merge_schema:
+            raise ValueError(
+                f"append to {self.path} adds columns {extra}; pass "
+                "merge_schema=True to evolve the schema"
+            )
+
     def write(
         self,
         df: DataFrame,
         mode: str = "append",
         partition_by: list[str] | None = None,
+        merge_schema: bool = False,
     ) -> int:
         """Commit ``df`` as a new version; returns the version number."""
         assert mode in ("append", "overwrite")
+        if mode == "append":
+            self._enforce_schema(df, merge_schema)
         os.makedirs(self.path, exist_ok=True)
         actions: list[dict] = []
         if mode == "overwrite":

@@ -358,3 +358,50 @@ def test_stats_data_skipping_prunes_files(spark, tbl):
         r.k for r in tbl.read(spark, stats_filter={"k": (2, None)}).collect()
     ) == [1, 2, 10, 20]
     assert sorted(r.k for r in tbl.read(spark).collect()) == [1, 2, 10, 20]
+
+
+def test_append_schema_enforcement(spark, tbl):
+    tbl.write(_df(spark, [(1, "a")]), mode="overwrite")
+    # type change on a shared column → rejected
+    with pytest.raises(ValueError, match="types"):
+        tbl.write(
+            spark.createDataFrame([(2, 2.0)], "k int, v double"),
+            mode="append",
+        )
+    # new column without the opt-in → rejected
+    widened = spark.createDataFrame([(2, "b", "x")], "k int, v string, w string")
+    with pytest.raises(ValueError, match="merge_schema"):
+        tbl.write(widened, mode="append")
+    # with the opt-in → lands; merged read surfaces NULL for old files
+    tbl.write(widened, mode="append", merge_schema=True)
+    got = {r.k: r.w for r in tbl.read(spark, merge_schema=True).collect()}
+    assert got == {1: None, 2: "x"}
+    # missing (nullable) column is fine, like Delta
+    tbl.write(spark.createDataFrame([(3,)], "k int"), mode="append")
+    assert sorted(
+        r.k for r in tbl.read(spark, merge_schema=True).collect()
+    ) == [1, 2, 3]
+
+
+def test_concurrent_appends_all_land(spark, tbl):
+    # the put-if-absent commit loop: racing writers must each land a
+    # distinct version with no lost updates.
+    import threading
+
+    tbl.write(_df(spark, [(0, "seed")]), mode="overwrite")
+    errs = []
+
+    def appender(i):
+        try:
+            tbl.write(_df(spark, [(i, "t")]), mode="append")
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=appender, args=(i,)) for i in range(1, 5)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs
+    assert tbl.latest_version == 4
+    assert sorted(r.k for r in tbl.read(spark).collect()) == [0, 1, 2, 3, 4]
