@@ -279,3 +279,51 @@ def dbt_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
     tbl = DeltaLikeTable(workdir(sf_dir, "seed_table"))
     tbl.write(seed, mode="overwrite")
     return tbl.read(spark).orderBy("region_key")
+
+
+@register(
+    "dbt_lineage_export",
+    """
+    SELECT * FROM (VALUES
+      ('bronze_orders', 'table',       0, ''),
+      ('silver_orders', 'table',       1, 'bronze_orders,customer,nation'),
+      ('gold_revenue_by_segment', 'table', 2, 'silver_orders')
+    ) AS t(model, materialized, depth, depends_on)
+    ORDER BY depth, model
+    """,
+)
+def dbt_lineage_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`dbt docs generate`-style lineage: the model DAG exported as a
+    relation (model, materialization, topological depth, sorted
+    dependency list) — what powers dbt's docs site and `dbt ls
+    --select +model` graph selection. Derived from the same ModelGraph
+    the medallion pipeline runs, so the lineage can never drift from
+    the executed DAG. Depth = longest path from a source; dependency
+    names serialize sorted so the output is deterministic.
+    """
+    from ..operators.medallion import build_medallion_graph
+
+    g = build_medallion_graph(spark, sf_dir)
+    depth: dict[str, int] = {}
+
+    def d(name: str) -> int:
+        if name not in g.models:
+            return -1  # source relation
+        if name not in depth:
+            depth[name] = 1 + max(
+                (d(dep) for dep in g.models[name].deps), default=-1
+            )
+        return depth[name]
+
+    rows = [
+        (
+            m.name,
+            m.materialized,
+            d(m.name),
+            ",".join(sorted(dep for dep in m.deps)),
+        )
+        for m in g.models.values()
+    ]
+    return spark.createDataFrame(
+        rows, "model string, materialized string, depth int, depends_on string"
+    ).orderBy("depth", "model")

@@ -70,15 +70,11 @@ GROUP BY c_mktsegment, nation
 """
 
 
-@register("pipeline_medallion", _PIPELINE_ORACLE)
-def pipeline_medallion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # bronze: CSV round-trip of orders (schema-on-read ingest, the dbt
-    # seed / raw-landing shape) + parquet dims as-is. The raw CSV landing
-    # is fixture staging (the "files arriving from upstream"), so it is
-    # written once per fixture dir and reused; the pipeline's own work —
-    # bronze/silver/gold materializations — runs fresh every time.
-    import os
-
+def build_medallion_graph(spark: SparkSession, sf_dir: str) -> ModelGraph:
+    """The medallion DAG definition, shared by the pipeline runner and
+    the lineage export (dbt_lineage_export) so documented lineage can
+    never drift from the executed graph. Building is cheap: no model
+    runs until ``run``."""
     bronze_dir = stage_bronze_csv(spark, sf_dir)
 
     g = ModelGraph(workdir(sf_dir, "medallion_models"))
@@ -143,6 +139,17 @@ def pipeline_medallion(spark: SparkSession, sf_dir: str) -> DataFrame:
     g.model("gold_revenue_by_segment", deps=["silver_orders"], materialized="table")(
         gold_revenue_by_segment
     )
+    return g
+
+
+@register("pipeline_medallion", _PIPELINE_ORACLE)
+def pipeline_medallion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # bronze: CSV round-trip of orders (schema-on-read ingest, the dbt
+    # seed / raw-landing shape) + parquet dims as-is. The raw CSV landing
+    # is fixture staging (the "files arriving from upstream"), so it is
+    # written once per fixture dir and reused; the pipeline's own work —
+    # bronze/silver/gold materializations — runs fresh every time.
+    g = build_medallion_graph(spark, sf_dir)
 
     sources = {
         "customer": t(spark, sf_dir, "customer"),

@@ -216,3 +216,43 @@ def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_mktsegment", "c_custkey", "c_acctbal")
         .orderBy("c_mktsegment", F.col("c_acctbal").desc(), "c_custkey")
     )
+
+
+@register(
+    "win_distribution",
+    """
+    SELECT o_orderkey,
+           o_orderstatus,
+           ROUND(PERCENT_RANK() OVER w, 9) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 9) AS cume,
+           NTILE(4) OVER w AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    ORDER BY o_orderkey
+    """,
+)
+def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: percent_rank / cume_dist / ntile —
+    the quantile-bucketing trio (price-position scoring, quartile
+    assignment). One shuffle on the partition key; the unique
+    (o_totalprice, o_orderkey) tiebreak makes every rank — and therefore
+    the two ratios, each a single IEEE division of exact integers —
+    deterministic across engines. ntile's remainder distribution
+    (earlier buckets get the extra rows) matches between Spark and
+    DuckDB by the standard's definition.
+    """
+    w = (
+        W.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    )
+    return (
+        t(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 9).alias("cume"),
+            # long: DuckDB NTILE yields BIGINT, Spark int — align widths
+            F.ntile(4).over(w).cast("long").alias("quartile"),
+        )
+        .orderBy("o_orderkey")
+    )
