@@ -411,7 +411,14 @@ def llm_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    nlist, nprobe, k, dim = 8, 2, 10, 64
+    # nprobe=4 measured recall@10 0.7 (sf0.01) / 0.8 (sf0.1) vs 0.2-0.5
+    # at nprobe=2; the synthetic embeddings are near-uniform on the
+    # sphere, so cell membership barely correlates with query
+    # neighborhoods and recall tracks the scanned fraction — on real
+    # (clustered) embeddings the same code gets high recall at small
+    # nprobe. Extra Lloyd iterations were measured NOT to help here for
+    # the same reason. llm_ann_recall asserts the floor.
+    nlist, nprobe, k, dim = 8, 4, 10, 64
     e = t(spark, sf_dir, "embeddings")
     head = {
         r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
@@ -1790,4 +1797,60 @@ def llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_saturated",
         )
         .orderBy("vec_id")
+    )
+
+
+@register(
+    "llm_ann_recall",
+    """
+    SELECT 10 AS n_exact,
+           TRUE AS blocked_exact,
+           TRUE AS lsh_recall_ok,
+           TRUE AS ivf_recall_ok
+    """,
+)
+def llm_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall gate over the ANN family: the approximate variants'
+    candidate quality, hash-checked. The exact top-10 (llm_cosine_topk)
+    is the ground truth; blocked brute-force must reproduce it exactly
+    (it is exhaustive), and the bucketed variants must clear measured
+    recall floors (LSH ≥ 0.5, IVF ≥ 0.6 — deterministic given the
+    RNG-free fixtures; see llm_cosine_topk_ivf for why recall tracks
+    scanned fraction on these near-uniform synthetic vectors). A
+    regression in bucketing, probing, or the Lloyd step trips a boolean
+    and FAILs the driver compare.
+    """
+    exact = llm_cosine_topk(spark, sf_dir).select("vec_id")
+    marked = (
+        exact.join(
+            llm_cosine_topk_blocked(spark, sf_dir)
+            .select("vec_id")
+            .withColumn("hb", F.lit(1)),
+            "vec_id",
+            "left",
+        )
+        .join(
+            llm_cosine_topk_lsh(spark, sf_dir)
+            .select("vec_id")
+            .withColumn("hl", F.lit(1)),
+            "vec_id",
+            "left",
+        )
+        .join(
+            llm_cosine_topk_ivf(spark, sf_dir)
+            .select("vec_id")
+            .withColumn("hi", F.lit(1)),
+            "vec_id",
+            "left",
+        )
+    )
+    return marked.agg(
+        F.count(F.lit(1)).cast("int").alias("n_exact"),
+        (F.sum("hb") == F.count(F.lit(1))).alias("blocked_exact"),
+        (F.sum("hl") >= F.lit(0.5) * F.count(F.lit(1))).alias(
+            "lsh_recall_ok"
+        ),
+        (F.sum("hi") >= F.lit(0.6) * F.count(F.lit(1))).alias(
+            "ivf_recall_ok"
+        ),
     )
