@@ -1854,3 +1854,73 @@ def llm_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ivf_recall_ok"
         ),
     )
+
+
+@register(
+    "llm_cosine_topk_multi",
+    """
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id <= 4
+    ), prod AS (
+      SELECT q.qid, b.vec_id,
+             SUM(CAST(CAST(b.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)
+                      AS DECIMAL(38,12))) AS dot,
+             SUM(CAST(CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
+                      AS DECIMAL(38,12))) AS nb,
+             SUM(CAST(CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)
+                      AS DECIMAL(38,12))) AS nq
+      FROM embeddings b CROSS JOIN q, generate_series(1, 64) t(i)
+      WHERE b.vec_id > 4
+      GROUP BY q.qid, b.vec_id
+    )
+    SELECT qid, vec_id,
+           ROUND(CAST(dot AS DOUBLE)
+                 / (SQRT(CAST(nb AS DOUBLE)) * SQRT(CAST(nq AS DOUBLE))), 6)
+             AS cosine
+    FROM prod
+    QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY qid ORDER BY cosine DESC, vec_id
+    ) <= 5
+    ORDER BY qid, cosine DESC, vec_id
+    """,
+)
+def llm_cosine_topk_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ANN: exact top-5 neighbors for a SET of query vectors in one
+    plan — the realistic serving shape (embedding-search endpoints
+    answer batches, not single vectors). The query block broadcasts,
+    the corpus streams once, and the per-query top-k is a window over
+    the (qid, corpus) grain: corpus scan cost is paid ONCE for all
+    queries instead of per query. Same decimal-exact reduction as
+    llm_cosine_topk so the floats hash-match. At 100 TB the identical
+    plan serves thousands of queries per scan; the bucketed variants
+    cut the scan itself.
+    """
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") <= 4).select(
+        F.col("vec_id").alias("qid"),
+        F.posexplode("embedding").alias("pos", "qv"),
+    )
+    b = e.filter(F.col("vec_id") > 4).select(
+        "vec_id", F.posexplode("embedding").alias("pos", "bv")
+    )
+    bd, qd = F.col("bv").cast("double"), F.col("qv").cast("double")
+    prod = (
+        b.join(F.broadcast(q), "pos")
+        .groupBy("qid", "vec_id")
+        .agg(
+            F.sum((bd * qd).cast(DEC12)).alias("dot"),
+            F.sum((bd * bd).cast(DEC12)).alias("nb"),
+            F.sum((qd * qd).cast(DEC12)).alias("nq"),
+        )
+    )
+    cos = F.col("dot").cast("double") / (
+        F.sqrt(F.col("nb").cast("double")) * F.sqrt(F.col("nq").cast("double"))
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        prod.select("qid", "vec_id", F.round(cos, 6).alias("cosine"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
+        .orderBy("qid", F.col("cosine").desc(), "vec_id")
+    )
