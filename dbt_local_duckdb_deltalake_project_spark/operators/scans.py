@@ -160,13 +160,17 @@ def scan_deltalike_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     from ..sources.deltalike import DeltaLikeTable
-    from ..sources.workspace import workdir
+    from .delta_ops import _staged_table
 
-    tbl = DeltaLikeTable(workdir(sf_dir, "delta_pyds"))
-    o = t(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderstatus", "o_totalprice"
-    )
-    tbl.write(o, mode="overwrite")
+    def build(table: DeltaLikeTable) -> None:
+        table.write(
+            t(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_orderstatus", "o_totalprice"
+            ),
+            mode="overwrite",
+        )
+
+    tbl = _staged_table(sf_dir, "delta_pyds", build)
 
     # driver-side planning: log replay picks the live file set
     files = [

@@ -25,3 +25,14 @@ def prestage(spark: SparkSession, sf_dir: str) -> None:
     stage_event_files(spark, sf_dir, "prestage_fwd", late_fraction=False)
     stage_event_files(spark, sf_dir, "prestage_rev", late_fraction=True)
     stage_bronze_csv(spark, sf_dir)
+    # Read-path Delta layouts (pruning / skipping / CDF / pyds scan):
+    # running each op once stages its table via _staged_table's gate.
+    from .operators import QUERIES
+
+    for qid in (
+        "delta_partition_pruning",
+        "delta_data_skipping",
+        "delta_change_data_feed",
+        "scan_deltalike_datasource",
+    ):
+        QUERIES[qid](spark, sf_dir)  # lazy build; staging happens eagerly
