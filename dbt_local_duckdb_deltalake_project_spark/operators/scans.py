@@ -216,3 +216,33 @@ def scan_deltalike_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register("scan_binaryfile")  # rows-mode: DuckDB read_blob needs a literal
+# path, and the staged dir depends on sf_dir — a static oracle string
+# cannot express it. tests/test_corpus_ops.py checks the byte hashes
+# against DuckDB read_blob directly instead.
+def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-file binary ingest (``binaryFile``) — the multimodal landing
+    path: each file becomes one row of (path, length, opaque bytes),
+    which is how image/audio corpora enter before any decode (the
+    mm_* operators then run over the binary column). Column pruning
+    applies to the content column like any other: a metadata-only query
+    (names + sizes) never reads the payloads.
+    """
+    from .medallion import stage_bronze_csv
+
+    bronze_dir = stage_bronze_csv(spark, sf_dir)
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "part-*.csv")
+        .load(bronze_dir)
+    )
+    return (
+        df.select(
+            F.element_at(F.split("path", "/"), -1).alias("file_name"),
+            F.col("length").alias("n_bytes"),
+            F.md5("content").alias("content_md5"),
+        )
+        .orderBy("file_name")
+    )

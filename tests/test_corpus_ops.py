@@ -73,3 +73,31 @@ def test_decontaminate_flags_only_training_docs(spark, sf_dir):
         h = hashlib.md5(str(d).encode()).hexdigest()[:2]
         assert h >= "08", f"held-out doc {d} flagged as training"
     assert (pdf.n_hit_shingles >= 1).all()
+
+
+def test_scan_binaryfile_hashes_match_duckdb_read_blob(spark, sf_dir):
+    # rows-mode operator (a static oracle can't hold the sf-dependent
+    # staged path) — differential check here instead: Spark binaryFile
+    # and DuckDB read_blob must agree on names, sizes, and byte hashes.
+    import duckdb
+
+    from dbt_local_duckdb_deltalake_project_spark.operators import QUERIES
+    from dbt_local_duckdb_deltalake_project_spark.operators.medallion import (
+        stage_bronze_csv,
+    )
+
+    bronze = stage_bronze_csv(spark, sf_dir)
+    got = {
+        r.file_name: (r.n_bytes, r.content_md5)
+        for r in QUERIES["scan_binaryfile"](spark, sf_dir).collect()
+    }
+    want = {
+        fn.rsplit("/", 1)[-1]: (size, md5)
+        for fn, size, md5 in duckdb.connect()
+        .execute(
+            "SELECT filename, size, md5(decode(content)) "
+            f"FROM read_blob('{bronze}/part-*.csv')"
+        )
+        .fetchall()
+    }
+    assert got == want and len(got) > 0
