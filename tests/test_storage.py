@@ -405,3 +405,22 @@ def test_concurrent_appends_all_land(spark, tbl):
     assert not errs
     assert tbl.latest_version == 4
     assert sorted(r.k for r in tbl.read(spark).collect()) == [0, 1, 2, 3, 4]
+
+
+def test_events_ts_normalizes_under_foreign_timezone(sf_dir):
+    # The r2 bug class: a vanilla session (possibly non-UTC) must read
+    # events.ts as TIMESTAMP with UTC wall-clock values — the catalog
+    # pins the session tz and casts any NTZ schema. Run in a throwaway
+    # session configured like a hostile driver.
+    from pyspark.sql import SparkSession
+
+    from dbt_local_duckdb_deltalake_project_spark.catalog import read_table
+
+    base = SparkSession.builder.getOrCreate()
+    s2 = base.newSession()
+    s2.conf.set("spark.sql.session.timeZone", "America/New_York")
+    df = read_table(s2, sf_dir, "events")
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    assert s2.conf.get("spark.sql.session.timeZone") == "UTC"
+    lo = df.agg({"ts": "min"}).head()[0]
+    assert lo.year >= 2024  # sane wall-clock, not an epoch shift
