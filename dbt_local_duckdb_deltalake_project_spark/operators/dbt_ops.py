@@ -327,3 +327,68 @@ def dbt_lineage_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "model string, materialized string, depth int, depends_on string"
     ).orderBy("depth", "model")
+
+
+@register(
+    "dbt_dq_observe",
+    """
+    SELECT COUNT(*) AS n_rows,
+           COUNT(*) FILTER (WHERE o_custkey IS NULL) AS null_custkey,
+           COUNT(*) FILTER (WHERE o_totalprice <= 0) AS nonpositive_price,
+           COUNT(*) FILTER (
+             WHERE o_orderstatus NOT IN ('O', 'F', 'P')
+           ) AS bad_status,
+           COUNT(*) FILTER (
+             WHERE o_orderdate < TIMESTAMP '1990-01-01'
+                OR o_orderdate > TIMESTAMP '2030-01-01'
+           ) AS out_of_range_date
+    FROM orders
+    """,
+)
+def dbt_dq_observe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass data-quality metrics via Spark's ``Observation`` API:
+    every expectation (null check, bound check, accepted values, date
+    range) evaluates as an observed aggregate DURING one scan of the
+    table — no second pass per check, which is the difference between
+    one and N table scans when a dbt test suite runs against 100 TB.
+    The metrics come back on the driver as a bounded 1-row dict; at
+    scale the same pattern attaches to the WRITE of a model, so QA is
+    free with materialization.
+    """
+    from pyspark.sql import Observation
+
+    o = t(spark, sf_dir, "orders")
+    obs = Observation("dq")
+    observed = o.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("o_custkey").isNull(), 1)).alias("null_custkey"),
+        F.count(F.when(F.col("o_totalprice") <= 0, 1)).alias(
+            "nonpositive_price"
+        ),
+        F.count(
+            F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1)
+        ).alias("bad_status"),
+        F.count(
+            F.when(
+                (F.col("o_orderdate") < "1990-01-01")
+                | (F.col("o_orderdate") > "2030-01-01"),
+                1,
+            )
+        ).alias("out_of_range_date"),
+    )
+    observed.write.format("noop").mode("overwrite").save()  # one pass
+    m = obs.get  # bounded: one metrics row
+    return spark.createDataFrame(
+        [
+            (
+                m["n_rows"],
+                m["null_custkey"],
+                m["nonpositive_price"],
+                m["bad_status"],
+                m["out_of_range_date"],
+            )
+        ],
+        "n_rows long, null_custkey long, nonpositive_price long, "
+        "bad_status long, out_of_range_date long",
+    )
