@@ -157,3 +157,83 @@ _shared(
     ORDER BY months.month_start
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Classic TPC-H-shaped composite queries, adapted to the fixture schema
+# (o_orderpriority stands in for o_shippriority; trimmed address/phone
+# columns). These test multi-operator COMPOSITION — multiway join +
+# filtered agg + deterministic decimal revenue + top-k — through the
+# same identical-text path as the CTE family. Catalyst picks broadcast
+# for dims and TakeOrdered for the LIMIT; revenue rounds an
+# order-insensitive decimal sum so the hash compare is exact.
+# ---------------------------------------------------------------------------
+
+# Each FACTOR casts to decimal before the multiply (decimal×decimal is
+# exact), and the exact sum casts to double with NO final ROUND — a
+# revenue landing on a cent midpoint (…,595) was measured to round
+# differently per engine (Spark HALF_UP on the shortest decimal repr vs
+# DuckDB on the raw binary), while the unrounded cast is bit-identical.
+_REV = (
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) "
+    "* CAST(1 - l_discount AS DECIMAL(18,6))) AS DOUBLE)"
+)
+
+_shared(
+    "tpch_q3",
+    f"""
+    SELECT l_orderkey,
+           {_REV} AS revenue,
+           o_orderdate,
+           o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate  > TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+
+_shared(
+    "tpch_q5",
+    f"""
+    SELECT n_name,
+           {_REV} AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey  = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey  = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = (SELECT r_name FROM region ORDER BY r_regionkey LIMIT 1)
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+
+_shared(
+    "tpch_q10",
+    f"""
+    SELECT c_custkey,
+           c_name,
+           {_REV} AS revenue,
+           c_acctbal,
+           n_name
+    FROM customer
+    JOIN orders   ON c_custkey  = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-04-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
