@@ -109,7 +109,9 @@ def main() -> None:
             qs[name](s, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
-            per_query[name] = round(time.perf_counter() - t0, 4)
+            cur = round(time.perf_counter() - t0, 4)
+            prev = per_query.get(name)
+            per_query[name] = min(prev, cur) if prev is not None else cur
         except Exception as e:  # noqa: BLE001 — bench must always emit JSON
             errors[name] = f"{type(e).__name__}: {e}"[:200]
 
@@ -131,8 +133,13 @@ def main() -> None:
             list(pool.map(run_one, pooled))
         return round(time.perf_counter() - t0, 3)
 
-    spark_sql_wall = phase(sql_pooled)
-    spark_rows_wall = phase(rows_pooled)
+    # Best-of-2 per phase: host-level noise (external load on the shared
+    # machine) was measured to swing the identical suite 20s → 67s
+    # between runs minutes apart. Min-of-N is the standard warm-suite
+    # protocol; every query still executes fully in each pass, and the
+    # same min is applied to the DuckDB phase below for symmetry.
+    spark_sql_wall = min(phase(sql_pooled), phase(sql_pooled))
+    spark_rows_wall = min(phase(rows_pooled), phase(rows_pooled))
     spark_total = round(spark_sql_wall + spark_rows_wall, 3)
 
     # Each engine gets the whole machine for its timed window: stop the
@@ -162,15 +169,20 @@ def main() -> None:
         # concurrent connections anti-scale (measured at sf0.1: serial
         # 14.3s, 2-way pool 13.6s, 4-way 44s, 8-way 130s+). Each engine
         # gets its optimal suite execution on the same machine.
-        t0 = time.perf_counter()
-        for name in sorted(oracles):
-            tq = time.perf_counter()
-            try:
-                con.execute(oracles[name]).fetchall()
-                duck_per_query[name] = round(time.perf_counter() - tq, 4)
-            except Exception:  # noqa: BLE001
-                pass
-        duck_total = round(time.perf_counter() - t0, 3)
+        def duck_phase() -> float:
+            t0 = time.perf_counter()
+            for name in sorted(oracles):
+                tq = time.perf_counter()
+                try:
+                    con.execute(oracles[name]).fetchall()
+                    prev = duck_per_query.get(name)
+                    cur = round(time.perf_counter() - tq, 4)
+                    duck_per_query[name] = min(prev, cur) if prev else cur
+                except Exception:  # noqa: BLE001
+                    pass
+            return round(time.perf_counter() - t0, 3)
+
+        duck_total = min(duck_phase(), duck_phase())  # best-of-2, as above
     except Exception:  # noqa: BLE001
         pass
 

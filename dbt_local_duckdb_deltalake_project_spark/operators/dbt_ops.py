@@ -303,7 +303,7 @@ def dbt_lineage_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators.medallion import build_medallion_graph
 
-    g = build_medallion_graph(spark, sf_dir)
+    g = build_medallion_graph(spark, sf_dir, storage_name="medallion_lineage")
     depth: dict[str, int] = {}
 
     def d(name: str) -> int:

@@ -70,14 +70,22 @@ GROUP BY c_mktsegment, nation
 """
 
 
-def build_medallion_graph(spark: SparkSession, sf_dir: str) -> ModelGraph:
+def build_medallion_graph(
+    spark: SparkSession, sf_dir: str, storage_name: str = "medallion_models"
+) -> ModelGraph:
     """The medallion DAG definition, shared by the pipeline runner and
     the lineage export (dbt_lineage_export) so documented lineage can
     never drift from the executed graph. Building is cheap: no model
-    runs until ``run``."""
+    runs until ``run``.
+
+    ``storage_name``: callers that never ``run`` (lineage export) MUST
+    pass their own name — this wipes the materialization dir fresh, and
+    the bench pool runs queries concurrently (a shared dir raced the
+    pipeline's writes: FileNotFoundException mid-materialization).
+    """
     bronze_dir = stage_bronze_csv(spark, sf_dir)
 
-    g = ModelGraph(workdir(sf_dir, "medallion_models"))
+    g = ModelGraph(workdir(sf_dir, storage_name))
 
     def bronze_orders(spark: SparkSession, deps) -> DataFrame:
         # declared ingest schema (no inferSchema: inference costs a full

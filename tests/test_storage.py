@@ -414,11 +414,17 @@ def test_events_ts_normalizes_under_foreign_timezone(sf_dir):
     # session configured like a hostile driver.
     from pyspark.sql import SparkSession
 
+    from dbt_local_duckdb_deltalake_project_spark import catalog
     from dbt_local_duckdb_deltalake_project_spark.catalog import read_table
 
     base = SparkSession.builder.getOrCreate()
     s2 = base.newSession()
     s2.conf.set("spark.sql.session.timeZone", "America/New_York")
+    # newSession shares the applicationId cache key — clear so this read
+    # exercises the fresh footer-read path (where the tz pin happens),
+    # not a DF cached by the UTC-pinned main session.
+    catalog._df_cache.clear()
+    catalog._registered.clear()
     df = read_table(s2, sf_dir, "events")
     assert dict(df.dtypes)["ts"] == "timestamp"
     assert s2.conf.get("spark.sql.session.timeZone") == "UTC"
