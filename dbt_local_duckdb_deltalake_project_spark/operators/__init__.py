@@ -64,8 +64,12 @@ _WINDOW_FIRST = [
     "stream_dedup_within_watermark", "stream_sink_deltalike",
     # new r3 sql-mode bound-checked sketch variants
     "agg_approx_count_distinct", "agg_percentile_approx",
-    # rows-mode never-checked (weaker rows-only driver check)
-    "llm_dedup_minhash", "llm_simhash", "llm_cosine_topk_ivf",
+    # r3 additions that certify whole families hash-checked:
+    # llm_ann_recall gates the blocked/LSH/IVF ANN variants (their own
+    # rows would only get the weak rows-only check), cte_recursive is
+    # the Spark 4 recursive surface, stream_stream_join the last big
+    # streaming shape.
+    "llm_ann_recall", "cte_recursive", "stream_stream_join",
 ]
 
 
@@ -73,7 +77,8 @@ _WINDOW_FIRST = [
 # case the driver window is wider than 50; the already-proven relational
 # core rotates to the very back (local pytest still covers it).
 _WINDOW_SECOND = [
-    "cte_recursive", "stream_join_static", "mm_dedup_exact",
+    "llm_dedup_minhash", "llm_simhash", "llm_cosine_topk_ivf",
+    "stream_join_static", "mm_dedup_exact",
     "llm_rarity_score", "llm_bpe_pairs", "delta_partition_pruning",
     "stream_stream_join", "llm_embed_quantize", "scan_deltalike_datasource",
     "join_bloom_runtime_filter", "delta_data_skipping",
