@@ -462,3 +462,55 @@ def delta_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feed.select("change_type", "c_custkey", "acctbal").orderBy(
         "change_type", "c_custkey"
     )
+
+
+@register(
+    "delta_shallow_clone",
+    """
+    SELECT c_mktsegment,
+           COUNT(*) AS n_customers,
+           ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE), 2)
+             AS total_balance
+    FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def delta_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE: fork a table as metadata only — the clone's first
+    commit re-adds the source's live files by absolute path, zero bytes
+    copied (how a dev environment forks a 100 TB production table
+    instantly). The clone then evolves independently: here it appends
+    rows the source never sees, and the oracle checks the source-shaped
+    aggregate over the CLONE MINUS its private append — proving both
+    the zero-copy read and the copy-on-write isolation.
+    """
+    def build(tbl: DeltaLikeTable) -> None:
+        tbl.write(
+            t(spark, sf_dir, "customer").select(
+                "c_custkey", "c_mktsegment", "c_acctbal"
+            ),
+            mode="overwrite",
+        )
+
+    src = _staged_table(sf_dir, "delta_clone_src", build)
+    clone = src.clone_to(workdir(sf_dir, "delta_clone_dst"))
+    marker = spark.range(1).select(
+        (F.col("id") - 1000000).alias("c_custkey"),
+        F.lit("CLONE_ONLY").alias("c_mktsegment"),
+        F.lit(0.0).alias("c_acctbal"),
+    )
+    clone.write(marker, mode="append")
+    return (
+        clone.read(spark)
+        .filter(F.col("c_mktsegment") != "CLONE_ONLY")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(38,6)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("total_balance"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -538,6 +538,28 @@ class DeltaLikeTable:
         )
         return self._commit(actions)
 
+    def clone_to(self, target_path: str, as_of: int | None = None) -> "DeltaLikeTable":
+        """SHALLOW CLONE: a new table whose first commit re-ADDs the
+        source's live files by ABSOLUTE path (the protocol allows path
+        URIs outside the table root) — zero data copied, O(live adds)
+        metadata work, which is how a 100 TB dev/test environment forks
+        a production table instantly. The clone then evolves
+        independently: its own appends/overwrites land in its own root
+        and never touch the source's files (copy-on-write isolation);
+        VACUUM on the clone only ever deletes files under the clone's
+        root."""
+        clone = DeltaLikeTable(target_path)
+        os.makedirs(target_path, exist_ok=True)
+        actions: list[dict] = []
+        for a in self._active_files(as_of=as_of):
+            src = os.path.join(self.path, a["path"])
+            actions.append({"add": {**a, "path": os.path.abspath(src)}})
+        metas = [m for m in self._actions(upto=as_of) if "metaData" in m]
+        if metas:
+            actions.append(metas[-1])
+        clone._commit(actions)
+        return clone
+
     # -- maintenance ------------------------------------------------------
     def compact(self, spark: SparkSession, target_files: int = 1) -> int:
         """OPTIMIZE-style compaction: rewrite the live file set into
@@ -564,8 +586,13 @@ class DeltaLikeTable:
                     if "add" in act:
                         added_at.setdefault(act["add"]["path"], i)
         reclaimed: set[int] = set()
+        root = os.path.abspath(self.path)
         for path, version in added_at.items():
             full = os.path.join(self.path, path)
+            # never delete outside the table root: a shallow clone's
+            # absolute-path adds reference the SOURCE table's files
+            if not os.path.abspath(full).startswith(root + os.sep):
+                continue
             if path not in live and os.path.exists(full):
                 os.remove(full)
                 reclaimed.add(version)

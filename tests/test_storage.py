@@ -430,3 +430,26 @@ def test_events_ts_normalizes_under_foreign_timezone(sf_dir):
     assert s2.conf.get("spark.sql.session.timeZone") == "UTC"
     lo = df.agg({"ts": "min"}).head()[0]
     assert lo.year >= 2024  # sane wall-clock, not an epoch shift
+
+
+def test_shallow_clone_zero_copy_and_isolated(spark, tbl, tmp_path):
+    import os
+
+    tbl.write(_df(spark, [(1, "a"), (2, "b")]), mode="overwrite")
+    clone = tbl.clone_to(str(tmp_path / "clone"))
+    # zero-copy: the clone root holds NO parquet, only its log
+    clone_files = [
+        f
+        for _d, _s, fs in os.walk(clone.path)
+        for f in fs
+        if f.endswith(".parquet") and "checkpoint" not in f
+    ]
+    assert clone_files == []
+    assert sorted(r.k for r in clone.read(spark).collect()) == [1, 2]
+    # isolation: clone appends don't touch the source; clone overwrite +
+    # vacuum must NOT delete the source's files
+    clone.write(_df(spark, [(3, "c")]), mode="append")
+    assert sorted(r.k for r in tbl.read(spark).collect()) == [1, 2]
+    clone.write(_df(spark, [(9, "z")]), mode="overwrite")
+    clone.vacuum()
+    assert sorted(r.k for r in tbl.read(spark).collect()) == [1, 2]
