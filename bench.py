@@ -95,6 +95,7 @@ def main() -> None:
         "stream_sink_deltalike",
         "stream_join_static",
         "stream_stream_join",
+        "stream_deltalike_source",
     )}
     sql_pooled = sorted(n for n in qs if n in oracles)
     rows_pooled = sorted(n for n in qs if n not in oracles)

@@ -82,7 +82,7 @@ _WINDOW_SECOND = [
     "llm_rarity_score", "llm_bpe_pairs", "delta_partition_pruning",
     "stream_stream_join", "llm_embed_quantize", "scan_deltalike_datasource",
     "join_bloom_runtime_filter", "delta_data_skipping",
-    "delta_change_data_feed", "delta_shallow_clone", "win_distribution", "dbt_lineage_export", "llm_ann_recall", "llm_cosine_topk_multi", "scan_binaryfile", "dbt_dq_observe", "tpch_q3", "tpch_q5", "tpch_q10",
+    "delta_change_data_feed", "delta_shallow_clone", "stream_deltalike_source", "win_distribution", "dbt_lineage_export", "llm_ann_recall", "llm_cosine_topk_multi", "scan_binaryfile", "dbt_dq_observe", "tpch_q3", "tpch_q5", "tpch_q10",
     "llm_cosine_topk_blocked", "llm_cosine_topk_lsh",
     "llm_fingerprint_rolling",
     "stream_watermark_late", "stream_session_streamed",

@@ -433,3 +433,124 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "ssjoin", join_pairs, output_mode="append",
         partitions=4,
     )
+
+
+@register(
+    "stream_deltalike_source",
+    """
+    SELECT o_orderstatus, COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def stream_deltalike_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The versioned table as a STREAMING SOURCE (Spark 4 Python Data
+    Source streaming API): offsets are log versions, each batch drains the commits since the last — the
+    "Delta table as a stream" pattern that lets downstream consumers
+    tail a warehouse table incrementally instead of re-scanning it.
+
+    Offsets are log versions ({"version": v}), so restart/recovery
+    replays exactly the uncommitted versions (readBetweenOffsets); the
+    reader parses the _delta_log directly with stdlib+pyarrow only,
+    because the class ships by value to the worker process (closure
+    definition, the CLAUDE.md gotcha). Draining all three appends in
+    complete mode must reproduce the batch aggregate (oracle parity).
+    """
+    import json as _json
+    import os
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        SimpleDataSourceStreamReader,
+    )
+
+    from ..catalog import t
+    from ..sources.deltalike import DeltaLikeTable
+    from ..sources.workspace import workdir
+    from .delta_ops import _staged_table
+
+    def build(tbl: DeltaLikeTable) -> None:
+        o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+        tbl.write(o.filter(F.col("o_orderkey") % 3 == 0), mode="overwrite")
+        tbl.write(o.filter(F.col("o_orderkey") % 3 == 1), mode="append")
+        tbl.write(o.filter(F.col("o_orderkey") % 3 == 2), mode="append")
+
+    tbl = _staged_table(sf_dir, "delta_stream_src", build)
+    table_path = tbl.path
+    n_versions = tbl.latest_version + 1
+
+    class _Reader(SimpleDataSourceStreamReader):
+        def initialOffset(self):
+            return {"version": 0}
+
+        def _commit_rows(self, v):
+            import pyarrow.parquet as pq
+
+            log = os.path.join(table_path, "_delta_log", f"{v:020d}.json")
+            if not os.path.exists(log):
+                return
+            with open(log) as fh:
+                for ln in fh:
+                    act = _json.loads(ln)
+                    if "add" in act:
+                        f = os.path.join(table_path, act["add"]["path"])
+                        for row in pq.read_table(f).to_pylist():
+                            yield (row["o_orderkey"], row["o_orderstatus"])
+
+        def read(self, start):
+            # Consume every commit that exists past the offset (the
+            # availableNow wrapper snapshots ONE read() as the available
+            # range, so returning a single commit would drain only it);
+            # a live tail still advances incrementally: commits landing
+            # after catch-up arrive in later batches. Materialized list:
+            # the prefetching wrapper pickles rows for recovery and
+            # generators can't pickle.
+            v = start["version"]
+            rows: list = []
+            while os.path.exists(
+                os.path.join(table_path, "_delta_log", f"{v:020d}.json")
+            ):
+                rows.extend(self._commit_rows(v))
+                v += 1
+            return rows, {"version": v}
+
+        def readBetweenOffsets(self, start, end):
+            return [
+                row
+                for v in range(start["version"], end["version"])
+                for row in self._commit_rows(v)
+            ]
+
+        def commit(self, end):
+            pass
+
+    class _DeltaStreamSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "deltalike_stream"
+
+        def schema(self):
+            return "o_orderkey bigint, o_orderstatus string"
+
+        def simpleStreamReader(self, schema):
+            return _Reader()
+
+    spark.dataSource.register(_DeltaStreamSource)
+    import uuid as _uuid
+
+    sink = f"sink_dlstream_{_uuid.uuid4().hex[:8]}"
+    ckpt = workdir(sf_dir, "stream_ckpt_dlsrc")
+    stream = spark.readStream.format("deltalike_stream").load()
+    agg = stream.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    with replay_shuffle(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(sink).orderBy("o_orderstatus")
