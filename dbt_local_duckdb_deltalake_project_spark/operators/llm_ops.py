@@ -53,26 +53,50 @@ def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SHINGLE_ORACLE = """
-WITH toks AS (
+# Hot-shingle document-frequency cap: shingles appearing in more than
+# this many documents (stop-phrases) are dropped BEFORE the inverted-
+# index self-join, on both the Spark and oracle sides. Without it a
+# single hot shingle makes candidate pairs quadratic in its posting
+# list — the classic 100 TB skew killer. Jaccard is then computed over
+# the capped shingle space (denominators count capped shingles too), so
+# both engines agree exactly.
+NEARDUP_DF_CAP = 50
+
+# Shared capped shingle→candidate-pair CTE chain (DuckDB SQL). ``e0``
+# is the distinct (doc, shingle) inverted index; ``e`` applies the DF
+# cap; ``n_per`` re-counts per-doc shingles post-cap so Jaccard
+# denominators match the capped space.
+_PAIR_CTES = f"""toks AS (
   SELECT doc_id, string_split(text, ' ') AS w FROM documents
 ), sh AS (
   SELECT doc_id,
          list_distinct(list_transform(range(1, len(w) - 1),
            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
   FROM toks
+), e0 AS (
+  SELECT doc_id, unnest(shingles) AS s FROM sh
 ), e AS (
-  SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh
+  SELECT doc_id, s FROM e0
+  QUALIFY COUNT(*) OVER (PARTITION BY s) <= {NEARDUP_DF_CAP}
+), n_per AS (
+  SELECT doc_id, COUNT(*) AS n FROM e GROUP BY doc_id
 ), pairs AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         a.n AS na, b.n AS nb, COUNT(*) AS shared
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
   FROM e a JOIN e b ON a.s = b.s AND b.doc_id > a.doc_id
-  GROUP BY 1, 2, 3, 4
-)
-SELECT doc_a, doc_b,
-       ROUND(CAST(shared AS DOUBLE) / (na + nb - shared), 6) AS jaccard
-FROM pairs
-WHERE CAST(shared AS DOUBLE) / (na + nb - shared) >= 0.5
+  GROUP BY 1, 2
+), scored AS (
+  SELECT p.doc_a, p.doc_b,
+         CAST(p.shared AS DOUBLE) / (na.n + nb.n - p.shared) AS jaccard
+  FROM pairs p
+  JOIN n_per na ON na.doc_id = p.doc_a
+  JOIN n_per nb ON nb.doc_id = p.doc_b
+)"""
+
+_SHINGLE_ORACLE = f"""
+WITH {_PAIR_CTES}
+SELECT doc_a, doc_b, ROUND(jaccard, 6) AS jaccard
+FROM scored
+WHERE jaccard >= 0.5
 ORDER BY doc_a, doc_b
 """
 
@@ -111,19 +135,33 @@ def _shingle_rows(d: DataFrame) -> DataFrame:
 def _neardup_pairs(d: DataFrame) -> DataFrame:
     """Near-duplicate pairs (doc_a < doc_b, jaccard) at threshold 0.5.
 
-    3-word shingles → inverted index (explode) → candidate pairs share
-    ≥1 shingle → exact Jaccard ≥ 0.5. The explode+self-join is the
-    textbook exact algorithm; hot shingles are the skew risk (AQE skew
-    join handles it; the MinHash variant below removes it entirely).
+    3-word shingles → DF cap → inverted index self-join → exact Jaccard
+    ≥ 0.5 over the capped shingle space. The explode+self-join is the
+    textbook exact algorithm; the ``NEARDUP_DF_CAP`` filter removes its
+    one quadratic failure mode — a stop-phrase shingle whose posting
+    list would otherwise generate len²/2 candidate pairs. Hot shingles
+    carry no dedup signal (they match everything), so dropping them
+    changes Jaccard only through the (capped-space) denominator, and
+    the oracle applies the identical cap. The MinHash variant below
+    additionally bounds candidates per LSH band bucket.
 
     Shuffle discipline: the self-join moves only (doc_id, s) — 16-byte
-    rows. Per-doc shingle counts are aggregated ONCE (o(docs) rows) and
-    attached to the much smaller post-aggregation pair set, instead of
-    a per-row window that re-shuffles and sorts the full shingle set on
-    both join sides. AQE broadcasts the counts side when it is small;
-    at 100 TB it degrades gracefully to a shuffle join on doc_id.
+    rows. The hot-shingle set (df > cap) is tiny by construction and
+    broadcast for the anti-join. Per-doc shingle counts are aggregated
+    ONCE (o(docs) rows) and attached to the much smaller
+    post-aggregation pair set, instead of a per-row window that
+    re-shuffles and sorts the full shingle set on both join sides. AQE
+    broadcasts the counts side when it is small; at 100 TB it degrades
+    gracefully to a shuffle join on doc_id.
     """
-    sh = _shingle_rows(d)
+    all_sh = _shingle_rows(d)
+    hot = (
+        all_sh.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > NEARDUP_DF_CAP)
+        .select("s")
+    )
+    sh = all_sh.join(F.broadcast(hot), "s", "left_anti")
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     pairs = (
@@ -1512,24 +1550,9 @@ def llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_CLUSTER_ORACLE = """
-WITH RECURSIVE toks AS (
-  SELECT doc_id, string_split(text, ' ') AS w FROM documents
-), sh AS (
-  SELECT doc_id,
-         list_distinct(list_transform(range(1, len(w) - 1),
-           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
-  FROM toks
-), e AS (
-  SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh
-), p0 AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         a.n AS na, b.n AS nb, COUNT(*) AS shared
-  FROM e a JOIN e b ON a.s = b.s AND b.doc_id > a.doc_id
-  GROUP BY 1, 2, 3, 4
-), edges AS (
-  SELECT doc_a, doc_b FROM p0
-  WHERE CAST(shared AS DOUBLE) / (na + nb - shared) >= 0.5
+_CLUSTER_ORACLE = f"""
+WITH RECURSIVE {_PAIR_CTES}, edges AS (
+  SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.5
 ), sym AS (
   SELECT doc_a AS a, doc_b AS b FROM edges
   UNION ALL SELECT doc_b, doc_a FROM edges
