@@ -514,3 +514,87 @@ def delta_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "delta_time_travel_ts",
+    f"""
+    SELECT o_orderkey, o_orderstatus, o_totalprice, 0 AS resolved_version
+    FROM orders
+    WHERE o_orderdate < TIMESTAMP '{_CUT}'
+    """,
+)
+def delta_time_travel_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``TIMESTAMP AS OF`` time travel: resolve a wall-clock instant to
+    the latest commit at-or-before it via the log's commitInfo
+    timestamps (sources/deltalike.py:version_at_timestamp), then read
+    that version — the public Delta surface next to ``VERSION AS OF``.
+    Resolution is O(#commits) driver-side log work; no data file is
+    touched until the resolved version is scanned, so it costs the same
+    at 100 TB as at fixture scale. The emitted ``resolved_version``
+    column makes the resolution itself hash-checked (the oracle pins 0).
+    """
+    import time as _time
+
+    tbl = DeltaLikeTable(workdir(sf_dir, "delta_time_travel_ts"))
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    tbl.write(o.filter(F.col("o_orderdate") < _CUT), mode="overwrite")
+    ts0 = tbl.commit_timestamp(0)
+    # Commit timestamps have ms granularity; make sure commit 1 lands on
+    # a strictly later ms so "instant between the commits" exists.
+    while int(_time.time() * 1000) <= ts0:
+        _time.sleep(0.001)
+    tbl.write(o.filter(F.col("o_orderdate") >= _CUT), mode="append")
+    between = tbl.commit_timestamp(1) - 1  # >= ts0, < ts1
+    v = tbl.version_at_timestamp(between)
+    return tbl.read(spark, as_of=v).select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.lit(v).cast("int").alias("resolved_version"),
+    )
+
+
+@register(
+    "delta_vacuum",
+    """
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           0 AS reclaimed_within_retention,
+           1 AS reclaimed_after_retention,
+           TRUE AS v0_readable_within_retention
+    FROM orders
+    """,
+)
+def delta_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``VACUUM ... RETAIN`` separated from OPTIMIZE (delta_compact
+    bundles them): v1 overwrites v0, leaving v0's file unreachable; a
+    vacuum with a generous retention window must reclaim NOTHING (v0
+    stays time-travelable — the gate that protects in-flight readers),
+    then a retention-0 vacuum reclaims exactly v0's one file. Both
+    outcomes plus the latest content are hash-checked; single-file
+    commits (coalesce) make the reclaim count deterministic. At 100 TB
+    vacuum is O(history removes) driver work + unlinks — no data read.
+    """
+    tbl = DeltaLikeTable(workdir(sf_dir, "delta_vacuum"))
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    tbl.write(
+        o.filter(F.col("o_orderdate") < _CUT).drop("o_orderdate").coalesce(1),
+        mode="overwrite",
+    )
+    v0_rows = tbl.read(spark, as_of=0).count()
+    tbl.write(o.drop("o_orderdate").coalesce(1), mode="overwrite")
+    kept = tbl.vacuum(retention_ms=10**9)  # window open → reclaim nothing
+    v0_still = tbl.read(spark, as_of=0).count() == v0_rows
+    reclaimed = tbl.vacuum(retention_ms=0)  # window expired → v0's file
+    return tbl.read(spark).select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.lit(len(kept)).cast("int").alias("reclaimed_within_retention"),
+        F.lit(len(reclaimed)).cast("int").alias("reclaimed_after_retention"),
+        F.lit(bool(v0_still)).alias("v0_readable_within_retention"),
+    )

@@ -110,7 +110,13 @@ def _file_stats(path: str) -> str:
     md = pq.ParquetFile(path).metadata
 
     def _jsonable(v):
-        if isinstance(v, (datetime.datetime, datetime.date)):
+        if isinstance(v, datetime.datetime):
+            # normalize to a naive UTC instant so stats compare cleanly
+            # against naive bounds (the session tz is pinned UTC)
+            if v.tzinfo is not None:
+                v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+            return str(v)
+        if isinstance(v, datetime.date):
             return str(v)
         if isinstance(v, bytes):
             return v.decode("utf-8", "replace")
@@ -279,8 +285,17 @@ class DeltaLikeTable:
         while True:
             version = len(self._commit_files())
             staged = actions
+            if not any("commitInfo" in a for a in staged):
+                # The spec's commitInfo action: carries the commit
+                # timestamp (ms) that timestampAsOf resolves against, so
+                # resolution does not depend on filesystem mtimes
+                # surviving copies/restores. Replay ignores it.
+                staged = [
+                    {"commitInfo": {"timestamp": int(time.time() * 1000)}},
+                    *staged,
+                ]
             if version == 0:
-                staged = [{"protocol": PROTOCOL}, *actions]
+                staged = [{"protocol": PROTOCOL}, *staged]
             with open(tmp, "w") as f:
                 for act in staged:
                     f.write(json.dumps(act) + "\n")
@@ -295,6 +310,40 @@ class DeltaLikeTable:
             if version > 0 and version % CHECKPOINT_INTERVAL == 0:
                 self._write_checkpoint(version)
             return version
+
+    def commit_timestamp(self, version: int) -> int:
+        """Commit timestamp in epoch-ms: the commitInfo action's
+        timestamp when present (written by every commit since r4), else
+        the log file's mtime — the same fallback Delta itself uses for
+        tables whose writers predate in-commit timestamps."""
+        path = os.path.join(self._log_dir, f"{version:020d}.json")
+        with open(path) as f:
+            for ln in f:
+                act = json.loads(ln)
+                if "commitInfo" in act:
+                    ts = act["commitInfo"].get("timestamp")
+                    if ts is not None:
+                        return int(ts)
+        return int(os.path.getmtime(path) * 1000)
+
+    def version_at_timestamp(self, ts_ms: int) -> int:
+        """``TIMESTAMP AS OF`` resolution: the LATEST version whose
+        commit timestamp is <= ``ts_ms`` (Delta's rule — a reader at time
+        T sees every commit that had completed by T). Errors if ``ts_ms``
+        predates the first commit, like Delta's
+        ``timestampAsOf`` on a too-early timestamp."""
+        resolved: int | None = None
+        for v in range(self.latest_version + 1):
+            if self.commit_timestamp(v) <= ts_ms:
+                resolved = v
+            else:
+                break  # commit timestamps are monotonic
+        if resolved is None:
+            raise ValueError(
+                f"timestamp {ts_ms} is before the first commit "
+                f"({self.commit_timestamp(0)}) of {self.path}"
+            )
+        return resolved
 
     @property
     def latest_version(self) -> int:
@@ -314,7 +363,22 @@ class DeltaLikeTable:
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
-        writer.parquet(tmp)
+        # Spark's default INT96 timestamps carry NO parquet min/max
+        # statistics — data skipping on a temporal column (the 100 TB
+        # win) would silently never fire. Write TIMESTAMP_MICROS (what
+        # Delta itself writes) for the duration of the stage, restoring
+        # the caller's conf after.
+        sess = df.sparkSession
+        conf_key = "spark.sql.parquet.outputTimestampType"
+        prev = sess.conf.get(conf_key, None)
+        sess.conf.set(conf_key, "TIMESTAMP_MICROS")
+        try:
+            writer.parquet(tmp)
+        finally:
+            if prev is None:
+                sess.conf.unset(conf_key)
+            else:
+                sess.conf.set(conf_key, prev)
         now = int(time.time() * 1000)
         adds = []
         for dirpath, _dirs, fnames in sorted(os.walk(tmp)):
@@ -463,6 +527,37 @@ class DeltaLikeTable:
                 )
             ]
         if stats_filter:
+            def comparable(x, y):
+                """Coerce a (file-stat, bound) pair to comparable types.
+
+                Stats land in the log as JSON strings for temporal
+                columns; a lexicographic compare would prune a file whose
+                min is '2000-01-01 00:00:00' against hi='2000-01-01' even
+                though the instants are equal. Parse both sides as ISO
+                timestamps when possible (a bare date parses as its
+                midnight instant); on any parse failure fall back to the
+                raw values, which keeps numeric stats exact."""
+                import datetime as _dt
+
+                def parse(v):
+                    if isinstance(v, _dt.datetime):
+                        dt = v
+                    elif isinstance(v, _dt.date):
+                        dt = _dt.datetime(v.year, v.month, v.day)
+                    elif isinstance(v, str):
+                        dt = _dt.datetime.fromisoformat(v.replace("T", " "))
+                    else:
+                        raise ValueError
+                    if dt.tzinfo is not None:  # aware → naive UTC instant
+                        dt = dt.astimezone(_dt.timezone.utc).replace(
+                            tzinfo=None
+                        )
+                    return dt
+                try:
+                    return parse(x), parse(y)
+                except (ValueError, TypeError):
+                    return x, y
+
             def overlaps(a: dict) -> bool:
                 raw = a.get("stats")
                 if not raw:
@@ -473,13 +568,38 @@ class DeltaLikeTable:
                     fmax = st.get("maxValues", {}).get(col)
                     if fmin is None or fmax is None:
                         continue
-                    if (hi is not None and fmin > hi) or (
-                        lo is not None and fmax < lo
-                    ):
-                        return False
+                    if hi is not None:
+                        a_, b_ = comparable(fmin, hi)
+                        if a_ > b_:
+                            return False
+                    if lo is not None:
+                        a_, b_ = comparable(fmax, lo)
+                        if a_ < b_:
+                            return False
                 return True
 
             active = [a for a in active if overlaps(a)]
+        def base_path(paths: list[str]) -> str:
+            """basePath for hive partition-column re-materialization.
+
+            A shallow clone's add actions carry ABSOLUTE paths under the
+            SOURCE table's root, so the clone's own root is not an
+            ancestor of them (Spark rejects that basePath outright).
+            Derive the base from the files instead: strip the filename
+            and every trailing ``col=value`` partition segment, then take
+            the common ancestor — for an ordinary table this is exactly
+            the table root; for a clone it is the source root; for a
+            clone plus its own appends it is their common ancestor, safe
+            because only ``k=v`` segments below basePath become
+            partition columns."""
+            roots = set()
+            for p in paths:
+                d = os.path.dirname(os.path.abspath(p))
+                while "=" in os.path.basename(d):
+                    d = os.path.dirname(d)
+                roots.add(d)
+            return os.path.commonpath(sorted(roots)) if roots else self.path
+
         files = [os.path.join(self.path, a["path"]) for a in active]
         if not files:
             if unpruned:
@@ -488,14 +608,14 @@ class DeltaLikeTable:
                 first = os.path.join(self.path, unpruned[0]["path"])
                 reader = spark.read
                 if partitioned:
-                    reader = reader.option("basePath", self.path)
+                    reader = reader.option("basePath", base_path([first]))
                 return reader.parquet(first).limit(0)
             raise ValueError(f"no live files at version {as_of} in {self.path}")
         reader = spark.read
         if merge_schema:
             reader = reader.option("mergeSchema", "true")
         if partitioned:
-            reader = reader.option("basePath", self.path)
+            reader = reader.option("basePath", base_path(files))
         return reader.parquet(*files)
 
     # -- DML --------------------------------------------------------------
@@ -571,20 +691,42 @@ class DeltaLikeTable:
         current = self.read(spark)
         return self.write(current.coalesce(target_files), mode="overwrite")
 
-    def vacuum(self) -> list[int]:
-        """Physically delete data files no longer in the latest version's
-        live set (the spec's VACUUM with retention 0). Returns the sorted
-        commit versions whose files were reclaimed; the log keeps every
-        commit so version numbering stays stable (older versions simply
-        stop being time-travelable, as after a real VACUUM)."""
+    def vacuum(
+        self, retention_ms: int = 0, now_ms: int | None = None
+    ) -> list[int]:
+        """``VACUUM ... RETAIN`` — physically delete data files that are
+        (a) no longer in the latest version's live set AND (b) were
+        removed at least ``retention_ms`` ago (the remove action's
+        ``deletionTimestamp``, Delta's retention gate: readers/writers
+        started inside the window can still resolve their snapshot).
+        ``now_ms`` is injectable for deterministic tests. Returns the
+        sorted commit versions whose files were reclaimed; the log keeps
+        every commit so version numbering stays stable (older versions
+        simply stop being time-travelable, as after a real VACUUM).
+
+        Safety checks, in order: the live set is never touched (even if
+        a remove for the same path exists somewhere in history — add
+        wins at replay, so membership in the CURRENT live set is the
+        guard); files outside the table root (a shallow clone's
+        absolute-path adds pointing into the source) are never touched;
+        files younger than the retention window are kept."""
+        cutoff = (
+            int(time.time() * 1000) if now_ms is None else now_ms
+        ) - retention_ms
         live = {a["path"] for a in self._active_files()}
         added_at: dict[str, int] = {}
+        removed_ts: dict[str, int] = {}
         for i, fname in enumerate(self._commit_files()):
             with open(os.path.join(self._log_dir, fname)) as f:
                 for ln in f:
                     act = json.loads(ln)
                     if "add" in act:
                         added_at.setdefault(act["add"]["path"], i)
+                    elif "remove" in act:
+                        r = act["remove"]
+                        removed_ts[r["path"]] = int(
+                            r.get("deletionTimestamp") or 0
+                        )
         reclaimed: set[int] = set()
         root = os.path.abspath(self.path)
         for path, version in added_at.items():
@@ -593,7 +735,11 @@ class DeltaLikeTable:
             # absolute-path adds reference the SOURCE table's files
             if not os.path.abspath(full).startswith(root + os.sep):
                 continue
-            if path not in live and os.path.exists(full):
+            if path in live:
+                continue
+            if removed_ts.get(path, 0) > cutoff:
+                continue  # inside the retention window — keep
+            if os.path.exists(full):
                 os.remove(full)
                 reclaimed.add(version)
         return sorted(reclaimed)

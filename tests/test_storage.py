@@ -453,3 +453,83 @@ def test_shallow_clone_zero_copy_and_isolated(spark, tbl, tmp_path):
     clone.write(_df(spark, [(9, "z")]), mode="overwrite")
     clone.vacuum()
     assert sorted(r.k for r in tbl.read(spark).collect()) == [1, 2]
+
+
+def test_clone_partitioned_table_reads(spark, tbl, tmp_path):
+    # a shallow clone's add actions are ABSOLUTE paths under the SOURCE
+    # root; read() must derive basePath from the files (the clone's own
+    # root is not their ancestor and Spark would reject it)
+    df = spark.createDataFrame(
+        [(1, "x", "p1"), (2, "y", "p1"), (3, "z", "p2")], "k int, v string, p string"
+    )
+    tbl.write(df, mode="overwrite", partition_by=["p"])
+    clone = tbl.clone_to(str(tmp_path / "pclone"))
+    got = clone.read(spark)
+    assert "p" in got.columns  # partition column re-materialized
+    assert sorted((r.k, r.p) for r in got.collect()) == [
+        (1, "p1"), (2, "p1"), (3, "p2"),
+    ]
+    # partition pruning on the clone still works
+    pruned = clone.read(spark, partition_filter={"p": "p2"})
+    assert [r.k for r in pruned.collect()] == [3]
+
+
+def test_stats_skipping_timestamp_date_prefix_bound(spark, tbl):
+    # file min '2000-01-01 00:00:00' vs hi bound '2000-01-01': equal
+    # instants — a lexicographic compare would prune the file and drop
+    # its rows; the parsed compare must keep it
+    df = spark.sql(
+        "SELECT 1 AS k, TIMESTAMP '2000-01-01 00:00:00' AS ts "
+        "UNION ALL SELECT 2, TIMESTAMP '2000-03-01 00:00:00'"
+    )
+    tbl.write(df.coalesce(1), mode="overwrite")
+    kept = tbl.read(spark, stats_filter={"ts": (None, "2000-01-01")})
+    assert [r.k for r in sorted(kept.collect())]  # file not skipped
+    # and a bound genuinely below the file min still skips it
+    empty = tbl.read(spark, stats_filter={"ts": (None, "1999-12-31")})
+    assert empty.count() == 0
+
+
+def test_timestamp_time_travel_resolution(spark, tbl):
+    import time as _time
+
+    tbl.write(_df(spark, [(1, "a")]), mode="overwrite")
+    ts0 = tbl.commit_timestamp(0)
+    while int(_time.time() * 1000) <= ts0:
+        _time.sleep(0.001)
+    tbl.write(_df(spark, [(2, "b")]), mode="append")
+    ts1 = tbl.commit_timestamp(1)
+    assert ts0 < ts1
+    assert tbl.version_at_timestamp(ts0) == 0
+    assert tbl.version_at_timestamp(ts1 - 1) == 0
+    assert tbl.version_at_timestamp(ts1) == 1
+    assert tbl.version_at_timestamp(ts1 + 10_000) == 1  # after last → latest
+    with pytest.raises(ValueError):
+        tbl.version_at_timestamp(ts0 - 1)  # before first commit
+
+
+def test_vacuum_retention_window_gates_deletion(spark, tbl):
+    tbl.write(_df(spark, [(1, "a")]).coalesce(1), mode="overwrite")  # v0
+    tbl.write(_df(spark, [(2, "b")]).coalesce(1), mode="overwrite")  # v1
+    # window still open: nothing reclaimed, v0 stays time-travelable
+    assert tbl.vacuum(retention_ms=10**9) == []
+    assert [r.k for r in tbl.read(spark, as_of=0).collect()] == [1]
+    # window expired: v0's file goes, latest unaffected
+    assert tbl.vacuum(retention_ms=0) == [0]
+    assert [r.k for r in tbl.read(spark).collect()] == [2]
+
+
+def test_graph_select_subgraph():
+    from dbt_local_duckdb_deltalake_project_spark.plans.graph import Model
+
+    g = ModelGraph("/tmp/unused")
+    g.add(Model("bronze", None, [], tags=["staging"]))
+    g.add(Model("silver", None, ["bronze", "src"], tags=["staging"]))
+    g.add(Model("gold", None, ["silver"], tags=["mart"]))
+    assert g.select("tag:staging") == ["bronze", "silver"]
+    assert g.select("+gold") == ["bronze", "gold", "silver"]
+    assert g.select("bronze+") == ["bronze", "gold", "silver"]
+    assert g.select("+silver+") == ["bronze", "gold", "silver"]
+    assert g.select("sil*") == ["silver"]
+    assert g.select("tag:mart bronze") == ["bronze", "gold"]
+    assert g.select("nope") == []
