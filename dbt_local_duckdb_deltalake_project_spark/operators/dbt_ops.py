@@ -392,3 +392,50 @@ def dbt_dq_observe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows long, null_custkey long, nonpositive_price long, "
         "bad_status long, out_of_range_date long",
     )
+
+
+@register(
+    "dbt_select_subgraph",
+    """
+    SELECT * FROM (VALUES
+      ('+gold_revenue_by_segment', 'bronze_orders'),
+      ('+gold_revenue_by_segment', 'gold_revenue_by_segment'),
+      ('+gold_revenue_by_segment', 'silver_orders'),
+      ('bronze_orders+',           'bronze_orders'),
+      ('bronze_orders+',           'gold_revenue_by_segment'),
+      ('bronze_orders+',           'silver_orders'),
+      ('silver*+',                 'gold_revenue_by_segment'),
+      ('silver*+',                 'silver_orders'),
+      ('tag:mart',                 'gold_revenue_by_segment'),
+      ('tag:staging',              'bronze_orders'),
+      ('tag:staging',              'silver_orders')
+    ) AS t(selector, model)
+    ORDER BY selector, model
+    """,
+)
+def dbt_select_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt node selection (`dbt run --select`): tag selectors, name
+    wildcards, and `+`-closure over the DAG (plans/graph.py:select) —
+    the last commonly-scripted dbt runtime behavior (deploys and
+    backfills are driven by selectors). Evaluated against the SAME
+    ModelGraph the medallion pipeline executes, so selection can never
+    drift from the real DAG. Long-form (selector, model) output keeps
+    every cell scalar for the driver's row hashing. Selection is pure
+    driver-side graph walking — independent of data volume.
+    """
+    from ..operators.medallion import build_medallion_graph
+
+    g = build_medallion_graph(spark, sf_dir, storage_name="medallion_select")
+    selectors = [
+        "+gold_revenue_by_segment",
+        "bronze_orders+",
+        "silver*+",
+        "tag:mart",
+        "tag:staging",
+    ]
+    rows = [
+        (sel, model) for sel in selectors for model in g.select(sel)
+    ]
+    return spark.createDataFrame(
+        rows, "selector string, model string"
+    ).orderBy("selector", "model")

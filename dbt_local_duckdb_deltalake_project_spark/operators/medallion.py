@@ -139,14 +139,18 @@ def build_medallion_graph(
             )
         )
 
-    g.model("bronze_orders", deps=[], materialized="table")(bronze_orders)
+    g.model(
+        "bronze_orders", deps=[], materialized="table",
+        tags=["bronze", "staging"],
+    )(bronze_orders)
     g.model(
         "silver_orders", deps=["bronze_orders", "customer", "nation"],
-        materialized="table",
+        materialized="table", tags=["silver", "staging"],
     )(silver_orders)
-    g.model("gold_revenue_by_segment", deps=["silver_orders"], materialized="table")(
-        gold_revenue_by_segment
-    )
+    g.model(
+        "gold_revenue_by_segment", deps=["silver_orders"],
+        materialized="table", tags=["gold", "mart"],
+    )(gold_revenue_by_segment)
     return g
 
 

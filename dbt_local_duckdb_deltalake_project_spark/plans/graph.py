@@ -42,6 +42,7 @@ class Model:
     materialized: str = "view"  # view | table | incremental | ephemeral
     unique_key: str | None = None  # incremental: MERGE instead of append
     watermark_col: str | None = None  # incremental: high-watermark filter
+    tags: list[str] = field(default_factory=list)  # dbt `tags:` config
 
 
 class ModelGraph:
@@ -63,14 +64,78 @@ class ModelGraph:
         materialized: str = "view",
         unique_key: str | None = None,
         watermark_col: str | None = None,
+        tags: list[str] | None = None,
     ) -> Callable[[ModelFn], ModelFn]:
         def deco(fn: ModelFn) -> ModelFn:
             self.add(
-                Model(name, fn, deps or [], materialized, unique_key, watermark_col)
+                Model(
+                    name,
+                    fn,
+                    deps or [],
+                    materialized,
+                    unique_key,
+                    watermark_col,
+                    tags or [],
+                )
             )
             return fn
 
         return deco
+
+    def select(self, selector: str) -> list[str]:
+        """dbt node selection (`dbt ls/run --select`), the graph subset
+        language users script deploys and backfills with. Supported
+        subset: space-separated terms union; each term is
+        ``[+]body[+]`` where a leading ``+`` adds all ancestors, a
+        trailing ``+`` adds all descendants, and body is ``tag:<name>``
+        or a model name with ``*`` wildcards (fnmatch). Returns the
+        selected model names sorted. Selection is pure driver-side graph
+        walking — O(models + edges), nothing about the data is touched.
+        """
+        import fnmatch
+
+        children: dict[str, list[str]] = {n: [] for n in self.models}
+        for m in self.models.values():
+            for d in m.deps:
+                if d in self.models:
+                    children[d].append(m.name)
+
+        def closure(seeds: set[str], edges) -> set[str]:
+            out, todo = set(seeds), list(seeds)
+            while todo:
+                for nxt in edges(todo.pop()):
+                    if nxt not in out:
+                        out.add(nxt)
+                        todo.append(nxt)
+            return out
+
+        selected: set[str] = set()
+        for term in selector.split():
+            up = term.startswith("+")
+            down = term.endswith("+")
+            body = term.strip("+")
+            if body.startswith("tag:"):
+                tag = body[len("tag:"):]
+                seeds = {m.name for m in self.models.values() if tag in m.tags}
+            else:
+                seeds = {
+                    n for n in self.models if fnmatch.fnmatchcase(n, body)
+                }
+            # +x+ = ancestors(x) ∪ {x} ∪ descendants(x), both closures
+            # from the ORIGINAL seeds (dbt's semantics — not
+            # descendants-of-ancestors)
+            term_sel = set(seeds)
+            if up:
+                term_sel |= closure(
+                    seeds,
+                    lambda n: [
+                        d for d in self.models[n].deps if d in self.models
+                    ],
+                )
+            if down:
+                term_sel |= closure(seeds, lambda n: children[n])
+            selected |= term_sel
+        return sorted(selected)
 
     def _topo(self) -> list[Model]:
         order: list[Model] = []
