@@ -178,7 +178,9 @@ def main() -> None:
                     con.execute(oracles[name]).fetchall()
                     prev = duck_per_query.get(name)
                     cur = round(time.perf_counter() - tq, 4)
-                    duck_per_query[name] = min(prev, cur) if prev else cur
+                    duck_per_query[name] = (
+                        min(prev, cur) if prev is not None else cur
+                    )
                 except Exception:  # noqa: BLE001
                     pass
             return round(time.perf_counter() - t0, 3)

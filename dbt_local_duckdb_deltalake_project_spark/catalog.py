@@ -60,15 +60,20 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     timestamps — the same ns→µs truncation DuckDB applies, so the oracle
     sees identical values (SURVEY.md §1.1).
     """
-    key = (_session_key(spark), sf_dir, name)
-    cached = _df_cache.get(key)
-    if cached is not None:
-        return cached
+    # Pin session confs BEFORE the cache lookup: the cache key is the
+    # applicationId, which every spark.newSession() clone shares, so a
+    # clone can cache-hit and otherwise never get the pins (bench's
+    # own-session streamed ops would then bucket windows on the host tz).
+    # conf.set is a cheap local map write — no Spark job.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # Entry paths may hand us a vanilla session (the driver does); pin the
     # tz here so NTZ→TIMESTAMP casts and window bucketing match the naive
     # DuckDB oracle regardless of host tz.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    key = (_session_key(spark), sf_dir, name)
+    cached = _df_cache.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(table_path(sf_dir, name))
     for field in df.schema.fields:
         if name == "events" and field.name == "ts":

@@ -489,12 +489,23 @@ def stream_deltalike_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             if not os.path.exists(log):
                 return
             with open(log) as fh:
-                for ln in fh:
-                    act = _json.loads(ln)
-                    if "add" in act:
-                        f = os.path.join(table_path, act["add"]["path"])
-                        for row in pq.read_table(f).to_pylist():
-                            yield (row["o_orderkey"], row["o_orderstatus"])
+                acts = [_json.loads(ln) for ln in fh]
+            # APPEND-ONLY contract, made explicit: this tail replays
+            # add actions only, so an overwrite/merge/delete commit
+            # (which carries removes) would re-emit every rewritten
+            # file's rows and double-count vs the batch table. Refuse
+            # loudly instead of silently diverging. v0 is the initial
+            # snapshot commit and may legitimately clear a prior state.
+            if v > 0 and any("remove" in a for a in acts):
+                raise ValueError(
+                    f"deltalike_stream: commit {v} contains remove "
+                    "actions; this source tails append-only tables"
+                )
+            for act in acts:
+                if "add" in act:
+                    f = os.path.join(table_path, act["add"]["path"])
+                    for row in pq.read_table(f).to_pylist():
+                        yield (row["o_orderkey"], row["o_orderstatus"])
 
         def read(self, start):
             # Consume every commit that exists past the offset (the
