@@ -37,56 +37,68 @@ for _m in _MODULES:
 # the back. Within the window, cheaper queries come first in case the
 # window is time-budgeted. Rotate this list each round as rows come back.
 _WINDOW_FIRST = [
-    # r2 FAILs fixed this round (TIMESTAMP_NTZ normalization): prove first
-    "win_range_frame", "stream_session",
-    # scans/sources/sinks — never driver-checked
-    "scan_parquet", "scan_projection_pushdown", "scan_filter_pushdown",
-    "scan_csv", "scan_json", "sink_parquet",
-    # Delta-like storage — never driver-checked
-    "sink_delta_append", "delta_time_travel", "delta_merge_upsert",
-    "scd2_snapshot", "delta_schema_evolution", "delta_compact",
-    "delta_delete", "delta_restore",
-    # dbt-runtime semantics — never driver-checked
-    "dbt_materialize_table", "dbt_materialize_view",
-    "dbt_materialize_ephemeral", "dbt_materialize_incremental",
-    "dbt_test_unique", "dbt_test_not_null", "dbt_test_accepted_values",
-    "dbt_test_relationships", "dbt_source_freshness", "dbt_seed",
-    # multimodal + medallion — never driver-checked
-    "mm_metadata_extract", "mm_decode_features", "mm_resize_plan",
-    "mm_frame_sample", "pipeline_medallion",
-    # corpus-management ops — never driver-checked (sql-mode)
-    "llm_split_assign", "llm_shuffle_deterministic", "llm_pii_redact",
-    "llm_decontaminate", "llm_sequence_pack",
-    "llm_repetition_filter", "llm_chunk_documents", "llm_sample_stratified",
-    "llm_tfidf", "llm_dedup_clusters",
-    # streamed twins with oracles (sql-mode parity checks)
-    "stream_sliding_streamed", "stream_tumbling_streamed",
-    "stream_dedup_within_watermark", "stream_sink_deltalike",
-    # new r3 sql-mode bound-checked sketch variants
-    "agg_approx_count_distinct", "agg_percentile_approx",
-    # r3 additions that certify whole families hash-checked:
-    # llm_ann_recall gates the blocked/LSH/IVF ANN variants (their own
-    # rows would only get the weak rows-only check), cte_recursive is
-    # the Spark 4 recursive surface, stream_stream_join the last big
-    # streaming shape.
-    "llm_ann_recall", "cte_recursive", "stream_stream_join",
+    # --- r4 window: the 19 sql-mode ids that have never had a driver
+    # CORRECTNESS row (added r3, window was full) ---
+    "tpch_q3", "tpch_q5", "tpch_q10",
+    "delta_partition_pruning", "delta_data_skipping",
+    "delta_change_data_feed", "delta_shallow_clone",
+    "join_bloom_runtime_filter", "win_distribution",
+    "dbt_lineage_export", "dbt_dq_observe",
+    "stream_join_static", "stream_deltalike_source",
+    "scan_deltalike_datasource", "mm_dedup_exact",
+    "llm_rarity_score", "llm_bpe_pairs", "llm_embed_quantize",
+    "llm_cosine_topk_multi",
+    # --- new r4 operators (need their first green row) ---
+    "delta_time_travel_ts", "delta_vacuum", "dbt_select_subgraph",
+    # --- ids whose implementation changed in r4 (hot-shingle DF cap) ---
+    "llm_dedup_near", "llm_dedup_clusters",
+    # --- the 10 never-checked rows-mode ids (weaker rows-only check,
+    # but a row is a row) ---
+    "llm_dedup_minhash", "llm_simhash", "llm_fingerprint_rolling",
+    "llm_cosine_topk_blocked", "llm_cosine_topk_lsh", "llm_cosine_topk_ivf",
+    "scan_binaryfile", "stream_watermark_late", "stream_session_streamed",
+    "stream_funnel_stateful",
+    # --- regression breadth mix: one-plus per §2 family, preferring ids
+    # near code touched this round (deltalike internals, catalog tz pin,
+    # events consumers) so regressions surface ---
+    "delta_time_travel", "delta_merge_upsert",   # deltalike.py changed (ts resolution, vacuum)
+    "stream_tumbling", "stream_session", "win_range_frame", "fn_date",  # events/tz consumers
+    "scan_parquet",              # §2.1
+    "join_asof",                 # §2.3
+    "agg_groupby_basic",         # §2.4
+    "win_ranking",               # §2.5
+    "topk",                      # §2.6
+    "cte_chain",                 # §2.7
+    "llm_quality_score",         # §2.10
+    "udf_pandas_scalar",         # §2.11
+    "dbt_materialize_incremental",  # §2.12
+    "pipeline_medallion",
 ]
 
 
-# Directly behind the window: remaining never-checked rows-mode ids, in
-# case the driver window is wider than 50; the already-proven relational
-# core rotates to the very back (local pytest still covers it).
+# Directly behind the window: the r3-window ids (all green in
+# CORRECTNESS_r03) in case the driver window is wider than 50; the
+# already-proven relational core rotates to the very back (local pytest
+# still covers it).
 _WINDOW_SECOND = [
-    "llm_dedup_minhash", "llm_simhash", "llm_cosine_topk_ivf",
-    "stream_join_static", "mm_dedup_exact",
-    "llm_rarity_score", "llm_bpe_pairs", "delta_partition_pruning",
-    "stream_stream_join", "llm_embed_quantize", "scan_deltalike_datasource",
-    "join_bloom_runtime_filter", "delta_data_skipping",
-    "delta_change_data_feed", "delta_shallow_clone", "stream_deltalike_source", "win_distribution", "dbt_lineage_export", "llm_ann_recall", "llm_cosine_topk_multi", "scan_binaryfile", "dbt_dq_observe", "tpch_q3", "tpch_q5", "tpch_q10",
-    "llm_cosine_topk_blocked", "llm_cosine_topk_lsh",
-    "llm_fingerprint_rolling",
-    "stream_watermark_late", "stream_session_streamed",
-    "stream_funnel_stateful",
+    "scan_projection_pushdown", "scan_filter_pushdown",
+    "scan_csv", "scan_json", "sink_parquet",
+    "sink_delta_append", "scd2_snapshot", "delta_schema_evolution",
+    "delta_compact", "delta_delete", "delta_restore",
+    "dbt_materialize_table", "dbt_materialize_view",
+    "dbt_materialize_ephemeral",
+    "dbt_test_unique", "dbt_test_not_null", "dbt_test_accepted_values",
+    "dbt_test_relationships", "dbt_source_freshness", "dbt_seed",
+    "mm_metadata_extract", "mm_decode_features", "mm_resize_plan",
+    "mm_frame_sample",
+    "llm_split_assign", "llm_shuffle_deterministic", "llm_pii_redact",
+    "llm_decontaminate", "llm_sequence_pack",
+    "llm_repetition_filter", "llm_chunk_documents", "llm_sample_stratified",
+    "llm_tfidf",
+    "stream_sliding_streamed", "stream_tumbling_streamed",
+    "stream_dedup_within_watermark", "stream_sink_deltalike",
+    "agg_approx_count_distinct", "agg_percentile_approx",
+    "llm_ann_recall", "cte_recursive", "stream_stream_join",
 ]
 
 
