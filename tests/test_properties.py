@@ -162,3 +162,56 @@ def test_stats_skipping_never_loses_matching_rows(spark, tmp_path_factory, rows,
         .collect()
     )
     assert pruned == full
+
+
+@given(
+    rows=st.lists(
+        st.lists(
+            st.integers(min_value=0, max_value=119), min_size=1, max_size=5
+        ),
+        min_size=1,
+        max_size=3,
+    ),
+    lo_day=st.integers(min_value=1, max_value=5),
+    hi_day=st.integers(min_value=1, max_value=5),
+    date_prefix=st.booleans(),
+)
+@_settings
+def test_stats_skipping_timestamp_bounds_never_lose_rows(
+    spark, tmp_path_factory, rows, lo_day, hi_day, date_prefix
+):
+    # Same skipping-is-only-an-optimization invariant, on a TIMESTAMP
+    # column with bounds given either as full timestamps or bare
+    # date-prefix strings — the shape that used to prune an equal
+    # boundary instant under lexicographic comparison (ADVICE r3).
+    import datetime
+    import uuid as _uuid
+
+    from dbt_local_duckdb_deltalake_project_spark.sources.deltalike import (
+        DeltaLikeTable,
+    )
+
+    if lo_day > hi_day:
+        lo_day, hi_day = hi_day, lo_day
+    base = datetime.datetime(2000, 1, 1)
+    fmt = "%Y-%m-%d" if date_prefix else "%Y-%m-%d %H:%M:%S"
+    lo = datetime.datetime(2000, 1, lo_day).strftime(fmt)
+    hi = datetime.datetime(2000, 1, hi_day).strftime(fmt)
+    tbl = DeltaLikeTable(
+        str(tmp_path_factory.mktemp("tsskip") / _uuid.uuid4().hex)
+    )
+    for i, chunk in enumerate(rows):
+        df = spark.createDataFrame(
+            [(base + datetime.timedelta(hours=h),) for h in chunk],
+            "ts timestamp",
+        )
+        tbl.write(df.coalesce(1), mode="overwrite" if i == 0 else "append")
+    pred = F.col("ts").between(lo, hi)
+    full = sorted(r.ts for r in tbl.read(spark).filter(pred).collect())
+    pruned = sorted(
+        r.ts
+        for r in tbl.read(spark, stats_filter={"ts": (lo, hi)})
+        .filter(pred)
+        .collect()
+    )
+    assert pruned == full

@@ -533,3 +533,15 @@ def test_graph_select_subgraph():
     assert g.select("sil*") == ["silver"]
     assert g.select("tag:mart bronze") == ["bronze", "gold"]
     assert g.select("nope") == []
+
+
+def test_timestamp_stats_actually_prune_files(spark, tbl):
+    # INT96 timestamps carry no parquet stats, so temporal skipping used
+    # to silently keep every file; with TIMESTAMP_MICROS writes the
+    # range read must open only the matching year's file
+    for i, y in enumerate((1998, 1999, 2000)):
+        df = spark.sql(f"SELECT TIMESTAMP '{y}-06-01 00:00:00' AS ts")
+        tbl.write(df.coalesce(1), mode="overwrite" if i == 0 else "append")
+    pruned = tbl.read(spark, stats_filter={"ts": ("2000-01-01", None)})
+    assert len(pruned.inputFiles()) == 1
+    assert pruned.count() == 1
