@@ -217,6 +217,168 @@ _shared(
     """,
 )
 
+# Money sums in the q1 family go through EXACT SCALED-LONG MICROS
+# (functions/deterministic.py's pattern, inlined as shared SQL): the raw
+# measures are ≤2-dp money values, so every product below has ≤6 exact
+# decimal places — narrowing the decimal product to scale 6 is exact,
+# multiplying by 10^6 yields an integer-valued decimal, and the BIGINT
+# cast is therefore divergence-free (Spark truncates decimal→long,
+# DuckDB rounds — identical on integers). SUM(BIGINT) is exact, and
+# int64→double + /1e6 are IEEE-identical single roundings in both
+# engines. The plain DECIMAL(38,12)→DOUBLE route was MEASURED to differ
+# in the last bit at sf0.001 (DuckDB double-rounds int128→double→÷10^12).
+_DISC_PRICE_M = (
+    "CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) "
+    "* CAST(1 - l_discount AS DECIMAL(18,6)) AS DECIMAL(24,6)) "
+    "* 1000000 AS BIGINT)"
+)
+# charge = ep*(1-disc)*(1+tax): first product kept at scale 12 (exact),
+# narrowed to (26,12) so the second multiply stays inside 38 digits in
+# BOTH engines (Spark: 26+11+1=38; DuckDB: 26+11=37), then scale-6
+# narrowing (exact — 2dp×2dp×2dp = 6dp) feeds the micros cast.
+_CHARGE_M = (
+    "CAST(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) "
+    "* CAST(1 - l_discount AS DECIMAL(18,6)) AS DECIMAL(26,12)) "
+    "* CAST(1 + l_tax AS DECIMAL(11,6)) AS DECIMAL(30,6)) "
+    "* 1000000 AS BIGINT)"
+)
+
+_shared(
+    "tpch_q1",
+    # Pricing-summary report: one scan of lineitem, grouped on the
+    # 2×2 flag/status domain — pure map-side partial agg, the canonical
+    # "scales linearly with the fact table" query. Averages are emitted
+    # as micros-sum ÷ count in DOUBLE (decimal division precision rules
+    # differ between engines; double division does not).
+    f"""
+    WITH l AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(CAST(l_quantity AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+               AS qty_m,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+               AS price_m,
+             CAST(CAST(l_discount AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+               AS disc_m,
+             {_DISC_PRICE_M} AS disc_price_m,
+             {_CHARGE_M} AS charge_m
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+    )
+    SELECT l_returnflag,
+           l_linestatus,
+           CAST(SUM(qty_m) AS DOUBLE) / 1000000.0 AS sum_qty,
+           CAST(SUM(price_m) AS DOUBLE) / 1000000.0 AS sum_base_price,
+           CAST(SUM(disc_price_m) AS DOUBLE) / 1000000.0 AS sum_disc_price,
+           CAST(SUM(charge_m) AS DOUBLE) / 1000000.0 AS sum_charge,
+           CAST(SUM(qty_m) AS DOUBLE) / 1000000.0 / COUNT(*) AS avg_qty,
+           CAST(SUM(price_m) AS DOUBLE) / 1000000.0 / COUNT(*) AS avg_price,
+           CAST(SUM(disc_m) AS DOUBLE) / 1000000.0 / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM l
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+
+_shared(
+    "tpch_q4",
+    # Order-priority checking, adapted: the fixture has no
+    # l_commitdate/l_receiptdate, so "late" = shipped >30 days after
+    # the order date. Catalyst rewrites the correlated EXISTS into a
+    # left-semi join on o_orderkey — one shuffle, no per-row probe.
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o_orderdate <  TIMESTAMP '1996-10-01'
+      AND EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey
+              AND l_shipdate > o_orderdate + INTERVAL 30 DAYS)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+
+_shared(
+    "tpch_q6",
+    # Forecast-revenue change: the pushdown showcase — every predicate
+    # reaches the parquet scan (shipdate range + discount band +
+    # quantity), then a single global exact-decimal sum.
+    """
+    SELECT CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+                    * CAST(l_discount AS DECIMAL(18,6)) AS DECIMAL(24,6))
+                    * 1000000 AS BIGINT)) AS DOUBLE) / 1000000.0
+             AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+)
+
+_shared(
+    "tpch_q14",
+    # Promotion-effect ratio, adapted to the fixture's p_type domain
+    # (category words, 'PROMO' literal). Both CASE branches are exact
+    # BIGINT micros so branch-type unification is identical across
+    # engines; the final ratio is double÷double on identical operands.
+    f"""
+    SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                   THEN {_DISC_PRICE_M} ELSE 0 END) AS DOUBLE)
+             / CAST(SUM({_DISC_PRICE_M}) AS DOUBLE)
+             AS promo_revenue_pct
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+      AND l_shipdate <  TIMESTAMP '1996-10-01'
+    """,
+)
+
+_shared(
+    "tpch_q18",
+    # Large-volume customers: self-aggregating IN-subquery on the fact
+    # table (threshold 250 ≈ fixture p99 of per-order quantity).
+    # Catalyst plans the IN as a semi-join against the pre-aggregated
+    # orderkeys — the big groupBy happens once, map-side partials first.
+    """
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+             AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey  = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 250)
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+    LIMIT 100
+    """,
+)
+
+_shared(
+    "tpch_q19",
+    # Disjunctive bracketed predicates over a dim join, adapted to
+    # p_brand/p_size (the fixture carries no container/shipmode). The
+    # OR-of-ANDs shares the common join key, so Catalyst still plans one
+    # equi-join with the residual disjunction as a post-join filter —
+    # and pushes the brand/size/quantity envelope down to both scans.
+    f"""
+    SELECT CAST(SUM({_DISC_PRICE_M}) AS DOUBLE) / 1000000.0 AS revenue
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 1  AND l_quantity <= 21)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+           AND l_quantity >= 10 AND l_quantity <= 30)
+       OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 35
+           AND l_quantity >= 20 AND l_quantity <= 40)
+    """,
+)
+
 _shared(
     "tpch_q10",
     f"""
