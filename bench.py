@@ -93,6 +93,7 @@ def main() -> None:
         "stream_dedup_within_watermark",
         "stream_funnel_stateful",
         "stream_sink_deltalike",
+        "stream_upsert_foreachbatch",
         "stream_join_static",
         "stream_stream_join",
         "stream_deltalike_source",

@@ -48,8 +48,13 @@ _WINDOW_FIRST = [
     "scan_deltalike_datasource", "mm_dedup_exact",
     "llm_rarity_score", "llm_bpe_pairs", "llm_embed_quantize",
     "llm_cosine_topk_multi",
-    # --- new r4 operators (need their first green row) ---
+    # --- new r4 operators (need their first green row). The late-r4
+    # additions (tpch_q1 representing the six new micros-sum composites,
+    # delta_zorder, stream_upsert_foreachbatch) take the slots of three
+    # bedrock regression ids (scan_parquet/topk/cte_chain — pytest-held)
+    # so every new family lands a driver row this round ---
     "delta_time_travel_ts", "delta_vacuum", "dbt_select_subgraph",
+    "tpch_q1", "delta_zorder", "stream_upsert_foreachbatch",
     # --- ids whose implementation changed in r4 (hot-shingle DF cap) ---
     "llm_dedup_near", "llm_dedup_clusters",
     # --- the 10 never-checked rows-mode ids (weaker rows-only check,
@@ -63,12 +68,9 @@ _WINDOW_FIRST = [
     # events consumers) so regressions surface ---
     "delta_time_travel", "delta_merge_upsert",   # deltalike.py changed (ts resolution, vacuum)
     "stream_tumbling", "stream_session", "win_range_frame", "fn_date",  # events/tz consumers
-    "scan_parquet",              # §2.1
     "join_asof",                 # §2.3
     "agg_groupby_basic",         # §2.4
     "win_ranking",               # §2.5
-    "topk",                      # §2.6
-    "cte_chain",                 # §2.7
     "llm_quality_score",         # §2.10
     "udf_pandas_scalar",         # §2.11
     "dbt_materialize_incremental",  # §2.12
@@ -81,6 +83,8 @@ _WINDOW_FIRST = [
 # already-proven relational core rotates to the very back (local pytest
 # still covers it).
 _WINDOW_SECOND = [
+    "scan_parquet", "topk", "cte_chain",
+    "tpch_q4", "tpch_q6", "tpch_q14", "tpch_q18", "tpch_q19",
     "scan_projection_pushdown", "scan_filter_pushdown",
     "scan_csv", "scan_json", "sink_parquet",
     "sink_delta_append", "scd2_snapshot", "delta_schema_evolution",

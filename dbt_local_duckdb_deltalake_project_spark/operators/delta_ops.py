@@ -598,3 +598,94 @@ def delta_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(len(reclaimed)).cast("int").alias("reclaimed_after_retention"),
         F.lit(bool(v0_still)).alias("v0_readable_within_retention"),
     )
+
+
+@register(
+    "delta_zorder",
+    """
+    SELECT COUNT(*) AS n_li,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * 1000000
+                         AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_price,
+           TRUE AS zorder_skips,
+           TRUE AS zorder_beats_linear
+    FROM lineitem
+    WHERE (l_suppkey * 4) // (SELECT COUNT(*) FROM supplier) = 2
+    """,
+)
+def delta_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER BY (l_partkey, l_suppkey): multi-dimensional
+    clustering so data skipping works on EITHER dimension. Files are the
+    cells of a 4x4 Z-curve over the two normalized key spaces (top two
+    bits of each dim, interleaved p1 s1 p0 s0 — the Morton order Delta's
+    OPTIMIZE ZORDER sorts by); a second table is linearly clustered on
+    l_partkey alone as the control. A suppkey-band predicate then skips
+    12 of 16 files on the Z-layout (only the sx=2 cells overlap) but
+    reads the ENTIRE linear layout (every partkey slice spans all
+    suppkeys) — the asymmetry that makes Z-ordering the 100 TB answer
+    for tables queried on more than one column. Both facts are asserted
+    from log metadata alone (live_files — no file opened), and the band
+    aggregate itself is hash-checked against the raw table.
+    """
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice",
+    )
+    smax = t(spark, sf_dir, "supplier").count()
+    pmax = t(spark, sf_dir, "part").count()
+
+    def build_z(tbl: DeltaLikeTable) -> None:
+        zfile = F.expr(
+            f"(((l_partkey * 4) DIV {pmax}) DIV 2) * 8"
+            f" + (((l_suppkey * 4) DIV {smax}) DIV 2) * 4"
+            f" + (((l_partkey * 4) DIV {pmax}) % 2) * 2"
+            f" + (((l_suppkey * 4) DIV {smax}) % 2)"
+        )
+        tbl.write(
+            li.withColumn("zfile", zfile.cast("int")).repartition(16, "zfile"),
+            mode="overwrite",
+            partition_by=["zfile"],
+        )
+
+    def build_linear(tbl: DeltaLikeTable) -> None:
+        lfile = F.expr(f"(l_partkey * 16) DIV {pmax}")
+        tbl.write(
+            li.withColumn("lfile", lfile.cast("int")).repartition(16, "lfile"),
+            mode="overwrite",
+            partition_by=["lfile"],
+        )
+
+    zt = _staged_table(sf_dir, "delta_zorder", build_z)
+    lt = _staged_table(sf_dir, "delta_zlinear", build_linear)
+
+    # suppkey band = bucket sx == 2, i.e. s*4 in [2*smax, 3*smax)
+    s_lo = -(-2 * smax // 4)
+    s_hi = -(-3 * smax // 4) - 1
+    band = {"l_suppkey": (s_lo, s_hi)}
+    z_scanned = len(zt.live_files(stats_filter=band))
+    z_total = len(zt.live_files())
+    l_scanned = len(lt.live_files(stats_filter=band))
+    return (
+        zt.read(spark, stats_filter=band)
+        .filter(F.col("l_suppkey").between(s_lo, s_hi))
+        .agg(
+            F.count(F.lit(1)).alias("n_li"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+            (
+                F.sum(
+                    (F.col("l_extendedprice").cast("decimal(18,6)") * 1000000)
+                    .cast("bigint")
+                ).cast("double")
+                / 1000000.0
+            ).alias("sum_price"),
+        )
+        .select(
+            "n_li",
+            "sum_qty",
+            "sum_price",
+            F.lit(bool(z_scanned < z_total)).alias("zorder_skips"),
+            F.lit(bool(2 * z_scanned <= l_scanned)).alias(
+                "zorder_beats_linear"
+            ),
+        )
+    )

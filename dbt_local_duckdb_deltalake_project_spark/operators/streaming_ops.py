@@ -243,6 +243,75 @@ def stream_sink_deltalike(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "stream_upsert_foreachbatch",
+    """
+    SELECT user_id, event_id AS last_event, event_type AS last_type,
+           ts AS last_ts
+    FROM (
+      SELECT user_id, event_id, event_type, ts,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id
+               ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def stream_upsert_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC upsert: ``foreachBatch`` + MERGE — the canonical
+    "keep a serving table current from a stream" loop (Delta's
+    foreachBatch-merge idiom). Each micro-batch reduces to one row per
+    user (batch-local latest by (ts, event_id)) and MERGEs it into the
+    versioned table on user_id — matched rows overwrite, new users
+    insert, one commit per batch.
+
+    Correctness across batches leans on replay order, exactly as in
+    production: staged files split at a time cut, so a later batch's
+    rows all carry strictly later timestamps than any earlier batch's
+    (equal-ts ties can never straddle the cut) and unconditional
+    overwrite-on-match equals global latest — the oracle's
+    row_number-desc over the whole table. No streaming state store is
+    involved; the state IS the storage table, which is why this pattern
+    scales to 100 TB serving tables (MERGE cost ~ churn per batch, not
+    table size).
+    """
+    from ..sources.deltalike import DeltaLikeTable
+    from ..sources.workspace import workdir
+
+    tbl = DeltaLikeTable(workdir(sf_dir, "stream_upsert"))
+
+    def upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
+        w = W.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        latest = (
+            batch_df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "user_id",
+                F.col("event_id").alias("last_event"),
+                F.col("event_type").alias("last_type"),
+                F.col("ts").alias("last_ts"),
+            )
+        )
+        if batch_id == 0:
+            tbl.write(latest, mode="overwrite")
+        else:
+            tbl.merge(batch_df.sparkSession, latest, on="user_id")
+
+    src, ckpt = stage_event_files(spark, sf_dir, "upsertfb", late_fraction=False)
+    stream = read_staged_stream(spark, src)
+    with replay_shuffle(spark, 8):
+        q = (
+            stream.writeStream.foreachBatch(upsert_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return tbl.read(spark)
+
+
 @register("stream_session_streamed")
 def stream_session_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming ``session_window`` twin of the batch gaps-and-islands

@@ -486,6 +486,86 @@ class DeltaLikeTable:
         return self._commit(actions)
 
     # -- reads ------------------------------------------------------------
+    def live_files(
+        self,
+        as_of: int | None = None,
+        partition_filter: dict[str, str] | None = None,
+        stats_filter: dict[str, tuple] | None = None,
+    ) -> list[dict]:
+        """The add actions a ``read`` with these filters would open.
+
+        Pure log-metadata work (no file is listed or opened) — this is
+        both the pruning step ``read`` runs and the evaluation surface a
+        clustering decision needs: ``len(live_files(stats_filter=...))``
+        is the file-scan cost of a predicate under the current layout,
+        which is how OPTIMIZE ZORDER's benefit is measured at 100 TB
+        without touching data."""
+        active = self._active_files(as_of=as_of)
+        if partition_filter:
+            active = [
+                a
+                for a in active
+                if all(
+                    a.get("partitionValues", {}).get(k) == v
+                    for k, v in partition_filter.items()
+                )
+            ]
+        if not stats_filter:
+            return active
+
+        def comparable(x, y):
+            """Coerce a (file-stat, bound) pair to comparable types.
+
+            Stats land in the log as JSON strings for temporal
+            columns; a lexicographic compare would prune a file whose
+            min is '2000-01-01 00:00:00' against hi='2000-01-01' even
+            though the instants are equal. Parse both sides as ISO
+            timestamps when possible (a bare date parses as its
+            midnight instant); on any parse failure fall back to the
+            raw values, which keeps numeric stats exact."""
+            import datetime as _dt
+
+            def parse(v):
+                if isinstance(v, _dt.datetime):
+                    dt = v
+                elif isinstance(v, _dt.date):
+                    dt = _dt.datetime(v.year, v.month, v.day)
+                elif isinstance(v, str):
+                    dt = _dt.datetime.fromisoformat(v.replace("T", " "))
+                else:
+                    raise ValueError
+                if dt.tzinfo is not None:  # aware → naive UTC instant
+                    dt = dt.astimezone(_dt.timezone.utc).replace(
+                        tzinfo=None
+                    )
+                return dt
+            try:
+                return parse(x), parse(y)
+            except (ValueError, TypeError):
+                return x, y
+
+        def overlaps(a: dict) -> bool:
+            raw = a.get("stats")
+            if not raw:
+                return True  # no stats → cannot skip
+            st = json.loads(raw)
+            for col, (lo, hi) in stats_filter.items():
+                fmin = st.get("minValues", {}).get(col)
+                fmax = st.get("maxValues", {}).get(col)
+                if fmin is None or fmax is None:
+                    continue
+                if hi is not None:
+                    a_, b_ = comparable(fmin, hi)
+                    if a_ > b_:
+                        return False
+                if lo is not None:
+                    a_, b_ = comparable(fmax, lo)
+                    if a_ < b_:
+                        return False
+            return True
+
+        return [a for a in active if overlaps(a)]
+
     def read(
         self,
         spark: SparkSession,
@@ -514,71 +594,14 @@ class DeltaLikeTable:
         most of them."""
         if not self._commit_files():
             raise ValueError(f"empty table at {self.path}")
-        active = self._active_files(as_of=as_of)
-        unpruned = list(active)
-        partitioned = any(a.get("partitionValues") for a in active)
-        if partition_filter:
-            active = [
-                a
-                for a in active
-                if all(
-                    a.get("partitionValues", {}).get(k) == v
-                    for k, v in partition_filter.items()
-                )
-            ]
-        if stats_filter:
-            def comparable(x, y):
-                """Coerce a (file-stat, bound) pair to comparable types.
+        unpruned = self._active_files(as_of=as_of)
+        partitioned = any(a.get("partitionValues") for a in unpruned)
+        active = self.live_files(
+            as_of=as_of,
+            partition_filter=partition_filter,
+            stats_filter=stats_filter,
+        )
 
-                Stats land in the log as JSON strings for temporal
-                columns; a lexicographic compare would prune a file whose
-                min is '2000-01-01 00:00:00' against hi='2000-01-01' even
-                though the instants are equal. Parse both sides as ISO
-                timestamps when possible (a bare date parses as its
-                midnight instant); on any parse failure fall back to the
-                raw values, which keeps numeric stats exact."""
-                import datetime as _dt
-
-                def parse(v):
-                    if isinstance(v, _dt.datetime):
-                        dt = v
-                    elif isinstance(v, _dt.date):
-                        dt = _dt.datetime(v.year, v.month, v.day)
-                    elif isinstance(v, str):
-                        dt = _dt.datetime.fromisoformat(v.replace("T", " "))
-                    else:
-                        raise ValueError
-                    if dt.tzinfo is not None:  # aware → naive UTC instant
-                        dt = dt.astimezone(_dt.timezone.utc).replace(
-                            tzinfo=None
-                        )
-                    return dt
-                try:
-                    return parse(x), parse(y)
-                except (ValueError, TypeError):
-                    return x, y
-
-            def overlaps(a: dict) -> bool:
-                raw = a.get("stats")
-                if not raw:
-                    return True  # no stats → cannot skip
-                st = json.loads(raw)
-                for col, (lo, hi) in stats_filter.items():
-                    fmin = st.get("minValues", {}).get(col)
-                    fmax = st.get("maxValues", {}).get(col)
-                    if fmin is None or fmax is None:
-                        continue
-                    if hi is not None:
-                        a_, b_ = comparable(fmin, hi)
-                        if a_ > b_:
-                            return False
-                    if lo is not None:
-                        a_, b_ = comparable(fmax, lo)
-                        if a_ < b_:
-                            return False
-                return True
-
-            active = [a for a in active if overlaps(a)]
         def base_path(paths: list[str]) -> str:
             """basePath for hive partition-column re-materialization.
 

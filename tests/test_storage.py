@@ -545,3 +545,24 @@ def test_timestamp_stats_actually_prune_files(spark, tbl):
     pruned = tbl.read(spark, stats_filter={"ts": ("2000-01-01", None)})
     assert len(pruned.inputFiles()) == 1
     assert pruned.count() == 1
+
+
+def test_zorder_skips_where_linear_cannot(spark, sf_dir):
+    # the delta_zorder operator's claim, asserted on raw counts: a
+    # suppkey-band predicate skips most Z-cells but no linear slice
+    from dbt_local_duckdb_deltalake_project_spark.operators.delta_ops import delta_zorder
+    from dbt_local_duckdb_deltalake_project_spark.sources.deltalike import (
+        DeltaLikeTable as _T,
+    )
+    from dbt_local_duckdb_deltalake_project_spark.sources.workspace import workdir
+    from dbt_local_duckdb_deltalake_project_spark.catalog import t
+
+    row = delta_zorder(spark, sf_dir).collect()[0]
+    assert row.zorder_skips and row.zorder_beats_linear
+    smax = t(spark, sf_dir, "supplier").count()
+    band = {"l_suppkey": (-(-2 * smax // 4), -(-3 * smax // 4) - 1)}
+    zt = _T(workdir(sf_dir, "delta_zorder", fresh=False))
+    lt = _T(workdir(sf_dir, "delta_zlinear", fresh=False))
+    assert len(zt.live_files()) == 16
+    assert len(zt.live_files(stats_filter=band)) == 4
+    assert len(lt.live_files(stats_filter=band)) == 16
