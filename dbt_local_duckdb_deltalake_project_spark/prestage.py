@@ -34,5 +34,6 @@ def prestage(spark: SparkSession, sf_dir: str) -> None:
         "delta_data_skipping",
         "delta_change_data_feed",
         "scan_deltalike_datasource",
+        "delta_zorder",
     ):
         QUERIES[qid](spark, sf_dir)  # lazy build; staging happens eagerly
