@@ -14,6 +14,7 @@ _MODULES = [
     "setops",
     "windows",
     "subqueries",
+    "tpch",
     "functions_lib",
     "eventtime",
     "llm_ops",
@@ -55,6 +56,11 @@ _WINDOW_FIRST = [
     # so every new family lands a driver row this round ---
     "delta_time_travel_ts", "delta_vacuum", "dbt_select_subgraph",
     "tpch_q1", "delta_zorder", "stream_upsert_foreachbatch",
+    # --- late-r4: the remaining 13 TPC-H composites (suite now complete
+    # at 22) — identical-text shared SQL, need their first driver row ---
+    "tpch_q2", "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q11", "tpch_q12",
+    "tpch_q13", "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q20",
+    "tpch_q21", "tpch_q22",
     # --- ids whose implementation changed in r4 (hot-shingle DF cap) ---
     "llm_dedup_near", "llm_dedup_clusters",
     # --- the 10 never-checked rows-mode ids (weaker rows-only check,
@@ -63,9 +69,16 @@ _WINDOW_FIRST = [
     "llm_cosine_topk_blocked", "llm_cosine_topk_lsh", "llm_cosine_topk_ivf",
     "scan_binaryfile", "stream_watermark_late", "stream_session_streamed",
     "stream_funnel_stateful",
-    # --- regression breadth mix: one-plus per §2 family, preferring ids
-    # near code touched this round (deltalike internals, catalog tz pin,
-    # events consumers) so regressions surface ---
+]
+
+
+# Directly behind the window: first the regression breadth mix (one-plus
+# per §2 family, preferring ids near code touched this round — deltalike
+# internals, catalog tz pin, events consumers — all driver-green in
+# r1–r3; they re-check first if the window is wider than 50), then the
+# r3-window ids; the already-proven relational core rotates to the very
+# back (local pytest still covers everything).
+_WINDOW_SECOND = [
     "delta_time_travel", "delta_merge_upsert",   # deltalike.py changed (ts resolution, vacuum)
     "stream_tumbling", "stream_session", "win_range_frame", "fn_date",  # events/tz consumers
     "join_asof",                 # §2.3
@@ -75,14 +88,6 @@ _WINDOW_FIRST = [
     "udf_pandas_scalar",         # §2.11
     "dbt_materialize_incremental",  # §2.12
     "pipeline_medallion",
-]
-
-
-# Directly behind the window: the r3-window ids (all green in
-# CORRECTNESS_r03) in case the driver window is wider than 50; the
-# already-proven relational core rotates to the very back (local pytest
-# still covers it).
-_WINDOW_SECOND = [
     "scan_parquet", "topk", "cte_chain",
     "tpch_q4", "tpch_q6", "tpch_q14", "tpch_q18", "tpch_q19",
     "scan_projection_pushdown", "scan_filter_pushdown",
