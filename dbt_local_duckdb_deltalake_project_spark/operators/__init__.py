@@ -79,6 +79,10 @@ _WINDOW_FIRST = [
 # r3-window ids; the already-proven relational core rotates to the very
 # back (local pytest still covers everything).
 _WINDOW_SECOND = [
+    # late-r4 additions that did not fit the 50-slot window — rotate
+    # these four to _WINDOW_FIRST in r5 (they need their first row):
+    "delta_history", "scan_xml", "sink_partitioned_overwrite",
+    "win_gap_fill",
     "delta_time_travel", "delta_merge_upsert",   # deltalike.py changed (ts resolution, vacuum)
     "stream_tumbling", "stream_session", "win_range_frame", "fn_date",  # events/tz consumers
     "join_asof",                 # §2.3

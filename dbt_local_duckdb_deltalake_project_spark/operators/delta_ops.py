@@ -689,3 +689,56 @@ def delta_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "delta_history",
+    """
+    SELECT version, operation, ts_monotonic
+    FROM (VALUES (4, 'RESTORE',  TRUE),
+                 (3, 'OPTIMIZE', TRUE),
+                 (2, 'DELETE',   TRUE),
+                 (1, 'WRITE',    TRUE),
+                 (0, 'WRITE',    TRUE))
+         AS h(version, operation, ts_monotonic)
+    ORDER BY version DESC
+    """,
+)
+def delta_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DESCRIBE HISTORY``: one row per commit, newest first, from the
+    log's commitInfo actions (sources/deltalike.py:history) — every
+    write path stamps its operation name (WRITE/OVERWRITE/DELETE/MERGE/
+    OPTIMIZE/RESTORE/CLONE/VACUUM), exactly the audit surface Delta
+    users script retention and debugging against. O(#commits) driver
+    log reads, no data file opened — the same cost at 100 TB. The op
+    drives a fresh five-commit lifecycle (append, append, DELETE,
+    OPTIMIZE, RESTORE) and hash-checks the reported operations plus
+    commit-timestamp monotonicity (the invariant timestampAsOf
+    resolution depends on).
+    """
+    tbl = DeltaLikeTable(workdir(sf_dir, "delta_history"))
+    c = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    half = F.col("c_custkey") % 2 == 0
+    tbl.write(c.filter(half).coalesce(1))                       # v0 WRITE
+    tbl.write(c.filter(~half).coalesce(1))                      # v1 WRITE
+    tbl.delete(spark, F.col("c_mktsegment") == "BUILDING")      # v2 DELETE
+    tbl.compact(spark)                                          # v3 OPTIMIZE
+    tbl.restore(1)                                              # v4 RESTORE
+    hist = tbl.history()
+    ts = {h["version"]: h["timestamp"] for h in hist}
+    rows = [
+        (
+            h["version"],
+            h["operation"],
+            bool(
+                h["version"] == 0
+                or ts[h["version"]] >= ts[h["version"] - 1]
+            ),
+        )
+        for h in hist
+    ]
+    return spark.createDataFrame(
+        rows, "version int, operation string, ts_monotonic boolean"
+    )

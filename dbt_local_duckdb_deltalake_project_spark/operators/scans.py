@@ -246,3 +246,75 @@ def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("file_name")
     )
+
+
+@register(
+    "scan_xml",
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # XML ingest via Spark 4's built-in xml source (the spark-xml
+    # package folded into core): stage nation as <nation> row elements,
+    # read back with rowTag + explicit dtype pinning (same discipline as
+    # scan_csv — inference is for discovery, silver layers declare
+    # schemas). Element order inside a rowTag is not positional, so the
+    # read is schema-by-name — the property the round-trip checks.
+    path = workdir(sf_dir, "scan_xml")
+    src = t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    src.write.mode("overwrite").format("xml").option(
+        "rowTag", "nation"
+    ).save(path)
+    df = spark.read.format("xml").option("rowTag", "nation").load(path)
+    return df.select(
+        F.col("n_nationkey").cast("int"),
+        F.col("n_name").cast("string"),
+        F.col("n_regionkey").cast("int"),
+    )
+
+
+@register(
+    "sink_partitioned_overwrite",
+    f"""
+    SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+           COUNT(*) AS n_orders,
+           {sql_dsum("o_totalprice", "revenue")}
+    FROM orders
+    WHERE year(o_orderdate) <> 1997 OR o_orderstatus = 'F'
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def sink_partitioned_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Dynamic partition overwrite (INSERT OVERWRITE ... PARTITION
+    # semantics): rewrite ONLY the partitions the incoming frame
+    # touches, leave every other partition's files untouched. This is
+    # the idempotent daily-backfill pattern at 100 TB — re-running a
+    # day's job replaces that day, never truncates the table (static
+    # overwrite mode would). The writer-level option scopes the mode to
+    # this write; no session conf leaks to pooled bench queries. The
+    # read-back aggregate proves partition 1997 now holds only 'F'
+    # orders while all other years kept every status.
+    path = workdir(sf_dir, "sink_partitioned_overwrite")
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.year("o_orderdate").alias("o_year"),
+    )
+    o.write.mode("overwrite").partitionBy("o_year").parquet(path)
+    upd = o.filter(
+        (F.col("o_year") == 1997) & (F.col("o_orderstatus") == "F")
+    )
+    upd.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("o_year").parquet(path)
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy(F.col("o_year").cast("int").alias("o_year"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), "revenue"),
+        )
+        .orderBy("o_year")
+    )

@@ -256,3 +256,43 @@ def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "win_gap_fill",
+    """
+    SELECT event_id, user_id, ts,
+           last_value(
+             CASE WHEN event_type = 'error' THEN NULL ELSE value END
+             IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS value_filled
+    FROM events
+    """,
+)
+def win_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Time-series gap fill (LOCF): readings from 'error' events are
+    # treated as missing and forward-filled with the user's last good
+    # value — last(..., ignorenulls) over a running frame. Values pass
+    # through unmodified (no arithmetic), so doubles compare exactly.
+    # One shuffle on user_id; the running frame is a single in-order
+    # pass per partition, and a leading gap (no prior good reading)
+    # stays NULL in both engines. At 100 TB this is the standard
+    # sessionized-sensor densification: partition count scales with
+    # users, state per row is one value.
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    e = t(spark, sf_dir, "events")
+    reading = F.when(F.col("event_type") == "error", None).otherwise(
+        F.col("value")
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.last(reading, ignorenulls=True).over(w).alias("value_filled"),
+    )

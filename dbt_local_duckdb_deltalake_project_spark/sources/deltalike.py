@@ -272,7 +272,7 @@ class DeltaLikeTable:
                 live.pop(act["remove"]["path"], None)
         return list(live.values())
 
-    def _commit(self, actions: list[dict]) -> int:
+    def _commit(self, actions: list[dict], operation: str | None = None) -> int:
         """Optimistic-concurrency commit (the spec's put-if-absent
         contract): stage the actions to a temp file, then publish with
         ``os.link`` — which FAILS if the target commit number already
@@ -289,11 +289,12 @@ class DeltaLikeTable:
                 # The spec's commitInfo action: carries the commit
                 # timestamp (ms) that timestampAsOf resolves against, so
                 # resolution does not depend on filesystem mtimes
-                # surviving copies/restores. Replay ignores it.
-                staged = [
-                    {"commitInfo": {"timestamp": int(time.time() * 1000)}},
-                    *staged,
-                ]
+                # surviving copies/restores, plus the operation name
+                # DESCRIBE HISTORY reports. Replay ignores it.
+                ci: dict = {"timestamp": int(time.time() * 1000)}
+                if operation is not None:
+                    ci["operation"] = operation
+                staged = [{"commitInfo": ci}, *staged]
             if version == 0:
                 staged = [{"protocol": PROTOCOL}, *staged]
             with open(tmp, "w") as f:
@@ -325,6 +326,31 @@ class DeltaLikeTable:
                     if ts is not None:
                         return int(ts)
         return int(os.path.getmtime(path) * 1000)
+
+    def history(self) -> list[dict]:
+        """``DESCRIBE HISTORY`` — one row per commit, newest first (the
+        order Delta presents), from the commitInfo actions alone: O(log)
+        driver work, no data file is opened. Commits written before the
+        operation field existed report the protocol's placeholder."""
+        rows = []
+        for v in range(self.latest_version + 1):
+            path = os.path.join(self._log_dir, f"{v:020d}.json")
+            op = None
+            with open(path) as f:
+                for ln in f:
+                    act = json.loads(ln)
+                    if "commitInfo" in act:
+                        op = act["commitInfo"].get("operation")
+                        break
+            rows.append(
+                {
+                    "version": v,
+                    "timestamp": self.commit_timestamp(v),
+                    "operation": op or "WRITE",
+                }
+            )
+        rows.reverse()
+        return rows
 
     def version_at_timestamp(self, ts_ms: int) -> int:
         """``TIMESTAMP AS OF`` resolution: the LATEST version whose
@@ -462,9 +488,12 @@ class DeltaLikeTable:
         mode: str = "append",
         partition_by: list[str] | None = None,
         merge_schema: bool = False,
+        operation: str | None = None,
     ) -> int:
         """Commit ``df`` as a new version; returns the version number."""
         assert mode in ("append", "overwrite")
+        if operation is None:
+            operation = "WRITE" if mode == "append" else "OVERWRITE"
         if mode == "append":
             self._enforce_schema(df, merge_schema)
         os.makedirs(self.path, exist_ok=True)
@@ -483,7 +512,7 @@ class DeltaLikeTable:
             )
         actions.extend(self._stage_data_files(df, partition_by))
         actions.append(self._metadata_action(df, partition_by))
-        return self._commit(actions)
+        return self._commit(actions, operation=operation)
 
     # -- reads ------------------------------------------------------------
     def live_files(
@@ -650,7 +679,7 @@ class DeltaLikeTable:
         # Delta DELETE removes rows where the predicate is TRUE; rows where
         # it evaluates NULL are KEPT (plain ~condition would drop them).
         kept = self.read(spark).filter(~condition.eqNullSafe(True))
-        self.write(kept, mode="overwrite")
+        self.write(kept, mode="overwrite", operation="DELETE")
         return self.read(spark)
 
     def restore(self, version: int) -> int:
@@ -679,7 +708,7 @@ class DeltaLikeTable:
         actions.extend(
             {"add": add} for p, add in target.items() if p not in current
         )
-        return self._commit(actions)
+        return self._commit(actions, operation="RESTORE")
 
     def clone_to(self, target_path: str, as_of: int | None = None) -> "DeltaLikeTable":
         """SHALLOW CLONE: a new table whose first commit re-ADDs the
@@ -700,7 +729,7 @@ class DeltaLikeTable:
         metas = [m for m in self._actions(upto=as_of) if "metaData" in m]
         if metas:
             actions.append(metas[-1])
-        clone._commit(actions)
+        clone._commit(actions, operation="CLONE")
         return clone
 
     # -- maintenance ------------------------------------------------------
@@ -712,7 +741,10 @@ class DeltaLikeTable:
         streaming-append tables, run as a maintenance job; old versions
         stay readable until vacuumed."""
         current = self.read(spark)
-        return self.write(current.coalesce(target_files), mode="overwrite")
+        return self.write(
+            current.coalesce(target_files), mode="overwrite",
+            operation="OPTIMIZE",
+        )
 
     def vacuum(
         self, retention_ms: int = 0, now_ms: int | None = None
@@ -812,5 +844,5 @@ class DeltaLikeTable:
             F.coalesce(F.col(f"s.{on}"), F.col(f"t.{on}")).alias(on),
             *[_merged_col(c) for c in cols if c != on],
         )
-        self.write(merged, mode="overwrite")
+        self.write(merged, mode="overwrite", operation="MERGE")
         return self.read(spark)

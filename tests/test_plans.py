@@ -218,3 +218,28 @@ def test_corpus_mapside_ops_have_no_join_or_agg_exchange(spark, sf_dir):
         p = plan(QUERIES[qid](spark, sf_dir))
         assert "hashpartitioning" not in p, f"{qid} shuffles"
         assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
+
+
+@pytest.mark.parametrize("qid", ["tpch_q2", "tpch_q7", "tpch_q8", "tpch_q9"])
+def test_tpch_dim_joins_broadcast(spark, sf_dir, qid):
+    # nation/region/supplier/part dims are far below the broadcast
+    # threshold: the fact scan must never shuffle to meet a dim.
+    p = plan(QUERIES[qid](spark, sf_dir))
+    assert "BroadcastHashJoin" in p, qid
+
+
+def test_tpch_q21_decorrelates_to_semi_and_anti(spark, sf_dir):
+    # EXISTS → left-semi, NOT EXISTS → left-anti, both shuffled on
+    # l_orderkey — the plan that scales; a correlated per-row probe
+    # would show a nested-loop join instead.
+    p = plan(QUERIES["tpch_q21"](spark, sf_dir))
+    assert "LeftSemi" in p and "LeftAnti" in p
+    assert "CartesianProduct" not in p
+
+
+def test_tpch_q1_partial_aggregation(spark, sf_dir):
+    # the pricing summary must map-side combine: partial HashAggregate
+    # before the exchange, final after — the shuffle carries 4 group
+    # states, not 6M rows.
+    p = plan(QUERIES["tpch_q1"](spark, sf_dir))
+    assert p.count("HashAggregate") >= 2
