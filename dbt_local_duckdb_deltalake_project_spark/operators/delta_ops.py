@@ -742,3 +742,71 @@ def delta_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "version int, operation string, ts_monotonic boolean"
     )
+
+
+@register(
+    "delta_constraints",
+    f"""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           TRUE AS bad_price_rejected,
+           TRUE AS bad_status_rejected,
+           TRUE AS constraint_in_history
+    FROM orders
+    WHERE o_orderdate < TIMESTAMP '{_CUT}'
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def delta_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ALTER TABLE ... ADD CONSTRAINT ... CHECK``: constraints live in
+    the metaData configuration (``delta.constraints.<name>``, the
+    protocol's representation), survive unrelated writes, and gate every
+    subsequent commit — a violating append must fail atomically (no
+    partial data lands) while NULLs pass per SQL CHECK semantics.
+    Enforcement probes only the INCOMING frame (limit-1 existence scan),
+    so a clean 100 TB append pays one pass over the new data, never a
+    table scan. The op hash-checks: the post-rejection table state (the
+    bad appends left nothing behind), both rejections, and that the
+    ALTER itself appears in DESCRIBE HISTORY.
+    """
+    tbl = DeltaLikeTable(workdir(sf_dir, "delta_constraints"))
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    ).filter(F.col("o_orderdate") < _CUT).drop("o_orderdate")
+    half = F.col("o_orderkey") % 2 == 0
+    tbl.write(o.filter(half))                                 # v0 WRITE
+    tbl.add_check_constraint("price_positive", "o_totalprice > 0")
+    tbl.add_check_constraint(
+        "status_known", "o_orderstatus IN ('F', 'O', 'P')"
+    )
+    tbl.write(o.filter(~half))                                # clean append
+    bad_price = o.limit(5).withColumn(
+        "o_totalprice", -F.col("o_totalprice")
+    )
+    try:
+        tbl.write(bad_price)
+        price_rejected = False
+    except ValueError:
+        price_rejected = True
+    bad_status = o.limit(5).withColumn("o_orderstatus", F.lit("X"))
+    try:
+        tbl.write(bad_status)
+        status_rejected = False
+    except ValueError:
+        status_rejected = True
+    in_history = any(
+        h["operation"] == "ADD CONSTRAINT" for h in tbl.history()
+    )
+    return (
+        tbl.read(spark)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            "o_orderstatus",
+            "n_orders",
+            F.lit(bool(price_rejected)).alias("bad_price_rejected"),
+            F.lit(bool(status_rejected)).alias("bad_status_rejected"),
+            F.lit(bool(in_history)).alias("constraint_in_history"),
+        )
+        .orderBy("o_orderstatus")
+    )

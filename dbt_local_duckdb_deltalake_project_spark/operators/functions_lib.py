@@ -455,3 +455,55 @@ def fn_try_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("o_orderkey").cast("string").cast("int").alias("good_cast"),
     )
+
+
+@register(
+    "fn_url",
+    r"""
+    SELECT s_suppkey,
+           regexp_extract(url, '^([a-z]+):', 1) AS protocol,
+           regexp_extract(url, '://([^/?#]+)', 1) AS host,
+           regexp_extract(url, '://[^/?#]+(/[^?#]*)', 1) AS path,
+           regexp_extract(url, '\?([^#]*)', 1) AS query,
+           regexp_extract(url, 'page=([^&#]*)', 1) AS page_param,
+           regexp_extract(url, '#(.*)$', 1) AS fragment
+    FROM (
+      SELECT s_suppkey,
+             'https://supp-' || CAST(s_suppkey AS VARCHAR)
+             || '.example.com/nation/' || CAST(s_nationkey AS VARCHAR)
+             || '/parts?page=' || CAST(s_suppkey % 7 AS VARCHAR)
+             || '&sort=name#sec-' || CAST(s_nationkey AS VARCHAR) AS url
+      FROM supplier)
+    ORDER BY s_suppkey
+    """,
+)
+def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # URL component extraction — the log-sessionization workhorse. Spark
+    # side uses the native parse_url (JVM java.net.URI-backed, codegen);
+    # the oracle decomposes the same constructed URLs with regexes. URLs
+    # are built from integer keys only: double→string formatting is the
+    # one cross-engine divergence in string building, so it is kept out
+    # of the inputs. At 100 TB this is a pure map-side projection.
+    s = t(spark, sf_dir, "supplier")
+    url = F.concat(
+        F.lit("https://supp-"),
+        F.col("s_suppkey").cast("string"),
+        F.lit(".example.com/nation/"),
+        F.col("s_nationkey").cast("string"),
+        F.lit("/parts?page="),
+        (F.col("s_suppkey") % 7).cast("string"),
+        F.lit("&sort=name#sec-"),
+        F.col("s_nationkey").cast("string"),
+    )
+    u = s.select("s_suppkey", url.alias("url"))
+    return u.select(
+        "s_suppkey",
+        F.parse_url("url", F.lit("PROTOCOL")).alias("protocol"),
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("page")).alias(
+            "page_param"
+        ),
+        F.parse_url("url", F.lit("REF")).alias("fragment"),
+    ).orderBy("s_suppkey")

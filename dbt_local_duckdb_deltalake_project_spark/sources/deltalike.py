@@ -444,10 +444,58 @@ class DeltaLikeTable:
                 "format": {"provider": "parquet", "options": {}},
                 "schemaString": df.schema.json(),
                 "partitionColumns": partition_by or [],
-                "configuration": {},
+                # Table configuration (constraints, properties) survives
+                # writes — only explicit ALTERs change it, as in Delta.
+                "configuration": self._latest_configuration(),
                 "createdTime": int(time.time() * 1000),
             }
         }
+
+    def _latest_configuration(self) -> dict:
+        metas = [a["metaData"] for a in self._actions() if "metaData" in a]
+        if not metas:
+            return {}
+        return dict(metas[-1].get("configuration") or {})
+
+    def add_check_constraint(self, name: str, expr_sql: str) -> int:
+        """``ALTER TABLE ... ADD CONSTRAINT name CHECK (expr)``: stored
+        as ``delta.constraints.<name>`` in the metaData configuration
+        (the protocol's representation), enforced by every subsequent
+        write. Metadata-only commit — O(1) regardless of table size."""
+        metas = [a["metaData"] for a in self._actions() if "metaData" in a]
+        if not metas:
+            raise ValueError(f"cannot ALTER empty table {self.path}")
+        meta = dict(metas[-1])
+        cfg = dict(meta.get("configuration") or {})
+        cfg[f"delta.constraints.{name}"] = expr_sql
+        meta["configuration"] = cfg
+        return self._commit(
+            [{"metaData": meta}], operation="ADD CONSTRAINT"
+        )
+
+    def check_constraints(self) -> dict[str, str]:
+        prefix = "delta.constraints."
+        return {
+            k[len(prefix):]: v
+            for k, v in self._latest_configuration().items()
+            if k.startswith(prefix)
+        }
+
+    def _enforce_constraints(self, df: DataFrame) -> None:
+        """CHECK semantics (SQL standard, as Delta enforces them): a row
+        violates only when the expression evaluates FALSE — NULL passes.
+        The probe is a limit-1 existence scan per constraint pushed into
+        the incoming frame's plan, so a clean 100 TB append costs one
+        extra pass over the NEW data only, never the table."""
+        from pyspark.sql import functions as F
+
+        for name, expr in self.check_constraints().items():
+            bad = df.filter(F.expr(expr).eqNullSafe(F.lit(False))).limit(1)
+            if bad.count() > 0:
+                raise ValueError(
+                    f"CHECK constraint {name} ({expr}) violated by write "
+                    f"to {self.path}"
+                )
 
     def _latest_schema(self):
         from pyspark.sql.types import StructType
@@ -496,6 +544,8 @@ class DeltaLikeTable:
             operation = "WRITE" if mode == "append" else "OVERWRITE"
         if mode == "append":
             self._enforce_schema(df, merge_schema)
+        if self.check_constraints():
+            self._enforce_constraints(df)
         os.makedirs(self.path, exist_ok=True)
         actions: list[dict] = []
         if mode == "overwrite":

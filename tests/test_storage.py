@@ -566,3 +566,60 @@ def test_zorder_skips_where_linear_cannot(spark, sf_dir):
     assert len(zt.live_files()) == 16
     assert len(zt.live_files(stats_filter=band)) == 4
     assert len(lt.live_files(stats_filter=band)) == 16
+
+
+def test_history_reports_operation_per_commit(spark, tbl, tmp_path):
+    # DESCRIBE HISTORY surface: every write path stamps its operation
+    # name; rows come back newest-first with monotonic timestamps.
+    df = spark.range(4).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    tbl.write(df)                                           # v0 WRITE
+    tbl.write(df, mode="overwrite")                         # v1 OVERWRITE
+    src = spark.range(2, 6).select(
+        F.col("id").alias("k"), (F.col("id") * 100).alias("v")
+    )
+    tbl.merge(spark, src, on="k")                           # v2 MERGE
+    tbl.delete(spark, F.col("k") == 0)                      # v3 DELETE
+    tbl.compact(spark)                                      # v4 OPTIMIZE
+    tbl.restore(2)                                          # v5 RESTORE
+    clone = tbl.clone_to(str(tmp_path / "clone"))           # clone v0 CLONE
+    hist = tbl.history()
+    assert [h["version"] for h in hist] == [5, 4, 3, 2, 1, 0]
+    assert [h["operation"] for h in hist] == [
+        "RESTORE", "OPTIMIZE", "DELETE", "MERGE", "OVERWRITE", "WRITE",
+    ]
+    ts = [h["timestamp"] for h in hist]
+    assert ts == sorted(ts, reverse=True) or len(set(ts)) < len(ts)
+    assert all(a >= b for a, b in zip(ts, ts[1:]))
+    assert clone.history()[0]["operation"] == "CLONE"
+
+
+def test_check_constraints_protocol(spark, tbl):
+    df = spark.range(5).select(
+        F.col("id").alias("k"), (F.col("id") + 1.0).alias("v")
+    )
+    tbl.write(df)
+    tbl.add_check_constraint("v_positive", "v > 0")
+    # configuration survives unrelated writes (Delta preserves it; only
+    # explicit ALTERs change table config)
+    tbl.write(df)
+    assert tbl.check_constraints() == {"v_positive": "v > 0"}
+    # a violating append fails atomically — nothing lands
+    before = tbl.read(spark).count()
+    bad = spark.range(2).select(
+        F.col("id").alias("k"), F.lit(-1.0).alias("v")
+    )
+    with pytest.raises(ValueError, match="v_positive"):
+        tbl.write(bad)
+    assert tbl.read(spark).count() == before
+    # SQL CHECK semantics: NULL passes (violated only when FALSE)
+    nullv = spark.range(1).select(
+        F.col("id").alias("k"), F.lit(None).cast("double").alias("v")
+    )
+    tbl.write(nullv)
+    assert tbl.read(spark).count() == before + 1
+    assert tbl.history()[0]["operation"] == "WRITE"
+    assert any(
+        h["operation"] == "ADD CONSTRAINT" for h in tbl.history()
+    )
