@@ -1954,3 +1954,215 @@ def llm_cosine_topk_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
         .orderBy("qid", F.col("cosine").desc(), "vec_id")
     )
+
+
+_CORPUS_FUNNEL_ORACLE = """
+WITH raw AS (
+  SELECT doc_id, text, n_chars,
+         md5(CAST(doc_id AS VARCHAR)) AS k,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+quality AS (
+  SELECT * FROM raw
+  WHERE n_chars BETWEEN 100 AND 520 AND n_tokens >= 20
+),
+dedup AS (
+  SELECT * EXCLUDE (rn) FROM (
+    SELECT q.*, ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                   ORDER BY doc_id) AS rn
+    FROM quality q) WHERE rn = 1
+),
+sh AS (
+  SELECT doc_id, substr(k, 1, 2) AS h,
+         unnest(list_distinct(list_transform(
+           range(1, len(string_split(text, ' ')) - 3),
+           i -> string_split(text, ' ')[i] || ' '
+             || string_split(text, ' ')[i+1] || ' '
+             || string_split(text, ' ')[i+2] || ' '
+             || string_split(text, ' ')[i+3] || ' '
+             || string_split(text, ' ')[i+4]))) AS s
+  FROM raw
+),
+bench AS (SELECT DISTINCT s FROM sh WHERE h < '08'),
+contaminated AS (
+  SELECT DISTINCT t.doc_id
+  FROM sh t JOIN bench b ON t.s = b.s
+  WHERE t.h >= '08'
+),
+clean AS (
+  SELECT d.* FROM dedup d
+  WHERE substr(d.k, 1, 2) >= '08'
+    AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+split_assigned AS (
+  SELECT *, CASE WHEN substr(k, 1, 2) < 'cd' THEN 'train'
+                 WHEN substr(k, 1, 2) < 'e6' THEN 'val'
+                 ELSE 'test' END AS split
+  FROM clean
+),
+packed AS (
+  SELECT split, substr(k, 1, 1) AS bucket, doc_id, n_tokens,
+         CAST(FLOOR(
+           (SUM(n_tokens) OVER (PARTITION BY split, substr(k, 1, 1)
+                                ORDER BY k, doc_id
+                                ROWS UNBOUNDED PRECEDING) - n_tokens)
+           / 512.0) AS BIGINT) AS pack_id
+  FROM split_assigned
+)
+SELECT * FROM (
+  SELECT 0 AS step, 'raw' AS stage, COUNT(*) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS n_tokens FROM raw
+  UNION ALL SELECT 1, 'quality', COUNT(*),
+         CAST(SUM(n_tokens) AS BIGINT) FROM quality
+  UNION ALL SELECT 2, 'dedup', COUNT(*),
+         CAST(SUM(n_tokens) AS BIGINT) FROM dedup
+  UNION ALL SELECT 3, 'decontaminated', COUNT(*),
+         CAST(SUM(n_tokens) AS BIGINT) FROM clean
+  UNION ALL SELECT 4, 'split:' || split, COUNT(*),
+         CAST(SUM(n_tokens) AS BIGINT)
+         FROM split_assigned GROUP BY split
+  UNION ALL SELECT 5, 'packs', COUNT(DISTINCT (split, bucket, pack_id)),
+         CAST(SUM(n_tokens) AS BIGINT) FROM packed
+)
+ORDER BY step, stage
+"""
+
+
+@register("pipeline_llm_corpus", _CORPUS_FUNNEL_ORACLE)
+def pipeline_llm_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus pipeline — the LLM-data analogue of
+    pipeline_medallion, composing the registry's primitives into one
+    funnel: quality gate (llm_quality_score's filter) → exact dedup
+    (llm_dedup_exact's min-doc keeper) → benchmark decontamination
+    (llm_decontaminate's 5-gram broadcast anti-join) → deterministic
+    split assignment (llm_split_assign) → greedy sequence packing
+    (llm_sequence_pack). Output is the long-form funnel (step, stage,
+    n_docs, n_tokens) — the yield report a data team actually reviews
+    before a training run.
+
+    Scale: every stage is one linear pass — the only corpus-sized
+    shuffles are the dedup hash-groupBy and the pack window's
+    (split, bucket) repartition; the benchmark shingle set stays small
+    by construction (eval sets are thousands of docs), so
+    decontamination broadcast-joins hashed 8-byte shingles against the
+    corpus stream. Re-running the whole funnel lands every doc in the
+    same split/pack (content-addressed keys, no RNG) — the
+    reproducibility property that makes backfills safe.
+    """
+    d = t(spark, sf_dir, "documents")
+    key = F.md5(F.col("doc_id").cast("string"))
+    raw = d.select(
+        "doc_id",
+        "text",
+        "n_chars",
+        key.alias("k"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    quality = raw.filter(
+        F.col("n_chars").between(100, 520) & (F.col("n_tokens") >= 20)
+    )
+    wdup = W.partitionBy(F.md5("text")).orderBy("doc_id")
+    dedup = (
+        quality.withColumn("rn", F.row_number().over(wdup))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    # 5-gram shingles from the RAW corpus (the benchmark side must see
+    # pre-filter docs), hashed to 8 bytes — equality-only use, so the
+    # engine-specific hash never reaches the output (llm_decontaminate).
+    w = F.split("text", " ")
+    base = raw.select(
+        "doc_id", F.substring("k", 1, 2).alias("h"), w.alias("w")
+    )
+    n5 = F.greatest(F.size("w") - 4, F.lit(0))
+    z = F.arrays_zip(
+        *[F.slice("w", i + 1, n5).alias(c) for i, c in enumerate("abcde")]
+    )
+    sh = (
+        base.select("doc_id", "h", F.explode(z).alias("g"))
+        .select(
+            "doc_id",
+            "h",
+            F.xxhash64(
+                F.concat_ws(" ", *[F.col(f"g.{c}") for c in "abcde"])
+            ).alias("s"),
+        )
+        .distinct()
+    )
+    bench = sh.filter(F.col("h") < "08").select("s").distinct()
+    contaminated = (
+        sh.filter(F.col("h") >= "08")
+        .join(F.broadcast(bench), "s")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = dedup.filter(F.substring("k", 1, 2) >= "08").join(
+        contaminated, "doc_id", "left_anti"
+    )
+    split_assigned = clean.withColumn(
+        "split",
+        F.when(F.substring("k", 1, 2) < "cd", "train")
+        .when(F.substring("k", 1, 2) < "e6", "val")
+        .otherwise("test"),
+    )
+    wpack = (
+        W.partitionBy("split", F.substring("k", 1, 1))
+        .orderBy("k", "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    packed = split_assigned.select(
+        "split",
+        F.substring("k", 1, 1).alias("bucket"),
+        "doc_id",
+        "n_tokens",
+        F.floor(
+            (F.sum("n_tokens").over(wpack) - F.col("n_tokens")) / 512.0
+        ).cast("long").alias("pack_id"),
+    )
+
+    def stage(df: DataFrame, step: int, name) -> DataFrame:
+        name_col = F.lit(name) if isinstance(name, str) else name
+        return df.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        ).select(
+            F.lit(step).cast("int").alias("step"),
+            name_col.alias("stage"),
+            "n_docs",
+            "n_tokens",
+        )
+
+    splits = (
+        split_assigned.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+        .select(
+            F.lit(4).cast("int").alias("step"),
+            F.concat(F.lit("split:"), F.col("split")).alias("stage"),
+            "n_docs",
+            "n_tokens",
+        )
+    )
+    packs = packed.agg(
+        F.countDistinct(
+            F.struct("split", "bucket", "pack_id")
+        ).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+    ).select(
+        F.lit(5).cast("int").alias("step"),
+        F.lit("packs").alias("stage"),
+        "n_docs",
+        "n_tokens",
+    )
+    return (
+        stage(raw, 0, "raw")
+        .unionAll(stage(quality, 1, "quality"))
+        .unionAll(stage(dedup, 2, "dedup"))
+        .unionAll(stage(clean, 3, "decontaminated"))
+        .unionAll(splits)
+        .unionAll(packs)
+        .orderBy("step", "stage")
+    )
