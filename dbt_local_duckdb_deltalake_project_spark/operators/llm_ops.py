@@ -2166,3 +2166,133 @@ def pipeline_llm_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(packs)
         .orderBy("step", "stage")
     )
+
+
+_KMEANS_ORACLE = """
+WITH pts AS (
+  SELECT vec_id, dim,
+         CAST(ROUND(CAST(embedding[dim] AS DOUBLE) * 1000000) AS BIGINT)
+           AS x_m
+  FROM embeddings, (SELECT unnest(range(1, 65)) AS dim)
+),
+c0 AS (
+  SELECT vec_id AS cluster, dim, x_m AS c_m FROM pts WHERE vec_id < 4
+),
+d1 AS (
+  SELECT p.vec_id, c.cluster,
+         SUM((p.x_m - c.c_m) * (p.x_m - c.c_m)) AS dist
+  FROM pts p JOIN c0 c ON p.dim = c.dim
+  GROUP BY p.vec_id, c.cluster
+),
+a1 AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY dist, cluster) AS rn
+    FROM d1) WHERE rn = 1
+),
+c1 AS (
+  SELECT a.cluster, p.dim,
+         CAST((SUM(p.x_m) - ((SUM(p.x_m) % COUNT(*) + COUNT(*)) % COUNT(*)))
+              // COUNT(*) AS BIGINT) AS c_m
+  FROM pts p JOIN a1 a ON p.vec_id = a.vec_id
+  GROUP BY a.cluster, p.dim
+),
+d2 AS (
+  SELECT p.vec_id, c.cluster,
+         SUM((p.x_m - c.c_m) * (p.x_m - c.c_m)) AS dist
+  FROM pts p JOIN c1 c ON p.dim = c.dim
+  GROUP BY p.vec_id, c.cluster
+),
+a2 AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY dist, cluster) AS rn
+    FROM d2) WHERE rn = 1
+),
+c2 AS (
+  SELECT a.cluster, p.dim,
+         CAST((SUM(p.x_m) - ((SUM(p.x_m) % COUNT(*) + COUNT(*)) % COUNT(*)))
+              // COUNT(*) AS BIGINT) AS c_m
+  FROM pts p JOIN a2 a ON p.vec_id = a.vec_id
+  GROUP BY a.cluster, p.dim
+)
+SELECT m.cluster, m.n_members, c.centroid_l1_m
+FROM (SELECT cluster, COUNT(*) AS n_members FROM a2 GROUP BY cluster) m
+JOIN (SELECT cluster, CAST(SUM(ABS(c_m)) AS BIGINT) AS centroid_l1_m
+      FROM c2 GROUP BY cluster) c
+  ON m.cluster = c.cluster
+ORDER BY m.cluster
+"""
+
+
+@register("llm_kmeans", _KMEANS_ORACLE)
+def llm_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact k-means over the embedding corpus (k=4, two Lloyd
+    iterations, first-k init) — the topic-clustering step of
+    cluster-balanced corpus sampling. Everything is integer micros:
+    per-dim values quantize once (same ROUND→BIGINT as deterministic
+    sums), squared L2 distances are exact BIGINT sums (≤6.4e13 for 64
+    dims — no float accumulation order to diverge), argmin tie-breaks
+    on cluster id, and centroid updates use an exact floor-division
+    (sum − pmod(sum, n)) / n, identical in both engines where raw
+    integer division semantics differ (Spark DIV truncates, DuckDB //
+    floors). Scale: each iteration is one broadcast join of the k×dims
+    centroid table (256 rows) against the point stream plus one
+    shuffle on (cluster, dim) — the canonical distributed Lloyd step;
+    iterations are plan-unrolled (no driver loop, no collect). The
+    hash-checked output is per-cluster membership counts plus the
+    centroid L1 checksum in micros.
+    """
+    e = t(spark, sf_dir, "embeddings")
+    # dim is engine-local (0-based here, 1-based in the oracle): it only
+    # ever joins points to centroids WITHIN an engine and never reaches
+    # the output, so the offset is immaterial.
+    pts = e.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "val")
+    ).select(
+        "vec_id",
+        "dim",
+        F.round(F.col("val").cast("double") * 1000000)
+        .cast("long").alias("x_m"),
+    )
+    c = pts.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cluster"), "dim", F.col("x_m").alias("c_m")
+    )
+    for _ in range(2):
+        diff = F.col("x_m") - F.col("c_m")
+        dist = (
+            pts.join(F.broadcast(c), "dim")
+            .groupBy("vec_id", "cluster")
+            .agg(F.sum(diff * diff).alias("dist"))
+        )
+        wa = W.partitionBy("vec_id").orderBy("dist", "cluster")
+        assign = (
+            dist.withColumn("rn", F.row_number().over(wa))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cluster")
+        )
+        s, n = F.sum("x_m"), F.count(F.lit(1))
+        c = (
+            pts.join(assign, "vec_id")
+            .groupBy("cluster", "dim")
+            .agg(
+                ((s - F.pmod(s, n)) / n).cast("long").alias("c_m")
+            )
+        )
+    members = assign.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    l1 = c.groupBy("cluster").agg(
+        F.sum(F.abs("c_m")).cast("long").alias("centroid_l1_m")
+    )
+    return (
+        members.join(l1, "cluster")
+        .select(
+            F.col("cluster").cast("long").alias("cluster"),
+            "n_members",
+            "centroid_l1_m",
+        )
+        .orderBy("cluster")
+    )
