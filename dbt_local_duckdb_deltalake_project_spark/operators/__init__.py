@@ -84,6 +84,7 @@ _WINDOW_SECOND = [
     "delta_history", "scan_xml", "sink_partitioned_overwrite",
     "win_gap_fill", "delta_constraints", "fn_url",
     "pipeline_llm_corpus", "llm_kmeans",
+    "sql_pipe_syntax", "fn_variant", "fn_collation", "agg_mode_median",
     "delta_time_travel", "delta_merge_upsert",   # deltalike.py changed (ts resolution, vacuum)
     "stream_tumbling", "stream_session", "win_range_frame", "fn_date",  # events/tz consumers
     "join_asof",                 # §2.3

@@ -725,3 +725,61 @@ def agg_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spine.join(daily, "day", "left").select(
         "day", F.coalesce(F.col("n"), F.lit(0)).alias("n_orders")
     )
+
+
+_MODE_MEDIAN_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       mode(CASE WHEN l_quantity <= 35 THEN 'standard' ELSE 'bulk' END)
+         AS mode_class,
+       CAST(mode(CAST(l_quantity <= 35 AS INTEGER)) AS INTEGER)
+         AS mode_class_flag,
+       median(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS median_qty_cents,
+       median(CAST(ROUND(l_extendedprice * 1000000) AS BIGINT))
+         AS median_price_micros,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@register("agg_mode_median", _MODE_MEDIAN_ORACLE)
+def agg_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mode() / median() — the two order-statistic aggregates DuckDB users
+    reach for before percentile. Both need determinism care:
+
+    - mode() is tie-unspecified in BOTH engines, so the measured column is
+      a constructed 70/30 class split (quantity ≤ 35 over a uniform 1..50
+      domain) — the winner leads by ~40% of each group, so no fixture SF
+      can flip it. The uniform synthetic fixtures have no naturally-skewed
+      low-cardinality column (l_linenumber's 1..7 counts differ by <0.2%),
+      so a demo on raw data would be a coin-flip across engines.
+    - median() interpolates the middle pair on even counts; over raw
+      doubles the interpolation arithmetic is engine-specific. Quantizing
+      to integer cents/micros first makes every candidate midpoint k or
+      k+0.5 — exactly representable, computed identically.
+
+    Both are single hash-aggregate shuffles on the group key; mode keeps a
+    per-group value→count map (bounded by the 2-value class domain) and
+    Spark's median is a typed percentile buffer — at 100 TB the GK-sketch
+    `agg_percentile_approx` is the registered scale path for the latter.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    cls = F.when(F.col("l_quantity") <= 35, "standard").otherwise("bulk")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.mode(cls).alias("mode_class"),
+            F.mode((F.col("l_quantity") <= 35).cast("int")).alias(
+                "mode_class_flag"
+            ),
+            F.median(
+                F.round(F.col("l_quantity") * 100).cast("long")
+            ).alias("median_qty_cents"),
+            F.median(
+                F.round(F.col("l_extendedprice") * 1_000_000).cast("long")
+            ).alias("median_price_micros"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )

@@ -507,3 +507,125 @@ def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.parse_url("url", F.lit("REF")).alias("fragment"),
     ).orderBy("s_suppkey")
+
+
+_VARIANT_ORACLE = """
+SELECT o_orderkey,
+       CAST(json_extract_string(j, '$.cust.key') AS BIGINT) AS cust_key,
+       json_extract_string(j, '$.cust.prio') AS prio,
+       CAST(json_extract_string(j, '$.items[1]') AS BIGINT) AS item1,
+       json_extract_string(j, '$.missing') AS missing,
+       CAST(json_array_length(j, '$.items') AS INTEGER) AS n_items
+FROM (
+  SELECT o_orderkey,
+         '{"cust": {"key": ' || CAST(o_custkey AS VARCHAR)
+         || ', "prio": "' || o_orderpriority
+         || '"}, "items": [' || CAST(o_orderkey % 5 AS VARCHAR)
+         || ', ' || CAST(o_orderkey % 7 AS VARCHAR) || ']}' AS j
+  FROM orders)
+WHERE o_orderkey < 500
+ORDER BY o_orderkey
+"""
+
+
+@register("fn_variant", _VARIANT_ORACLE)
+def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT — the semi-structured column type (binary-encoded
+    JSON, per-path typed extraction without a declared schema). The ingest
+    pattern at scale: land raw JSON once as VARIANT, then `variant_get`
+    typed paths in silver models — the parse cost is paid once at write
+    and every read extracts paths from the binary encoding instead of
+    re-parsing text. Here: parse_json → typed path gets (nested object,
+    array index, missing key via try_variant_get → NULL). The JSON is
+    built from integer/string columns only — double→string formatting is
+    the one cross-engine divergence in string building (fn_url pattern).
+    The oracle extracts the same paths with DuckDB's JSON functions.
+    Map-side only; at 100 TB this is a pure projection over the scan.
+    """
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    j = F.concat(
+        F.lit('{"cust": {"key": '),
+        F.col("o_custkey").cast("string"),
+        F.lit(', "prio": "'),
+        F.col("o_orderpriority"),
+        F.lit('"}, "items": ['),
+        (F.col("o_orderkey") % 5).cast("string"),
+        F.lit(", "),
+        (F.col("o_orderkey") % 7).cast("string"),
+        F.lit("]}"),
+    )
+    v = o.select("o_orderkey", F.parse_json(j).alias("v"))
+    return v.select(
+        "o_orderkey",
+        F.expr("variant_get(v, '$.cust.key', 'bigint')").alias("cust_key"),
+        F.expr("variant_get(v, '$.cust.prio', 'string')").alias("prio"),
+        F.expr("variant_get(v, '$.items[1]', 'bigint')").alias("item1"),
+        F.expr("try_variant_get(v, '$.missing', 'string')").alias("missing"),
+        F.expr("size(variant_get(v, '$.items', 'array<int>'))").alias(
+            "n_items"
+        ),
+    ).orderBy("o_orderkey")
+
+
+_COLLATION_ORACLE = """
+WITH variants AS (
+  SELECT p_partkey, upper(p_type) AS c FROM part WHERE p_partkey % 3 = 0
+  UNION ALL
+  SELECT p_partkey, lower(p_type) AS c FROM part WHERE p_partkey % 3 = 1
+  UNION ALL
+  SELECT p_partkey, p_type AS c FROM part WHERE p_partkey % 3 = 2
+)
+SELECT lower(c) AS container,
+       COUNT(*) AS n,
+       COUNT(DISTINCT c) AS n_raw_spellings,
+       CAST(SUM(CASE WHEN lower(c) = lower('Economy') THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_eq_probe
+FROM variants
+GROUP BY lower(c)
+ORDER BY container
+"""
+
+
+@register("fn_collation", _COLLATION_ORACLE)
+def fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 collations: `collate(c, 'UTF8_LCASE')` makes comparison,
+    grouping, and DISTINCT case-insensitive *at the type level* — the
+    engine folds case inside the hash/compare paths instead of the user
+    wrapping every reference in lower(). The op mixes three spellings of
+    p_type and groups under the LCASE collation; the group key is
+    emitted through lower() so both engines agree on the representative
+    (which raw spelling "wins" a collated group is unspecified). The
+    oracle is the classic lower()-everywhere rewrite — demonstrating the
+    semantics are identical. Grouping on a collated key shuffles exactly
+    like any other string key at 100 TB; n_raw_spellings counts raw
+    (binary-collated) spellings inside each case-insensitive group.
+    """
+    p = t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    variants = (
+        p.filter(k % 3 == 0).select(F.upper("p_type").alias("c"))
+        .unionAll(p.filter(k % 3 == 1).select(F.lower("p_type").alias("c")))
+        .unionAll(p.filter(k % 3 == 2).select(F.col("p_type").alias("c")))
+    )
+    lc = F.expr("collate(c, 'UTF8_LCASE')")
+    return (
+        variants.groupBy(lc.alias("ck"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(F.expr("collate(c, 'UTF8_BINARY')")).alias(
+                "n_raw_spellings"
+            ),
+            F.sum(
+                F.when(
+                    lc == F.expr("collate('Economy', 'UTF8_LCASE')"), 1
+                ).otherwise(0)
+            ).alias("n_eq_probe"),
+        )
+        .select(
+            F.lower(F.col("ck").cast("string")).alias("container"),
+            "n",
+            "n_raw_spellings",
+            "n_eq_probe",
+        )
+        .orderBy("container")
+    )

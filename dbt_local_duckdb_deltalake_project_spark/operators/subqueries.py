@@ -399,3 +399,45 @@ _shared(
     LIMIT 20
     """,
 )
+
+
+_PIPE_ORACLE = """
+SELECT l_returnflag,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 1000000)
+                     AS BIGINT)) AS DOUBLE) / 1000000 AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("sql_pipe_syntax", _PIPE_ORACLE)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL pipe syntax (`|>`): the same revenue rollup the ANSI
+    oracle computes, expressed as a linear operator chain — FROM |> WHERE
+    |> EXTEND |> AGGREGATE ... GROUP BY |> ORDER BY. Pipe syntax is pure
+    parser surface: Catalyst receives the identical logical plan (filter
+    → project → partial/final hash aggregate → sort), so pushdown,
+    map-side combine, and whole-stage codegen are unchanged, and the
+    money sum goes through the same scaled-long exact path as everywhere
+    else (functions/deterministic.py). At 100 TB this plans exactly like
+    tpch_q6-style rollups: one pruned scan, one shuffle on the group key.
+    """
+    return sql(
+        spark,
+        sf_dir,
+        """
+        FROM lineitem
+        |> WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+             AND l_shipdate <  TIMESTAMP '1998-01-01'
+        |> EXTEND l_extendedprice * (1 - l_discount) AS disc_price
+        |> AGGREGATE COUNT(*) AS n_items,
+             CAST(SUM(CAST(ROUND(disc_price * 1000000) AS BIGINT))
+                  AS DOUBLE) / 1000000 AS revenue
+           GROUP BY l_returnflag
+        |> ORDER BY l_returnflag
+        """,
+    )
