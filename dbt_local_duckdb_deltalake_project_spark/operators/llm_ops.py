@@ -2296,3 +2296,161 @@ def llm_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+_MIX_ORACLE = """
+WITH rated AS (
+  SELECT lang, n_chars,
+         CASE lang WHEN 'en' THEN 256 WHEN 'fr' THEN 192 WHEN 'de' THEN 160
+                   WHEN 'es' THEN 96 ELSE 48 END AS keep_256,
+         CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 2))
+              AS INTEGER) AS h
+  FROM documents
+)
+SELECT lang,
+       MIN(keep_256) AS target_keep_256,
+       COUNT(*) AS docs_in,
+       CAST(SUM(CASE WHEN h < keep_256 THEN 1 ELSE 0 END) AS BIGINT)
+         AS docs_kept,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_in,
+       CAST(SUM(CASE WHEN h < keep_256 THEN n_chars ELSE 0 END) AS BIGINT)
+         AS chars_kept
+FROM rated
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register("llm_corpus_mix", _MIX_ORACLE)
+def llm_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted corpus mixing — the domain-reweighting step every training
+    run applies before tokenization (e.g. DoReMi-style domain weights):
+    down-sample over-represented languages/sources to target proportions.
+
+    Sampling is key-addressed, not RNG (llm_split_assign pattern): a doc
+    survives iff the first md5 byte of its salted key falls under the
+    lang's keep-rate numerator (out of 256). That gives (a) exact
+    reproducibility across re-runs and engines, (b) independence from the
+    train/val split hash (different salt), and (c) backfill stability — a
+    late partition mixes to the same decision. Pure map-side projection +
+    one groupBy(lang) shuffle of 5 partial rows per task at any corpus
+    size; the report is the realized-vs-target yield a data team reviews.
+    """
+    d = t(spark, sf_dir, "documents")
+    keep = (
+        F.when(F.col("lang") == "en", 256)
+        .when(F.col("lang") == "fr", 192)
+        .when(F.col("lang") == "de", 160)
+        .when(F.col("lang") == "es", 96)
+        .otherwise(48)
+    )
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))), 1, 2),
+        16,
+        10,
+    ).cast("int")
+    rated = d.select(
+        "lang", "n_chars", keep.alias("keep_256"), h.alias("h")
+    )
+    kept = F.col("h") < F.col("keep_256")
+    return (
+        rated.groupBy("lang")
+        .agg(
+            F.min("keep_256").cast("int").alias("target_keep_256"),
+            F.count(F.lit(1)).alias("docs_in"),
+            F.sum(kept.cast("long")).alias("docs_kept"),
+            F.sum("n_chars").alias("chars_in"),
+            F.sum(F.when(kept, F.col("n_chars")).otherwise(0)).alias(
+                "chars_kept"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+_SPANS_ORACLE = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS (
+  SELECT doc_id, i,
+         CASE WHEN i + 7 <= len(ws)
+              THEN md5(array_to_string(ws[i:i+7], ' ')) END AS gh
+  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM toks)
+),
+cnt AS (SELECT gh, COUNT(*) AS occ FROM g WHERE gh IS NOT NULL GROUP BY gh),
+flag AS (
+  SELECT g.doc_id, g.i,
+         CASE WHEN cnt.occ >= 2 THEN 1 ELSE 0 END AS dup_start
+  FROM g LEFT JOIN cnt ON g.gh = cnt.gh
+),
+cov AS (
+  SELECT doc_id, dup_start,
+         MAX(dup_start) OVER (PARTITION BY doc_id ORDER BY i
+             ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS covered
+  FROM flag
+)
+SELECT doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(dup_start) AS BIGINT) AS n_dup_grams,
+       CAST(SUM(covered) AS BIGINT) AS covered_tokens,
+       CAST(SUM(covered) AS DOUBLE) / COUNT(*) AS dup_frac
+FROM cov
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@register("llm_dedup_spans", _SPANS_ORACLE)
+def llm_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-substring spans — the token-level dedup signal of
+    "Deduplicating Training Data Makes Language Models Better" (Lee et
+    al., 2022): a token is *covered* if any 8-gram occurring ≥2 times in
+    the corpus (cross- or within-doc) starts within the 8 positions
+    ending at it; per-doc coverage fraction is the filter/trim signal.
+
+    Relational formulation (no suffix array needed for fixed n): tokenize
+    → 8-grams via 7 window leads per token (one shuffle on doc_id) →
+    gram-occurrence counts (one shuffle on the gram hash, map-side
+    combined) → join flags back → interval union as a windowed
+    rows-between-7-preceding MAX — the union of overlapping [p, p+7]
+    spans without any interval algebra. At 100 TB the gram-count shuffle
+    dominates; the production variant hashes grams to 8-byte xxhash64 and
+    pre-prunes singletons with a bloom side (md5 kept here for
+    cross-engine parity). Suffix-array-style arbitrary-length matches
+    need the sequential pass; fixed-n coverage is the distributable form.
+    """
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    wdoc = W.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("tok", i).over(wdoc) for i in range(1, 8)]
+    gram = F.when(
+        leads[-1].isNotNull(), F.concat_ws(" ", F.col("tok"), *leads)
+    )
+    g = toks.select("doc_id", "pos", F.md5(gram).alias("gh"))
+    cnt = (
+        g.filter(F.col("gh").isNotNull())
+        .groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("occ"))
+    )
+    flag = g.join(cnt, "gh", "left").select(
+        "doc_id",
+        "pos",
+        F.when(F.col("occ") >= 2, 1).otherwise(0).alias("dup_start"),
+    )
+    covered = F.max("dup_start").over(
+        W.partitionBy("doc_id").orderBy("pos").rowsBetween(-7, 0)
+    )
+    cov = flag.select("doc_id", "dup_start", covered.alias("covered"))
+    return (
+        cov.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("dup_start").alias("n_dup_grams"),
+            F.sum("covered").alias("covered_tokens"),
+            (F.sum("covered").cast("double") / F.count(F.lit(1))).alias(
+                "dup_frac"
+            ),
+        )
+        .orderBy("doc_id")
+    )
