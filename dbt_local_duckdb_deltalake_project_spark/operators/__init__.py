@@ -85,7 +85,7 @@ _WINDOW_SECOND = [
     "win_gap_fill", "delta_constraints", "fn_url",
     "pipeline_llm_corpus", "llm_kmeans",
     "sql_pipe_syntax", "fn_variant", "fn_collation", "agg_mode_median",
-    "llm_corpus_mix", "llm_dedup_spans",
+    "llm_corpus_mix", "llm_dedup_spans", "delta_deletion_vectors",
     "delta_time_travel", "delta_merge_upsert",   # deltalike.py changed (ts resolution, vacuum)
     "stream_tumbling", "stream_session", "win_range_frame", "fn_date",  # events/tz consumers
     "join_asof",                 # §2.3

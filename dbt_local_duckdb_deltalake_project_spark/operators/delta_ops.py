@@ -810,3 +810,67 @@ def delta_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+_DV_ORACLE = """
+SELECT c_nationkey,
+       COUNT(*) AS n_kept,
+       CAST(SUM(CAST(ROUND(c_acctbal * 1000000) AS BIGINT)) AS BIGINT)
+         AS bal_micros,
+       TRUE AS files_unchanged,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM customer
+        WHERE c_acctbal < 0 AND c_custkey % 3 = 0) AS dv_rows
+FROM customer
+WHERE NOT (c_acctbal < 0 AND c_custkey % 3 = 0)
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
+@register("delta_deletion_vectors", _DV_ORACLE)
+def delta_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE via deletion vectors (merge-on-read): the commit re-adds
+    the SAME data files with a ``deletionVector`` descriptor naming dead
+    row positions — no file is rewritten, so a point delete on a 100 TB
+    table costs O(matched rows), and readers mask them with a broadcast
+    anti-join on (file, ``_metadata.row_index``). Copy-on-write
+    ``delta_delete`` is the sibling for large-fraction deletes.
+
+    Driver-checkable structure (sketch-op pattern): ``files_unchanged``
+    asserts the live file SET is byte-for-byte the pre-delete one (the
+    DV property itself; the oracle emits TRUE), ``dv_rows`` is the total
+    descriptor cardinality (oracle: the predicate's match count), and
+    the per-nation content proves the mask is applied on read.
+    Fresh-per-call by design — the op's semantic IS the write path.
+    """
+    tbl = DeltaLikeTable(workdir(sf_dir, "delta_dv"))
+    c = t(spark, sf_dir, "customer")
+    tbl.write(c, mode="overwrite")
+    before = sorted(a["path"] for a in tbl._active_files())
+    tbl.delete_with_dv(
+        spark, (F.col("c_acctbal") < 0) & (F.col("c_custkey") % 3 == 0)
+    )
+    after_adds = tbl._active_files()
+    files_unchanged = before == sorted(a["path"] for a in after_adds)
+    dv_rows = sum(
+        a["deletionVector"]["cardinality"]
+        for a in after_adds
+        if a.get("deletionVector")
+    )
+    return (
+        tbl.read(spark)
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum(F.round(F.col("c_acctbal") * 1_000_000).cast("long"))
+            .alias("bal_micros"),
+        )
+        .select(
+            "c_nationkey",
+            "n_kept",
+            "bal_micros",
+            F.lit(files_unchanged).alias("files_unchanged"),
+            F.lit(int(dv_rows)).alias("dv_rows"),
+        )
+        .orderBy("c_nationkey")
+    )

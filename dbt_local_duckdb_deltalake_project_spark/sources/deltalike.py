@@ -33,9 +33,11 @@ shuffle-free; with delta-spark installed the same calls map 1:1 onto
 
 from __future__ import annotations
 
+import base64
 import json
 import os
 import shutil
+import struct
 import time
 import uuid
 
@@ -43,6 +45,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
+
+# Deletion vectors: descriptors with at most this many deleted rows are
+# stored inline in the add action (storageType "i", ascii85 payload —
+# the spec's inline DV form); larger ones go to a sidecar file at the
+# table root (storageType "p", path relative to the table root). The
+# payload is packed little-endian uint64 row indexes, sorted — the spec
+# uses a RoaringBitmap here; the container has no roaring codec, so the
+# packed-array stand-in keeps the same descriptor contract (documented
+# divergence, same class as the media-codec stub).
+_DV_INLINE_MAX = 64
 
 # Write a parquet checkpoint every N commits (the protocol's default
 # checkpointInterval is 10): a reader then replays O(interval) JSON files
@@ -91,6 +103,17 @@ def _checkpoint_arrow_schema():
                         ("modificationTime", pa.int64()),
                         ("dataChange", pa.bool_()),
                         ("stats", pa.string()),
+                        (
+                            "deletionVector",
+                            pa.struct(
+                                [
+                                    ("storageType", pa.string()),
+                                    ("pathOrInlineDv", pa.string()),
+                                    ("sizeInBytes", pa.int64()),
+                                    ("cardinality", pa.int64()),
+                                ]
+                            ),
+                        ),
                     ]
                 ),
             ),
@@ -718,7 +741,58 @@ class DeltaLikeTable:
             reader = reader.option("mergeSchema", "true")
         if partitioned:
             reader = reader.option("basePath", base_path(files))
-        return reader.parquet(*files)
+        df = reader.parquet(*files)
+        dv_adds = [a for a in active if a.get("deletionVector")]
+        if dv_adds:
+            df = self._apply_deletion_vectors(spark, df, dv_adds)
+        return df
+
+    def _dv_file_uri(self, add: dict) -> str:
+        """The ``_metadata.file_path`` URI of an add action's data file
+        (Spark renders local paths as ``file:`` + abspath)."""
+        p = add["path"]
+        full = p if os.path.isabs(p) else os.path.join(self.path, p)
+        return "file:" + os.path.abspath(full)
+
+    def _load_dv(self, desc: dict) -> list[int]:
+        """Deleted row indexes from a deletionVector descriptor."""
+        if desc["storageType"] == "i":
+            payload = base64.a85decode(desc["pathOrInlineDv"])
+        else:
+            p = desc["pathOrInlineDv"]
+            full = p if os.path.isabs(p) else os.path.join(self.path, p)
+            with open(full, "rb") as f:
+                payload = f.read()
+        return list(struct.unpack(f"<{len(payload) // 8}Q", payload))
+
+    def _apply_deletion_vectors(
+        self, spark: SparkSession, df: DataFrame, dv_adds: list[dict]
+    ) -> DataFrame:
+        """Mask DV'd rows: broadcast anti-join on (file URI, row index).
+
+        The deleted-pair set is bounded by the DV-delete cardinality cap,
+        so at 100 TB this is a broadcast of the (small) deleted set
+        against the scan — rows are dropped at the first stage, no
+        shuffle. ``_metadata.row_index`` is the physical row position the
+        descriptors index, provided by the parquet reader for free."""
+        pairs = [
+            (self._dv_file_uri(a), int(ri))
+            for a in dv_adds
+            for ri in self._load_dv(a["deletionVector"])
+        ]
+        dv_df = spark.createDataFrame(pairs, "_dv_fp string, _dv_ri long")
+        masked = (
+            df.withColumn("_fp", F.col("_metadata.file_path"))
+            .withColumn("_ri", F.col("_metadata.row_index"))
+            .join(
+                F.broadcast(dv_df),
+                (F.col("_fp") == F.col("_dv_fp"))
+                & (F.col("_ri") == F.col("_dv_ri")),
+                "left_anti",
+            )
+            .drop("_fp", "_ri")
+        )
+        return masked
 
     # -- DML --------------------------------------------------------------
     def delete(self, spark: SparkSession, condition) -> DataFrame:
@@ -731,6 +805,110 @@ class DeltaLikeTable:
         kept = self.read(spark).filter(~condition.eqNullSafe(True))
         self.write(kept, mode="overwrite", operation="DELETE")
         return self.read(spark)
+
+    def delete_with_dv(
+        self,
+        spark: SparkSession,
+        condition,
+        max_cardinality: int = 100_000,
+    ) -> int:
+        """Delta ``DELETE`` via deletion vectors: instead of rewriting
+        every touched file (copy-on-write ``delete``), commit the SAME
+        data files re-added with a ``deletionVector`` descriptor naming
+        the deleted row positions — the merge-on-read path. A point
+        delete on a 100 TB table then costs O(matched rows) instead of
+        O(touched files' bytes): no data file is rewritten, and readers
+        mask the dead rows with a broadcast anti-join on
+        (file, row_index).
+
+        NULL-predicate rows are kept (SQL DELETE semantics, same as
+        ``delete``). Existing DVs union with the new deletions (row
+        indexes are physical file positions, stable across commits).
+        Deletes larger than ``max_cardinality`` rows per file refuse and
+        direct the caller to the rewrite path — the same heuristic real
+        engines apply, since a mostly-dead file is better rewritten.
+        Partitioned tables use ``delete`` (hive-materialized partition
+        columns are not in the physical file, so the predicate could not
+        be evaluated against raw per-file reads uniformly)."""
+        active = self._active_files()
+        if any(a.get("partitionValues") for a in active):
+            raise ValueError(
+                "DV delete on partitioned tables is not supported; "
+                "use delete() (copy-on-write)"
+            )
+        by_uri = {self._dv_file_uri(a): a for a in active}
+        files = [
+            os.path.join(self.path, a["path"])
+            if not os.path.isabs(a["path"])
+            else a["path"]
+            for a in active
+        ]
+        base = (
+            spark.read.parquet(*files)
+            .withColumn("_fp", F.col("_metadata.file_path"))
+            .withColumn("_ri", F.col("_metadata.row_index"))
+        )
+        # Rows already masked by an existing DV may re-match the
+        # predicate here; the per-file union with the OLD index set below
+        # makes that a no-op rather than a double delete.
+        hits = (
+            base.filter(condition.eqNullSafe(True))
+            .groupBy("_fp")
+            .agg(F.sort_array(F.collect_list("_ri")).alias("idxs"))
+            .collect()
+        )  # bounded: ≤ max_cardinality rows per file, checked below
+        now = int(time.time() * 1000)
+        actions: list[dict] = []
+        for row in hits:
+            add = by_uri.get(row["_fp"])
+            if add is None:
+                continue
+            old = (
+                set(self._load_dv(add["deletionVector"]))
+                if add.get("deletionVector")
+                else set()
+            )
+            idxs = sorted(old | {int(i) for i in row["idxs"]})
+            if len(idxs) - len(old) == 0:
+                continue  # every matched row was already deleted
+            if len(idxs) > max_cardinality:
+                raise ValueError(
+                    f"DV for {add['path']} would hold {len(idxs)} rows "
+                    f"(> {max_cardinality}); rewrite with delete() instead"
+                )
+            payload = struct.pack(f"<{len(idxs)}Q", *idxs)
+            if len(idxs) <= _DV_INLINE_MAX:
+                desc = {
+                    "storageType": "i",
+                    "pathOrInlineDv": base64.a85encode(payload).decode(),
+                    "sizeInBytes": len(payload),
+                    "cardinality": len(idxs),
+                }
+            else:
+                name = f"deletion_vector_{uuid.uuid4().hex}.bin"
+                tmp = os.path.join(self.path, f".tmp-{uuid.uuid4().hex}")
+                with open(tmp, "wb") as f:
+                    f.write(payload)
+                os.replace(tmp, os.path.join(self.path, name))
+                desc = {
+                    "storageType": "p",
+                    "pathOrInlineDv": name,
+                    "sizeInBytes": len(payload),
+                    "cardinality": len(idxs),
+                }
+            actions.append(
+                {
+                    "remove": {
+                        "path": add["path"],
+                        "deletionTimestamp": now,
+                        "dataChange": True,
+                    }
+                }
+            )
+            actions.append({"add": {**add, "deletionVector": desc}})
+        if not actions:
+            return self.latest_version
+        return self._commit(actions, operation="DELETE")
 
     def restore(self, version: int) -> int:
         """``RESTORE TABLE ... TO VERSION AS OF version``: commit a new
@@ -755,8 +933,18 @@ class DeltaLikeTable:
             for p in current
             if p not in target
         ]
+        def _canon(a: dict) -> dict:
+            # drop null-valued keys (a checkpoint round trip materializes
+            # "deletionVector": None) so content comparison is stable
+            return {k: v for k, v in a.items() if v is not None}
+
         actions.extend(
-            {"add": add} for p, add in target.items() if p not in current
+            # re-add when the path is new at `version` OR the live add's
+            # CONTENT differs — restoring past a DV delete must reinstate
+            # the descriptor-free add (path-only comparison would no-op)
+            {"add": add}
+            for p, add in target.items()
+            if p not in current or _canon(current[p]) != _canon(add)
         )
         return self._commit(actions, operation="RESTORE")
 
@@ -775,7 +963,21 @@ class DeltaLikeTable:
         actions: list[dict] = []
         for a in self._active_files(as_of=as_of):
             src = os.path.join(self.path, a["path"])
-            actions.append({"add": {**a, "path": os.path.abspath(src)}})
+            add = {**a, "path": os.path.abspath(src)}
+            dv = a.get("deletionVector")
+            if dv and dv["storageType"] == "p" and not os.path.isabs(
+                dv["pathOrInlineDv"]
+            ):
+                # sidecar DVs live under the SOURCE root — absolutize so
+                # the clone resolves them without copying (inline DVs
+                # travel in the descriptor itself)
+                add["deletionVector"] = {
+                    **dv,
+                    "pathOrInlineDv": os.path.abspath(
+                        os.path.join(self.path, dv["pathOrInlineDv"])
+                    ),
+                }
+            actions.append({"add": add})
         metas = [m for m in self._actions(upto=as_of) if "metaData" in m]
         if metas:
             actions.append(metas[-1])

@@ -623,3 +623,86 @@ def test_check_constraints_protocol(spark, tbl):
     assert any(
         h["operation"] == "ADD CONSTRAINT" for h in tbl.history()
     )
+
+
+def test_dv_delete_keeps_files_and_masks_rows(spark, tbl):
+    df = spark.range(100).withColumn("grp", (F.col("id") % 10).cast("int"))
+    tbl.write(df, mode="overwrite")
+    before = sorted(a["path"] for a in tbl._active_files())
+    tbl.delete_with_dv(spark, F.col("id") % 7 == 3)
+    after = tbl._active_files()
+    assert sorted(a["path"] for a in after) == before  # no rewrite
+    assert any(a.get("deletionVector") for a in after)
+    got = sorted(r.id for r in tbl.read(spark).collect())
+    assert got == [i for i in range(100) if i % 7 != 3]
+
+
+def test_dv_delete_unions_with_existing_dv(spark, tbl):
+    tbl.write(spark.range(100), mode="overwrite")
+    tbl.delete_with_dv(spark, F.col("id") % 7 == 3)
+    tbl.delete_with_dv(spark, F.col("id") % 7 == 5)
+    got = sorted(r.id for r in tbl.read(spark).collect())
+    assert got == [i for i in range(100) if i % 7 not in (3, 5)]
+    # re-deleting already-dead rows is a no-op (no new commit)
+    v = tbl.latest_version
+    assert tbl.delete_with_dv(spark, F.col("id") % 7 == 5) == v
+
+
+def test_dv_time_travel_and_restore(spark, tbl):
+    tbl.write(spark.range(50), mode="overwrite")
+    tbl.delete_with_dv(spark, F.col("id") < 10)
+    assert sorted(r.id for r in tbl.read(spark, as_of=0).collect()) == list(
+        range(50)
+    )
+    tbl.restore(0)
+    assert sorted(r.id for r in tbl.read(spark).collect()) == list(range(50))
+    tbl.restore(1)
+    assert sorted(r.id for r in tbl.read(spark).collect()) == list(
+        range(10, 50)
+    )
+
+
+def test_dv_sidecar_and_clone(spark, tbl, tmp_path):
+    tbl.write(spark.range(1000), mode="overwrite")
+    tbl.delete_with_dv(spark, F.col("id") < 500)  # > inline max → sidecar
+    descs = [
+        a["deletionVector"]
+        for a in tbl._active_files()
+        if a.get("deletionVector")
+    ]
+    assert descs and all(d["storageType"] == "p" for d in descs)
+    assert sorted(r.id for r in tbl.read(spark).collect()) == list(
+        range(500, 1000)
+    )
+    clone = tbl.clone_to(str(tmp_path / "dv_clone"))
+    assert sorted(r.id for r in clone.read(spark).collect()) == list(
+        range(500, 1000)
+    )
+
+
+def test_dv_survives_checkpoint(spark, tbl):
+    tbl.write(spark.range(50), mode="overwrite")
+    tbl.delete_with_dv(spark, F.col("id") < 5)
+    for i in range(9):  # cross the checkpoint interval (10)
+        tbl.write(spark.range(50 + i, 51 + i), mode="append")
+    import os
+
+    assert os.path.exists(
+        os.path.join(
+            tbl.path, "_delta_log", "00000000000000000010.checkpoint.parquet"
+        )
+    )
+    assert sorted(r.id for r in tbl.read(spark).collect()) == list(range(5, 59))
+
+
+def test_dv_cardinality_cap_refuses(spark, tbl):
+    tbl.write(spark.range(100), mode="overwrite")
+    with pytest.raises(ValueError, match="rewrite with delete"):
+        tbl.delete_with_dv(spark, F.col("id") >= 0, max_cardinality=10)
+
+
+def test_dv_partitioned_refuses(spark, tbl):
+    df = spark.range(20).withColumn("p", (F.col("id") % 2).cast("string"))
+    tbl.write(df, mode="overwrite", partition_by=["p"])
+    with pytest.raises(ValueError, match="partitioned"):
+        tbl.delete_with_dv(spark, F.col("id") < 5)
