@@ -86,6 +86,7 @@ _WINDOW_SECOND = [
     "pipeline_llm_corpus", "llm_kmeans",
     "sql_pipe_syntax", "fn_variant", "fn_collation", "agg_mode_median",
     "llm_corpus_mix", "llm_dedup_spans", "delta_deletion_vectors",
+    "delta_column_mapping", "agg_bitmap_distinct",
     "delta_time_travel", "delta_merge_upsert",   # deltalike.py changed (ts resolution, vacuum)
     "stream_tumbling", "stream_session", "win_range_frame", "fn_date",  # events/tz consumers
     "join_asof",                 # §2.3

@@ -783,3 +783,51 @@ def agg_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+_BITMAP_ORACLE = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS n_distinct_parts,
+       COUNT(DISTINCT l_orderkey) AS n_distinct_orders
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("agg_bitmap_distinct", _BITMAP_ORACLE)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) via Spark's bitmap aggregates — the
+    scale-out pattern for high-cardinality distinct counters. Keys are
+    bucketed into 32k-bit bitmaps (`bitmap_bucket_number` /
+    `bitmap_bit_position`), `bitmap_construct_agg` ORs positions within
+    a (group, bucket) — a fixed-width binary accumulator that merges
+    associatively map-side, unlike the Expand-based multi-DISTINCT
+    rewrite — and the outer SUM of per-bucket `bitmap_count`s is the
+    exact distinct count. At 100 TB this shape also serves incremental
+    materialization: per-bucket bitmaps persist and OR with tomorrow's
+    delta (`bitmap_or_agg`), giving exact running distincts without
+    re-scanning history. Oracle: plain COUNT(DISTINCT).
+    """
+    li = t(spark, sf_dir, "lineitem")
+
+    def bitmap_distinct(key: str, alias: str) -> DataFrame:
+        # one aggregation per counted key: a shared (bucket_a, bucket_b)
+        # grouping would split key A's bitmap across key B's buckets and
+        # overcount the SUM
+        per_bucket = li.groupBy(
+            "l_returnflag",
+            F.expr(f"bitmap_bucket_number({key})").alias("bucket"),
+        ).agg(
+            F.expr(
+                f"bitmap_count(bitmap_construct_agg("
+                f"bitmap_bit_position({key})))"
+            ).alias("c")
+        )
+        return per_bucket.groupBy("l_returnflag").agg(
+            F.sum("c").alias(alias)
+        )
+
+    parts = bitmap_distinct("l_partkey", "n_distinct_parts")
+    orders = bitmap_distinct("l_orderkey", "n_distinct_orders")
+    return parts.join(orders, "l_returnflag").orderBy("l_returnflag")

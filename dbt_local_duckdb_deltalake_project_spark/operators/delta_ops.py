@@ -874,3 +874,69 @@ def delta_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+_COLMAP_ORACLE = """
+SELECT s_nationkey,
+       COUNT(*) AS n_suppliers,
+       MIN(s_name) AS first_supplier_name,
+       TRUE AS rename_was_metadata_only,
+       TRUE AS dropped_column_gone
+FROM supplier
+GROUP BY s_nationkey
+ORDER BY s_nationkey
+"""
+
+
+@register("delta_column_mapping", _COLMAP_ORACLE)
+def delta_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER TABLE RENAME/DROP COLUMN — metadata-only via the protocol's
+    column mapping (name mode): parquet files keep their physical column
+    names; the schemaString carries logical names plus a per-field
+    ``delta.columnMapping.physicalName``, so renaming or dropping a
+    column of a 100 TB table is one O(1) metaData commit with zero data
+    I/O, and readers re-alias at scan time (a projection Catalyst folds
+    into the scan — pruning still pushes down).
+
+    The op writes half of supplier, renames ``s_name`` →
+    ``supplier_name``, drops ``s_acctbal``, then APPENDS the other half
+    through the logical schema (the writer physicalizes names so old and
+    new files agree). ``rename_was_metadata_only`` asserts the data-file
+    set was untouched by both ALTERs; ``dropped_column_gone`` asserts
+    the logical schema lost the column while files still carry it.
+    """
+    tbl = DeltaLikeTable(workdir(sf_dir, "delta_colmap"))
+    s = t(spark, sf_dir, "supplier")
+    even = F.col("s_suppkey") % 2 == 0
+    tbl.write(s.filter(even), mode="overwrite")
+    files_before = sorted(a["path"] for a in tbl._active_files())
+    tbl.rename_column("s_name", "supplier_name")
+    tbl.drop_column("s_acctbal")
+    files_after = sorted(a["path"] for a in tbl._active_files())
+    metadata_only = files_before == files_after
+    # append the rest through the LOGICAL schema
+    tbl.write(
+        s.filter(~even)
+        .withColumnRenamed("s_name", "supplier_name")
+        .drop("s_acctbal"),
+        mode="append",
+    )
+    out = tbl.read(spark)
+    dropped_gone = "s_acctbal" not in out.columns and (
+        "supplier_name" in out.columns
+    )
+    return (
+        out.groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.min("supplier_name").alias("first_supplier_name"),
+        )
+        .select(
+            "s_nationkey",
+            "n_suppliers",
+            "first_supplier_name",
+            F.lit(metadata_only).alias("rename_was_metadata_only"),
+            F.lit(dropped_gone).alias("dropped_column_gone"),
+        )
+        .orderBy("s_nationkey")
+    )

@@ -2428,15 +2428,24 @@ def llm_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         leads[-1].isNotNull(), F.concat_ws(" ", F.col("tok"), *leads)
     )
     g = toks.select("doc_id", "pos", F.md5(gram).alias("gh"))
-    cnt = (
+    # keep only DUPLICATED grams before joining back: most grams are
+    # unique, so the join's right side collapses from |tokens| to
+    # |dup grams| — AQE then converts the join-back to broadcast at
+    # fixture scale while the same plan degrades gracefully to a
+    # shuffle join when the dup set is corpus-sized
+    dup = (
         g.filter(F.col("gh").isNotNull())
         .groupBy("gh")
         .agg(F.count(F.lit(1)).alias("occ"))
+        .filter(F.col("occ") >= 2)
+        .select("gh", F.lit(1).alias("is_dup"))
     )
-    flag = g.join(cnt, "gh", "left").select(
+    flag = g.join(dup, "gh", "left").select(
         "doc_id",
         "pos",
-        F.when(F.col("occ") >= 2, 1).otherwise(0).alias("dup_start"),
+        F.when(F.col("is_dup").isNotNull(), 1).otherwise(0).alias(
+            "dup_start"
+        ),
     )
     covered = F.max("dup_start").over(
         W.partitionBy("doc_id").orderBy("pos").rowsBetween(-7, 0)

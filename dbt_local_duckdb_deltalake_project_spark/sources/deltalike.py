@@ -56,6 +56,12 @@ PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
 # divergence, same class as the media-codec stub).
 _DV_INLINE_MAX = 64
 
+# Column-mapping (protocol §column-mapping, "name" mode): logical names
+# live in the schemaString; each field's metadata pins the physical
+# parquet column name, so RENAME/DROP COLUMN are metadata-only commits.
+_COLUMN_MAPPING_KEY = "delta.columnMapping.mode"
+_PHYSICAL_NAME_KEY = "delta.columnMapping.physicalName"
+
 # Write a parquet checkpoint every N commits (the protocol's default
 # checkpointInterval is 10): a reader then replays O(interval) JSON files
 # instead of O(#commits) — the difference between O(1) and minutes of log
@@ -459,13 +465,16 @@ class DeltaLikeTable:
         return adds
 
     def _metadata_action(
-        self, df: DataFrame, partition_by: list[str] | None = None
+        self,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        schema_string: str | None = None,
     ) -> dict:
         return {
             "metaData": {
                 "id": str(uuid.uuid4()),
                 "format": {"provider": "parquet", "options": {}},
-                "schemaString": df.schema.json(),
+                "schemaString": schema_string or df.schema.json(),
                 "partitionColumns": partition_by or [],
                 # Table configuration (constraints, properties) survives
                 # writes — only explicit ALTERs change it, as in Delta.
@@ -528,6 +537,102 @@ class DeltaLikeTable:
             return None
         return StructType.fromJson(json.loads(metas[-1]["schemaString"]))
 
+    # -- column mapping (metadata-only rename / drop) ----------------------
+    def _latest_metadata(self, as_of: int | None = None) -> dict | None:
+        metas = [
+            a["metaData"] for a in self._actions(upto=as_of) if "metaData" in a
+        ]
+        return metas[-1] if metas else None
+
+    def _mapped_fields(
+        self, as_of: int | None = None
+    ) -> list[tuple[str, str]] | None:
+        """[(logical, physical)] when column mapping is active, else None.
+
+        Physical names are what the parquet files carry; logical names
+        are what readers see. The mapping lives in the schemaString's
+        per-field ``delta.columnMapping.physicalName`` metadata, exactly
+        the protocol's name-mapping mode."""
+        meta = self._latest_metadata(as_of=as_of)
+        if meta is None:
+            return None
+        cfg = meta.get("configuration") or {}
+        if cfg.get(_COLUMN_MAPPING_KEY) != "name":
+            return None
+        sj = json.loads(meta["schemaString"])
+        return [
+            (
+                f["name"],
+                (f.get("metadata") or {}).get(_PHYSICAL_NAME_KEY, f["name"]),
+            )
+            for f in sj["fields"]
+        ]
+
+    def _mapping_metadata_action(
+        self, meta: dict, fields: list[dict]
+    ) -> dict:
+        sj = json.loads(meta["schemaString"])
+        sj["fields"] = fields
+        cfg = {
+            **(meta.get("configuration") or {}),
+            _COLUMN_MAPPING_KEY: "name",
+        }
+        return {
+            "metaData": {
+                **meta,
+                "schemaString": json.dumps(sj),
+                "configuration": cfg,
+            }
+        }
+
+    def rename_column(self, old: str, new: str) -> int:
+        """``ALTER TABLE ... RENAME COLUMN`` — METADATA-ONLY (protocol
+        column-mapping, name mode): the parquet files keep the original
+        physical column name; only the logical→physical mapping in the
+        schemaString changes, so renaming a column of a 100 TB table is
+        one O(1) metaData commit, no file touched. Readers re-alias at
+        scan time (a projection Catalyst collapses into the scan)."""
+        meta = self._latest_metadata()
+        if meta is None:
+            raise ValueError(f"no schema committed yet at {self.path}")
+        fields = json.loads(meta["schemaString"])["fields"]
+        names = [f["name"] for f in fields]
+        if old not in names:
+            raise ValueError(f"no column {old!r} (have {names})")
+        if new in names:
+            raise ValueError(f"column {new!r} already exists")
+        for f in fields:
+            md = f.setdefault("metadata", {})
+            md.setdefault(_PHYSICAL_NAME_KEY, f["name"])
+            if f["name"] == old:
+                f["name"] = new
+        return self._commit(
+            [self._mapping_metadata_action(meta, fields)],
+            operation="RENAME COLUMN",
+        )
+
+    def drop_column(self, name: str) -> int:
+        """``ALTER TABLE ... DROP COLUMN`` — metadata-only, like rename:
+        the field leaves the logical schema; the physical column stays in
+        the files (unreachable, reclaimed at the next rewrite), which is
+        how Delta drops a column from a 100 TB table instantly."""
+        meta = self._latest_metadata()
+        if meta is None:
+            raise ValueError(f"no schema committed yet at {self.path}")
+        fields = json.loads(meta["schemaString"])["fields"]
+        if name not in [f["name"] for f in fields]:
+            raise ValueError(f"no column {name!r}")
+        kept = []
+        for f in fields:
+            md = f.setdefault("metadata", {})
+            md.setdefault(_PHYSICAL_NAME_KEY, f["name"])
+            if f["name"] != name:
+                kept.append(f)
+        return self._commit(
+            [self._mapping_metadata_action(meta, kept)],
+            operation="DROP COLUMN",
+        )
+
     def _enforce_schema(self, df: DataFrame, merge_schema: bool) -> None:
         """Delta's schema-on-write: an append may not change a column's
         type, and may only ADD columns when schema merging is opted in
@@ -583,9 +688,38 @@ class DeltaLikeTable:
                 }
                 for a in self._active_files()
             )
-        actions.extend(self._stage_data_files(df, partition_by))
-        actions.append(self._metadata_action(df, partition_by))
+        staged_df, schema_string = self._physicalize(df, mode)
+        actions.extend(self._stage_data_files(staged_df, partition_by))
+        actions.append(
+            self._metadata_action(
+                df, partition_by, schema_string=schema_string
+            )
+        )
         return self._commit(actions, operation=operation)
+
+    def _physicalize(self, df: DataFrame, mode: str):
+        """Under column mapping, writers receive LOGICAL names but files
+        must carry PHYSICAL names (so old files and new files agree).
+        Returns (df-with-physical-names, mapping-aware schemaString), or
+        (df, None) when mapping is off."""
+        mapping = self._mapped_fields()
+        if not mapping:
+            return df, None
+        phys = dict(mapping)
+        staged = df.select(
+            [F.col(c).alias(phys.get(c, c)) for c in df.columns]
+        )
+        meta = self._latest_metadata()
+        sj = json.loads(meta["schemaString"])
+        by_name = {f["name"]: f for f in sj["fields"]}
+        df_fields = json.loads(df.schema.json())["fields"]
+        if mode == "overwrite":
+            fields = [by_name.get(f["name"], f) for f in df_fields]
+        else:  # append keeps the full logical schema, adds evolved cols
+            fields = sj["fields"] + [
+                f for f in df_fields if f["name"] not in by_name
+            ]
+        return staged, json.dumps({**sj, "fields": fields})
 
     # -- reads ------------------------------------------------------------
     def live_files(
@@ -745,6 +879,14 @@ class DeltaLikeTable:
         dv_adds = [a for a in active if a.get("deletionVector")]
         if dv_adds:
             df = self._apply_deletion_vectors(spark, df, dv_adds)
+        mapping = self._mapped_fields(as_of=as_of)
+        if mapping:
+            # physical→logical re-alias (and dropped-column subset): a
+            # projection Catalyst collapses into the scan — column
+            # pruning still reaches the parquet reader
+            df = df.select(
+                [F.col(p).alias(l) for l, p in mapping if p in df.columns]
+            )
         return df
 
     def _dv_file_uri(self, add: dict) -> str:
@@ -848,6 +990,14 @@ class DeltaLikeTable:
             .withColumn("_fp", F.col("_metadata.file_path"))
             .withColumn("_ri", F.col("_metadata.row_index"))
         )
+        mapping = self._mapped_fields()
+        if mapping:
+            # the raw scan carries PHYSICAL names; the caller's predicate
+            # speaks LOGICAL — re-alias before evaluating it
+            base = base.select(
+                [F.col(p).alias(l) for l, p in mapping if p in base.columns]
+                + [F.col("_fp"), F.col("_ri")]
+            )
         # Rows already masked by an existing DV may re-match the
         # predicate here; the per-file union with the OLD index set below
         # makes that a no-op rather than a double delete.

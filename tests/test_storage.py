@@ -706,3 +706,68 @@ def test_dv_partitioned_refuses(spark, tbl):
     tbl.write(df, mode="overwrite", partition_by=["p"])
     with pytest.raises(ValueError, match="partitioned"):
         tbl.delete_with_dv(spark, F.col("id") < 5)
+
+
+def test_column_mapping_rename_is_metadata_only(spark, tbl):
+    tbl.write(_df(spark, [(1, "a"), (2, "b")]), mode="overwrite")
+    before = sorted(a["path"] for a in tbl._active_files())
+    tbl.rename_column("v", "value")
+    assert sorted(a["path"] for a in tbl._active_files()) == before
+    got = {(r.k, r.value) for r in tbl.read(spark).collect()}
+    assert got == {(1, "a"), (2, "b")}
+    # old logical name is gone
+    assert tbl.read(spark).columns == ["k", "value"]
+
+
+def test_column_mapping_append_after_rename(spark, tbl):
+    tbl.write(_df(spark, [(1, "a")]), mode="overwrite")
+    tbl.rename_column("v", "value")
+    tbl.write(
+        spark.createDataFrame([(2, "b")], "k int, value string"),
+        mode="append",
+    )
+    got = {(r.k, r.value) for r in tbl.read(spark).collect()}
+    assert got == {(1, "a"), (2, "b")}
+    # both physical files carry the ORIGINAL physical name "v"
+    import pyarrow.parquet as pq
+    import os
+
+    for a in tbl._active_files():
+        names = pq.ParquetFile(
+            os.path.join(tbl.path, a["path"])
+        ).schema_arrow.names
+        assert "v" in names and "value" not in names
+
+
+def test_column_mapping_drop_is_metadata_only(spark, tbl):
+    tbl.write(_df(spark, [(1, "a")]), mode="overwrite")
+    before = sorted(a["path"] for a in tbl._active_files())
+    tbl.drop_column("v")
+    assert sorted(a["path"] for a in tbl._active_files()) == before
+    assert tbl.read(spark).columns == ["k"]
+    # time travel before the drop still sees it
+    assert tbl.read(spark, as_of=0).columns == ["k", "v"]
+
+
+def test_column_mapping_rename_then_time_travel(spark, tbl):
+    tbl.write(_df(spark, [(1, "a")]), mode="overwrite")
+    tbl.rename_column("v", "value")
+    assert tbl.read(spark, as_of=0).columns == ["k", "v"]
+    assert tbl.read(spark, as_of=1).columns == ["k", "value"]
+
+
+def test_column_mapping_rejects_unknown_or_duplicate(spark, tbl):
+    tbl.write(_df(spark, [(1, "a")]), mode="overwrite")
+    with pytest.raises(ValueError, match="no column"):
+        tbl.rename_column("zz", "value")
+    with pytest.raises(ValueError, match="already exists"):
+        tbl.rename_column("v", "k")
+
+
+def test_column_mapping_dv_delete_on_logical_names(spark, tbl):
+    tbl.write(_df(spark, [(i, chr(97 + i)) for i in range(10)]),
+              mode="overwrite")
+    tbl.rename_column("v", "value")
+    tbl.delete_with_dv(spark, F.col("value") == "c")
+    got = sorted(r.k for r in tbl.read(spark).collect())
+    assert got == [i for i in range(10) if i != 2]
