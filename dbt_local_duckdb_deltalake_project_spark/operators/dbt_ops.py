@@ -439,3 +439,100 @@ def dbt_select_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "selector string, model string"
     ).orderBy("selector", "model")
+
+
+_UNIT_TEST_ORACLE = """
+WITH mock_silver(o_orderkey, o_orderdate, o_orderstatus, net) AS (
+  VALUES (1, TIMESTAMP '1997-01-05', 'F', 100.50),
+         (2, TIMESTAMP '1997-01-20', 'F', 49.50),
+         (3, TIMESTAMP '1997-01-11', 'O', 10.00),
+         (4, TIMESTAMP '1997-02-02', 'F', 75.25),
+         (5, TIMESTAMP '1997-02-14', 'F', 24.75),
+         (6, TIMESTAMP '1997-02-14', 'O', 5.00)
+),
+actual AS (
+  SELECT CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS order_month,
+         o_orderstatus,
+         COUNT(*) AS n_items,
+         CAST(SUM(CAST(ROUND(net * 1000000) AS BIGINT)) AS DOUBLE)
+           / 1000000 AS revenue
+  FROM mock_silver GROUP BY 1, 2
+),
+expected(order_month, o_orderstatus, n_items, revenue) AS (
+  VALUES (TIMESTAMP '1997-01-01', 'F', CAST(2 AS BIGINT),
+          CAST(150.00 AS DOUBLE)),
+         (TIMESTAMP '1997-01-01', 'O', CAST(1 AS BIGINT),
+          CAST(10.00 AS DOUBLE)),
+         (TIMESTAMP '1997-02-01', 'F', CAST(2 AS BIGINT),
+          CAST(100.00 AS DOUBLE)),
+         (TIMESTAMP '1997-02-01', 'O', CAST(1 AS BIGINT),
+          CAST(99.99 AS DOUBLE))
+)
+SELECT COALESCE(e.order_month, a.order_month) AS order_month,
+       COALESCE(e.o_orderstatus, a.o_orderstatus) AS o_orderstatus,
+       e.n_items AS exp_n, a.n_items AS act_n,
+       e.revenue AS exp_revenue, a.revenue AS act_revenue,
+       (e.n_items IS NOT DISTINCT FROM a.n_items)
+         AND (e.revenue IS NOT DISTINCT FROM a.revenue) AS row_passed
+FROM expected e FULL JOIN actual a
+  ON e.order_month = a.order_month AND e.o_orderstatus = a.o_orderstatus
+ORDER BY order_month, o_orderstatus
+"""
+
+
+@register("dbt_unit_test", _UNIT_TEST_ORACLE)
+def dbt_unit_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt 1.8 unit tests: run a MODEL (the gold revenue mart) against
+    MOCKED ref inputs (inline rows, no warehouse data) and diff the
+    result against declared expected rows — logic testing at compile
+    cost, vs the schema tests' data testing. The report is dbt's: one
+    row per expected/actual grain with a row_passed verdict; a failing
+    expectation (the 99.99 revenue row here, deliberately wrong) shows
+    up as row_passed = FALSE rather than an exception, exactly how dbt
+    renders unit-test diffs. The model function under test is the SAME
+    callable the materialization ops execute (``_gold``) — the unit
+    test exercises production plan code, not a copy. Mock inputs are
+    O(rows-declared) so this runs identically at any warehouse scale.
+    """
+    mock = spark.createDataFrame(
+        [
+            (1, "1997-01-05", "F", 100.50),
+            (2, "1997-01-20", "F", 49.50),
+            (3, "1997-01-11", "O", 10.00),
+            (4, "1997-02-02", "F", 75.25),
+            (5, "1997-02-14", "F", 24.75),
+            (6, "1997-02-14", "O", 5.00),
+        ],
+        "o_orderkey long, o_orderdate string, o_orderstatus string, net double",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
+    actual = _gold(spark, {"silver_items": mock}).alias("a")
+    expected = spark.createDataFrame(
+        [
+            ("1997-01-01", "F", 2, 150.00),
+            ("1997-01-01", "O", 1, 10.00),
+            ("1997-02-01", "F", 2, 100.00),
+            ("1997-02-01", "O", 1, 99.99),  # deliberately wrong
+        ],
+        "order_month string, o_orderstatus string, n_items long, revenue double",
+    ).withColumn("order_month", F.col("order_month").cast("timestamp")).alias("e")
+    on = (F.col("e.order_month") == F.col("a.order_month")) & (
+        F.col("e.o_orderstatus") == F.col("a.o_orderstatus")
+    )
+    return (
+        expected.join(actual, on, "full")
+        .select(
+            F.coalesce("e.order_month", "a.order_month").alias("order_month"),
+            F.coalesce("e.o_orderstatus", "a.o_orderstatus").alias(
+                "o_orderstatus"
+            ),
+            F.col("e.n_items").alias("exp_n"),
+            F.col("a.n_items").alias("act_n"),
+            F.col("e.revenue").alias("exp_revenue"),
+            F.col("a.revenue").alias("act_revenue"),
+            (
+                F.col("e.n_items").eqNullSafe(F.col("a.n_items"))
+                & F.col("e.revenue").eqNullSafe(F.col("a.revenue"))
+            ).alias("row_passed"),
+        )
+        .orderBy("order_month", "o_orderstatus")
+    )

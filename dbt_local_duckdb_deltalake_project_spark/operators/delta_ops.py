@@ -870,7 +870,7 @@ def delta_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_kept",
             "bal_micros",
             F.lit(files_unchanged).alias("files_unchanged"),
-            F.lit(int(dv_rows)).alias("dv_rows"),
+            F.lit(int(dv_rows)).cast("long").alias("dv_rows"),
         )
         .orderBy("c_nationkey")
     )
@@ -939,4 +939,58 @@ def delta_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(dropped_gone).alias("dropped_column_gone"),
         )
         .orderBy("s_nationkey")
+    )
+
+
+_TXN_ORACLE = """
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       TRUE AS replay_was_skipped,
+       TRUE AS retry_was_skipped
+FROM orders
+WHERE o_orderdate < TIMESTAMP '1999-01-01'
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@register("delta_txn_idempotent", _TXN_ORACLE)
+def delta_txn_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once ingestion via the protocol's ``txn`` action: every
+    commit is stamped with (appId, version) and a writer skips any batch
+    at or below its stored high-water mark — the retry/replay guard a
+    streaming sink or orchestrated backfill needs, with the stamp and
+    the data in the SAME atomic commit (no external ledger to drift).
+    Checkpoints carry the newest txn per appId, so dedup survives log
+    compaction. At 100 TB this is what makes a 1000-task loader safe to
+    re-run wholesale after a partial failure: completed batches no-op.
+
+    The op loads two order batches, then replays batch 1 (same txn
+    version — skipped) and retries batch 2 (skipped); the content equals
+    each batch landing exactly once, and the booleans assert both skips.
+    """
+    tbl = DeltaLikeTable(workdir(sf_dir, "delta_txn"))
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderdate"
+    )
+    b1 = o.filter(F.col("o_orderdate") < "1998-01-01")
+    b2 = o.filter(
+        (F.col("o_orderdate") >= "1998-01-01")
+        & (F.col("o_orderdate") < "1999-01-01")
+    )
+    tbl.write_idempotent(b1, "loader", 1, mode="overwrite")
+    tbl.write_idempotent(b2, "loader", 2, mode="append")
+    _, wrote_replay = tbl.write_idempotent(b1, "loader", 1, mode="append")
+    _, wrote_retry = tbl.write_idempotent(b2, "loader", 2, mode="append")
+    return (
+        tbl.read(spark)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            "o_orderstatus",
+            "n_orders",
+            F.lit(not wrote_replay).alias("replay_was_skipped"),
+            F.lit(not wrote_retry).alias("retry_was_skipped"),
+        )
+        .orderBy("o_orderstatus")
     )

@@ -100,6 +100,15 @@ def _checkpoint_arrow_schema():
                 ),
             ),
             (
+                "txn",
+                pa.struct(
+                    [
+                        ("appId", pa.string()),
+                        ("version", pa.int64()),
+                    ]
+                ),
+            ),
+            (
                 "add",
                 pa.struct(
                     [
@@ -200,7 +209,7 @@ class DeltaLikeTable:
         path = os.path.join(self._log_dir, f"{version:020d}.checkpoint.parquet")
         acts: list[dict] = []
         for row in pq.read_table(path).to_pylist():
-            for kind in ("protocol", "metaData", "add"):
+            for kind in ("protocol", "metaData", "txn", "add"):
                 val = row.get(kind)
                 if val is None:
                     continue
@@ -225,16 +234,27 @@ class DeltaLikeTable:
         protocol = PROTOCOL
         metadata = None
         live: dict[str, dict] = {}
+        txns: dict[str, int] = {}
         for act in acts:
             if "protocol" in act:
                 protocol = act["protocol"]
             elif "metaData" in act:
                 metadata = act["metaData"]
+            elif "txn" in act:
+                # the spec: checkpoints carry the newest txn per appId so
+                # idempotent writers stay deduped past checkpointed commits
+                t_ = act["txn"]
+                txns[t_["appId"]] = max(
+                    txns.get(t_["appId"], -1), int(t_.get("version", -1))
+                )
             elif "add" in act:
                 live[act["add"]["path"]] = act["add"]
             elif "remove" in act:
                 live.pop(act["remove"]["path"], None)
         rows: list[dict] = [{"protocol": protocol}, {"metaData": metadata}]
+        rows += [
+            {"txn": {"appId": k, "version": v}} for k, v in sorted(txns.items())
+        ]
         rows += [{"add": a} for a in live.values()]
         schema = _checkpoint_arrow_schema()
         cols: dict[str, list] = {name: [] for name in schema.names}
@@ -658,6 +678,47 @@ class DeltaLikeTable:
                 "merge_schema=True to evolve the schema"
             )
 
+    def last_txn_version(self, app_id: str) -> int:
+        """Highest committed ``txn`` version for ``app_id`` (-1 if none).
+
+        The protocol's application-transaction action: a writer stamps
+        each commit with (appId, version) and skips any batch at or
+        below the stored high-water mark — exactly-once sink semantics
+        for streaming/retry loops without an external ledger."""
+        v = -1
+        for act in self._actions():
+            txn = act.get("txn")
+            if txn and txn.get("appId") == app_id:
+                v = max(v, int(txn.get("version", -1)))
+        return v
+
+    def write_idempotent(
+        self,
+        df: DataFrame,
+        app_id: str,
+        app_version: int,
+        mode: str = "append",
+        **kw,
+    ) -> tuple[int, bool]:
+        """Idempotent write: commit ``df`` stamped with a ``txn`` action
+        unless (app_id, app_version) was already committed — a replayed
+        micro-batch or retried job lands exactly once. Returns
+        (table version, wrote?). The txn stamp rides in the SAME commit
+        as the data, so the dedup check and the data are atomic.
+        (Multi-writer note: like Delta, a concurrent writer race is
+        resolved by commit-time conflict rules; this layer's put-if-
+        absent commit serializes writers, and the loser's retry re-reads
+        the log — which then contains the winner's txn stamp.)"""
+        if app_version <= self.last_txn_version(app_id):
+            return self.latest_version, False
+        v = self.write(
+            df,
+            mode=mode,
+            txn={"appId": app_id, "version": int(app_version)},
+            **kw,
+        )
+        return v, True
+
     def write(
         self,
         df: DataFrame,
@@ -665,6 +726,7 @@ class DeltaLikeTable:
         partition_by: list[str] | None = None,
         merge_schema: bool = False,
         operation: str | None = None,
+        txn: dict | None = None,
     ) -> int:
         """Commit ``df`` as a new version; returns the version number."""
         assert mode in ("append", "overwrite")
@@ -695,6 +757,8 @@ class DeltaLikeTable:
                 df, partition_by, schema_string=schema_string
             )
         )
+        if txn is not None:
+            actions.append({"txn": txn})
         return self._commit(actions, operation=operation)
 
     def _physicalize(self, df: DataFrame, mode: str):

@@ -771,3 +771,26 @@ def test_column_mapping_dv_delete_on_logical_names(spark, tbl):
     tbl.delete_with_dv(spark, F.col("value") == "c")
     got = sorted(r.k for r in tbl.read(spark).collect())
     assert got == [i for i in range(10) if i != 2]
+
+
+def test_txn_idempotent_write_skips_replay(spark, tbl):
+    v1, w1 = tbl.write_idempotent(_df(spark, [(1, "a")]), "app", 1,
+                                  mode="overwrite")
+    assert w1
+    v2, w2 = tbl.write_idempotent(_df(spark, [(1, "a")]), "app", 1)
+    assert not w2 and v2 == v1  # replay no-ops, no new commit
+    _, w3 = tbl.write_idempotent(_df(spark, [(2, "b")]), "app", 2)
+    assert w3
+    # another app's version counter is independent
+    _, w4 = tbl.write_idempotent(_df(spark, [(3, "c")]), "other", 1)
+    assert w4
+    assert sorted(r.k for r in tbl.read(spark).collect()) == [1, 2, 3]
+
+
+def test_txn_highwater_survives_checkpoint(spark, tbl):
+    tbl.write_idempotent(_df(spark, [(0, "z")]), "app", 5, mode="overwrite")
+    for i in range(11):  # cross the checkpoint interval
+        tbl.write(_df(spark, [(i + 1, "x")]), mode="append")
+    assert tbl.last_txn_version("app") == 5
+    _, wrote = tbl.write_idempotent(_df(spark, [(99, "q")]), "app", 5)
+    assert not wrote
