@@ -87,7 +87,7 @@ _WINDOW_SECOND = [
     "sql_pipe_syntax", "fn_variant", "fn_collation", "agg_mode_median",
     "llm_corpus_mix", "llm_dedup_spans", "delta_deletion_vectors",
     "delta_column_mapping", "agg_bitmap_distinct",
-    "delta_txn_idempotent", "dbt_unit_test",
+    "delta_txn_idempotent", "dbt_unit_test", "udf_cogrouped_map",
     "delta_time_travel", "delta_merge_upsert",   # deltalike.py changed (ts resolution, vacuum)
     "stream_tumbling", "stream_session", "win_range_frame", "fn_date",  # events/tz consumers
     "join_asof",                 # §2.3

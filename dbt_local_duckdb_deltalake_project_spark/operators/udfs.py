@@ -189,3 +189,91 @@ def udtf_explode_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
              LATERAL explode_n(CAST(o_orderkey % 3 + 1 AS INT)) s
         """
     )
+
+
+_COGROUP_ORACLE = """
+WITH c AS (
+  SELECT c_nationkey AS nk, COUNT(*) AS n_cust,
+         CAST(SUM(CAST(ROUND(c_acctbal * 1000000) AS BIGINT)) AS BIGINT)
+           AS cust_micros
+  FROM customer GROUP BY c_nationkey
+),
+s AS (
+  SELECT s_nationkey AS nk, COUNT(*) AS n_supp,
+         CAST(SUM(CAST(ROUND(s_acctbal * 1000000) AS BIGINT)) AS BIGINT)
+           AS supp_micros
+  FROM supplier GROUP BY s_nationkey
+)
+SELECT CAST(COALESCE(c.nk, s.nk) AS INTEGER) AS nationkey,
+       CAST(COALESCE(n_cust, 0) AS BIGINT) AS n_cust,
+       CAST(COALESCE(n_supp, 0) AS BIGINT) AS n_supp,
+       CAST(COALESCE(cust_micros, 0) AS BIGINT) AS cust_micros,
+       CAST(COALESCE(supp_micros, 0) AS BIGINT) AS supp_micros,
+       CASE WHEN COALESCE(n_cust, 0) > 0 AND COALESCE(n_supp, 0) > 0
+            THEN CAST(cust_micros AS DOUBLE) / 1000000 / n_cust
+               - CAST(supp_micros AS DOUBLE) / 1000000 / n_supp
+       END AS avg_bal_gap
+FROM c FULL JOIN s ON c.nk = s.nk
+ORDER BY nationkey
+"""
+
+
+@register("udf_cogrouped_map", _COGROUP_ORACLE)
+def udf_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped map (`groupBy.cogroup(...).applyInPandas`) — the
+    two-sided per-key Arrow surface: both tables shuffle on the key
+    and each key's pair of pandas frames lands in ONE Python call,
+    the escape hatch for custom merges (as-of logic, per-entity
+    reconciliation) no SQL join expresses. Here: per-nation customer
+    vs supplier balance reconciliation with exact scaled-micros sums
+    (np round half-even, SQL half-away, and Spark half-up all agree
+    because 2-dp money ×10^6 is within 1e-9 of an integer —
+    functions/deterministic.py); one side may be empty for a key,
+    which the callable must (and does) handle, mirrored by the
+    oracle's FULL JOIN. 25 nation groups → 25 fat Arrow batches; a
+    high-cardinality key would bucket first (udf_grouped_map pattern).
+    """
+    c = t(spark, sf_dir, "customer").select("c_nationkey", "c_acctbal")
+    s = t(spark, sf_dir, "supplier").select("s_nationkey", "s_acctbal")
+
+    def reconcile(key, cpdf, spdf):
+        import numpy as np
+        import pandas as pd
+
+        def micros(col):
+            if len(col) == 0:
+                return 0
+            return int(
+                np.round(col.to_numpy() * 1e6).astype(np.int64).sum()
+            )
+
+        nc, ns = len(cpdf), len(spdf)
+        cm, sm = micros(cpdf["c_acctbal"]), micros(spdf["s_acctbal"])
+        gap = (
+            float(cm) / 1e6 / nc - float(sm) / 1e6 / ns
+            if nc > 0 and ns > 0
+            else None
+        )
+        return pd.DataFrame(
+            {
+                "nationkey": [int(key[0])],
+                "n_cust": [nc],
+                "n_supp": [ns],
+                "cust_micros": [cm],
+                "supp_micros": [sm],
+                "avg_bal_gap": [gap],
+            }
+        )
+
+    return (
+        c.groupBy("c_nationkey")
+        .cogroup(s.groupBy("s_nationkey"))
+        .applyInPandas(
+            reconcile,
+            schema=(
+                "nationkey int, n_cust long, n_supp long, "
+                "cust_micros long, supp_micros long, avg_bal_gap double"
+            ),
+        )
+        .orderBy("nationkey")
+    )
