@@ -53,7 +53,7 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
 
-POOL = int(os.environ.get("SPARK_GRAFT_POOL", "8"))
+POOL = int(os.environ.get("SPARK_GRAFT_POOL", "16"))
 
 
 def main() -> None:

@@ -215,3 +215,51 @@ def test_stats_skipping_timestamp_bounds_never_lose_rows(
         .collect()
     )
     assert pruned == full
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=50),
+            st.integers(min_value=-100, max_value=100),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    threshold=st.integers(min_value=-100, max_value=100),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_dv_delete_equals_rewrite_delete(spark, tmp_path_factory, rows,
+                                         threshold):
+    """For ANY table and predicate, DELETE via deletion vectors must be
+    row-for-row identical to copy-on-write DELETE (merge-on-read is a
+    storage strategy, not a semantics change)."""
+    import uuid as _uuid
+
+    from dbt_local_duckdb_deltalake_project_spark.sources.deltalike import (
+        DeltaLikeTable,
+    )
+
+    base = tmp_path_factory.mktemp("dvprop")
+    df = spark.createDataFrame(rows, "k int, v int")
+    cond = F.col("v") < threshold
+
+    t_dv = DeltaLikeTable(str(base / f"dv-{_uuid.uuid4().hex}"))
+    t_dv.write(df, mode="overwrite")
+    t_dv.delete_with_dv(spark, cond)
+    got_dv = sorted((r.k, r.v) for r in t_dv.read(spark).collect())
+
+    t_cow = DeltaLikeTable(str(base / f"cow-{_uuid.uuid4().hex}"))
+    t_cow.write(df, mode="overwrite")
+    t_cow.delete(spark, cond)
+    got_cow = sorted((r.k, r.v) for r in t_cow.read(spark).collect())
+
+    assert got_dv == got_cow
+    # and the DV table's physical file set never changed
+    adds0 = {a["path"] for a in t_dv._active_files(as_of=0)}
+    adds1 = {a["path"] for a in t_dv._active_files()}
+    assert adds0 == adds1
