@@ -243,3 +243,24 @@ def test_tpch_q1_partial_aggregation(spark, sf_dir):
     # states, not 6M rows.
     p = plan(QUERIES["tpch_q1"](spark, sf_dir))
     assert p.count("HashAggregate") >= 2
+
+
+def test_column_mapping_pushdown_reaches_physical_column(spark, tmp_path):
+    # Filtering the LOGICAL (renamed) column must still push down to the
+    # parquet scan as the PHYSICAL column, and pruning must read only it
+    # — the rename is an alias Catalyst folds into the scan, so column
+    # mapping costs nothing at 100 TB.
+    from dbt_local_duckdb_deltalake_project_spark.sources.deltalike import (
+        DeltaLikeTable,
+    )
+
+    tbl = DeltaLikeTable(str(tmp_path / "cm_push"))
+    tbl.write(
+        spark.range(100).withColumn("val", F.col("id") * 2),
+        mode="overwrite",
+    )
+    tbl.rename_column("val", "value")
+    df = tbl.read(spark).filter(F.col("value") > 100).select("value")
+    p = plan(df)
+    assert "GreaterThan(val,100)" in p  # pushed, under the physical name
+    assert "ReadSchema: struct<val:bigint>" in p  # pruned to one column
