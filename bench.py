@@ -94,6 +94,7 @@ def main() -> None:
         "stream_funnel_stateful",
         "stream_sink_deltalike",
         "stream_upsert_foreachbatch",
+        "stream_txn_exactly_once",
         "stream_join_static",
         "stream_stream_join",
         "stream_deltalike_source",

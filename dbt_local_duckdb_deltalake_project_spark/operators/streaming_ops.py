@@ -634,3 +634,75 @@ def stream_deltalike_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
     return spark.table(sink).orderBy("o_orderstatus")
+
+
+@register(
+    "stream_txn_exactly_once",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(event_id) AS BIGINT) AS id_checksum,
+           TRUE AS replay_added_nothing
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def stream_txn_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming ingestion: ``foreachBatch`` stamps every
+    micro-batch with the protocol ``txn`` action (appId = the sink's
+    identity, version = batch_id), so a FULL REPLAY of the stream — new
+    checkpoint, batch ids restarting at 0 — re-offers every batch and
+    the table skips each one at the high-water mark. This is how Delta
+    sinks get exactly-once without an external ledger: the dedup stamp
+    commits atomically WITH the data, and a crash between "write" and
+    "record progress" cannot double-land a batch. The op runs the
+    ingestion twice (second pass = disaster-recovery replay) and
+    asserts zero new commits; content equals one clean pass over
+    events. At 100 TB the check is O(log-tail) per batch — the txn
+    high-water mark rides the checkpoint, not a table scan.
+    """
+    from ..sources.deltalike import DeltaLikeTable
+    from ..sources.workspace import workdir
+
+    tbl = DeltaLikeTable(workdir(sf_dir, "stream_txn"))
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        tbl.write_idempotent(
+            batch_df.select("event_id", "user_id", "event_type", "ts"),
+            "stream-ingest",
+            batch_id,
+            mode="append",
+        )
+
+    def run_pass(tag: str) -> None:
+        src, ckpt = stage_event_files(spark, sf_dir, tag, late_fraction=False)
+        stream = read_staged_stream(spark, src)
+        with replay_shuffle(spark, 8):
+            q = (
+                stream.writeStream.foreachBatch(ingest)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+    run_pass("txn_once_a")
+    v_after_first = tbl.latest_version
+    run_pass("txn_once_b")  # full replay: fresh checkpoint, batches 0..n again
+    replay_added_nothing = tbl.latest_version == v_after_first
+    return (
+        tbl.read(spark)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("event_id").alias("id_checksum"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "id_checksum",
+            F.lit(replay_added_nothing).alias("replay_added_nothing"),
+        )
+        .orderBy("event_type")
+    )
