@@ -318,3 +318,79 @@ def sink_partitioned_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_year")
     )
+
+
+_PERMISSIVE_ORACLE = """
+SELECT o_orderstatus,
+       COUNT(*) AS n_good,
+       CAST(SUM(CAST(ROUND(o_totalprice * 1000000) AS BIGINT)) AS BIGINT)
+         AS price_micros,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+        WHERE o_orderkey % 50 = 0) AS n_corrupt
+FROM orders
+WHERE o_orderkey % 50 <> 0
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@register("scan_csv_permissive", _PERMISSIVE_ORACLE)
+def scan_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-row handling on ingest (PERMISSIVE mode): real landing
+    zones carry broken lines, and the bronze contract is "never lose a
+    row silently" — parse what parses, route the rest to a
+    ``_corrupt_record`` column for quarantine/DLQ instead of failing
+    the job (FAILFAST) or dropping rows (DROPMALFORMED). The op stages
+    an orders CSV with every 50th row's price corrupted to a non-number,
+    reads it under a declared schema with PERMISSIVE + corrupt-record
+    capture, and reports clean-row aggregates plus the quarantine count.
+    The corruption is key-addressed (o_orderkey % 50), so the oracle
+    reconstructs both populations exactly from the clean table. Parsing
+    is map-side; the corrupt branch costs nothing when absent.
+    """
+    path = workdir(sf_dir, "scan_csv_permissive")
+    src = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        # deterministic text for the price column: corrupt every 50th
+        F.when(F.col("o_orderkey") % 50 == 0, F.lit("not-a-number"))
+        .otherwise(F.format_number(F.col("o_totalprice"), 2))
+        .alias("o_totalprice_raw"),
+    )
+    # format_number uses grouping commas — strip via regexp to keep the
+    # CSV numeric-parseable and value-exact (2-dp money round-trips)
+    src = src.withColumn(
+        "o_totalprice_raw",
+        F.regexp_replace("o_totalprice_raw", ",", ""),
+    )
+    src.write.mode("overwrite").option("header", True).csv(path)
+    schema = (
+        "o_orderkey LONG, o_orderstatus STRING, o_totalprice_raw DOUBLE, "
+        "_corrupt_record STRING"
+    )
+    df = (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+        .cache()  # one pass feeds both the clean aggregate and the count
+    )
+    n_corrupt = df.filter(F.col("_corrupt_record").isNotNull()).count()
+    return (
+        df.filter(F.col("_corrupt_record").isNull())
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_good"),
+            F.sum(
+                F.round(F.col("o_totalprice_raw") * 1_000_000).cast("long")
+            ).alias("price_micros"),
+        )
+        .select(
+            "o_orderstatus",
+            "n_good",
+            "price_micros",
+            F.lit(int(n_corrupt)).cast("long").alias("n_corrupt"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -296,3 +296,91 @@ def win_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.last(reading, ignorenulls=True).over(w).alias("value_filled"),
     )
+
+
+_ZSCORE_ORACLE = """
+WITH v AS (
+  SELECT event_id, user_id, ts,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+w AS (
+  SELECT event_id, user_id, cents,
+         SUM(cents) OVER win AS s,
+         SUM(cents * cents) OVER win AS ssq,
+         COUNT(*) OVER win AS n
+  FROM v
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id,
+       CAST(n AS BIGINT) AS n_window,
+       CASE WHEN n >= 3
+             AND (CAST(ssq AS DOUBLE)
+                  - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) > 0
+            THEN (CAST(cents AS DOUBLE) - CAST(s AS DOUBLE) / n)
+                 / sqrt((CAST(ssq AS DOUBLE)
+                         - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+                        / (n - 1))
+       END AS zscore,
+       CASE WHEN n >= 3
+             AND (CAST(ssq AS DOUBLE)
+                  - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) > 0
+            THEN abs((CAST(cents AS DOUBLE) - CAST(s AS DOUBLE) / n)
+                 / sqrt((CAST(ssq AS DOUBLE)
+                         - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+                        / (n - 1))) > 2.5
+       END AS is_anomaly
+FROM w
+ORDER BY user_id, event_id
+"""
+
+
+@register("win_rolling_zscore", _ZSCORE_ORACLE)
+def win_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly flag — the time-series monitoring staple:
+    each event scored against its user's trailing 7-reading window. The
+    determinism trick extends deterministic.py to VARIANCE: the frame
+    keeps exact integer Σx and Σx² over 2-dp cents (bounded: 7 readings
+    × 33k cents → Σx² ~ 5e10 ≪ 2^63), and mean/var/z are then derived
+    with an IDENTICAL chain of double ops on both engines — bit-equal
+    inputs + same op order = bit-equal doubles, no epsilon. Windows with
+    n < 3 or zero variance emit NULL (no z is defined there). One
+    shuffle on user_id; both running sums come from the same frame, so
+    Catalyst evaluates one window node. At 100 TB this is the
+    per-entity-sorted scan shape that motivates bucketing event tables
+    by user.
+    """
+    v = t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    win = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, 0)
+    )
+    w = v.select(
+        "event_id",
+        "user_id",
+        "cents",
+        F.sum("cents").over(win).alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).over(win).alias("ssq"),
+        F.count(F.lit(1)).over(win).alias("n"),
+    )
+    num = F.col("ssq").cast("double") - F.col("s").cast("double") * F.col(
+        "s"
+    ).cast("double") / F.col("n")
+    z = (F.col("cents").cast("double") - F.col("s").cast("double") / F.col("n")) / F.sqrt(
+        num / (F.col("n") - 1)
+    )
+    defined = (F.col("n") >= 3) & (num > 0)
+    return w.select(
+        "event_id",
+        "user_id",
+        F.col("n").alias("n_window"),
+        F.when(defined, z).alias("zscore"),
+        F.when(defined, F.abs(z) > 2.5).alias("is_anomaly"),
+    ).orderBy("user_id", "event_id")
