@@ -605,6 +605,19 @@ class DeltaLikeTable:
             }
         }
 
+    def _guard_constraint_references(self, col: str, action: str) -> None:
+        """Refuse ALTERs on a column a CHECK constraint references (the
+        stored expression names the LOGICAL column; renaming or dropping
+        it would silently break enforcement — Delta blocks this too)."""
+        import re
+
+        for name, expr in self.check_constraints().items():
+            if re.search(rf"\b{re.escape(col)}\b", expr):
+                raise ValueError(
+                    f"cannot {action} column {col!r}: referenced by CHECK "
+                    f"constraint {name!r} ({expr}); DROP CONSTRAINT first"
+                )
+
     def rename_column(self, old: str, new: str) -> int:
         """``ALTER TABLE ... RENAME COLUMN`` — METADATA-ONLY (protocol
         column-mapping, name mode): the parquet files keep the original
@@ -612,6 +625,7 @@ class DeltaLikeTable:
         schemaString changes, so renaming a column of a 100 TB table is
         one O(1) metaData commit, no file touched. Readers re-alias at
         scan time (a projection Catalyst collapses into the scan)."""
+        self._guard_constraint_references(old, "rename")
         meta = self._latest_metadata()
         if meta is None:
             raise ValueError(f"no schema committed yet at {self.path}")
@@ -636,6 +650,7 @@ class DeltaLikeTable:
         the field leaves the logical schema; the physical column stays in
         the files (unreachable, reclaimed at the next rewrite), which is
         how Delta drops a column from a 100 TB table instantly."""
+        self._guard_constraint_references(name, "drop")
         meta = self._latest_metadata()
         if meta is None:
             raise ValueError(f"no schema committed yet at {self.path}")

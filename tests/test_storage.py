@@ -794,3 +794,15 @@ def test_txn_highwater_survives_checkpoint(spark, tbl):
     assert tbl.last_txn_version("app") == 5
     _, wrote = tbl.write_idempotent(_df(spark, [(99, "q")]), "app", 5)
     assert not wrote
+
+
+def test_column_mapping_blocked_by_constraint_reference(spark, tbl):
+    tbl.write(_df(spark, [(1, "a")]), mode="overwrite")
+    tbl.add_check_constraint("k_positive", "k > 0")
+    with pytest.raises(ValueError, match="referenced by CHECK"):
+        tbl.rename_column("k", "key")
+    with pytest.raises(ValueError, match="referenced by CHECK"):
+        tbl.drop_column("k")
+    # untouched columns still alterable
+    tbl.rename_column("v", "value")
+    assert tbl.read(spark).columns == ["k", "value"]
