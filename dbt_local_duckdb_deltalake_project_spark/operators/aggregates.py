@@ -831,3 +831,46 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = bitmap_distinct("l_partkey", "n_distinct_parts")
     orders = bitmap_distinct("l_orderkey", "n_distinct_orders")
     return parts.join(orders, "l_returnflag").orderBy("l_returnflag")
+
+
+_HISTOGRAM_ORACLE = """
+SELECT CAST(FLOOR((l_quantity - 1) / 5.0) AS BIGINT) + 1 AS bucket,
+       CAST(1.0 + (CAST(FLOOR((l_quantity - 1) / 5.0) AS BIGINT)) * 5.0
+            AS DOUBLE) AS bucket_lo,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 1000000) AS BIGINT))
+            AS DOUBLE) / 1000000 AS revenue
+FROM lineitem
+GROUP BY 1, 2
+ORDER BY bucket
+"""
+
+
+@register("agg_histogram", _HISTOGRAM_ORACLE)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram via ``width_bucket`` — the profiling /
+    dashboard staple. Quantity spans [1, 51) in 10 buckets of width 5;
+    the width (51-1)/10 = 5.0 and the offsets (q-1)/5.0 are exact
+    doubles for the integer-valued domain, so Spark's width_bucket and
+    the oracle's explicit floor-formula (DuckDB 1.0 has no
+    width_bucket) land every value in the same bucket with no boundary
+    ambiguity — the same discipline as deterministic.py: keep bucketing
+    arithmetic exactly representable. One partial-aggregated shuffle of
+    ≤10 group states per task at any scale.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    b = F.expr("width_bucket(l_quantity, 1, 51, 10)")
+    return (
+        li.groupBy(
+            b.alias("bucket"),
+            (1.0 + (b - 1) * 5.0).alias("bucket_lo"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.round(F.col("l_extendedprice") * 1_000_000).cast("long")
+            ).cast("double").alias("revenue"),
+        )
+        .withColumn("revenue", F.col("revenue") / 1_000_000)
+        .orderBy("bucket")
+    )
