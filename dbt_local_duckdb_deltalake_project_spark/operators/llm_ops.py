@@ -2463,3 +2463,96 @@ def llm_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_PQ_ORACLE = """
+WITH pts AS (
+  SELECT vec_id, dim,
+         CAST(ROUND(CAST(embedding[dim] AS DOUBLE) * 1000000) AS BIGINT)
+           AS x_m,
+         CAST((dim - 1) // 8 AS INTEGER) AS sub
+  FROM embeddings, (SELECT unnest(range(1, 65)) AS dim)
+),
+cb AS (
+  SELECT vec_id AS code, sub, dim, x_m AS c_m FROM pts WHERE vec_id < 16
+),
+d AS (
+  SELECT p.vec_id, p.sub, c.code,
+         SUM((p.x_m - c.c_m) * (p.x_m - c.c_m)) AS dist
+  FROM pts p JOIN cb c ON p.dim = c.dim
+  GROUP BY p.vec_id, p.sub, c.code
+),
+enc AS (
+  SELECT vec_id, sub, code, dist FROM (
+    SELECT vec_id, sub, code, dist,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                              ORDER BY dist, code) AS rn
+    FROM d) WHERE rn = 1
+)
+SELECT sub AS subspace, CAST(code AS INTEGER) AS code,
+       COUNT(*) AS n_vectors,
+       CAST(SUM(dist) AS BIGINT) AS total_sq_err_m2
+FROM enc
+GROUP BY sub, code
+ORDER BY subspace, code
+"""
+
+
+@register("llm_embed_pq", _PQ_ORACLE)
+def llm_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (PQ) encode — the index-compression workhorse
+    behind billion-scale ANN (IVF-PQ): the 64-dim vector splits into
+    M=8 subspaces of 8 dims, each subvector snaps to the nearest of
+    K=16 codewords, and the vector stores as 8 codes (256 B float32 →
+    8 B, 32×). Codebook = the first 16 vectors' subvectors (the same
+    deterministic first-k init as llm_kmeans; a production build runs
+    Lloyd per subspace — llm_kmeans IS that step). All distances are
+    exact BIGINT micros² sums with code-id tiebreaks, so encode is
+    engine-identical. Plan: the 16×64 codeword table broadcasts; the
+    (vec, dim) stream joins it map-side and the O(N·M·K) distance terms
+    reduce with map-side combine — one shuffle of (vec, sub, code)
+    partials, no N×N anything. Output: codeword occupancy + total
+    quantization error per (subspace, code) cell.
+    """
+    e = t(spark, sf_dir, "embeddings")
+    pts = e.select(
+        "vec_id", F.posexplode("embedding").alias("dim0", "x")
+    ).select(
+        "vec_id",
+        "dim0",
+        F.floor(F.col("dim0") / 8).cast("int").alias("sub"),
+        F.round(F.col("x").cast("double") * 1_000_000)
+        .cast("long")
+        .alias("x_m"),
+    )
+    cb = (
+        pts.filter(F.col("vec_id") < 16)
+        .select(
+            F.col("vec_id").alias("code"),
+            F.col("dim0").alias("cb_dim"),
+            F.col("x_m").alias("c_m"),
+        )
+    )
+    d = (
+        pts.join(F.broadcast(cb), pts["dim0"] == cb["cb_dim"])
+        .groupBy("vec_id", "sub", "code")
+        .agg(
+            F.sum(
+                (F.col("x_m") - F.col("c_m")) * (F.col("x_m") - F.col("c_m"))
+            ).alias("dist")
+        )
+    )
+    rn = F.row_number().over(
+        W.partitionBy("vec_id", "sub").orderBy("dist", "code")
+    )
+    enc = d.withColumn("rn", rn).filter(F.col("rn") == 1)
+    return (
+        enc.groupBy(
+            F.col("sub").alias("subspace"), F.col("code").cast("int").alias("code")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum("dist").alias("total_sq_err_m2"),
+        )
+        .orderBy("subspace", "code")
+    )
