@@ -506,3 +506,123 @@ def join_bloom_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+_ASOF_NEAREST_ORACLE = """
+WITH views AS (
+  SELECT user_id, ts, MAX(event_id) AS view_id
+  FROM events WHERE event_type = 'view'
+  GROUP BY user_id, ts
+), purchases AS (
+  SELECT user_id, ts, event_id FROM events
+  WHERE event_type = 'purchase'
+),
+back AS (
+  SELECT p.event_id, p.user_id, p.ts, v.view_id AS bview, v.ts AS bts
+  FROM purchases p ASOF LEFT JOIN views v
+    ON p.user_id = v.user_id AND p.ts >= v.ts
+),
+fwd AS (
+  SELECT p.event_id, v.view_id AS fview, v.ts AS fts
+  FROM purchases p ASOF LEFT JOIN views v
+    ON p.user_id = v.user_id AND p.ts <= v.ts
+)
+SELECT b.event_id AS purchase_id, b.user_id,
+       CASE WHEN fview IS NULL THEN bview
+            WHEN bview IS NULL THEN fview
+            WHEN epoch_us(b.ts) - epoch_us(bts)
+                 <= epoch_us(fts) - epoch_us(b.ts) THEN bview
+            ELSE fview END AS nearest_view,
+       CASE WHEN fview IS NULL AND bview IS NULL THEN NULL
+            WHEN fview IS NULL THEN 'backward'
+            WHEN bview IS NULL THEN 'forward'
+            WHEN epoch_us(b.ts) - epoch_us(bts)
+                 <= epoch_us(fts) - epoch_us(b.ts) THEN 'backward'
+            ELSE 'forward' END AS direction,
+       CASE WHEN fview IS NULL AND bview IS NULL THEN NULL
+            WHEN fview IS NULL THEN epoch_us(b.ts) - epoch_us(bts)
+            WHEN bview IS NULL THEN epoch_us(fts) - epoch_us(b.ts)
+            ELSE least(epoch_us(b.ts) - epoch_us(bts),
+                       epoch_us(fts) - epoch_us(b.ts)) END AS delta_us
+FROM back b JOIN fwd f ON b.event_id = f.event_id
+ORDER BY purchase_id
+"""
+
+
+@register("join_asof_nearest", _ASOF_NEAREST_ORACLE)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join (both directions): each purchase pairs with the
+    temporally CLOSEST view — backward or forward, ties to backward —
+    the sensor-alignment / feature-attribution shape (`merge_asof
+    direction='nearest'`). Same scalable rewrite as join_asof: tag both
+    inputs, union, ONE shuffle on user_id, then two frame passes over
+    the same sort — last non-null view at-or-before (ascending frame)
+    and first non-null view after (descending frame) — and an O(1)
+    per-row comparison picks the nearer side. No range-join fan-out at
+    any scale. The oracle runs DuckDB's native two-direction ASOF JOIN
+    pair; distances compare in exact integer micros.
+    """
+    e = t(spark, sf_dir, "events")
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_id"))
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    tagged = views.select(
+        "user_id", "ts", "view_id",
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(0).alias("side"),
+    ).unionByName(
+        purchases.select(
+            "user_id", "ts",
+            F.lit(None).cast("long").alias("view_id"),
+            "event_id",
+            F.lit(1).alias("side"),
+        )
+    )
+    # views sort before purchases at equal ts → the backward frame sees a
+    # same-ts view (δ = 0, always wins); forward frame starts after it.
+    asc = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    fwd = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    vts = F.when(F.col("side") == 0, F.col("ts"))
+    scored = (
+        tagged.withColumn("bview", F.last("view_id", ignorenulls=True).over(asc))
+        .withColumn("bts", F.last(vts, ignorenulls=True).over(asc))
+        .withColumn("fview", F.first("view_id", ignorenulls=True).over(fwd))
+        .withColumn("fts", F.first(vts, ignorenulls=True).over(fwd))
+        .filter(F.col("side") == 1)
+    )
+    db = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("bts"))
+    df_ = F.unix_micros(F.col("fts")) - F.unix_micros(F.col("ts"))
+    back_wins = db <= df_
+    return scored.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.when(F.col("fview").isNull(), F.col("bview"))
+        .when(F.col("bview").isNull(), F.col("fview"))
+        .when(back_wins, F.col("bview"))
+        .otherwise(F.col("fview"))
+        .alias("nearest_view"),
+        F.when(F.col("fview").isNull() & F.col("bview").isNull(), None)
+        .when(F.col("fview").isNull(), "backward")
+        .when(F.col("bview").isNull(), "forward")
+        .when(back_wins, "backward")
+        .otherwise("forward")
+        .alias("direction"),
+        F.when(F.col("fview").isNull() & F.col("bview").isNull(), None)
+        .when(F.col("fview").isNull(), db)
+        .when(F.col("bview").isNull(), df_)
+        .otherwise(F.least(db, df_))
+        .alias("delta_us"),
+    ).orderBy("purchase_id")
