@@ -994,3 +994,69 @@ def delta_txn_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+_GENCOL_ORACLE = """
+SELECT CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS o_month,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 1000000) AS BIGINT)) AS BIGINT)
+         AS price_micros,
+       TRUE AS wrong_value_rejected
+FROM orders
+GROUP BY DATE_TRUNC('month', o_orderdate)
+ORDER BY o_month
+"""
+
+
+@register("delta_generated_columns", _GENCOL_ORACLE)
+def delta_generated_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERATED ALWAYS AS columns: the generation expression is table
+    metadata (schemaString field metadata, the protocol's
+    ``delta.generationExpression``), and the ENGINE owns the value —
+    writers that omit the column get it computed, writers that supply a
+    mismatching value are rejected atomically. That is what makes
+    derived layout keys (month buckets, date partitions) trustworthy
+    across every producer of a 100 TB table: no pipeline can drift the
+    derivation. The op declares ``o_month = date_trunc('month',
+    o_orderdate)``, overwrites with orders (column computed), proves a
+    poisoned append rejects (``wrong_value_rejected``), then aggregates
+    BY the generated column — per-month stats with no recomputation at
+    read time.
+    """
+    tbl = DeltaLikeTable(workdir(sf_dir, "delta_gencol"))
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    tbl.write(o.limit(1), mode="overwrite")  # establish schema for ALTER
+    tbl.add_generated_column(
+        "o_month", "date_trunc('month', o_orderdate)", dtype="timestamp"
+    )
+    tbl.write(o, mode="overwrite")  # engine computes o_month
+    poisoned = o.limit(5).withColumn(
+        "o_month",
+        F.add_months(F.date_trunc("month", "o_orderdate"), 1).cast(
+            "timestamp"
+        ),  # type-correct, value-wrong: only the generation check can fire
+    )
+    try:
+        tbl.write(poisoned, mode="append")
+        wrong_value_rejected = False
+    except ValueError as e:
+        wrong_value_rejected = "generated column" in str(e)
+    return (
+        tbl.read(spark)
+        .groupBy("o_month")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 1_000_000).cast("long")
+            ).alias("price_micros"),
+        )
+        .select(
+            "o_month",
+            "n_orders",
+            "price_micros",
+            F.lit(wrong_value_rejected).alias("wrong_value_rejected"),
+        )
+        .orderBy("o_month")
+    )

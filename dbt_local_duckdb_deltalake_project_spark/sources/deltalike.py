@@ -490,11 +490,29 @@ class DeltaLikeTable:
         partition_by: list[str] | None = None,
         schema_string: str | None = None,
     ) -> dict:
+        if schema_string is None:
+            # preserve per-field metadata (generation expressions etc.)
+            # across writes — df.schema alone would drop it
+            sj = json.loads(df.schema.json())
+            prev = self._latest_metadata()
+            if prev is not None:
+                prev_fields = {
+                    f["name"]: f
+                    for f in json.loads(prev["schemaString"])["fields"]
+                }
+                for f in sj["fields"]:
+                    pf = prev_fields.get(f["name"])
+                    if pf and pf.get("metadata"):
+                        f["metadata"] = {
+                            **pf["metadata"],
+                            **(f.get("metadata") or {}),
+                        }
+            schema_string = json.dumps(sj)
         return {
             "metaData": {
                 "id": str(uuid.uuid4()),
                 "format": {"provider": "parquet", "options": {}},
-                "schemaString": schema_string or df.schema.json(),
+                "schemaString": schema_string,
                 "partitionColumns": partition_by or [],
                 # Table configuration (constraints, properties) survives
                 # writes — only explicit ALTERs change it, as in Delta.
@@ -617,6 +635,63 @@ class DeltaLikeTable:
                     f"cannot {action} column {col!r}: referenced by CHECK "
                     f"constraint {name!r} ({expr}); DROP CONSTRAINT first"
                 )
+
+    def add_generated_column(
+        self, name: str, expr_sql: str, dtype: str = "timestamp"
+    ) -> int:
+        """``ALTER TABLE ... ADD COLUMN name GENERATED ALWAYS AS (expr)``
+        — the generation expression lives in the field's schemaString
+        metadata (``delta.generationExpression``, the protocol's form).
+        Every subsequent write COMPUTES the column when the writer omits
+        it and VALIDATES it when the writer supplies it (a mismatching
+        value is rejected atomically), so derived partitioning/bucketing
+        keys stay trustworthy however many writers feed the table.
+        Metadata-only commit."""
+        meta = self._latest_metadata()
+        if meta is None:
+            raise ValueError(f"no schema committed yet at {self.path}")
+        sj = json.loads(meta["schemaString"])
+        if name in [f["name"] for f in sj["fields"]]:
+            raise ValueError(f"column {name!r} already exists")
+        sj["fields"].append(
+            {
+                "name": name,
+                "type": dtype,
+                "nullable": True,
+                "metadata": {"delta.generationExpression": expr_sql},
+            }
+        )
+        return self._commit(
+            [{"metaData": {**meta, "schemaString": json.dumps(sj)}}],
+            operation="ADD COLUMN",
+        )
+
+    def _generated_columns(self) -> dict[str, str]:
+        meta = self._latest_metadata()
+        if meta is None:
+            return {}
+        return {
+            f["name"]: f["metadata"]["delta.generationExpression"]
+            for f in json.loads(meta["schemaString"])["fields"]
+            if (f.get("metadata") or {}).get("delta.generationExpression")
+        }
+
+    def _apply_generated_columns(self, df: DataFrame) -> DataFrame:
+        for name, expr in self._generated_columns().items():
+            if name not in df.columns:
+                df = df.withColumn(name, F.expr(expr))
+            else:
+                bad = (
+                    df.filter(~F.col(name).eqNullSafe(F.expr(expr)))
+                    .limit(1)
+                    .count()
+                )
+                if bad:
+                    raise ValueError(
+                        f"generated column {name!r} violated: supplied "
+                        f"values differ from GENERATED ALWAYS AS ({expr})"
+                    )
+        return df
 
     def rename_column(self, old: str, new: str) -> int:
         """``ALTER TABLE ... RENAME COLUMN`` — METADATA-ONLY (protocol
@@ -747,6 +822,7 @@ class DeltaLikeTable:
         assert mode in ("append", "overwrite")
         if operation is None:
             operation = "WRITE" if mode == "append" else "OVERWRITE"
+        df = self._apply_generated_columns(df)
         if mode == "append":
             self._enforce_schema(df, merge_schema)
         if self.check_constraints():

@@ -806,3 +806,29 @@ def test_column_mapping_blocked_by_constraint_reference(spark, tbl):
     # untouched columns still alterable
     tbl.rename_column("v", "value")
     assert tbl.read(spark).columns == ["k", "value"]
+
+
+def test_generated_column_computed_and_validated(spark, tbl):
+    df = spark.createDataFrame([(1, 10), (2, 20)], "k int, v int")
+    tbl.write(df, mode="overwrite")
+    tbl.add_generated_column("v2", "v * 2", dtype="integer")
+    # overwrite WITHOUT the column → engine computes it
+    tbl.write(df, mode="overwrite")
+    got = {(r.k, r.v2) for r in tbl.read(spark).collect()}
+    assert got == {(1, 20), (2, 40)}
+    # append WITH a correct value → accepted
+    tbl.write(
+        spark.createDataFrame([(3, 30, 60)], "k int, v int, v2 int"),
+        mode="append",
+    )
+    # append WITH a wrong value → rejected, nothing committed
+    v = tbl.latest_version
+    with pytest.raises(ValueError, match="generated column"):
+        tbl.write(
+            spark.createDataFrame([(4, 40, 99)], "k int, v int, v2 int"),
+            mode="append",
+        )
+    assert tbl.latest_version == v
+    assert sorted(r.k for r in tbl.read(spark).collect()) == [1, 2, 3]
+    # the generation expression survives unrelated writes
+    assert tbl._generated_columns() == {"v2": "v * 2"}
