@@ -90,7 +90,8 @@ _WINDOW_SECOND = [
     "delta_txn_idempotent", "dbt_unit_test", "udf_cogrouped_map",
     "stream_txn_exactly_once", "scan_csv_permissive", "win_rolling_zscore",
     "agg_histogram", "llm_embed_pq", "join_asof_nearest",
-    "delta_generated_columns",
+    "delta_generated_columns", "delta_merge_full_sync",
+    "win_cumulative_distinct",
     "delta_time_travel", "delta_merge_upsert",   # deltalike.py changed (ts resolution, vacuum)
     "stream_tumbling", "stream_session", "win_range_frame", "fn_date",  # events/tz consumers
     "join_asof",                 # §2.3

@@ -1060,3 +1060,56 @@ def delta_generated_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_month")
     )
+
+
+_MERGE_SYNC_ORACLE = """
+WITH source AS (
+  SELECT o_orderkey,
+         o_totalprice * 1.05 AS o_totalprice,
+         'S' AS o_orderstatus
+  FROM orders WHERE o_orderkey % 3 = 0
+),
+target AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus
+  FROM orders WHERE o_orderkey % 2 = 0
+)
+SELECT s.o_orderkey, s.o_totalprice, s.o_orderstatus,
+       (t.o_orderkey IS NOT NULL) AS was_update
+FROM source s LEFT JOIN target t ON s.o_orderkey = t.o_orderkey
+ORDER BY s.o_orderkey
+"""
+
+
+@register("delta_merge_full_sync", _MERGE_SYNC_ORACLE)
+def delta_merge_full_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE with ``WHEN NOT MATCHED BY SOURCE THEN DELETE`` — the
+    full-sync / snapshot-mirror pattern: one MERGE makes the target an
+    exact mirror of the source (matched → update, new → insert, absent
+    from source → DELETE). This is how a 100 TB serving table tracks an
+    upstream system that ships full snapshots: churn-proportional work
+    on the matched/new side plus one anti-set of stale keys, not a
+    truncate-and-reload. End state must equal the source exactly —
+    ``was_update`` distinguishes rows that overwrote an existing key
+    from fresh inserts, which the oracle reconstructs from the same
+    deterministic key split.
+    """
+    tbl = DeltaLikeTable(workdir(sf_dir, "delta_merge_sync"))
+    o = t(spark, sf_dir, "orders")
+    target = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    source = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice") * 1.05).alias("o_totalprice"),
+        F.lit("S").alias("o_orderstatus"),
+    )
+    tbl.write(target, mode="overwrite")
+    tbl.merge(
+        spark, source, on="o_orderkey", delete_not_matched_by_source=True
+    )
+    was_update = (F.col("o_orderkey") % 2 == 0).alias("was_update")
+    return (
+        tbl.read(spark)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus", was_update)
+        .orderBy("o_orderkey")
+    )

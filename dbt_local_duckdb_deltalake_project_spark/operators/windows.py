@@ -384,3 +384,60 @@ def win_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(defined, z).alias("zscore"),
         F.when(defined, F.abs(z) > 2.5).alias("is_anomaly"),
     ).orderBy("user_id", "event_id")
+
+
+_CUMDISTINCT_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN ROW_NUMBER() OVER (
+                PARTITION BY user_id, event_type
+                ORDER BY ts, event_id) = 1
+              THEN 1 ELSE 0 END AS first_seen
+  FROM events
+)
+SELECT event_id, user_id,
+       CAST(SUM(first_seen) OVER (
+              PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS distinct_types_so_far
+FROM flagged
+ORDER BY user_id, event_id
+"""
+
+
+@register("win_cumulative_distinct", _CUMDISTINCT_ORACLE)
+def win_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) per partition — SQL has no distinct-frame
+    aggregate, and the naive self-join is O(n²) per partition. The
+    scalable rewrite is the FIRST-SEEN FLAG: rank each (user, type)
+    occurrence, flag rank 1, and a plain running SUM of flags IS the
+    cumulative distinct count. Two window passes over the same user_id
+    shuffle (Catalyst keeps the partitioning between them — one
+    exchange), both codegen, any partition size. The engagement-breadth
+    metric ("how many distinct event types has this user produced so
+    far") every growth dashboard wants.
+    """
+    e = t(spark, sf_dir, "events")
+    first_seen = (
+        F.row_number().over(
+            W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+        )
+        == 1
+    ).cast("long")
+    running = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            "ts",
+            first_seen.alias("first_seen"),
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.sum("first_seen").over(running).alias("distinct_types_so_far"),
+        )
+        .orderBy("user_id", "event_id")
+    )

@@ -1363,6 +1363,7 @@ class DeltaLikeTable:
         source: DataFrame,
         on: str,
         update_cols: list[str] | None = None,
+        delete_not_matched_by_source: bool = False,
     ) -> DataFrame:
         """``MERGE INTO target USING source ON target.k = source.k
         WHEN MATCHED THEN UPDATE WHEN NOT MATCHED THEN INSERT`` —
@@ -1371,7 +1372,11 @@ class DeltaLikeTable:
         Full-outer-join rewrite: matched rows take source values for
         ``update_cols`` (default: all non-key columns), unmatched target
         rows pass through, unmatched source rows are inserts.
-        """
+
+        ``delete_not_matched_by_source=True`` adds ``WHEN NOT MATCHED BY
+        SOURCE THEN DELETE`` — target rows absent from the source are
+        dropped, making one MERGE a complete mirror of the source (the
+        full-sync / snapshot-ingestion pattern)."""
         target = self.read(spark)
         cols = target.columns
         update_cols = update_cols or [c for c in cols if c != on]
@@ -1401,5 +1406,10 @@ class DeltaLikeTable:
             F.coalesce(F.col(f"s.{on}"), F.col(f"t.{on}")).alias(on),
             *[_merged_col(c) for c in cols if c != on],
         )
+        if delete_not_matched_by_source:
+            merged = joined.filter(F.col(f"s.{on}").isNotNull()).select(
+                F.col(f"s.{on}").alias(on),
+                *[_merged_col(c) for c in cols if c != on],
+            )
         self.write(merged, mode="overwrite", operation="MERGE")
         return self.read(spark)
