@@ -91,7 +91,7 @@ _WINDOW_SECOND = [
     "stream_txn_exactly_once", "scan_csv_permissive", "win_rolling_zscore",
     "agg_histogram", "llm_embed_pq", "join_asof_nearest",
     "delta_generated_columns", "delta_merge_full_sync",
-    "win_cumulative_distinct",
+    "win_cumulative_distinct", "fn_mask", "llm_dedup_url",
     "delta_time_travel", "delta_merge_upsert",   # deltalike.py changed (ts resolution, vacuum)
     "stream_tumbling", "stream_session", "win_range_frame", "fn_date",  # events/tz consumers
     "join_asof",                 # §2.3

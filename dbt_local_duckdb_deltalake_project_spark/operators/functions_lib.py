@@ -629,3 +629,56 @@ def fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("container")
     )
+
+
+_MASK_ORACLE = """
+SELECT c_custkey,
+       regexp_replace(regexp_replace(regexp_replace(c_name,
+         '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+         AS masked_name,
+       regexp_replace(c_phone, '[0-9]', '*', 'g') AS masked_phone,
+       concat(regexp_replace(substr(c_phone, 1, len(c_phone) - 4),
+                             '[0-9]', '*', 'g'),
+              substr(c_phone, len(c_phone) - 3, 4)) AS phone_last4
+FROM (
+  SELECT c_custkey, c_name,
+         CAST(10000000 + c_custkey % 90000000 AS VARCHAR) AS c_phone
+  FROM customer)
+WHERE c_custkey < 1000
+ORDER BY c_custkey
+"""
+
+
+@register("fn_mask", _MASK_ORACLE)
+def fn_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data masking — the governed-view workhorse (`mask()` in Spark
+    3.4+): class-preserving redaction (upper→X, lower→x, digit→n) that
+    keeps format/length for downstream joins and validation while
+    killing the value, plus the keep-last-4 partial mask every
+    PCI-style display rule wants. DuckDB has no mask(), so the oracle
+    is the regexp_replace decomposition — which is also exactly what
+    mask() computes. Pure map-side; composes with llm_pii_redact's
+    detect step (detect → mask is the full pipeline).
+    """
+    c = t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 1000)
+    phone = (10000000 + F.col("c_custkey") % 90000000).cast("string")
+    base = c.select("c_custkey", "c_name", phone.alias("c_phone"))
+    return base.select(
+        "c_custkey",
+        F.mask("c_name").alias("masked_name"),
+        F.mask(
+            "c_phone",
+            upperChar=F.lit("X"),
+            lowerChar=F.lit("x"),
+            digitChar=F.lit("*"),
+        ).alias("masked_phone"),
+        F.concat(
+            F.mask(
+                F.expr("substr(c_phone, 1, length(c_phone) - 4)"),
+                upperChar=F.lit("X"),
+                lowerChar=F.lit("x"),
+                digitChar=F.lit("*"),
+            ),
+            F.expr("substr(c_phone, length(c_phone) - 3, 4)"),
+        ).alias("phone_last4"),
+    ).orderBy("c_custkey")

@@ -2556,3 +2556,102 @@ def llm_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("subspace", "code")
     )
+
+
+_URL_DEDUP_ORACLE = """
+WITH raw AS (
+  SELECT doc_id,
+         CASE doc_id % 4
+           WHEN 0 THEN 'https://Site-' || CAST(doc_id % 20 AS VARCHAR)
+                       || '.Example.com/path/' || CAST(doc_id % 100 AS VARCHAR)
+                       || '?a=1&utm_source=x'
+           WHEN 1 THEN 'https://site-' || CAST(doc_id % 20 AS VARCHAR)
+                       || '.example.com:443/path/' || CAST(doc_id % 100 AS VARCHAR)
+                       || '?a=1'
+           WHEN 2 THEN 'https://site-' || CAST(doc_id % 20 AS VARCHAR)
+                       || '.example.com/path/' || CAST(doc_id % 100 AS VARCHAR)
+                       || '/?a=1#frag'
+           ELSE 'https://site-' || CAST(doc_id % 20 AS VARCHAR)
+                || '.example.com/path/' || CAST(doc_id % 100 AS VARCHAR)
+                || '?utm_campaign=y&a=1'
+         END AS url
+  FROM documents
+),
+canon AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           regexp_replace(regexp_replace(
+             lower(url),
+             '#.*$', '', 'g'),
+             '(utm_[a-z]+=[^&]*&?)', '', 'g'),
+             ':443/', '/', 'g'),
+             '[?&]$', '', 'g'),
+             '/\\?', '?', 'g'),
+             '/$', '', 'g') AS curl
+  FROM raw
+)
+SELECT curl AS canonical_url,
+       COUNT(*) AS n_docs,
+       MIN(doc_id) AS keeper_doc
+FROM canon
+GROUP BY curl
+ORDER BY canonical_url
+"""
+
+
+@register("llm_dedup_url", _URL_DEDUP_ORACLE)
+def llm_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup — the first dedup pass of every web
+    corpus (CommonCrawl-style): the same page arrives under case
+    variants, explicit default ports, trailing slashes, tracking
+    params, and fragments. Canonicalize (lowercase, strip :443,
+    fragment, utm_* params, trailing slash) and keep the minimum doc
+    per canonical URL. Pure map-side regex chain + one groupBy shuffle
+    on an ~60-byte key — at 100 TB this removes the bulk of exact-page
+    duplicates for cents before any content hashing runs. The four
+    alias forms are key-constructed so the oracle reproduces both the
+    raw and canonical populations exactly; the SAME regex chain runs
+    in both engines (DuckDB just needs the explicit 'g' flag).
+    """
+    d = t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    host = F.concat(
+        F.lit("site-"), (k % 20).cast("string"), F.lit(".example.com")
+    )
+    hostc = F.concat(
+        F.lit("Site-"), (k % 20).cast("string"), F.lit(".Example.com")
+    )
+    path = F.concat(F.lit("/path/"), (k % 100).cast("string"))
+    # build raw URLs mirroring the oracle's four alias forms
+    raw = d.select(
+        "doc_id",
+        F.when(k % 4 == 0, F.concat(
+            F.lit("https://"), hostc, path, F.lit("?a=1&utm_source=x")))
+        .when(k % 4 == 1, F.concat(
+            F.lit("https://site-"), (k % 20).cast("string"),
+            F.lit(".example.com:443"), path, F.lit("?a=1")))
+        .when(k % 4 == 2, F.concat(
+            F.lit("https://"), host, path, F.lit("/?a=1#frag")))
+        .otherwise(F.concat(
+            F.lit("https://"), host, path, F.lit("?utm_campaign=y&a=1")))
+        .alias("url"),
+    )
+    curl = F.lower(F.col("url"))
+    for pat, rep in [
+        ("#.*$", ""),
+        ("(utm_[a-z]+=[^&]*&?)", ""),
+        (":443/", "/"),
+        ("[?&]$", ""),
+        ("/\\?", "?"),
+        ("/$", ""),
+    ]:
+        curl = F.regexp_replace(curl, pat, rep)
+    return (
+        raw.select("doc_id", curl.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keeper_doc"),
+        )
+        .orderBy("canonical_url")
+    )
