@@ -25,6 +25,7 @@ _MODULES = [
     "streaming_ops",
     "multimodal",
     "medallion",
+    "graph_ops",
 ]
 
 for _m in _MODULES:
@@ -92,6 +93,9 @@ _WINDOW_SECOND = [
     "agg_histogram", "llm_embed_pq", "join_asof_nearest",
     "delta_generated_columns", "delta_merge_full_sync",
     "win_cumulative_distinct", "fn_mask", "llm_dedup_url",
+    "llm_perplexity_proxy",
+    "win_gaps_islands", "win_sessionize", "agg_hll_sketch_merge",
+    "graph_pagerank",
     "delta_time_travel", "delta_merge_upsert",   # deltalike.py changed (ts resolution, vacuum)
     "stream_tumbling", "stream_session", "win_range_frame", "fn_date",  # events/tz consumers
     "join_asof",                 # §2.3

@@ -874,3 +874,70 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("revenue", F.col("revenue") / 1_000_000)
         .orderBy("bucket")
     )
+
+
+_HLL_MERGE_ORACLE = """
+SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS within_5pct
+FROM events GROUP BY event_type
+UNION ALL
+SELECT '__union__' AS event_type, COUNT(DISTINCT user_id), TRUE
+FROM events
+ORDER BY event_type
+"""
+
+
+@register("agg_hll_sketch_merge", _HLL_MERGE_ORACLE)
+def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregatable distinct counts via Datasketches HLL (Spark 3.5+
+    `hll_sketch_agg` / `hll_union_agg`): build one fixed-width sketch
+    per group, then MERGE the sketches — no raw re-scan — to get the
+    cross-group distinct. This is THE 100 TB pattern for distinct
+    metrics over rollup hierarchies (hourly sketches union into daily
+    into monthly; a materialized sketch column makes every coarser
+    distinct a metadata-sized merge). Sketch bytes are engine-specific,
+    so the driver contract is the agg_approx_count_distinct pattern:
+    exact values + booleans asserting the estimate landed within 5%
+    (default lgConfigK=12 → ~1.6% rel. error), oracle expects TRUE.
+    Exact distincts and sketches run as separate aggs — mixing them
+    makes Catalyst evaluate sketches over Expand'd rows (CLAUDE.md).
+    """
+    ev = t(spark, sf_dir, "events")
+    sketches = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    per_type = (
+        ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("exact_users"))
+        .join(
+            F.broadcast(
+                sketches.select(
+                    "event_type",
+                    F.hll_sketch_estimate("sk").alias("est"),
+                )
+            ),
+            "event_type",
+        )
+    )
+    union_row = (
+        ev.agg(F.count_distinct("user_id").alias("exact_users"))
+        .crossJoin(
+            F.broadcast(
+                sketches.agg(
+                    F.hll_sketch_estimate(
+                        F.hll_union_agg("sk")
+                    ).alias("est")
+                )
+            )
+        )
+        .select(F.lit("__union__").alias("event_type"), "exact_users", "est")
+    )
+    within = (
+        F.abs(F.col("est") - F.col("exact_users"))
+        <= F.lit(0.05) * F.col("exact_users")
+    ).alias("within_5pct")
+    return (
+        per_type.select("event_type", "exact_users", within)
+        .unionAll(union_row.select("event_type", "exact_users", within))
+        .orderBy("event_type")
+    )

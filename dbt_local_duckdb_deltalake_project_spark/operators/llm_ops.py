@@ -2655,3 +2655,68 @@ def llm_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("canonical_url")
     )
+
+
+_PPL_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+tot AS (SELECT COUNT(*) AS n FROM tok),
+vocab AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+q AS (
+  SELECT w,
+         CAST(ROUND(ROUND(ln(CAST((SELECT n FROM tot) AS DOUBLE) / c), 9)
+                    * 1000000) AS BIGINT) AS nll_m
+  FROM vocab
+)
+SELECT t.doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(q.nll_m) AS BIGINT) AS nll_micros,
+       CAST(SUM(q.nll_m) AS DOUBLE) / 1000000 / COUNT(*) AS avg_nll
+FROM tok t JOIN q ON t.w = q.w
+GROUP BY t.doc_id
+ORDER BY doc_id
+"""
+
+
+@register("llm_perplexity_proxy", _PPL_ORACLE)
+def llm_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram negative-log-likelihood scoring — the CCNet-style quality
+    proxy: a doc whose tokens are corpus-rare scores high (gibberish,
+    boilerplate-free junk), corpus-typical text scores low; filtering on
+    avg NLL is the classic perplexity gate without shipping an LM. The
+    per-token surprise -ln(p) = ln(N/c) is quantized to exact micros
+    AFTER a 9-dp round (the fn_math discipline: ln differs by ≤1 ulp
+    across engines, the 9-dp round collapses that, and from identical
+    bits the quantization and integer sum are engine-identical — the
+    deterministic.py route extended to transcendentals). Plan: one
+    token explode, one vocab groupBy (map-side combined), a
+    vocab-vs-token-stream join (AQE broadcasts the vocab while it fits;
+    shuffle join beyond), one per-doc aggregation. All linear passes at
+    100 TB.
+    """
+    d = t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    tot = tok.agg(F.count(F.lit(1)).alias("n"))
+    vocab = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    q = vocab.crossJoin(F.broadcast(tot)).select(
+        "w",
+        F.round(
+            F.round(F.log(F.col("n").cast("double") / F.col("c")), 9)
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("nll_m"),
+    )
+    return (
+        tok.join(q, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("nll_m").alias("nll_micros"),
+            (
+                F.sum("nll_m").cast("double") / 1_000_000 / F.count(F.lit(1))
+            ).alias("avg_nll"),
+        )
+        .orderBy("doc_id")
+    )

@@ -441,3 +441,131 @@ def win_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+_GAPS_ISLANDS_ORACLE = """
+WITH r AS (
+  SELECT user_id, event_type, ts, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn_all,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rn_type
+  FROM events
+)
+SELECT user_id, event_type,
+       CAST(MIN(ts) AS TIMESTAMP) AS island_start,
+       CAST(MAX(ts) AS TIMESTAMP) AS island_end,
+       COUNT(*) AS run_len,
+       MIN(event_id) AS first_event_id
+FROM r
+GROUP BY user_id, event_type, rn_all - rn_type
+ORDER BY user_id, first_event_id
+"""
+
+
+@register("win_gaps_islands", _GAPS_ISLANDS_ORACLE)
+def win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: group CONSECUTIVE same-type events per user into
+    runs ("the user clicked 5 times in a row") via the classic
+    row-number-difference rewrite — rn over the user minus rn over
+    (user, type) is constant exactly within a consecutive run, so a
+    plain groupBy on it recovers the islands. No self-join, no
+    iteration: two window passes that share the user_id shuffle
+    (Catalyst plans one exchange; the second sort is local) plus one
+    aggregation, all codegen — the run-length analysis every
+    clickstream/quality pipeline needs, at any partition size.
+    Tiebreak (ts, event_id) is unique so ranks are engine-identical.
+    """
+    e = t(spark, sf_dir, "events")
+    rn_all = F.row_number().over(
+        W.partitionBy("user_id").orderBy("ts", "event_id")
+    )
+    rn_type = F.row_number().over(
+        W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    )
+    return (
+        e.select(
+            "user_id", "event_type", "ts", "event_id",
+            (rn_all - rn_type).alias("island_key"),
+        )
+        .groupBy("user_id", "event_type", "island_key")
+        .agg(
+            F.min("ts").alias("island_start"),
+            F.max("ts").alias("island_end"),
+            F.count(F.lit(1)).alias("run_len"),
+            F.min("event_id").alias("first_event_id"),
+        )
+        .drop("island_key")
+        .orderBy("user_id", "first_event_id")
+    )
+
+
+_SESSIONIZE_ORACLE = """
+WITH l AS (
+  SELECT user_id, event_id, ts,
+         LAG(ts) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), f AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN prev_ts IS NULL
+                   OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM l
+), s AS (
+  SELECT user_id, event_id, ts,
+         CAST(SUM(new_sess) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_no
+  FROM f
+)
+SELECT user_id, session_no,
+       CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+       CAST(MAX(ts) AS TIMESTAMP) AS session_end,
+       COUNT(*) AS n_events,
+       epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us
+FROM s
+GROUP BY user_id, session_no
+ORDER BY user_id, session_no
+"""
+
+
+@register("win_sessionize", _SESSIONIZE_ORACLE)
+def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (30-min inactivity gap): flag a session break
+    where the gap to the previous event exceeds the threshold, then a
+    running sum of break flags IS the session id — lag + cumsum, the
+    standard batch rewrite of the streaming session window
+    (stream_session is the event-time sibling). Both window passes ride
+    one user_id shuffle; gap math is exact integer micros so the break
+    decision cannot flip on float rounding. Linear per partition at any
+    scale; a skewed mega-user is bounded by that user's own history,
+    not the corpus.
+    """
+    gap_us = 30 * 60 * 1_000_000
+    e = t(spark, sf_dir, "events")
+    order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_us = F.lag(F.unix_micros("ts")).over(order)
+    new_sess = F.when(
+        prev_us.isNull() | (F.unix_micros("ts") - prev_us > gap_us), 1
+    ).otherwise(0)
+    running = order.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        e.select(
+            "user_id", "event_id", "ts", new_sess.alias("new_sess")
+        )
+        .select(
+            "user_id", "event_id", "ts",
+            F.sum("new_sess").over(running).alias("session_no"),
+        )
+        .groupBy("user_id", "session_no")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+            .alias("duration_us"),
+        )
+        .orderBy("user_id", "session_no")
+    )
