@@ -95,7 +95,8 @@ _WINDOW_SECOND = [
     "win_cumulative_distinct", "fn_mask", "llm_dedup_url",
     "llm_perplexity_proxy",
     "win_gaps_islands", "win_sessionize", "agg_hll_sketch_merge",
-    "graph_pagerank",
+    "graph_pagerank", "win_ewma", "graph_triangle_count",
+    "join_range_bucketed",
     "delta_time_travel", "delta_merge_upsert",   # deltalike.py changed (ts resolution, vacuum)
     "stream_tumbling", "stream_session", "win_range_frame", "fn_date",  # events/tz consumers
     "join_asof",                 # §2.3

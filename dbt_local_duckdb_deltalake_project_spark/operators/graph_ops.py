@@ -14,7 +14,7 @@ truncating DIV and DuckDB's flooring // agree) — the llm_kmeans route.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import t
@@ -117,4 +117,93 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     return ranks.select("node", F.col("r").alias("rank_micros")).orderBy(
         "node"
+    )
+
+
+_TRIANGLE_ORACLE = """
+WITH cs AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+co AS (
+  SELECT a.s AS s1, b.s AS s2, COUNT(*) AS shared
+  FROM cs a JOIN cs b ON a.c = b.c AND a.s <> b.s
+  GROUP BY a.s, b.s
+),
+knn AS (
+  SELECT s1, s2 FROM (
+    SELECT s1, s2,
+           ROW_NUMBER() OVER (PARTITION BY s1
+                              ORDER BY shared DESC, s2 ASC) AS rk
+    FROM co
+  ) WHERE rk <= 3
+),
+und AS (
+  SELECT DISTINCT LEAST(s1, s2) AS a, GREATEST(s1, s2) AS b FROM knn
+),
+tri AS (
+  SELECT COUNT(*) AS n_triangles
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT (SELECT COUNT(DISTINCT s) FROM cs) AS n_nodes,
+       (SELECT COUNT(*) FROM und) AS n_edges,
+       n_triangles
+FROM tri
+"""
+
+
+@register("graph_triangle_count", _TRIANGLE_ORACLE)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count on the top-3 co-purchase neighbor graph. The raw
+    supplier co-purchase graph is near-complete (uniform fixture), so
+    the op FIRST sparsifies — each supplier keeps its 3 strongest
+    partners (shared-customer count, id tiebreak), the k-NN-graph
+    construction every similarity/recommendation pipeline runs — and
+    THEN counts triangles on the ordered edge list (a<b<c via one
+    wedge join + one closing semi-equi-join). Sparsify-then-count is
+    the 100 TB discipline: degree is capped at 2k by construction, so
+    the wedge join is ≤ 4k² rows per node no matter how dense the raw
+    affinity matrix is, and every step is an equi-join/groupBy on a
+    key Catalyst shuffles once. Determinism: ROW_NUMBER tiebreaks make
+    the kept edge set engine-identical.
+    """
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    cs = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    a, b = cs.alias("a"), cs.alias("b")
+    co = (
+        a.join(b, (F.col("a.c") == F.col("b.c")) & (F.col("a.s") != F.col("b.s")))
+        .groupBy(F.col("a.s").alias("s1"), F.col("b.s").alias("s2"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    rk = F.row_number().over(
+        W.partitionBy("s1").orderBy(
+            F.col("shared").desc(), F.col("s2").asc()
+        )
+    )
+    knn = co.select("s1", "s2", rk.alias("rk")).filter(F.col("rk") <= 3)
+    und = knn.select(
+        F.least("s1", "s2").alias("a"), F.greatest("s1", "s2").alias("b")
+    ).distinct()
+    e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    nodes = cs.agg(F.count_distinct("s").alias("n_nodes"))
+    edges = und.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        nodes.crossJoin(F.broadcast(edges))
+        .crossJoin(F.broadcast(tri))
+        .select("n_nodes", "n_edges", "n_triangles")
     )

@@ -626,3 +626,78 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.least(db, df_))
         .alias("delta_us"),
     ).orderBy("purchase_id")
+
+
+_RANGE_BUCKETED_ORACLE = f"""
+WITH camp AS (
+  SELECT s_suppkey AS campaign_id,
+         (s_suppkey * 37) % 2000 AS start_day,
+         (s_suppkey * 37) % 2000 + (s_suppkey % 45) + 5 AS end_day
+  FROM supplier
+), o AS (
+  SELECT o_orderkey, o_totalprice,
+         datediff('day', DATE '1995-01-01', o_orderdate) AS od
+  FROM orders
+)
+SELECT campaign_id,
+       COUNT(*) AS n_orders,
+       {sql_dsum('o_totalprice', 'revenue')}
+FROM camp JOIN o ON o.od >= camp.start_day AND o.od < camp.end_day
+GROUP BY campaign_id
+ORDER BY campaign_id
+"""
+
+
+@register("join_range_bucketed", _RANGE_BUCKETED_ORACLE)
+def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join via BUCKETING — the scale rewrite of the
+    point-in-interval join (`join_theta_range` is the plain
+    inequality form, which Spark plans as broadcast-nested-loop:
+    O(N·M) comparisons). Here every campaign interval explodes to the
+    few fixed-width day-buckets it covers (width 64 ≥ the 50-day max
+    interval ⇒ ≤ 2 buckets per interval) and every order maps to
+    exactly ONE bucket, so the match becomes a hash EQUI-join on the
+    bucket id followed by the exact residual predicate — O(N+M)
+    shuffle, no nested loop, no duplicate pairs to dedup (a point
+    lives in one bucket). This bucket-explode-then-equi-join is the
+    standard distributed range/interval/genomics-overlap pattern;
+    bucket width tunes the explode factor vs residual selectivity.
+    Day arithmetic is all integers; revenue uses the exact
+    scaled-long sum.
+    """
+    width = 64
+    sup = t(spark, sf_dir, "supplier")
+    camp = sup.select(
+        F.col("s_suppkey").alias("campaign_id"),
+        ((F.col("s_suppkey") * 37) % 2000).alias("start_day"),
+        (
+            (F.col("s_suppkey") * 37) % 2000 + (F.col("s_suppkey") % 45) + 5
+        ).alias("end_day"),
+    )
+    camp_b = camp.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("start_day") / width),
+                F.floor((F.col("end_day") - 1) / width),
+            )
+        ),
+    )
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01")).alias("od"),
+    ).withColumn("bucket", F.floor(F.col("od") / width))
+    return (
+        o.join(F.broadcast(camp_b), "bucket")
+        .filter(
+            (F.col("od") >= F.col("start_day"))
+            & (F.col("od") < F.col("end_day"))
+        )
+        .groupBy("campaign_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), "revenue"),
+        )
+        .orderBy("campaign_id")
+    )

@@ -569,3 +569,78 @@ def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_no")
     )
+
+
+# EWMA weights ∝ 0.8^k for lags k=0..9, as exact integers (0.8 = 4/5, so
+# 4^k·5^(9-k) keeps the exact ratio with max weight ~2e6 — integer
+# arithmetic never overflows: 10 lags × 2e6 weight × ≤1e5 cents ≈ 2e12,
+# and the final ×10000 micros upscale stays under 2^63).
+_EWMA_W = [4**k * 5 ** (9 - k) for k in range(10)]
+
+_EWMA_ORACLE = f"""
+WITH x AS (
+  SELECT user_id, event_id,
+         CAST(ROUND(value * 100) AS BIGINT) AS v_c
+  FROM events
+), l AS (
+  SELECT user_id, event_id, v_c,
+         {", ".join(f"LAG(v_c, {k}) OVER (PARTITION BY user_id ORDER BY event_id) AS l{k}" for k in range(1, 10))}
+  FROM x
+)
+SELECT user_id, event_id, v_c AS value_cents,
+       CAST((10000 * ({_EWMA_W[0]} * v_c + {" + ".join(f"{_EWMA_W[k]} * COALESCE(l{k}, 0)" for k in range(1, 10))}))
+            // ({_EWMA_W[0]} + {" + ".join(f"{_EWMA_W[k]} * CASE WHEN l{k} IS NOT NULL THEN 1 ELSE 0 END" for k in range(1, 10))})
+            AS BIGINT) AS ewma_micros
+FROM l
+ORDER BY user_id, event_id
+"""
+
+
+@register("win_ewma", _EWMA_ORACLE)
+def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (α=0.2) per user — the
+    time-series smoothing every metrics pipeline wants. The recursive
+    definition doesn't distribute, so this is the standard truncated
+    rewrite: a 10-lag weighted sum with weights ∝ (1-α)^k, renormalized
+    over the lags actually present (contributions beyond lag 9 are
+    < 0.8^10 ≈ 11% of a fresh sample and are cut by construction —
+    documented finite-memory EWMA). All ten lags ride ONE window sort
+    (Catalyst plans a single user_id exchange + sort for identical
+    window specs), weights are exact integers (0.8 = 4/5 → 4^k·5^(9-k))
+    over cent-quantized values, and the floor division runs on positive
+    operands — Spark DIV and DuckDB // agree bit-for-bit, nothing
+    floats. Linear per partition at any scale.
+    """
+    e = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("event_id")
+    v = F.round(F.col("value") * 100).cast("long")
+    x = e.select("user_id", "event_id", v.alias("v_c"))
+    lags = [F.col("v_c")] + [
+        F.lag("v_c", k).over(w) for k in range(1, 10)
+    ]
+    num = sum(
+        (F.lit(_EWMA_W[k]) * F.coalesce(lags[k], F.lit(0)) for k in range(10)),
+        start=F.lit(0),
+    )
+    den = sum(
+        (
+            F.lit(_EWMA_W[k])
+            * F.when(lags[k].isNotNull(), 1).otherwise(0)
+            for k in range(10)
+        ),
+        start=F.lit(0),
+    )
+    return x.select(
+        "user_id",
+        "event_id",
+        F.col("v_c").alias("value_cents"),
+        (F.lit(10000) * num)
+        .cast("long")
+        .alias("_num"),
+        den.cast("long").alias("_den"),
+    ).select(
+        "user_id",
+        "event_id",
+        "value_cents",
+        F.expr("_num DIV _den").alias("ewma_micros"),
+    ).orderBy("user_id", "event_id")
