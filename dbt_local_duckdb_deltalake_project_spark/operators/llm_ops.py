@@ -2720,3 +2720,258 @@ def llm_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_BLOOM_DEDUP_ORACLE = """
+WITH inc AS (SELECT text FROM documents WHERE doc_id % 10 = 0),
+hist AS (SELECT DISTINCT md5(text) AS h
+         FROM documents WHERE doc_id % 10 <> 0),
+m AS (
+  SELECT COUNT(*) AS n_incoming,
+         COUNT(*) FILTER (md5(text) IN (SELECT h FROM hist))
+           AS n_exact_dups
+  FROM inc
+)
+SELECT n_incoming, n_exact_dups,
+       n_incoming - n_exact_dups AS n_kept,
+       TRUE AS no_false_negatives,
+       TRUE AS fp_rate_ok
+FROM m
+"""
+
+
+@register("llm_dedup_bloom", _BLOOM_DEDUP_ORACLE)
+def llm_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup with a Bloom pre-filter — the pattern for
+    "is this new batch already in the 100 TB corpus" without joining
+    the batch against the corpus: the historical side collapses to a
+    FIXED-SIZE packed bit array, the probe is map-side, and only the
+    flagged sliver pays the exact verification join. Spark's internal
+    `bloom_filter_agg` expression isn't in the public function
+    registry, so the bit array is built from primitives — k=2 hash
+    positions per doc (`xxhash64` with distinct seeds, mod m), packed
+    64 bits per word with a codegen `bit_or` aggregation into an
+    m/64-row (word, mask) relation that broadcast-joins to the probe
+    side (a real Bloom filter, stored as words instead of one blob;
+    same bits, same guarantees). Bloom admits no false negatives, so
+    the screen is lossless; false positives only cost verification.
+    Driver contract per the sketch pattern: exact counts both engines
+    + booleans asserting (a) every exact dup was flagged and (b) FP
+    overhead < 5% of the batch — oracle says TRUE.
+    """
+    m = 1 << 21  # 2M bits, ~16 bits per historical doc at sf0.1
+    d = t(spark, sf_dir, "documents")
+    hist = d.filter(F.col("doc_id") % 10 != 0)
+    inc = d.filter(F.col("doc_id") % 10 == 0)
+
+    def positions(frame):
+        h1 = F.pmod(F.xxhash64("text"), F.lit(m))
+        h2 = F.pmod(F.xxhash64("text", F.lit(1)), F.lit(m))
+        return [h1, h2]
+
+    bloom_bits = (
+        hist.select(
+            F.explode(F.array(*positions(hist))).alias("pos")
+        )
+        .select(
+            F.expr("pos DIV 64").alias("word"),
+            F.expr("shiftleft(1L, CAST(pos % 64 AS INT))").alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+    hist_keys = hist.select(F.md5("text").alias("h")).distinct()
+    p1, p2 = positions(inc)
+    probe = inc.select(
+        F.md5("text").alias("h"), p1.alias("p1"), p2.alias("p2")
+    ).select(
+        "h",
+        F.expr("p1 DIV 64").alias("w1"),
+        F.expr("shiftleft(1L, CAST(p1 % 64 AS INT))").alias("m1"),
+        F.expr("p2 DIV 64").alias("w2"),
+        F.expr("shiftleft(1L, CAST(p2 % 64 AS INT))").alias("m2"),
+    )
+    b1 = bloom_bits.select(
+        F.col("word").alias("w1"), F.col("bits").alias("bits1")
+    )
+    b2 = bloom_bits.select(
+        F.col("word").alias("w2"), F.col("bits").alias("bits2")
+    )
+    flagged = (
+        probe.join(F.broadcast(b1), "w1", "left")
+        .join(F.broadcast(b2), "w2", "left")
+        .select(
+            "h",
+            (
+                (F.coalesce("bits1", F.lit(0)).bitwiseAND(F.col("m1")) != 0)
+                & (F.coalesce("bits2", F.lit(0)).bitwiseAND(F.col("m2")) != 0)
+            ).alias("bloom_hit"),
+        )
+        .join(
+            F.broadcast(hist_keys.withColumn("is_dup", F.lit(True))),
+            "h",
+            "left",
+        )
+        .select(
+            "bloom_hit", F.coalesce("is_dup", F.lit(False)).alias("is_dup")
+        )
+    )
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_incoming"),
+        F.sum(F.col("is_dup").cast("long")).alias("n_exact_dups"),
+        (
+            F.count(F.lit(1)) - F.sum(F.col("is_dup").cast("long"))
+        ).alias("n_kept"),
+        (
+            F.sum((F.col("is_dup") & ~F.col("bloom_hit")).cast("long")) == 0
+        ).alias("no_false_negatives"),
+        (
+            F.sum((F.col("bloom_hit") & ~F.col("is_dup")).cast("long"))
+            * 20
+            <= F.count(F.lit(1))
+        ).alias("fp_rate_ok"),
+    )
+
+
+_MANIFEST_ORACLE = """
+WITH s AS (
+  SELECT doc_id, text,
+         CASE WHEN CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2))
+                        AS INTEGER) < 230 THEN 'train'
+              WHEN CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2))
+                        AS INTEGER) < 243 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(length(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+       MIN(doc_id) AS min_doc_id,
+       MAX(doc_id) AS max_doc_id,
+       CAST(SUM(CAST(('0x' || substr(md5(text), 1, 10)) AS BIGINT)) AS BIGINT)
+         AS content_checksum
+FROM s
+GROUP BY split
+ORDER BY split
+"""
+
+
+@register("llm_dataset_manifest", _MANIFEST_ORACLE)
+def llm_dataset_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-release manifest — the publish step of a training-data
+    pipeline: per split (the md5-keyed 90/5/5 assignment, reproducible
+    across engines/re-runs/backfills), doc and token counts plus an
+    ORDER-INSENSITIVE additive content checksum (sum of 40-bit hash
+    prefixes — commutative, so partition order can't change it; 40
+    bits × 1e8 docs stays inside BIGINT, swap to DECIMAL beyond).
+    Consumers diff two manifests to certify "same corpus" without
+    re-reading a byte of either. One scan, one 3-group aggregation.
+    """
+    d = t(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))),
+            1, 2,
+        ),
+        16, 10,
+    ).cast("int")
+    split = (
+        F.when(h < 230, "train").when(h < 243, "val").otherwise("test")
+    )
+    return (
+        d.select(
+            "doc_id", "text", split.alias("split"),
+            F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+            F.conv(F.substring(F.md5("text"), 1, 10), 16, 10)
+            .cast("long")
+            .alias("chk"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+            F.sum("chk").alias("content_checksum"),
+        )
+        .orderBy("split")
+    )
+
+
+_LEAKAGE_ORACLE = """
+WITH s AS (
+  SELECT CASE WHEN CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2))
+                        AS INTEGER) < 230 THEN 'train'
+              WHEN CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2))
+                        AS INTEGER) < 243 THEN 'val'
+              ELSE 'test' END AS split,
+         md5(text) AS h
+  FROM documents
+), d AS (
+  SELECT DISTINCT split, h FROM s
+), p AS (
+  SELECT a.split AS split_a, b.split AS split_b, COUNT(*) AS shared
+  FROM d a JOIN d b ON a.h = b.h AND a.split < b.split
+  GROUP BY a.split, b.split
+)
+SELECT v.split_a, v.split_b,
+       COALESCE(p.shared, 0) AS shared_hashes,
+       COALESCE(p.shared, 0) = 0 AS clean
+FROM (VALUES ('test', 'train'), ('test', 'val'), ('train', 'val'))
+     AS v(split_a, split_b)
+LEFT JOIN p ON p.split_a = v.split_a AND p.split_b = v.split_b
+ORDER BY v.split_a, v.split_b
+"""
+
+
+@register("llm_split_leakage_audit", _LEAKAGE_ORACLE)
+def llm_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-leakage audit — the release gate that catches a train
+    document leaking into val/test THROUGH CONTENT, not ids (a doc
+    duplicated under two doc_ids lands in two splits; id-disjointness
+    alone misses it). Distinct (split, content-hash) pairs self-join
+    on the hash across split boundaries: the join runs on 16-byte
+    hash keys (never the text), the distinct collapses within-split
+    duplicates first, and the output is the fixed 3-row pair matrix
+    with explicit zeros — an empty result and a broken query look
+    identical, so absence is asserted, not implied. Same linear
+    shape as llm_decontaminate but corpus-internal.
+    """
+    d = t(spark, sf_dir, "documents")
+    h256 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))),
+            1, 2,
+        ),
+        16, 10,
+    ).cast("int")
+    split = (
+        F.when(h256 < 230, "train").when(h256 < 243, "val").otherwise("test")
+    )
+    dd = d.select(split.alias("split"), F.md5("text").alias("h")).distinct()
+    a, b = dd.alias("a"), dd.alias("b")
+    p = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.split") < F.col("b.split")),
+        )
+        .groupBy(
+            F.col("a.split").alias("split_a"),
+            F.col("b.split").alias("split_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    pairs = spark.createDataFrame(
+        [("test", "train"), ("test", "val"), ("train", "val")],
+        ["split_a", "split_b"],
+    )
+    return (
+        pairs.join(F.broadcast(p), ["split_a", "split_b"], "left")
+        .select(
+            "split_a", "split_b",
+            F.coalesce("shared", F.lit(0)).alias("shared_hashes"),
+            (F.coalesce("shared", F.lit(0)) == 0).alias("clean"),
+        )
+        .orderBy("split_a", "split_b")
+    )

@@ -394,3 +394,40 @@ def scan_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+_ORC_ORACLE = f"""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register("scan_orc", _ORC_ORACLE)
+def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC round-trip — the second columnar format Spark ships natively
+    (vectorized reader, predicate pushdown, column pruning, same
+    DataSource V2 surface as parquet; the warehouse-migration case is
+    reading an existing ORC lake without a rewrite). The op writes the
+    documents table as ORC and aggregates from the ORC scan; the
+    oracle aggregates the same rows from parquet — equality proves
+    the round-trip is lossless. DuckDB has no ORC reader, which is
+    exactly why the differential goes through the shared parquet
+    fixture rather than the ORC file.
+    """
+    path = workdir(sf_dir, "orc_roundtrip")
+    t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    ).write.mode("overwrite").orc(path)
+    return (
+        spark.read.orc(path)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )

@@ -644,3 +644,67 @@ def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value_cents",
         F.expr("_num DIV _den").alias("ewma_micros"),
     ).orderBy("user_id", "event_id")
+
+
+_RATIO_ORACLE = """
+WITH x AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(ROUND(o_totalprice * 1000000) AS BIGINT) AS price_m
+  FROM orders
+), s AS (
+  SELECT o_custkey, o_orderkey, price_m,
+         CAST(SUM(price_m) OVER (PARTITION BY o_custkey) AS BIGINT)
+           AS cust_total_m,
+         CAST(SUM(price_m) OVER () AS BIGINT) AS grand_total_m
+  FROM x
+)
+SELECT o_custkey, o_orderkey,
+       CAST(price_m AS DOUBLE) / 1000000 AS price,
+       CAST(price_m AS DOUBLE) / CAST(cust_total_m AS DOUBLE)
+         AS pct_of_customer,
+       CAST(price_m AS DOUBLE) / CAST(grand_total_m AS DOUBLE)
+         AS pct_of_total
+FROM s
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+@register("win_ratio_to_report", _RATIO_ORACLE)
+def win_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each order as a share of its customer's spend and
+    of the grand total — the two-level contribution breakdown every
+    revenue report carries. Both denominators are UNFRAMED window sums
+    (whole-partition, order-free), accumulated as exact scaled longs so
+    the shares divide bit-identical integers on both engines. The
+    partition-level sum shuffles once on o_custkey; the grand total is
+    a single-partition window over the already-reduced value — at 100
+    TB you'd swap that for a broadcast scalar agg (llm_tfidf's
+    crossJoin pattern) to avoid the one-partition exchange; here the
+    windowed form is the declared surface.
+    """
+    o = t(spark, sf_dir, "orders")
+    x = o.select(
+        "o_custkey", "o_orderkey",
+        F.round(F.col("o_totalprice") * 1_000_000)
+        .cast("long")
+        .alias("price_m"),
+    )
+    by_cust = W.partitionBy("o_custkey")
+    overall = W.partitionBy()
+    s = x.select(
+        "o_custkey", "o_orderkey", "price_m",
+        F.sum("price_m").over(by_cust).alias("cust_total_m"),
+        F.sum("price_m").over(overall).alias("grand_total_m"),
+    )
+    return s.select(
+        "o_custkey", "o_orderkey",
+        (F.col("price_m").cast("double") / 1_000_000).alias("price"),
+        (
+            F.col("price_m").cast("double")
+            / F.col("cust_total_m").cast("double")
+        ).alias("pct_of_customer"),
+        (
+            F.col("price_m").cast("double")
+            / F.col("grand_total_m").cast("double")
+        ).alias("pct_of_total"),
+    ).orderBy("o_custkey", "o_orderkey")
