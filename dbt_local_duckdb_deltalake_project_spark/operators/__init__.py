@@ -99,6 +99,7 @@ _WINDOW_SECOND = [
     "join_range_bucketed", "agg_ab_ttest", "llm_dedup_bloom",
     "llm_dataset_manifest", "agg_retention_cohort",
     "llm_split_leakage_audit", "scan_orc", "win_ratio_to_report",
+    "mm_dedup_phash", "llm_token_entropy",
     "delta_time_travel", "delta_merge_upsert",   # deltalike.py changed (ts resolution, vacuum)
     "stream_tumbling", "stream_session", "win_range_frame", "fn_date",  # events/tz consumers
     "join_asof",                 # §2.3

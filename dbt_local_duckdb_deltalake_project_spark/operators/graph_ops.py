@@ -82,27 +82,42 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     l = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # Dedupe on the 16-byte INT pair and only then build node-id strings:
+    # the distinct is the one full-size shuffle in the whole op, so it
+    # runs on the narrowest possible rows. Per-side degrees are tiny
+    # (≤ |customers| / |suppliers| rows) and broadcast back onto the
+    # pair list — no million-row edges⋈deg shuffle.
+    # pairs is the root of FOUR downstream frames (both degree tables,
+    # the edge list, the rank seed): checkpoint it so no consumer
+    # re-executes the base join+distinct.
     pairs = (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .select(
-            F.concat(F.lit("c:"), F.col("o_custkey").cast("string"))
-            .alias("c"),
-            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string"))
-            .alias("s"),
-        )
+        .select("o_custkey", "l_suppkey")
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    edges = pairs.select(
-        F.col("c").alias("src"), F.col("s").alias("dst")
-    ).unionAll(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    degc = pairs.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("outdeg"))
+    degs = pairs.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("outdeg"))
+    cnode = F.concat(F.lit("c:"), F.col("o_custkey").cast("string"))
+    snode = F.concat(F.lit("s:"), F.col("l_suppkey").cast("string"))
+    edges = pairs.join(F.broadcast(degc), "o_custkey").select(
+        cnode.alias("src"), snode.alias("dst"), "outdeg"
+    ).unionAll(
+        pairs.join(F.broadcast(degs), "l_suppkey").select(
+            snode.alias("src"), cnode.alias("dst"), "outdeg"
+        )
+    )
     # The edge list feeds every iteration: checkpoint it once so the
     # scan→join→distinct prefix isn't re-executed per round (the
     # cluster-scale analogue is persisting edges partitioned by src) —
     # bounded at |edges| rows, same discipline as llm_dedup_clusters.
-    edges_deg = edges.join(deg, "src").localCheckpoint(eager=True)
-    ranks = deg.select(
-        F.col("src").alias("node"), F.lit(1_000_000).cast("long").alias("r")
+    edges_deg = edges.localCheckpoint(eager=True)
+    ranks = degc.select(
+        cnode.alias("node"), F.lit(1_000_000).cast("long").alias("r")
+    ).unionAll(
+        degs.select(
+            snode.alias("node"), F.lit(1_000_000).cast("long").alias("r")
+        )
     )
     for _ in range(3):
         ranks = (
@@ -133,7 +148,7 @@ cs AS (
   SELECT c, s FROM (
     SELECT c, s, ROW_NUMBER() OVER (PARTITION BY c ORDER BY s ASC) AS rn
     FROM cs0
-  ) WHERE rn <= 20
+  ) WHERE rn <= 12
 ),
 co AS (
   SELECT a.s AS s1, b.s AS s2, COUNT(*) AS shared
@@ -186,17 +201,17 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
         .distinct()
     )
-    # Per-entity cap BEFORE pairing (keep each customer's 20 smallest
+    # Per-entity cap BEFORE pairing (keep each customer's 12 smallest
     # supplier ids — deterministic): co-occurrence pair counts are
     # quadratic in per-entity degree, so a hub entity is THE blow-up at
-    # scale; the cap bounds pairs at C(20,2) per customer. Standard in
+    # scale; the cap bounds pairs at C(12,2) per customer. Standard in
     # co-occurrence mining, mirrored exactly in the oracle.
     cs = (
         cs0.withColumn(
             "rn",
             F.row_number().over(W.partitionBy("c").orderBy(F.col("s").asc())),
         )
-        .filter(F.col("rn") <= 20)
+        .filter(F.col("rn") <= 12)
         .drop("rn")
     )
     a, b = cs.alias("a"), cs.alias("b")

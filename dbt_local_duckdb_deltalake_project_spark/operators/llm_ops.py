@@ -2975,3 +2975,68 @@ def llm_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split_a", "split_b")
     )
+
+
+_ENTROPY_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), cnt AS (
+  SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY doc_id, w
+), agg AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(SUM(c * CAST(ROUND(ROUND(ln(CAST(c AS DOUBLE)), 9) * 1000000)
+                           AS BIGINT)) AS BIGINT) AS s_clnc_m
+  FROM cnt GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, s_clnc_m,
+       CAST(CAST(ROUND(ROUND(ln(CAST(n_tokens AS DOUBLE)), 9) * 1000000)
+                 AS BIGINT) AS DOUBLE) / 1000000
+       - CAST(s_clnc_m AS DOUBLE) / 1000000 / CAST(n_tokens AS DOUBLE)
+         AS entropy_nats
+FROM agg
+ORDER BY doc_id
+"""
+
+
+@register("llm_token_entropy", _ENTROPY_ORACLE)
+def llm_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token-distribution Shannon entropy — the repetition/
+    diversity quality signal (near-zero entropy = one token spammed;
+    high = diverse vocabulary; degenerate machine-generated text sits
+    low). Uses H = ln n − (Σ c·ln c)/n so the only per-token state is
+    the count: one explode, one (doc, token) count, one per-doc sum —
+    all map-side-combinable, linear at any scale. Transcendentals go
+    through the llm_perplexity_proxy discipline: ln(c) is 9-dp-rounded
+    (collapses cross-engine ≤1-ulp differences), quantized to exact
+    micros, and summed as BIGINT; the final double expression divides
+    bit-identical integers in the same order on both engines.
+    """
+    d = t(spark, sf_dir, "documents")
+    cnt = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    q_ln_c = (
+        F.round(F.round(F.log(F.col("c").cast("double")), 9) * 1_000_000)
+        .cast("long")
+    )
+    agg = cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.sum(F.col("c") * q_ln_c).alias("s_clnc_m"),
+    )
+    q_ln_n = (
+        F.round(
+            F.round(F.log(F.col("n_tokens").cast("double")), 9) * 1_000_000
+        ).cast("long")
+    )
+    return agg.select(
+        "doc_id", "n_tokens", "s_clnc_m",
+        (
+            q_ln_n.cast("double") / 1_000_000
+            - F.col("s_clnc_m").cast("double")
+            / 1_000_000
+            / F.col("n_tokens").cast("double")
+        ).alias("entropy_nats"),
+    ).orderBy("doc_id")

@@ -228,3 +228,86 @@ def mm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("keeper_media")
     )
+
+
+_PHASH_ORACLE = """
+WITH toks AS (
+  SELECT doc_id AS media_id, string_split(text, ' ') AS tk
+  FROM documents
+  WHERE length(string_split(text, ' ')) >= 8
+), bands AS (
+  SELECT media_id, b.band_idx,
+         CAST(('0x' || substr(md5(tk[2 * b.band_idx + 1] || ' ' ||
+                                  tk[2 * b.band_idx + 2]), 1, 4))
+              AS INTEGER) AS band_val
+  FROM toks, (VALUES (0), (1), (2), (3)) AS b(band_idx)
+), pairs AS (
+  SELECT a.media_id AS m1, b.media_id AS m2, COUNT(*) AS n_equal_bands
+  FROM bands a
+  JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+              AND a.media_id < b.media_id
+  GROUP BY a.media_id, b.media_id
+)
+SELECT n_equal_bands, COUNT(*) AS n_pairs
+FROM pairs
+GROUP BY n_equal_bands
+ORDER BY n_equal_bands
+"""
+
+
+@register("mm_dedup_phash", _PHASH_ORACLE)
+def mm_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup detection for media — the banded-LSH
+    search structure of pHash/aHash image dedup, with the codec step
+    stubbed like the rest of this module (the stand-in "perceptual
+    hash" derives 4 × 16-bit bands from coarse payload features — here
+    leading token windows — so that SIMILAR payloads agree on MOST
+    bands, which is precisely the property a real DCT pHash provides).
+    The Spark shape is the production one: each media row explodes to
+    its 4 (band_idx, band_val) postings, candidate pairs come from the
+    band-bucket equi-join (never all-pairs; a pair is generated once
+    per agreeing band, so the per-pair row count IS the band-agreement
+    count), and the ≥3-of-4 refinement happens on the grouped counts.
+    At 100 TB: postings are 12-byte rows, bucket sizes bound the join
+    fan-out exactly as in llm_dedup_minhash, and swapping the stub for
+    a real pHash changes one projection, not the search structure.
+    """
+    d = t(spark, sf_dir, "documents").filter(
+        F.size(F.split("text", " ")) >= 8
+    )
+    tk = F.split("text", " ")
+    band_cols = []
+    for i in range(4):
+        pair_txt = F.concat(
+            F.element_at(tk, 2 * i + 1), F.lit(" "), F.element_at(tk, 2 * i + 2)
+        )
+        band_cols.append(
+            F.struct(
+                F.lit(i).alias("band_idx"),
+                F.conv(F.substring(F.md5(pair_txt), 1, 4), 16, 10)
+                .cast("int")
+                .alias("band_val"),
+            )
+        )
+    bands = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.explode(F.array(*band_cols)).alias("b"),
+    ).select("media_id", "b.band_idx", "b.band_val")
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .groupBy(
+            F.col("a.media_id").alias("m1"), F.col("b.media_id").alias("m2")
+        )
+        .agg(F.count(F.lit(1)).alias("n_equal_bands"))
+    )
+    return (
+        pairs.groupBy("n_equal_bands")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("n_equal_bands")
+    )
