@@ -536,3 +536,188 @@ def dbt_unit_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("order_month", "o_orderstatus")
     )
+
+
+_SNAPSHOT_TS_ORACLE = """
+WITH base AS (
+  SELECT c_custkey, c_mktsegment,
+         100 + c_custkey % 30 AS t1,
+         200 + c_custkey % 30 AS t2
+  FROM customer
+)
+SELECT c_custkey, c_mktsegment, t1 AS valid_from, t2 AS valid_to
+FROM base WHERE c_custkey % 7 = 0
+UNION ALL
+SELECT c_custkey, 'MOVED' AS c_mktsegment, t2 AS valid_from,
+       CAST(NULL AS BIGINT) AS valid_to
+FROM base WHERE c_custkey % 7 = 0
+UNION ALL
+SELECT c_custkey, c_mktsegment, t1 AS valid_from,
+       CAST(NULL AS BIGINT) AS valid_to
+FROM base WHERE c_custkey % 7 <> 0
+ORDER BY c_custkey, valid_from
+"""
+
+
+@register("dbt_snapshot_timestamp", _SNAPSHOT_TS_ORACLE)
+def dbt_snapshot_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt snapshot, TIMESTAMP strategy — change detection by the
+    source's own `updated_at` watermark, not column comparison
+    (`scd2_snapshot` is the check-cols sibling): a row is re-versioned
+    iff its source stamp is NEWER than the open dim row's valid_from,
+    so an upstream system that touches a row without changing tracked
+    columns still produces a version (exactly dbt's documented
+    behavior, and why check vs timestamp is a modeling choice). Stamps
+    are integers here (epoch-day stand-ins) to stay engine-exact. The
+    snapshot run is one join on the natural key + an anti-join for
+    carried rows — both broadcast-able dim-sized frames; the versioned
+    write goes through the Delta-protocol table like every SCD2 op.
+    """
+    from ..sources.deltalike import DeltaLikeTable
+
+    tbl = DeltaLikeTable(workdir(sf_dir, "snap_ts"))
+    c = t(spark, sf_dir, "customer")
+    snap1 = c.select(
+        "c_custkey", "c_mktsegment",
+        (F.lit(100) + F.col("c_custkey") % 30).alias("updated_at"),
+    )
+    dim = snap1.select(
+        "c_custkey", "c_mktsegment",
+        F.col("updated_at").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+    )
+    tbl.write(dim, mode="overwrite")
+    # Source as of run 2: every 7th customer touched upstream (newer
+    # stamp, segment rewritten); the rest re-delivered with old stamps.
+    snap2 = c.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 7 == 0, "MOVED")
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+        (
+            F.when(
+                F.col("c_custkey") % 7 == 0, F.lit(200) + F.col("c_custkey") % 30
+            ).otherwise(F.lit(100) + F.col("c_custkey") % 30)
+        ).alias("updated_at"),
+    )
+    cur = tbl.read(spark).alias("d")
+    new = snap2.alias("n")
+    changed = cur.join(new, "c_custkey").filter(
+        F.col("d.valid_to").isNull()
+        & (F.col("n.updated_at") > F.col("d.valid_from"))
+    )
+    closed = changed.select(
+        "c_custkey",
+        F.col("d.c_mktsegment").alias("c_mktsegment"),
+        F.col("d.valid_from").alias("valid_from"),
+        F.col("n.updated_at").alias("valid_to"),
+    )
+    opened = changed.select(
+        "c_custkey",
+        F.col("n.c_mktsegment").alias("c_mktsegment"),
+        F.col("n.updated_at").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+    )
+    unchanged = cur.join(
+        changed.select("c_custkey"), "c_custkey", "left_anti"
+    ).select("c_custkey", "c_mktsegment", "valid_from", "valid_to")
+    tbl.write(
+        unchanged.unionByName(closed).unionByName(opened), mode="overwrite"
+    )
+    return tbl.read(spark).select(
+        "c_custkey", "c_mktsegment", "valid_from", "valid_to"
+    ).orderBy("c_custkey", "valid_from")
+
+
+_STORE_FAILURES_ORACLE = """
+SELECT o_custkey, COUNT(*) AS n_rows
+FROM orders GROUP BY o_custkey HAVING COUNT(*) > 1
+ORDER BY o_custkey
+"""
+
+
+@register("dbt_store_failures", _STORE_FAILURES_ORACLE)
+def dbt_store_failures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt `store_failures` — the failing rows of a schema test are
+    PERSISTED to an audit table (dbt writes `dbt_test__audit.<test>`)
+    instead of only counted, so an on-call engineer queries the
+    violations directly rather than re-running the test. The op runs
+    the uniqueness test (o_custkey over orders — legitimately
+    non-unique, same contract as dbt_test_unique), writes the failure
+    set through the Delta-protocol table (audit history = one commit
+    per test run, time-travel gives past failure sets for free), and
+    returns the READ-BACK of the audit table — the oracle sees the
+    same rows only if persistence was lossless.
+    """
+    from ..sources.deltalike import DeltaLikeTable
+
+    failures = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .filter(F.col("n_rows") > 1)
+    )
+    audit = DeltaLikeTable(workdir(sf_dir, "test_audit"))
+    audit.write(failures, mode="overwrite")
+    return audit.read(spark).orderBy("o_custkey")
+
+
+_PROFILE_ORACLE = """
+SELECT 'event_id' AS column_name, COUNT(*) AS n_rows,
+       COUNT(*) - COUNT(event_id) AS n_nulls,
+       COUNT(DISTINCT event_id) AS n_distinct
+FROM events
+UNION ALL
+SELECT 'user_id', COUNT(*), COUNT(*) - COUNT(user_id),
+       COUNT(DISTINCT user_id) FROM events
+UNION ALL
+SELECT 'event_type_nullable', COUNT(*),
+       COUNT(*) - COUNT(NULLIF(event_type, 'error')),
+       COUNT(DISTINCT NULLIF(event_type, 'error')) FROM events
+UNION ALL
+SELECT 'value_nullable', COUNT(*),
+       COUNT(*) - COUNT(NULLIF(value, 0.0)),
+       COUNT(DISTINCT NULLIF(value, 0.0)) FROM events
+ORDER BY column_name
+"""
+
+
+@register("dbt_profile_table", _PROFILE_ORACLE)
+def dbt_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling (the dbt-osmosis / re_data "profile" step): one
+    row per column with row/null/distinct counts — the metadata that
+    feeds docs, drift alerts, and test suggestions. Two columns are
+    made nullable via NULLIF so the null path is actually exercised.
+    Shape: one exact-distinct aggregation PER COLUMN, unioned — NOT a
+    single multi-DISTINCT agg, which Catalyst plans as an Expand that
+    duplicates every input row per distinct set (the measured trap in
+    CLAUDE.md); per-column passes over a columnar scan each prune to
+    one column and stay map-side-combinable. At 100 TB swap exact
+    distincts for HLL sketches (agg_hll_sketch_merge pattern) and all
+    columns fit in ONE pass.
+    """
+    e = t(spark, sf_dir, "events")
+    cols = [
+        ("event_id", F.col("event_id")),
+        ("user_id", F.col("user_id")),
+        ("event_type_nullable", F.nullif(F.col("event_type"), F.lit("error"))),
+        ("value_nullable", F.nullif(F.col("value"), F.lit(0.0))),
+    ]
+    parts = []
+    for name, expr in cols:
+        parts.append(
+            e.select(expr.alias("c"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                (F.count(F.lit(1)) - F.count("c")).alias("n_nulls"),
+                F.count_distinct("c").alias("n_distinct"),
+            )
+            .select(
+                F.lit(name).alias("column_name"),
+                "n_rows", "n_nulls", "n_distinct",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("column_name")

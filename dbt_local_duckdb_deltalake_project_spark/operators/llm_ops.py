@@ -3040,3 +3040,83 @@ def llm_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_tokens").cast("double")
         ).alias("entropy_nats"),
     ).orderBy("doc_id")
+
+
+_NOVELTY_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, w, pos FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+           generate_subscripts(string_split(text, ' '), 1) AS pos
+    FROM documents
+  )
+), grams AS (
+  SELECT doc_id,
+         w || ' ' || LEAD(w, 1) OVER win || ' ' || LEAD(w, 2) OVER win
+           AS gram
+  FROM tok
+  WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY LEAD(w, 2) OVER win IS NOT NULL
+), dg AS (
+  SELECT DISTINCT doc_id, gram FROM grams
+), firsts AS (
+  SELECT gram, MIN(doc_id) AS first_doc FROM dg GROUP BY gram
+)
+SELECT dg.doc_id,
+       COUNT(*) AS n_distinct_grams,
+       CAST(COUNT(*) FILTER (f.first_doc = dg.doc_id) AS BIGINT)
+         AS n_novel_grams,
+       CAST(COUNT(*) FILTER (f.first_doc = dg.doc_id) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS novelty_frac
+FROM dg JOIN firsts f ON dg.gram = f.gram
+GROUP BY dg.doc_id
+ORDER BY dg.doc_id
+"""
+
+
+@register("llm_ngram_novelty", _NOVELTY_ORACLE)
+def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram novelty — for each document, the fraction of its distinct
+    3-grams that NO lower-numbered document contains: the
+    incremental-crawl signal ("is this batch adding new content or
+    re-crawling the web we have?") and the dedup-robust cousin of
+    exact-match dedup. Doc order stands in for arrival order. Plan:
+    posexplode → window-lead 3-gram assembly (one per-doc sort),
+    per-doc distinct, a global MIN(doc_id) per gram (map-side
+    combinable — gram cardinality, not occurrence count, crosses the
+    wire), and a gram-key join back. Every step keys on gram or
+    doc_id; first-occurrence via MIN is order-free and deterministic.
+    """
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    )
+    win = W.partitionBy("doc_id").orderBy("pos")
+    grams = (
+        tok.select(
+            "doc_id",
+            F.concat_ws(
+                " ", "w", F.lead("w", 1).over(win), F.lead("w", 2).over(win)
+            ).alias("gram"),
+            F.lead("w", 2).over(win).alias("_l2"),
+        )
+        .filter(F.col("_l2").isNotNull())
+        .drop("_l2")
+    )
+    dg = grams.distinct()
+    firsts = dg.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        dg.join(firsts, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_grams"),
+            F.sum(
+                (F.col("first_doc") == F.col("doc_id")).cast("long")
+            ).alias("n_novel_grams"),
+            (
+                F.sum((F.col("first_doc") == F.col("doc_id")).cast("long"))
+                .cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("novelty_frac"),
+        )
+        .orderBy("doc_id")
+    )
