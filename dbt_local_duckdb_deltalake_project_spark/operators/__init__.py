@@ -101,7 +101,7 @@ _WINDOW_SECOND = [
     "llm_split_leakage_audit", "scan_orc", "win_ratio_to_report",
     "mm_dedup_phash", "llm_token_entropy",
     "dbt_snapshot_timestamp", "dbt_store_failures", "dbt_profile_table",
-    "llm_ngram_novelty",
+    "llm_ngram_novelty", "join_asof_tolerance", "agg_regression_trend",
     "delta_time_travel", "delta_merge_upsert",   # deltalike.py changed (ts resolution, vacuum)
     "stream_tumbling", "stream_session", "win_range_frame", "fn_date",  # events/tz consumers
     "join_asof",                 # §2.3

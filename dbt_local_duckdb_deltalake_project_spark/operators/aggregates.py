@@ -1098,3 +1098,72 @@ def agg_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "week_idx")
     )
+
+
+_REGR_ORACLE = """
+WITH x AS (
+  SELECT event_type,
+         CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS xd,
+         CAST(ROUND(value * 100) AS BIGINT) AS yc
+  FROM events
+), s AS (
+  SELECT event_type, COUNT(*) AS n,
+         CAST(SUM(xd) AS BIGINT) AS sx,
+         CAST(SUM(yc) AS BIGINT) AS sy,
+         CAST(SUM(xd * yc) AS BIGINT) AS sxy,
+         CAST(SUM(xd * xd) AS BIGINT) AS sxx
+  FROM x GROUP BY event_type
+)
+SELECT event_type, n,
+       CAST(CAST(n * sxy - sx * sy AS BIGINT) AS DOUBLE)
+       / CAST(CAST(n * sxx - sx * sx AS BIGINT) AS DOUBLE)
+         AS slope_cents_per_day,
+       (CAST(sy AS DOUBLE)
+        - (CAST(CAST(n * sxy - sx * sy AS BIGINT) AS DOUBLE)
+           / CAST(CAST(n * sxx - sx * sx AS BIGINT) AS DOUBLE))
+          * CAST(sx AS DOUBLE))
+       / CAST(n AS DOUBLE) AS intercept_cents
+FROM s
+ORDER BY event_type
+"""
+
+
+@register("agg_regression_trend", _REGR_ORACLE)
+def agg_regression_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS trend (slope + intercept of value over day index) —
+    the metric-drift line every monitoring system fits. Built-in
+    regr_slope/regr_avg accumulate doubles in partition order and so
+    drift between engines; this uses the moment-sum formulation
+    instead: five exact integer accumulators (n, Σx, Σy, Σxy, Σx²),
+    map-side combinable, then slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²)
+    where numerator and denominator are computed IN BIGINT (exact) and
+    divided once as doubles — the agg_ab_ttest discipline. One scan,
+    5-rows-per-group shuffle, any scale.
+    """
+    e = t(spark, sf_dir, "events")
+    x = e.select(
+        "event_type",
+        F.datediff(F.col("ts"), F.lit("2024-01-01"))
+        .cast("long")
+        .alias("xd"),
+        F.round(F.col("value") * 100).cast("long").alias("yc"),
+    )
+    s = x.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xd").alias("sx"),
+        F.sum("yc").alias("sy"),
+        F.sum(F.col("xd") * F.col("yc")).alias("sxy"),
+        F.sum(F.col("xd") * F.col("xd")).alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("long")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("long")
+    slope = num.cast("double") / den.cast("double")
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / F.col("n").cast("double")
+    return s.select(
+        "event_type", "n",
+        slope.alias("slope_cents_per_day"),
+        intercept.alias("intercept_cents"),
+    ).orderBy("event_type")

@@ -701,3 +701,84 @@ def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("campaign_id")
     )
+
+
+_ASOF_TOL_ORACLE = """
+WITH views AS (
+  SELECT user_id, ts, MAX(event_id) AS view_id
+  FROM events WHERE event_type = 'view'
+  GROUP BY user_id, ts
+), purchases AS (
+  SELECT user_id, ts, event_id, value FROM events
+  WHERE event_type = 'purchase'
+)
+SELECT p.event_id AS purchase_id, p.user_id,
+       CASE WHEN epoch_us(p.ts) - epoch_us(v.ts) <= 1800000000
+            THEN v.view_id END AS view_within_tol,
+       p.value
+FROM purchases p
+ASOF LEFT JOIN views v ON p.user_id = v.user_id AND p.ts >= v.ts
+ORDER BY purchase_id
+"""
+
+
+@register("join_asof_tolerance", _ASOF_TOL_ORACLE)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a match tolerance (`merge_asof(..., tolerance=
+    30min)`): the preceding view only counts if it happened within the
+    attribution window — stale context is worse than no context in
+    feature pipelines, so the tolerance is API surface, not a filter
+    afterthought. Same single-shuffle union+frame rewrite as
+    join_asof (no range-join fan-out at any scale), carrying BOTH the
+    last view id and its timestamp through the frame (the two
+    `last(ignorenulls)` calls ride one window sort and null out on
+    exactly the same rows); the gap check is exact integer micros.
+    LEFT semantics: unmatched and out-of-tolerance purchases survive
+    with NULL, mirroring DuckDB's ASOF LEFT JOIN + CASE oracle.
+    """
+    tol_us = 30 * 60 * 1_000_000
+    e = t(spark, sf_dir, "events")
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_id"))
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    tagged = views.select(
+        "user_id", "ts", "view_id",
+        F.unix_micros("ts").alias("view_us"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("double").alias("value"),
+        F.lit(0).alias("side"),
+    ).unionByName(
+        purchases.select(
+            "user_id", "ts",
+            F.lit(None).cast("long").alias("view_id"),
+            F.lit(None).cast("long").alias("view_us"),
+            "event_id", "value",
+            F.lit(1).alias("side"),
+        )
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        tagged.withColumn(
+            "pv", F.last("view_id", ignorenulls=True).over(w)
+        )
+        .withColumn("pv_us", F.last("view_us", ignorenulls=True).over(w))
+        .filter(F.col("side") == 1)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.when(
+                F.unix_micros("ts") - F.col("pv_us") <= tol_us, F.col("pv")
+            ).alias("view_within_tol"),
+            "value",
+        )
+        .orderBy("purchase_id")
+    )
