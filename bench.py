@@ -98,6 +98,7 @@ def main() -> None:
         "stream_join_static",
         "stream_stream_join",
         "stream_deltalike_source",
+        "stream_change_data_feed",
     )}
     sql_pooled = sorted(n for n in qs if n in oracles)
     rows_pooled = sorted(n for n in qs if n not in oracles)

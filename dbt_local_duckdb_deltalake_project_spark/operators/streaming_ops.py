@@ -706,3 +706,180 @@ def stream_txn_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "stream_change_data_feed",
+    """
+    WITH base AS (
+      SELECT c_custkey, ROUND(c_acctbal, 2) AS acctbal FROM customer
+    ), merged AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 10 = 0 THEN ROUND(acctbal + 1000, 2)
+                  ELSE acctbal END AS acctbal
+      FROM base
+      UNION ALL
+      SELECT c_custkey + 1000000, acctbal FROM base WHERE c_custkey % 97 = 0
+    ), cdf AS (
+      SELECT 1 AS version, 'update_preimage' AS change_type, c_custkey
+      FROM base WHERE c_custkey % 10 = 0
+      UNION ALL
+      SELECT 1, 'update_postimage', c_custkey
+      FROM base WHERE c_custkey % 10 = 0
+      UNION ALL
+      SELECT 1, 'insert', c_custkey + 1000000
+      FROM base WHERE c_custkey % 97 = 0
+      UNION ALL
+      SELECT 2, 'delete', c_custkey FROM merged WHERE c_custkey % 53 = 0
+    )
+    SELECT version, change_type, COUNT(*) AS n_rows,
+           CAST(SUM(c_custkey) AS BIGINT) AS key_checksum
+    FROM cdf
+    GROUP BY version, change_type
+    ORDER BY version, change_type
+    """,
+)
+def stream_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING Change Data Feed — tail a versioned table's row-level
+    changes instead of its rows: offsets are log versions, and each
+    micro-batch emits classified (insert / update_pre / update_post /
+    delete) rows for the commits it drains — the CDC hand-off that
+    feeds incremental models without re-diffing table snapshots
+    (`delta_change_data_feed` is the batch two-version diff; this is
+    the continuous form). The reader derives changes the way Delta's
+    legacy CDF read does when no cdc files exist: per commit, the
+    multiset diff of rows in added vs removed files (copy-on-write
+    commits carry both), classified by key presence on the opposite
+    side; v0 (the initial snapshot) is below the starting offset, like
+    readChangeFeed startingVersion=1. Per-commit state is bounded by
+    that commit's rewritten files, not the table. Output aggregates
+    per (version, change_type) with an exact key checksum — complete
+    mode must reproduce the relational expectation.
+    """
+    import json as _json
+    import os
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        SimpleDataSourceStreamReader,
+    )
+
+    from ..catalog import t
+    from ..sources.deltalike import DeltaLikeTable
+    from ..sources.workspace import workdir
+    from .delta_ops import _staged_table
+
+    def build(tbl: DeltaLikeTable) -> None:
+        c = t(spark, sf_dir, "customer").select(
+            "c_custkey", F.round("c_acctbal", 2).alias("acctbal")
+        )
+        tbl.write(c, mode="overwrite")
+        updates = c.filter(F.col("c_custkey") % 10 == 0).withColumn(
+            "acctbal", F.round(F.col("acctbal") + 1000, 2)
+        )
+        inserts = c.filter(F.col("c_custkey") % 97 == 0).withColumn(
+            "c_custkey", F.col("c_custkey") + 1000000
+        )
+        tbl.merge(spark, updates.unionByName(inserts), on="c_custkey")
+        tbl.delete(spark, F.col("c_custkey") % 53 == 0)
+
+    tbl = _staged_table(sf_dir, "delta_cdf_stream", build)
+    table_path = tbl.path
+
+    class _CdfReader(SimpleDataSourceStreamReader):
+        def initialOffset(self):
+            return {"version": 1}  # v0 = initial snapshot, not a change
+
+        def _commit_changes(self, v):
+            from collections import Counter
+
+            import pyarrow.parquet as pq
+
+            log = os.path.join(table_path, "_delta_log", f"{v:020d}.json")
+            if not os.path.exists(log):
+                return
+            with open(log) as fh:
+                acts = [_json.loads(ln) for ln in fh]
+
+            def rows_of(paths):
+                cnt = Counter()
+                for p in paths:
+                    f = os.path.join(table_path, p)
+                    for row in pq.read_table(f).to_pylist():
+                        cnt[(row["c_custkey"], row["acctbal"])] += 1
+                return cnt
+
+            added = rows_of(
+                a["add"]["path"] for a in acts if "add" in a
+            )
+            removed = rows_of(
+                a["remove"]["path"] for a in acts if "remove" in a
+            )
+            appeared = added - removed
+            vanished = removed - added
+            app_keys = {k for (k, _b) in appeared}
+            van_keys = {k for (k, _b) in vanished}
+            for (k, b), n in sorted(appeared.items()):
+                ct = "update_postimage" if k in van_keys else "insert"
+                for _ in range(n):
+                    yield (v, ct, k, b)
+            for (k, b), n in sorted(vanished.items()):
+                ct = "update_preimage" if k in app_keys else "delete"
+                for _ in range(n):
+                    yield (v, ct, k, b)
+
+        def read(self, start):
+            v = start["version"]
+            rows: list = []
+            while os.path.exists(
+                os.path.join(table_path, "_delta_log", f"{v:020d}.json")
+            ):
+                rows.extend(self._commit_changes(v))
+                v += 1
+            return rows, {"version": v}
+
+        def readBetweenOffsets(self, start, end):
+            return [
+                row
+                for v in range(start["version"], end["version"])
+                for row in self._commit_changes(v)
+            ]
+
+        def commit(self, end):
+            pass
+
+    class _CdfStreamSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "deltalike_cdf_stream"
+
+        def schema(self):
+            return (
+                "version int, change_type string, "
+                "c_custkey bigint, acctbal double"
+            )
+
+        def simpleStreamReader(self, schema):
+            return _CdfReader()
+
+    spark.dataSource.register(_CdfStreamSource)
+    import uuid as _uuid
+
+    sink = f"sink_cdfstream_{_uuid.uuid4().hex[:8]}"
+    ckpt = workdir(sf_dir, "stream_ckpt_cdf")
+    stream = spark.readStream.format("deltalike_cdf_stream").load()
+    agg = stream.groupBy("version", "change_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("c_custkey").alias("key_checksum"),
+    )
+    with replay_shuffle(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(sink).orderBy("version", "change_type")
