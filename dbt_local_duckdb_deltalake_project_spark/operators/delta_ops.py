@@ -1113,3 +1113,51 @@ def delta_merge_full_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_totalprice", "o_orderstatus", was_update)
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "delta_update",
+    """
+    SELECT c_custkey,
+           CASE WHEN c_mktsegment = 'BUILDING' AND c_custkey % 2 = 0
+                THEN 'BUILDING-PRIORITY' ELSE c_mktsegment
+           END AS c_mktsegment,
+           CASE WHEN c_mktsegment = 'BUILDING' AND c_custkey % 2 = 0
+                THEN ROUND(ROUND(c_acctbal, 2) * 1.1, 2)
+                ELSE ROUND(c_acctbal, 2)
+           END AS acctbal
+    FROM customer
+    ORDER BY c_custkey
+    """,
+)
+def delta_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``UPDATE table SET ... WHERE ...`` — the remaining DML verb
+    (DELETE, MERGE, and the DV/full-sync variants are registered
+    separately): predicate-selected rows get column rewrites in one
+    copy-on-write commit stamped ``UPDATE`` in commitInfo, history
+    stays time-travelable, rows where the predicate is NULL are left
+    untouched (SQL WHERE semantics, same discipline as DELETE). The
+    rewrite itself is a single projection with CASE — no join, no
+    shuffle; at 100 TB the commit rewrites only the files whose stats
+    overlap the predicate (data-skipping bounded), which is exactly
+    how the engine-native UPDATE scopes its file set.
+    """
+    tbl = DeltaLikeTable(workdir(sf_dir, "delta_update"))
+    c = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", F.round("c_acctbal", 2).alias("acctbal")
+    )
+    tbl.write(c, mode="overwrite")
+    cond = (F.col("c_mktsegment") == "BUILDING") & (F.col("c_custkey") % 2 == 0)
+    updated = tbl.read(spark).select(
+        "c_custkey",
+        F.when(cond, F.lit("BUILDING-PRIORITY"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+        F.when(cond, F.round(F.col("acctbal") * 1.1, 2))
+        .otherwise(F.col("acctbal"))
+        .alias("acctbal"),
+    )
+    tbl.write(updated, mode="overwrite", operation="UPDATE")
+    return tbl.read(spark).select(
+        "c_custkey", "c_mktsegment", "acctbal"
+    ).orderBy("c_custkey")

@@ -782,3 +782,61 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("purchase_id")
     )
+
+
+_NULLSAFE_ORACLE = """
+WITH a AS (
+  SELECT o_orderkey, NULLIF(o_orderpriority, '3-MEDIUM') AS pr,
+         CAST(ROUND(o_totalprice * 1000000) AS BIGINT) AS price_m
+  FROM orders WHERE o_orderkey % 2 = 0
+), b AS (
+  SELECT NULLIF(o_orderpriority, '3-MEDIUM') AS pr,
+         COUNT(*) AS n_b
+  FROM orders WHERE o_orderkey % 2 = 1
+  GROUP BY 1
+)
+SELECT a.pr, COUNT(*) AS n_a, MIN(b.n_b) AS n_b,
+       CAST(SUM(a.price_m) AS BIGINT) AS price_checksum_m
+FROM a JOIN b ON a.pr IS NOT DISTINCT FROM b.pr
+GROUP BY a.pr
+ORDER BY a.pr NULLS FIRST
+"""
+
+
+@register("join_null_safe_eq", _NULLSAFE_ORACLE)
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    MATCH each other instead of vanishing — the semantics dimension-key
+    reconciliation needs when "unknown" is itself a join key (a plain
+    equi-join silently drops every NULL-keyed row, the classic silent
+    data-loss bug). Spark hashes `<=>` keys like any equi-key, so this
+    plans as a regular hash join — no nested loop penalty; note the
+    flip side at scale: ALL null-keyed rows land in ONE hash bucket,
+    so a null-heavy key is the canonical skew case (AQE skew split or
+    pre-filtering the null partition handles it). Checksums are exact
+    scaled longs.
+    """
+    o = t(spark, sf_dir, "orders")
+    pr = F.nullif(F.col("o_orderpriority"), F.lit("3-MEDIUM"))
+    a = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        pr.alias("pr"),
+        F.round(F.col("o_totalprice") * 1_000_000)
+        .cast("long")
+        .alias("price_m"),
+    )
+    b = (
+        o.filter(F.col("o_orderkey") % 2 == 1)
+        .select(pr.alias("pr_b"))
+        .groupBy("pr_b")
+        .agg(F.count(F.lit(1)).alias("n_b"))
+    )
+    return (
+        a.join(b, a.pr.eqNullSafe(b.pr_b))
+        .groupBy("pr")
+        .agg(
+            F.count(F.lit(1)).alias("n_a"),
+            F.min("n_b").alias("n_b"),
+            F.sum("price_m").alias("price_checksum_m"),
+        )
+        .orderBy(F.col("pr").asc_nulls_first())
+    )

@@ -431,3 +431,58 @@ def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+_MERGE_SCHEMA_ORACLE = """
+WITH unioned AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(NULL AS DOUBLE) AS o_totalprice
+  FROM orders WHERE o_orderkey % 2 = 0
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 2 = 1
+)
+SELECT o_orderstatus,
+       COUNT(*) AS n_rows,
+       COUNT(o_totalprice) AS n_with_price,
+       CAST(SUM(CAST(ROUND(o_totalprice * 1000000) AS BIGINT)) AS BIGINT)
+         AS price_checksum_m
+FROM unioned
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@register("scan_parquet_merge_schema", _MERGE_SCHEMA_ORACLE)
+def scan_parquet_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift ingest: a landing directory whose older files lack a
+    column the newer files carry (the universal "producer added a
+    field" situation). `mergeSchema=true` makes the parquet source
+    union the file footers into one superset schema and null-fill the
+    missing column per file — no rewrite of old data, no failed reads.
+    The op writes two generations (gen1 without o_totalprice, gen2
+    with it) into one directory and reads them back merged; footer
+    reconciliation is metadata-only, so at 100 TB the cost is file
+    listing, not data. The oracle models the same null-filled union
+    relationally.
+    """
+    path = workdir(sf_dir, "merge_schema_landing")
+    o = t(spark, sf_dir, "orders")
+    o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_orderstatus"
+    ).write.mode("overwrite").parquet(path)
+    o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    ).write.mode("append").parquet(path)
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    return (
+        merged.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("o_totalprice").alias("n_with_price"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 1_000_000).cast("long")
+            ).alias("price_checksum_m"),
+        )
+        .orderBy("o_orderstatus")
+    )
