@@ -103,7 +103,7 @@ _WINDOW_SECOND = [
     "dbt_snapshot_timestamp", "dbt_store_failures", "dbt_profile_table",
     "llm_ngram_novelty", "join_asof_tolerance", "agg_regression_trend",
     "stream_change_data_feed", "delta_update", "join_null_safe_eq",
-    "scan_parquet_merge_schema",
+    "scan_parquet_merge_schema", "delta_merge_schema_evolution",
     "delta_time_travel", "delta_merge_upsert",   # deltalike.py changed (ts resolution, vacuum)
     "stream_tumbling", "stream_session", "win_range_frame", "fn_date",  # events/tz consumers
     "join_asof",                 # §2.3

@@ -1161,3 +1161,50 @@ def delta_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tbl.read(spark).select(
         "c_custkey", "c_mktsegment", "acctbal"
     ).orderBy("c_custkey")
+
+
+@register(
+    "delta_merge_schema_evolution",
+    """
+    WITH src AS (
+      SELECT c_custkey, ROUND(c_acctbal + 500, 2) AS acctbal,
+             'tier-' || CAST(c_custkey % 3 AS VARCHAR) AS loyalty_tier
+      FROM customer WHERE c_custkey % 5 = 0
+    )
+    SELECT c.c_custkey,
+           CASE WHEN s.c_custkey IS NOT NULL THEN s.acctbal
+                ELSE ROUND(c.c_acctbal, 2) END AS acctbal,
+           s.loyalty_tier
+    FROM customer c LEFT JOIN src s ON c.c_custkey = s.c_custkey
+    ORDER BY c.c_custkey
+    """,
+)
+def delta_merge_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE WITH SCHEMA EVOLUTION — the source carries a column the
+    target has never seen (`loyalty_tier`) and the merge widens the
+    table schema in the SAME atomic commit that lands the data:
+    matched rows take source values for old and new columns, untouched
+    rows read NULL in the new column, and the commit's metaData action
+    carries the widened schemaString so readers at this version see
+    one consistent schema (readers at earlier versions see the old
+    one — schema is versioned with the data). This is the CDC-ingest
+    reality where upstream adds fields mid-stream and the pipeline
+    must not stop; the alternative (fail, ALTER, re-run) loses
+    exactly-once. Join cost identical to plain MERGE.
+    """
+    tbl = DeltaLikeTable(workdir(sf_dir, "merge_evolve"))
+    c = t(spark, sf_dir, "customer").select(
+        "c_custkey", F.round("c_acctbal", 2).alias("acctbal")
+    )
+    tbl.write(c, mode="overwrite")
+    src = c.filter(F.col("c_custkey") % 5 == 0).select(
+        "c_custkey",
+        F.round(F.col("acctbal") + 500, 2).alias("acctbal"),
+        F.concat(
+            F.lit("tier-"), (F.col("c_custkey") % 3).cast("string")
+        ).alias("loyalty_tier"),
+    )
+    tbl.merge(spark, src, on="c_custkey", evolve_schema=True)
+    return tbl.read(spark).select(
+        "c_custkey", "acctbal", "loyalty_tier"
+    ).orderBy("c_custkey")

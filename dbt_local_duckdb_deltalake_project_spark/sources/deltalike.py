@@ -1364,6 +1364,7 @@ class DeltaLikeTable:
         on: str,
         update_cols: list[str] | None = None,
         delete_not_matched_by_source: bool = False,
+        evolve_schema: bool = False,
     ) -> DataFrame:
         """``MERGE INTO target USING source ON target.k = source.k
         WHEN MATCHED THEN UPDATE WHEN NOT MATCHED THEN INSERT`` —
@@ -1376,9 +1377,21 @@ class DeltaLikeTable:
         ``delete_not_matched_by_source=True`` adds ``WHEN NOT MATCHED BY
         SOURCE THEN DELETE`` — target rows absent from the source are
         dropped, making one MERGE a complete mirror of the source (the
-        full-sync / snapshot-ingestion pattern)."""
+        full-sync / snapshot-ingestion pattern).
+
+        ``evolve_schema=True`` adds ``WITH SCHEMA EVOLUTION``: source
+        columns the target lacks are appended to the table schema —
+        matched and inserted rows take the source value, untouched
+        target rows get NULL (Delta's automatic-schema-evolution
+        semantics for MERGE); the overwrite commit's metaData action
+        carries the widened schemaString."""
         target = self.read(spark)
         cols = target.columns
+        evolved = (
+            [c for c in source.columns if c not in cols and c != on]
+            if evolve_schema
+            else []
+        )
         update_cols = update_cols or [c for c in cols if c != on]
         s = source.alias("s")
         tgt = target.alias("t")
@@ -1402,14 +1415,25 @@ class DeltaLikeTable:
                 F.when(matched, upd).when(inserted, s_c).otherwise(t_c).alias(c)
             )
 
+        def _evolved_col(c: str):
+            # New column: only rows the source touched carry a value.
+            return (
+                F.when(matched | inserted, F.col(f"s.{c}"))
+                .otherwise(F.lit(None))
+                .alias(c)
+            )
+
+        out_cols = [_merged_col(c) for c in cols if c != on] + [
+            _evolved_col(c) for c in evolved
+        ]
         merged = joined.select(
             F.coalesce(F.col(f"s.{on}"), F.col(f"t.{on}")).alias(on),
-            *[_merged_col(c) for c in cols if c != on],
+            *out_cols,
         )
         if delete_not_matched_by_source:
             merged = joined.filter(F.col(f"s.{on}").isNotNull()).select(
                 F.col(f"s.{on}").alias(on),
-                *[_merged_col(c) for c in cols if c != on],
+                *out_cols,
             )
         self.write(merged, mode="overwrite", operation="MERGE")
         return self.read(spark)
