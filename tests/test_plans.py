@@ -264,3 +264,44 @@ def test_column_mapping_pushdown_reaches_physical_column(spark, tmp_path):
     p = plan(df)
     assert "GreaterThan(val,100)" in p  # pushed, under the physical name
     assert "ReadSchema: struct<val:bigint>" in p  # pruned to one column
+
+
+def test_range_bucketed_join_is_hash_not_nested_loop(spark, sf_dir):
+    # the whole point of the bucket-explode rewrite: the interval match
+    # plans as a broadcast HASH join on the bucket id, never the O(N·M)
+    # BroadcastNestedLoopJoin a raw inequality join degrades to.
+    df = QUERIES["join_range_bucketed"](spark, sf_dir)
+    p = plan(df)
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_bloom_dedup_probe_side_broadcasts(spark, sf_dir):
+    # the packed bit-array words and the historical key set both ride
+    # broadcasts; the incoming batch is never shuffled for the screen.
+    df = QUERIES["llm_dedup_bloom"](spark, sf_dir)
+    p = plan(df)
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_pagerank_inflow_has_partial_aggregation(spark, sf_dir):
+    # every iteration's inflow sum must combine map-side before the dst
+    # shuffle (partial_sum in the aggregate) — the property that keeps
+    # shuffle bytes ∝ nodes, not edges.
+    df = QUERIES["graph_pagerank"](spark, sf_dir)
+    p = formatted(df)
+    assert "partial_sum" in p or "Partial" in p
+
+
+def test_ewma_lags_share_one_window_sort(spark, sf_dir):
+    # ten lags over the identical window spec must plan as ONE Window
+    # node over one sort — not ten.
+    df = QUERIES["win_ewma"](spark, sf_dir)
+    p = plan(df)
+    assert p.count("Window") - p.count("WindowGroupLimit") <= 2
+
+
+def test_retention_cohort_broadcasts_cohort_frame(spark, sf_dir):
+    df = QUERIES["agg_retention_cohort"](spark, sf_dir)
+    assert "BroadcastHashJoin" in plan(df)
