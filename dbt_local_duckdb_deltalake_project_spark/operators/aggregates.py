@@ -1167,3 +1167,109 @@ def agg_regression_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         slope.alias("slope_cents_per_day"),
         intercept.alias("intercept_cents"),
     ).orderBy("event_type")
+
+
+_MOMENTS_ORACLE = """
+WITH x AS (
+  SELECT event_type, CAST(CAST(ROUND(value * 100) AS BIGINT) AS HUGEINT) AS v
+  FROM events
+), s0 AS (
+  SELECT event_type, COUNT(*) AS n,
+         SUM(v) AS w1, SUM(v * v) AS w2,
+         SUM(v * v * v) AS w3, SUM(v * v * v * v) AS w4
+  FROM x GROUP BY event_type
+), s AS (
+  -- exact wide-int → double via hi/lo 32-bit split: both halves are
+  -- exactly representable, one IEEE add rounds identically everywhere
+  -- (a direct HUGEINT→DOUBLE cast is not correctly rounded in DuckDB)
+  SELECT event_type, n,
+         CAST(w1 AS DOUBLE) AS s1,
+         CAST(w2 AS DOUBLE) AS s2,
+         CAST(w3 - (w3 % 4294967296) AS DOUBLE)
+           + CAST(w3 % 4294967296 AS DOUBLE) AS s3,
+         CAST(w4 - (w4 % 4294967296) AS DOUBLE)
+           + CAST(w4 % 4294967296 AS DOUBLE) AS s4
+  FROM s0
+), m AS (
+  SELECT event_type, n,
+         s1 / CAST(n AS DOUBLE) AS mean,
+         s2 / CAST(n AS DOUBLE) AS r2,
+         s3 / CAST(n AS DOUBLE) AS r3,
+         s4 / CAST(n AS DOUBLE) AS r4
+  FROM s
+)
+SELECT event_type, n, mean AS mean_cents,
+       (r3 - 3 * mean * r2 + 2 * mean * mean * mean)
+       / ((r2 - mean * mean) * sqrt(r2 - mean * mean)) AS skewness,
+       (r4 - 4 * mean * r3 + 6 * mean * mean * r2
+        - 3 * mean * mean * mean * mean)
+       / ((r2 - mean * mean) * (r2 - mean * mean)) - 3 AS kurtosis_excess
+FROM m
+ORDER BY event_type
+"""
+
+
+@register("agg_higher_moments", _MOMENTS_ORACLE)
+def agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewness and excess kurtosis per group — the distribution-shape
+    monitors (value distributions going long-tailed or bimodal is what
+    skew/kurtosis alerts catch before means move). Built-in skewness()/
+    kurtosis() accumulate running central moments in partition order
+    (engine- and order-dependent bits); this uses raw power sums
+    instead: Σv..Σv⁴ as EXACT wide-decimal integers (v⁴ of a cent
+    value overflows BIGINT — the dsum_wide rationale), converted once
+    to double and pushed through an IDENTICAL arithmetic chain on both
+    engines. Decimal aggregation is the documented ~2.5× slower path —
+    paid only here, where longs cannot hold the moment. One scan,
+    four accumulators per group, any scale.
+    """
+    e = t(spark, sf_dir, "events")
+    v = F.round(F.col("value") * 100).cast("long").cast("decimal(38,0)")
+    x = e.select("event_type", v.alias("v"))
+    s0 = x.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("w1"),
+        F.sum(F.col("v") * F.col("v")).alias("w2"),
+        F.sum(F.col("v") * F.col("v") * F.col("v")).alias("w3"),
+        F.sum(F.col("v") * F.col("v") * F.col("v") * F.col("v")).alias("w4"),
+    )
+    # Exact wide-int → double via hi/lo 32-bit split (see oracle note):
+    # w - (w % 2^32) keeps 53 significant bits (trailing 32 zeros) and
+    # w % 2^32 fits 32 bits — both cast exactly; the single IEEE add
+    # then rounds the true sum identically on every engine.
+    two32 = F.lit(4294967296).cast("decimal(38,0)")
+
+    def wide_to_double(col):
+        lo = F.pmod(col, two32)
+        return (col - lo).cast("double") + lo.cast("double")
+
+    s = s0.select(
+        "event_type", "n",
+        F.col("w1").cast("double").alias("s1"),
+        F.col("w2").cast("double").alias("s2"),
+        wide_to_double(F.col("w3")).alias("s3"),
+        wide_to_double(F.col("w4")).alias("s4"),
+    )
+    nd = F.col("n").cast("double")
+    m = s.select(
+        "event_type", "n",
+        (F.col("s1") / nd).alias("mean"),
+        (F.col("s2") / nd).alias("r2"),
+        (F.col("s3") / nd).alias("r3"),
+        (F.col("s4") / nd).alias("r4"),
+    )
+    mean, r2, r3, r4 = F.col("mean"), F.col("r2"), F.col("r3"), F.col("r4")
+    var = r2 - mean * mean
+    skew = (r3 - F.lit(3) * mean * r2 + F.lit(2) * mean * mean * mean) / (
+        var * F.sqrt(var)
+    )
+    kurt = (
+        r4
+        - F.lit(4) * mean * r3
+        + F.lit(6) * mean * mean * r2
+        - F.lit(3) * mean * mean * mean * mean
+    ) / (var * var) - F.lit(3)
+    return m.select(
+        "event_type", "n", mean.alias("mean_cents"),
+        skew.alias("skewness"), kurt.alias("kurtosis_excess"),
+    ).orderBy("event_type")

@@ -1208,3 +1208,68 @@ def delta_merge_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tbl.read(spark).select(
         "c_custkey", "acctbal", "loyalty_tier"
     ).orderBy("c_custkey")
+
+
+@register(
+    "delta_concurrent_writers",
+    """
+    SELECT o_orderstatus, COUNT(*) AS n_rows,
+           3 AS n_commits, TRUE AS both_writers_committed
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def delta_concurrent_writers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-writer ACID: two writers append CONCURRENTLY (barrier
+    start, real threads) and both commits must land — the protocol's
+    optimistic-concurrency contract. The commit path stages actions to
+    a temp file and publishes with put-if-absent (os.link fails if the
+    version exists; object stores use if-none-match), so the losing
+    writer detects the collision, re-reads the log, and retries at the
+    next version — no lock service, no lost update, exactly Delta's
+    documented loop. The op asserts the log ends at version 2 (base +
+    two appends, whatever the race order) and the table content is the
+    exact union of both writers' rows — serialized-equivalence, which
+    is what ACID isolation promises. Appends are disjoint row sets, so
+    either commit order yields the same state (the conflict-semantics
+    fine print: disjoint appends always reconcile).
+    """
+    import threading
+
+    tbl = DeltaLikeTable(workdir(sf_dir, "concurrent"))
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    tbl.write(o.filter(F.col("o_orderkey") % 3 == 0), mode="overwrite")
+    parts = [
+        o.filter(F.col("o_orderkey") % 3 == 1),
+        o.filter(F.col("o_orderkey") % 3 == 2),
+    ]
+    barrier = threading.Barrier(2)
+    errors: list = []
+
+    def writer(df):
+        try:
+            barrier.wait(timeout=60)
+            tbl.write(df, mode="append")
+        except Exception as exc:  # pragma: no cover - surfaced below
+            errors.append(exc)
+
+    threads = [threading.Thread(target=writer, args=(p,)) for p in parts]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    if errors:
+        raise errors[0]
+    n_commits = tbl.latest_version + 1
+    return (
+        tbl.read(spark)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            "o_orderstatus", "n_rows",
+            F.lit(n_commits).alias("n_commits"),
+            F.lit(n_commits == 3).alias("both_writers_committed"),
+        )
+        .orderBy("o_orderstatus")
+    )

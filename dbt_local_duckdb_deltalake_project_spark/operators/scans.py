@@ -486,3 +486,80 @@ def scan_parquet_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+_CSV_GZIP_ORACLE = """
+SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey
+"""
+
+
+@register("scan_csv_gzip", _CSV_GZIP_ORACLE)
+def scan_csv_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed CSV ingest — landing zones deliver .csv.gz, and the
+    engine must both write and read it without a decompress step.
+    Spark's text sources handle codecs transparently (the .gz suffix
+    selects the codec per file); the catch this op documents is that
+    GZIP IS NOT SPLITTABLE: one .gz file = one task no matter its
+    size, so at 100 TB the layout answer is many medium gzip files
+    (or zstd/bzip2 where splitting or better ratios are needed), not
+    one giant archive — parallelism comes from file count. Round-trip
+    through gzip with schema-by-position, checked lossless against
+    the parquet fixture.
+    """
+    path = workdir(sf_dir, "csv_gz")
+    n = t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    n.write.mode("overwrite").option("compression", "gzip").option(
+        "header", "true"
+    ).csv(path)
+    return (
+        spark.read.option("header", "true")
+        .schema("n_nationkey bigint, n_name string, n_regionkey bigint")
+        .csv(path)
+        .orderBy("n_nationkey")
+    )
+
+
+_JSONL_ORACLE = """
+SELECT o_orderstatus, COUNT(*) AS n_rows,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum,
+       CAST(SUM(CAST(ROUND(o_totalprice * 1000000) AS BIGINT)) AS BIGINT)
+         AS price_checksum_m
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@register("sink_json_lines", _JSONL_ORACLE)
+def sink_json_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-Lines export/re-ingest — the interchange format every
+    downstream tool reads. The checked property is round-trip
+    fidelity: write orders as JSONL, read it back UNDER A DECLARED
+    SCHEMA (schema-on-read; inferring would cost a second pass over
+    100 TB and can widen types), and prove checksums match the
+    source. Doubles survive because Spark serializes them
+    shortest-round-trip (Ryu), so parse(gen(x)) == x exactly; the
+    micros checksum would catch any drift. JSONL is line-splittable,
+    so unlike gzip'd CSV the files parallelize within themselves.
+    """
+    path = workdir(sf_dir, "jsonl_sink")
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    o.write.mode("overwrite").json(path)
+    back = spark.read.schema(
+        "o_orderkey bigint, o_orderstatus string, o_totalprice double"
+    ).json(path)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").alias("key_checksum"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 1_000_000).cast("long")
+            ).alias("price_checksum_m"),
+        )
+        .orderBy("o_orderstatus")
+    )
