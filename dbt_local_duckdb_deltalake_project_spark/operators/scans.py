@@ -489,7 +489,9 @@ def scan_parquet_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CSV_GZIP_ORACLE = """
-SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey
+SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+       CAST(n_regionkey AS BIGINT) AS n_regionkey
+FROM nation ORDER BY n_nationkey
 """
 
 
