@@ -105,7 +105,7 @@ _WINDOW_SECOND = [
     "stream_change_data_feed", "delta_update", "join_null_safe_eq",
     "scan_parquet_merge_schema", "delta_merge_schema_evolution",
     "delta_concurrent_writers", "agg_higher_moments", "scan_csv_gzip",
-    "sink_json_lines",
+    "sink_json_lines", "fn_tz_convert", "llm_chunk_reassemble",
     "delta_time_travel", "delta_merge_upsert",   # deltalike.py changed (ts resolution, vacuum)
     "stream_tumbling", "stream_session", "win_range_frame", "fn_date",  # events/tz consumers
     "join_asof",                 # §2.3

@@ -682,3 +682,51 @@ def fn_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("substr(c_phone, length(c_phone) - 3, 4)"),
         ).alias("phone_last4"),
     ).orderBy("c_custkey")
+
+
+_TZ_ORACLE = """
+WITH loc AS (
+  SELECT timezone('America/New_York', CAST(ts AS TIMESTAMPTZ)) AS ny,
+         timezone('Asia/Tokyo', CAST(ts AS TIMESTAMPTZ)) AS tyo
+  FROM events
+)
+SELECT CAST(EXTRACT(hour FROM ny) AS BIGINT) AS ny_hour,
+       COUNT(*) AS n_events,
+       CAST(COUNT(DISTINCT CAST(ny AS DATE)) AS BIGINT) AS ny_days,
+       CAST(COUNT(DISTINCT CAST(tyo AS DATE)) AS BIGINT) AS tokyo_days
+FROM loc
+GROUP BY 1
+ORDER BY ny_hour
+"""
+
+
+@register("fn_tz_convert", _TZ_ORACLE)
+def fn_tz_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IANA time-zone conversion — UTC event instants rendered in
+    America/New_York and Asia/Tokyo local time, bucketed by local
+    hour. The 2024 fixture year spans both US DST transitions (Mar 10
+    spring-forward, Nov 3 fall-back), so the per-hour counts are only
+    engine-equal if both engines apply the SAME tzdata offset rules at
+    the boundaries — a wall-clock bug (fixed-offset arithmetic, wrong
+    transition instant) shifts thousands of events one bucket over
+    and the hash catches it; Tokyo (no DST) is the control. All
+    conversion happens expression-side (from_utc_timestamp in
+    codegen): no shuffle is added over the plain aggregation, which
+    is the point — tz correctness is free at any scale.
+    """
+    e = t(spark, sf_dir, "events")
+    loc = e.select(
+        F.from_utc_timestamp("ts", "America/New_York").alias("ny"),
+        F.from_utc_timestamp("ts", "Asia/Tokyo").alias("tyo"),
+    )
+    return (
+        loc.groupBy(F.hour("ny").cast("long").alias("ny_hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct(F.to_date("ny")).cast("long").alias("ny_days"),
+            F.count_distinct(F.to_date("tyo")).cast("long").alias(
+                "tokyo_days"
+            ),
+        )
+        .orderBy("ny_hour")
+    )

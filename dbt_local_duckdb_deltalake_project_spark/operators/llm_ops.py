@@ -3120,3 +3120,83 @@ def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_REASSEMBLE_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+), chunks AS (
+  SELECT doc_id, (pos - 1) // 40 AS chunk_id,
+         string_agg(w, ' ' ORDER BY pos) AS chunk_text
+  FROM tok GROUP BY doc_id, (pos - 1) // 40
+), rebuilt AS (
+  SELECT doc_id,
+         string_agg(chunk_text, ' ' ORDER BY chunk_id) AS text2
+  FROM chunks GROUP BY doc_id
+)
+SELECT r.doc_id,
+       CAST(COUNT(*) OVER () AS BIGINT) AS n_docs,
+       (r.text2 = d.text) AS lossless,
+       md5(r.text2) AS content_hash
+FROM rebuilt r JOIN documents d ON r.doc_id = d.doc_id
+ORDER BY r.doc_id
+"""
+
+
+@register("llm_chunk_reassemble", _REASSEMBLE_ORACLE)
+def llm_chunk_reassemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk → reassemble round-trip: split every document into 40-token
+    chunks (the embedding/indexing unit, `llm_chunk_documents`' shape)
+    and then PROVE the inverse — ordered within-group concatenation
+    reconstructs the original byte-for-byte (lossless flag + content
+    hash against the source row). This is the property a RAG/training
+    pipeline silently depends on when it re-derives documents from
+    their chunk store; order-sensitivity is the trap (distributed
+    string_agg has no default order), so both levels aggregate with an
+    EXPLICIT sort key — Spark: sort_array over (pos, word) structs
+    before concat, the deterministic ordered-agg rewrite. Two grouped
+    aggregations on doc-keyed rows, linear at any scale.
+    """
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    )
+    chunks = (
+        tok.groupBy(
+            "doc_id", F.expr("pos DIV 40").alias("chunk_id")
+        )
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "w"))
+                    ),
+                    lambda s: s["w"],
+                ),
+                " ",
+            ).alias("chunk_text")
+        )
+    )
+    rebuilt = chunks.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("chunk_id", "chunk_text"))),
+                lambda s: s["chunk_text"],
+            ),
+            " ",
+        ).alias("text2")
+    )
+    n_docs = rebuilt.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        rebuilt.join(d.select("doc_id", "text"), "doc_id")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "n_docs",
+            (F.col("text2") == F.col("text")).alias("lossless"),
+            F.md5("text2").alias("content_hash"),
+        )
+        .orderBy("doc_id")
+    )
