@@ -1273,3 +1273,58 @@ def delta_concurrent_writers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "delta_merge_insert_only",
+    """
+    WITH target AS (
+      SELECT o_orderkey, o_orderstatus, ROUND(o_totalprice, 2) AS price
+      FROM orders WHERE o_orderkey % 4 <> 0
+    ), feed AS (
+      -- the CDC feed re-delivers half the existing keys (noise) plus
+      -- the genuinely new %4 slice
+      SELECT o_orderkey, o_orderstatus,
+             ROUND(ROUND(o_totalprice, 2) + 999, 2) AS price
+      FROM orders WHERE o_orderkey % 2 = 1
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, ROUND(o_totalprice, 2)
+      FROM orders WHERE o_orderkey % 4 = 0
+    )
+    SELECT t.o_orderkey, t.o_orderstatus, t.price FROM target t
+    UNION ALL
+    SELECT f.o_orderkey, f.o_orderstatus, f.price
+    FROM feed f LEFT JOIN target t ON f.o_orderkey = t.o_orderkey
+    WHERE t.o_orderkey IS NULL
+    ORDER BY o_orderkey
+    """,
+)
+def delta_merge_insert_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Insert-only MERGE (`WHEN NOT MATCHED THEN INSERT`, no update
+    clause) — the idempotent-append CDC pattern: a feed that
+    re-delivers already-loaded keys must NOT touch them (at-least-once
+    upstreams re-send; an update clause would let late noise clobber
+    good rows), only genuinely new keys land. Because matched rows are
+    untouched, the engine plans this as an ANTI-JOIN + APPEND — no
+    full-outer rewrite, no rewrite of existing files, which is why
+    insert-only merge is the one MERGE shape that stays append-cheap
+    at 100 TB (Delta's insert-only merge optimization does exactly
+    this). The feed's re-delivered rows carry ALTERED prices to prove
+    they were discarded, not applied.
+    """
+    tbl = DeltaLikeTable(workdir(sf_dir, "merge_insert_only"))
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("price")
+    )
+    tbl.write(o.filter(F.col("o_orderkey") % 4 != 0), mode="overwrite")
+    feed = (
+        o.filter(F.col("o_orderkey") % 2 == 1)
+        .withColumn("price", F.round(F.col("price") + 999, 2))
+        .unionByName(o.filter(F.col("o_orderkey") % 4 == 0))
+    )
+    target_keys = tbl.read(spark).select("o_orderkey")
+    new_rows = feed.join(target_keys, "o_orderkey", "left_anti")
+    tbl.write(new_rows, mode="append", operation="MERGE")
+    return tbl.read(spark).select(
+        "o_orderkey", "o_orderstatus", "price"
+    ).orderBy("o_orderkey")

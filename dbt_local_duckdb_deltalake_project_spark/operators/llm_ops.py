@@ -3200,3 +3200,169 @@ def llm_chunk_reassemble(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_MINHASH_SQL_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, w, pos FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+           generate_subscripts(string_split(text, ' '), 1) AS pos
+    FROM documents
+  )
+), sh AS (
+  SELECT DISTINCT doc_id,
+         w || ' ' || LEAD(w, 1) OVER win || ' ' || LEAD(w, 2) OVER win
+           AS shingle
+  FROM tok
+  WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY LEAD(w, 2) OVER win IS NOT NULL
+), hx AS (
+  SELECT doc_id, h.i,
+         CAST(('0x' || substr(
+           CASE WHEN h.i < 4 THEN md5('a:' || shingle)
+                ELSE md5('b:' || shingle) END,
+           (h.i % 4) * 8 + 1, 8)) AS BIGINT) AS hv
+  FROM sh, (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) AS h(i)
+), sig AS (
+  SELECT doc_id,
+         MIN(CASE WHEN i = 0 THEN hv END) AS c0,
+         MIN(CASE WHEN i = 1 THEN hv END) AS c1,
+         MIN(CASE WHEN i = 2 THEN hv END) AS c2,
+         MIN(CASE WHEN i = 3 THEN hv END) AS c3,
+         MIN(CASE WHEN i = 4 THEN hv END) AS c4,
+         MIN(CASE WHEN i = 5 THEN hv END) AS c5,
+         MIN(CASE WHEN i = 6 THEN hv END) AS c6,
+         MIN(CASE WHEN i = 7 THEN hv END) AS c7
+  FROM hx GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, b.band_idx,
+         CASE b.band_idx
+           WHEN 0 THEN md5(CAST(c0 AS VARCHAR) || ',' || CAST(c1 AS VARCHAR))
+           WHEN 1 THEN md5(CAST(c2 AS VARCHAR) || ',' || CAST(c3 AS VARCHAR))
+           WHEN 2 THEN md5(CAST(c4 AS VARCHAR) || ',' || CAST(c5 AS VARCHAR))
+           ELSE md5(CAST(c6 AS VARCHAR) || ',' || CAST(c7 AS VARCHAR))
+         END AS band_val
+  FROM sig, (VALUES (0),(1),(2),(3)) AS b(band_idx)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+              AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST((sa.c0 = sb.c0)::INT + (sa.c1 = sb.c1)::INT
+          + (sa.c2 = sb.c2)::INT + (sa.c3 = sb.c3)::INT
+          + (sa.c4 = sb.c4)::INT + (sa.c5 = sb.c5)::INT
+          + (sa.c6 = sb.c6)::INT + (sa.c7 = sb.c7)::INT AS BIGINT)
+         AS matches_of_8
+FROM cand c
+JOIN sig sa ON sa.doc_id = c.doc_a
+JOIN sig sb ON sb.doc_id = c.doc_b
+ORDER BY c.doc_a, c.doc_b
+"""
+
+
+@register("llm_minhash_signature_sql", _MINHASH_SQL_ORACLE)
+def llm_minhash_signature_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding with ENGINE-PORTABLE hashes — the whole
+    pipeline (shingle → 8-component signature → 4-band bucketing →
+    candidate pairs → agreement count) is value-hash-checkable
+    end-to-end because every hash is an md5-substring integer both
+    engines compute identically (`llm_dedup_minhash` is the
+    xxhash-based rows-mode sibling; this variant trades hash speed
+    for full differential checkability). Components are 32-bit
+    chunks of two salted md5s (2 digests per shingle, not 8);
+    matches_of_8 over candidate pairs IS the Jaccard estimate in
+    eighths, exact integers. Shapes are the production ones: postings
+    explode is linear, banding bounds candidates by bucket collisions,
+    and the signature table is 8 longs per doc regardless of doc size.
+    """
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    )
+    win = W.partitionBy("doc_id").orderBy("pos")
+    sh = (
+        tok.select(
+            "doc_id",
+            F.concat_ws(
+                " ", "w", F.lead("w", 1).over(win), F.lead("w", 2).over(win)
+            ).alias("shingle"),
+            F.lead("w", 2).over(win).alias("_l2"),
+        )
+        .filter(F.col("_l2").isNotNull())
+        .drop("_l2")
+        .distinct()
+    )
+    hx = sh.select(
+        "doc_id",
+        F.explode(F.array(*[F.lit(i) for i in range(8)])).alias("i"),
+        F.md5(F.concat(F.lit("a:"), F.col("shingle"))).alias("ha"),
+        F.md5(F.concat(F.lit("b:"), F.col("shingle"))).alias("hb"),
+    ).select(
+        "doc_id", "i",
+        F.conv(
+            F.substring(
+                F.when(F.col("i") < 4, F.col("ha")).otherwise(F.col("hb")),
+                (F.col("i") % 4) * 8 + 1,
+                8,
+            ),
+            16, 10,
+        ).cast("long").alias("hv"),
+    )
+    sig = hx.groupBy("doc_id").agg(
+        *[
+            F.min(F.when(F.col("i") == i, F.col("hv"))).alias(f"c{i}")
+            for i in range(8)
+        ]
+    )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.col(f"c{2*b}").cast("string"),
+                    F.col(f"c{2*b+1}").cast("string"),
+                )
+            ).alias("band_val"),
+        )
+        for b in range(4)
+    ]
+    bands = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("b")
+    ).select("doc_id", "b.band_idx", "b.band_val")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"c{i}").alias(f"a{i}") for i in range(8)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"c{i}").alias(f"b{i}") for i in range(8)],
+    )
+    matches = sum(
+        (
+            (F.col(f"a{i}") == F.col(f"b{i}")).cast("long")
+            for i in range(8)
+        ),
+        start=F.lit(0).cast("long"),
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", matches.alias("matches_of_8"))
+        .orderBy("doc_a", "doc_b")
+    )

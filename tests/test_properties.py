@@ -263,3 +263,20 @@ def test_dv_delete_equals_rewrite_delete(spark, tmp_path_factory, rows,
     adds0 = {a["path"] for a in t_dv._active_files(as_of=0)}
     adds1 = {a["path"] for a in t_dv._active_files()}
     assert adds0 == adds1
+
+
+@given(
+    st.integers(min_value=0, max_value=2**85),
+)
+@settings(max_examples=300, deadline=None)
+def test_hi_lo_split_double_conversion_is_correctly_rounded(n):
+    # agg_higher_moments converts exact wide-integer power sums to
+    # double via the hi/lo 32-bit split because a direct wide→double
+    # cast is not correctly rounded in every engine. Property: for any
+    # n < 2^85, float(n - n%2^32) + float(n%2^32) equals Python's
+    # correctly-rounded float(n) — hi keeps ≤53 significant bits
+    # (trailing 32 zeros), lo fits 32 bits, so both convert exactly and
+    # the single IEEE add performs the one correct rounding.
+    lo = n % 2**32
+    hi = n - lo
+    assert float(hi) + float(lo) == float(n)
