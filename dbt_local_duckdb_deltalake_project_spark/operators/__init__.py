@@ -107,6 +107,7 @@ _WINDOW_SECOND = [
     "delta_concurrent_writers", "agg_higher_moments", "scan_csv_gzip",
     "sink_json_lines", "fn_tz_convert", "llm_chunk_reassemble",
     "llm_minhash_signature_sql", "delta_merge_insert_only",
+    "join_dynamic_partition_pruning", "agg_boolean_aggs",
     "delta_time_travel", "delta_merge_upsert",   # deltalike.py changed (ts resolution, vacuum)
     "stream_tumbling", "stream_session", "win_range_frame", "fn_date",  # events/tz consumers
     "join_asof",                 # §2.3

@@ -1273,3 +1273,40 @@ def agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "n", mean.alias("mean_cents"),
         skew.alias("skewness"), kurt.alias("kurtosis_excess"),
     ).orderBy("event_type")
+
+
+_BOOL_AGGS_ORACLE = """
+SELECT o_orderpriority,
+       COUNT(*) FILTER (o_orderstatus = 'F') AS n_finished,
+       BOOL_AND(o_totalprice > 0) AS all_positive,
+       BOOL_OR(o_totalprice > 400000) AS any_jumbo,
+       CAST(MIN(o_orderkey) AS BIGINT) AS stable_any_key
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("agg_boolean_aggs", _BOOL_AGGS_ORACLE)
+def agg_boolean_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregate family — count_if / every / any (SQL BOOL_AND /
+    BOOL_OR) are how data-quality invariants compile ("all rows
+    positive", "any outlier present"): associative single-bit
+    accumulators, map-side combinable, the cheapest aggregates that
+    exist. ANY_VALUE is deliberately replaced by MIN — any_value is
+    non-deterministic by contract (first row seen wins, and partition
+    order decides it), so a reproducible pipeline uses an ordered
+    surrogate; the docstring IS the lesson here. One scan, codegen
+    throughout.
+    """
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count_if(F.col("o_orderstatus") == "F").alias("n_finished"),
+            F.every(F.col("o_totalprice") > 0).alias("all_positive"),
+            F.some(F.col("o_totalprice") > 400000).alias("any_jumbo"),
+            F.min("o_orderkey").alias("stable_any_key"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -840,3 +840,70 @@ def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("pr").asc_nulls_first())
     )
+
+
+_DPP_ORACLE = f"""
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       {sql_dsum('o_totalprice', 'revenue')}
+FROM orders
+WHERE o_orderstatus IN (SELECT s FROM (VALUES ('F')) AS dim(s))
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("join_dynamic_partition_pruning", _DPP_ORACLE)
+def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning — the optimization that makes
+    star-schema joins viable on partitioned fact tables: the fact side
+    is partitioned on the join key, the dim side's filter only
+    resolves at runtime, and Spark injects a dynamic-pruning subquery
+    into the fact SCAN so non-qualifying partitions are never listed,
+    let alone read. The op stages orders partitioned by status (the
+    one-time layout cost a warehouse pays at write), joins a
+    runtime-filtered dim, and `tests/test_plans.py` asserts
+    `dynamicpruning` actually reached the scan — at 100 TB this is
+    the difference between reading one date partition and reading the
+    year. Oracle = the semantically-equal IN-subquery filter.
+    """
+    import os
+
+    from ..sources.workspace import (
+        fixture_fingerprint,
+        staging_lock,
+        workdir,
+    )
+
+    import hashlib
+
+    base = workdir(sf_dir, "dpp_fact", fresh=False)
+    fp = hashlib.md5(fixture_fingerprint(sf_dir).encode()).hexdigest()
+    stamp = os.path.join(base, "_STAMP-" + fp)
+    dim_path = os.path.join(base, "_dim")
+    with staging_lock:
+        if not os.path.exists(stamp):
+            t(spark, sf_dir, "orders").write.mode("overwrite").partitionBy(
+                "o_orderstatus"
+            ).parquet(base)
+            spark.createDataFrame(
+                [("F", 1), ("O", 0), ("P", 0)], ["s", "is_final"]
+            ).write.mode("overwrite").parquet(dim_path)
+            open(stamp, "w").close()
+    fact = spark.read.option("basePath", base).parquet(
+        os.path.join(base, "o_orderstatus=*")
+    )
+    # Selective predicate on the BROADCAST dim side is what arms DPP:
+    # the fact scan receives a dynamicpruning# partition filter fed by
+    # the reused broadcast (plan-asserted in tests/test_plans.py).
+    dim = F.broadcast(
+        spark.read.parquet(dim_path).filter(F.col("is_final") == 1)
+    )
+    return (
+        fact.join(dim, fact.o_orderstatus == dim.s)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), "revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )

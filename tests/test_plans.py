@@ -305,3 +305,12 @@ def test_ewma_lags_share_one_window_sort(spark, sf_dir):
 def test_retention_cohort_broadcasts_cohort_frame(spark, sf_dir):
     df = QUERIES["agg_retention_cohort"](spark, sf_dir)
     assert "BroadcastHashJoin" in plan(df)
+
+
+def test_dynamic_partition_pruning_reaches_fact_scan(spark, sf_dir):
+    # the fact scan's PartitionFilters must carry the runtime
+    # dynamicpruning subquery fed by the broadcast dim — reading only
+    # qualifying partitions is the entire value of the layout.
+    df = QUERIES["join_dynamic_partition_pruning"](spark, sf_dir)
+    p = formatted(df)
+    assert "dynamicpruning" in p.lower()
