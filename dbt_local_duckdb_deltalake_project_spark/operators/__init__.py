@@ -108,6 +108,7 @@ _WINDOW_SECOND = [
     "sink_json_lines", "fn_tz_convert", "llm_chunk_reassemble",
     "llm_minhash_signature_sql", "delta_merge_insert_only",
     "join_dynamic_partition_pruning", "agg_boolean_aggs",
+    "llm_dedup_editdistance", "delta_replace_where",
     "delta_time_travel", "delta_merge_upsert",   # deltalike.py changed (ts resolution, vacuum)
     "stream_tumbling", "stream_session", "win_range_frame", "fn_date",  # events/tz consumers
     "join_asof",                 # §2.3

@@ -1328,3 +1328,62 @@ def delta_merge_insert_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tbl.read(spark).select(
         "o_orderkey", "o_orderstatus", "price"
     ).orderBy("o_orderkey")
+
+
+@register(
+    "delta_replace_where",
+    """
+    WITH fresh AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST((CAST(ROUND(o_totalprice * 100) AS BIGINT) * 9) // 10
+                  AS DOUBLE) / 100 AS price
+      FROM orders WHERE o_orderstatus = 'F'
+    )
+    SELECT o_orderkey, o_orderstatus, price FROM fresh
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, ROUND(o_totalprice, 2) AS price
+    FROM orders WHERE o_orderstatus <> 'F'
+    ORDER BY o_orderkey
+    """,
+)
+def delta_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`replaceWhere` — overwrite ONLY the slice a predicate selects, in
+    one atomic commit (the selective-backfill verb: recompute one
+    status/date/region and swap it in while every other row stays
+    byte-identical and readers never see a gap). Semantically: new
+    data must satisfy the predicate (validated up front — a backfill
+    that writes outside its declared slice is corrupt), surviving
+    rows = NOT(predicate), and kept ∪ fresh commits as one version.
+    Unlike full overwrite, the blast radius is the predicate; unlike
+    DELETE+append, there is no intermediate state. At 100 TB with the
+    table partitioned on the predicate column this touches only the
+    matching partitions' files.
+    """
+    tbl = DeltaLikeTable(workdir(sf_dir, "replace_where"))
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("price")
+    )
+    tbl.write(o, mode="overwrite")
+    pred = F.col("o_orderstatus") == "F"
+    # 10%-off in exact integer cents ((c*9) DIV 10) — a double
+    # ROUND(x*0.9, 2) was measured to round differently across engines
+    # at representation boundaries.
+    fresh = o.filter(pred).withColumn(
+        "price",
+        (F.round(F.col("price") * 100).cast("long") * 9)
+        .cast("long")
+        .alias("c"),
+    ).withColumn(
+        "price", F.expr("CAST(price DIV 10 AS DOUBLE) / 100")
+    )
+    # replaceWhere contract: reject data that violates the predicate.
+    n_bad = fresh.filter(~pred.eqNullSafe(True)).limit(1).count()
+    if n_bad:
+        raise ValueError("replaceWhere: data outside the declared slice")
+    kept = tbl.read(spark).filter(~pred.eqNullSafe(True))
+    tbl.write(
+        kept.unionByName(fresh), mode="overwrite", operation="REPLACE WHERE"
+    )
+    return tbl.read(spark).select(
+        "o_orderkey", "o_orderstatus", "price"
+    ).orderBy("o_orderkey")

@@ -3366,3 +3366,74 @@ def llm_minhash_signature_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", matches.alias("matches_of_8"))
         .orderBy("doc_a", "doc_b")
     )
+
+
+_EDITDIST_ORACLE = """
+WITH d AS (
+  SELECT doc_id, text,
+         string_split(text, ' ')[1] || ' ' || string_split(text, ' ')[2]
+           AS block_key
+  FROM documents
+  WHERE length(string_split(text, ' ')) >= 2
+), cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.text AS ta, b.text AS tb
+  FROM d a JOIN d b ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(levenshtein(ta, tb) AS BIGINT) AS edit_dist,
+       CAST(levenshtein(ta, tb) * 100
+            // GREATEST(length(ta), length(tb)) AS BIGINT) AS dist_pct,
+       (levenshtein(ta, tb) * 100
+        <= 20 * GREATEST(length(ta), length(tb))) AS is_near_dup
+FROM cand
+ORDER BY doc_a, doc_b
+"""
+
+
+@register("llm_dedup_editdistance", _EDITDIST_ORACLE)
+def llm_dedup_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup — the character-level complement of
+    shingle/MinHash dedup (catches OCR noise, small insertions,
+    truncations that break token shingles). Levenshtein is O(len²)
+    per PAIR, so all-pairs is never on the table: candidates come from
+    a cheap BLOCKING key first (leading-2-token prefix — template-y
+    near-dups share openings; production systems block on several
+    keys), and only blocked pairs pay the quadratic refine. The
+    threshold compare is integer cross-multiplication (dist·100 ≤
+    20·maxlen), no float ratio to round differently. Blocking +
+    bounded refine is the standard record-linkage shape at any scale;
+    block-size skew is the knob to watch (a boilerplate prefix ⇒ big
+    bucket ⇒ cap or second key).
+    """
+    d = t(spark, sf_dir, "documents").filter(
+        F.size(F.split("text", " ")) >= 2
+    )
+    tk = F.split("text", " ")
+    dd = d.select(
+        "doc_id", "text",
+        F.concat(
+            F.element_at(tk, 1), F.lit(" "), F.element_at(tk, 2)
+        ).alias("block_key"),
+    )
+    a, b = dd.alias("a"), dd.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.block_key") == F.col("b.block_key"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.text").alias("ta"),
+        F.col("b.text").alias("tb"),
+    )
+    dist = F.levenshtein("ta", "tb").cast("long")
+    maxlen = F.greatest(F.length("ta"), F.length("tb")).cast("long")
+    return cand.select(
+        "doc_a", "doc_b",
+        dist.alias("edit_dist"),
+        F.expr(
+            "CAST(levenshtein(ta, tb) * 100 DIV "
+            "greatest(length(ta), length(tb)) AS BIGINT)"
+        ).alias("dist_pct"),
+        (dist * 100 <= 20 * maxlen).alias("is_near_dup"),
+    ).orderBy("doc_a", "doc_b")
