@@ -3437,3 +3437,46 @@ def llm_dedup_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dist_pct"),
         (dist * 100 <= 20 * maxlen).alias("is_near_dup"),
     ).orderBy("doc_a", "doc_b")
+
+
+_PER_CLASS_K_ORACLE = """
+WITH ranked AS (
+  SELECT lang, doc_id, n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY md5('cls:' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rk
+  FROM documents
+)
+SELECT lang, doc_id, n_chars, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= 20
+ORDER BY lang, rk
+"""
+
+
+@register("llm_sample_per_class_k", _PER_CLASS_K_ORACLE)
+def llm_sample_per_class_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-k per-class sampling — "exactly 20 examples per language"
+    (eval set construction, few-shot pools, class-balanced probes) as
+    opposed to fraction-based stratified sampling
+    (`llm_sample_stratified`), which cannot promise exact counts. The
+    sample is KEY-ADDRESSED: rank within class by md5 of the doc id
+    (a deterministic pseudo-random order — same sample on every
+    engine, every re-run, every backfill; adding documents only
+    displaces ranks at the boundary rather than reshuffling the whole
+    sample) and keep rank ≤ k. One window per class — and Spark plans
+    a WindowGroupLimit (top-k push-down) so each partition keeps ~k
+    rows before the final sort, not its whole class.
+    """
+    d = t(spark, sf_dir, "documents")
+    rk = F.row_number().over(
+        W.partitionBy("lang").orderBy(
+            F.md5(F.concat(F.lit("cls:"), F.col("doc_id").cast("string"))),
+            "doc_id",
+        )
+    )
+    return (
+        d.select("lang", "doc_id", "n_chars", rk.cast("long").alias("rk"))
+        .filter(F.col("rk") <= 20)
+        .orderBy("lang", "rk")
+    )

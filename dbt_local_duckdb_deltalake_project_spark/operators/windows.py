@@ -708,3 +708,68 @@ def win_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("grand_total_m").cast("double")
         ).alias("pct_of_total"),
     ).orderBy("o_custkey", "o_orderkey")
+
+
+_PARETO_ORACLE = """
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(ROUND(o_totalprice * 1000000) AS BIGINT)) AS BIGINT)
+           AS spend_m
+  FROM orders GROUP BY o_custkey
+), ranked AS (
+  SELECT o_custkey, spend_m,
+         ROW_NUMBER() OVER (ORDER BY spend_m DESC, o_custkey) AS rk,
+         CAST(SUM(spend_m) OVER (ORDER BY spend_m DESC, o_custkey
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_m,
+         CAST(SUM(spend_m) OVER () AS BIGINT) AS total_m
+  FROM spend
+)
+SELECT o_custkey, CAST(rk AS BIGINT) AS rk,
+       CAST(spend_m AS DOUBLE) / 1000000 AS spend,
+       CAST(cum_m AS DOUBLE) / CAST(total_m AS DOUBLE) AS cum_share,
+       (cum_m * 5 <= total_m * 4) AS in_top80_revenue
+FROM ranked
+ORDER BY rk
+"""
+
+
+@register("win_pareto_analysis", _PARETO_ORACLE)
+def win_pareto_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC analysis — customers ranked by spend with cumulative
+    revenue share and the "which customers make up the first 80% of
+    revenue" flag (the 80/20 cut every account-tiering exercise runs).
+    Cumulative sums ride exact scaled longs over a unique-tiebreak
+    global sort; the 80% membership test is integer cross-
+    multiplication (cum·5 ≤ total·4), so no boundary row can flip on
+    float rounding. The global sort is the honest cost: ranking the
+    whole key space is inherently one ordered pass (Spark range-
+    partitions the sort; the single-partition window here is the
+    fixture-scale shortcut, win_ratio_to_report documents the
+    broadcast-scalar swap for the total at 100 TB).
+    """
+    o = t(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(
+            F.round(F.col("o_totalprice") * 1_000_000).cast("long")
+        ).alias("spend_m")
+    )
+    order = W.orderBy(F.col("spend_m").desc(), "o_custkey")
+    running = order.rowsBetween(W.unboundedPreceding, W.currentRow)
+    ranked = spend.select(
+        "o_custkey",
+        "spend_m",
+        F.row_number().over(order).cast("long").alias("rk"),
+        F.sum("spend_m").over(running).alias("cum_m"),
+        F.sum("spend_m").over(W.partitionBy()).alias("total_m"),
+    )
+    return ranked.select(
+        "o_custkey", "rk",
+        (F.col("spend_m").cast("double") / 1_000_000).alias("spend"),
+        (
+            F.col("cum_m").cast("double") / F.col("total_m").cast("double")
+        ).alias("cum_share"),
+        (F.col("cum_m") * 5 <= F.col("total_m") * 4).alias(
+            "in_top80_revenue"
+        ),
+    ).orderBy("rk")
