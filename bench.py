@@ -99,6 +99,7 @@ def main() -> None:
         "stream_stream_join",
         "stream_deltalike_source",
         "stream_change_data_feed",
+        "stream_checkpoint_recovery",
     )}
     sql_pooled = sorted(n for n in qs if n in oracles)
     rows_pooled = sorted(n for n in qs if n not in oracles)

@@ -883,3 +883,137 @@ def stream_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
     return spark.table(sink).orderBy("version", "change_type")
+
+
+@register(
+    "stream_checkpoint_recovery",
+    """
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+           TRUE AS second_run_resumed
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def stream_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint restart/recovery — the property streaming correctness
+    actually rests on: a stream is STOPPED after draining half the
+    source, MORE data lands, and a new query starting from the SAME
+    checkpoint must resume from the recorded offset — re-reading
+    nothing (the aggregation state carries the first run's counts) and
+    missing nothing. Run 2's starting offset is read back out of the
+    checkpoint's offsets log and asserted past run 1's drain point; the
+    final complete-mode counts must equal the batch aggregate over ALL
+    commits — together those two facts prove exactly-once across a
+    restart. The source is the versioned table tailed by log-version
+    offsets (fresh per call, since the op mutates it mid-stream).
+    """
+    import json as _json
+    import os
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        SimpleDataSourceStreamReader,
+    )
+
+    from ..catalog import t
+    from ..sources.deltalike import DeltaLikeTable
+    from ..sources.workspace import workdir
+
+    tbl = DeltaLikeTable(workdir(sf_dir, "ckpt_recovery"))
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    tbl.write(o.filter(F.col("o_orderkey") % 4 == 0), mode="overwrite")
+    tbl.write(o.filter(F.col("o_orderkey") % 4 == 1), mode="append")
+    table_path = tbl.path
+
+    class _Reader(SimpleDataSourceStreamReader):
+        def initialOffset(self):
+            return {"version": 0}
+
+        def _commit_rows(self, v):
+            import pyarrow.parquet as pq
+
+            log = os.path.join(table_path, "_delta_log", f"{v:020d}.json")
+            if not os.path.exists(log):
+                return
+            with open(log) as fh:
+                acts = [_json.loads(ln) for ln in fh]
+            for act in acts:
+                if "add" in act:
+                    f = os.path.join(table_path, act["add"]["path"])
+                    for row in pq.read_table(f).to_pylist():
+                        yield (row["o_orderkey"], row["o_orderstatus"])
+
+        def read(self, start):
+            v = start["version"]
+            rows: list = []
+            while os.path.exists(
+                os.path.join(table_path, "_delta_log", f"{v:020d}.json")
+            ):
+                rows.extend(self._commit_rows(v))
+                v += 1
+            return rows, {"version": v}
+
+        def readBetweenOffsets(self, start, end):
+            return [
+                row
+                for v in range(start["version"], end["version"])
+                for row in self._commit_rows(v)
+            ]
+
+        def commit(self, end):
+            pass
+
+    class _Src(DataSource):
+        @classmethod
+        def name(cls):
+            return "ckpt_recovery_stream"
+
+        def schema(self):
+            return "o_orderkey bigint, o_orderstatus string"
+
+        def simpleStreamReader(self, schema):
+            return _Reader()
+
+    spark.dataSource.register(_Src)
+    import uuid as _uuid
+
+    ckpt = workdir(sf_dir, "stream_ckpt_recovery")
+
+    def run_once(sink):
+        stream = spark.readStream.format("ckpt_recovery_stream").load()
+        agg = stream.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n_orders")
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    with replay_shuffle(spark):
+        run_once(f"sink_ckpt1_{_uuid.uuid4().hex[:8]}")
+        # stream is stopped; two more commits land
+        tbl.write(o.filter(F.col("o_orderkey") % 4 == 2), mode="append")
+        tbl.write(o.filter(F.col("o_orderkey") % 4 == 3), mode="append")
+        sink2 = f"sink_ckpt2_{_uuid.uuid4().hex[:8]}"
+        run_once(sink2)
+
+    # Proof of resume: the LAST committed offset of run 1 (the highest
+    # batch in the checkpoint before run 2 appended its batches) must
+    # already cover versions 0..1, i.e. run 2 started past them.
+    offsets_dir = os.path.join(ckpt, "offsets")
+    batches = sorted(int(f) for f in os.listdir(offsets_dir) if f.isdigit())
+    with open(os.path.join(offsets_dir, str(batches[0]))) as fh:
+        first_batch_end = _json.loads(fh.readlines()[-1])["version"]
+    resumed = len(batches) >= 2 and first_batch_end >= 2
+    return (
+        spark.table(sink2)
+        .select(
+            "o_orderstatus", "n_orders",
+            F.lit(bool(resumed)).alias("second_run_resumed"),
+        )
+        .orderBy("o_orderstatus")
+    )
