@@ -9,7 +9,7 @@ ingest correctness is oracle-checked against the parquet truth.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import t
@@ -564,4 +564,41 @@ def sink_json_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("price_checksum_m"),
         )
         .orderBy("o_orderstatus")
+    )
+
+
+_RANGE_ORACLE = """
+SELECT CAST(i AS BIGINT) AS i,
+       CAST(i * i AS BIGINT) AS sq,
+       CAST(SUM(i) OVER (ORDER BY i ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS running
+FROM range(0, 1000) AS r(i)
+ORDER BY i
+"""
+
+
+@register("scan_range_source", _RANGE_ORACLE)
+def scan_range_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The range generator source — `spark.range` is the built-in
+    table-function every synthetic workload, spine, and backfill
+    enumerator starts from (date spines join against it, load tests
+    scale it to billions). It materializes nothing: rows are generated
+    per-partition from (start, end, step, numPartitions) arithmetic,
+    so a trillion-row range costs no I/O and splits perfectly. The op
+    layers a running window on top to prove the generated ordering
+    composes with real operators.
+    """
+    return (
+        spark.range(0, 1000)
+        .select(
+            F.col("id").alias("i"),
+            (F.col("id") * F.col("id")).alias("sq"),
+        )
+        .withColumn(
+            "running",
+            F.sum("i").over(
+                W.orderBy("i").rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+        )
+        .orderBy("i")
     )

@@ -9,8 +9,9 @@ into joins, so these stay shuffle-planned and scale like the §2.3 joins.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-from ..catalog import sql
+from ..catalog import sql, t
 from .registry import register
 
 
@@ -440,4 +441,72 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
            GROUP BY l_returnflag
         |> ORDER BY l_returnflag
         """,
+    )
+
+
+_REUSE_ORACLE = """
+WITH spend AS (
+  SELECT o_custkey, COUNT(*) AS n_orders,
+         CAST(SUM(CAST(ROUND(o_totalprice * 1000000) AS BIGINT)) AS BIGINT)
+           AS spend_m
+  FROM orders GROUP BY o_custkey
+), stats AS (
+  SELECT CAST(MAX(spend_m) AS BIGINT) AS max_m,
+         CAST(SUM(spend_m) AS BIGINT) AS total_m,
+         CAST(SUM(n_orders) AS BIGINT) AS total_orders
+  FROM spend
+)
+SELECT s.o_custkey, s.n_orders,
+       CAST(s.spend_m AS DOUBLE) / 1000000 AS spend,
+       (s.spend_m * 10 >= st.max_m * 9) AS near_top,
+       CAST(s.spend_m AS DOUBLE) / CAST(st.total_m AS DOUBLE) AS share,
+       st.total_orders
+FROM spend s CROSS JOIN stats st
+WHERE s.spend_m * 20 >= st.max_m
+ORDER BY s.o_custkey
+"""
+
+
+@register("cte_reuse_exchange", _REUSE_ORACLE)
+def cte_reuse_exchange(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One CTE consumed twice — the per-customer spend aggregate feeds
+    both the row stream AND the global stats that filter it. The
+    engine must not compute the aggregation twice: Spark detects the
+    identical exchange subtree and plans a ReusedExchange for the
+    second consumer (asserted in tests/test_plans.py), which is
+    Catalyst's answer to `WITH ... AS MATERIALIZED` — the shuffle
+    files written for the first consumer are read again, zero extra
+    scan or agg. The stats side collapses to one row and broadcasts.
+    Threshold compares are integer cross-multiplications.
+    """
+    o = t(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(
+            F.round(F.col("o_totalprice") * 1_000_000).cast("long")
+        ).alias("spend_m"),
+    )
+    # total_orders keeps BOTH spend columns referenced by the stats
+    # consumer — otherwise column pruning specializes the second
+    # aggregate subtree and the exchanges stop being identical (no
+    # ReusedExchange).
+    stats = spend.agg(
+        F.max("spend_m").alias("max_m"),
+        F.sum("spend_m").alias("total_m"),
+        F.sum("n_orders").alias("total_orders"),
+    )
+    return (
+        spend.crossJoin(F.broadcast(stats))
+        .filter(F.col("spend_m") * 20 >= F.col("max_m"))
+        .select(
+            "o_custkey", "n_orders",
+            (F.col("spend_m").cast("double") / 1_000_000).alias("spend"),
+            (F.col("spend_m") * 10 >= F.col("max_m") * 9).alias("near_top"),
+            (
+                F.col("spend_m").cast("double")
+                / F.col("total_m").cast("double")
+            ).alias("share"),
+            "total_orders",
+        )
+        .orderBy("o_custkey")
     )

@@ -314,3 +314,13 @@ def test_dynamic_partition_pruning_reaches_fact_scan(spark, sf_dir):
     df = QUERIES["join_dynamic_partition_pruning"](spark, sf_dir)
     p = formatted(df)
     assert "dynamicpruning" in p.lower()
+
+
+def test_cte_reuse_plans_reused_exchange(spark, sf_dir):
+    # the spend aggregate feeds two consumers; the second must read the
+    # first's shuffle files (ReusedExchange), not recompute the agg.
+    # AQE stitches the reuse in at runtime, so execute before asserting
+    # on the final plan.
+    df = QUERIES["cte_reuse_exchange"](spark, sf_dir)
+    df.collect()
+    assert "ReusedExchange" in plan(df)
