@@ -100,6 +100,7 @@ def main() -> None:
         "stream_deltalike_source",
         "stream_change_data_feed",
         "stream_checkpoint_recovery",
+        "stream_foreachbatch_multi_sink",
     )}
     sql_pooled = sorted(n for n in qs if n in oracles)
     rows_pooled = sorted(n for n in qs if n not in oracles)

@@ -3480,3 +3480,130 @@ def llm_sample_per_class_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 20)
         .orderBy("lang", "rk")
     )
+
+
+_BM25_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), dl AS (
+  SELECT doc_id, COUNT(*) AS dlen FROM tok GROUP BY doc_id
+), stats AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM(dlen) AS BIGINT) AS total_len
+  FROM dl
+), q AS (
+  SELECT unnest(['spark', 'join', 'window']) AS term
+), tf AS (
+  SELECT t.doc_id, t.w AS term, COUNT(*) AS tf
+  FROM tok t JOIN q ON t.w = q.term
+  GROUP BY t.doc_id, t.w
+), df AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), idf AS (
+  SELECT term,
+         ROUND(ln((CAST((SELECT n_docs FROM stats) AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                  / (CAST(df AS DOUBLE) + 0.5) + 1), 9) AS idf
+  FROM df
+), scored AS (
+  SELECT tf.doc_id,
+         CAST(ROUND(
+           idf.idf * (CAST(tf.tf AS DOUBLE) * 2.2)
+           / (CAST(tf.tf AS DOUBLE)
+              + 1.2 * (0.25 + 0.75 * CAST(dl.dlen AS DOUBLE)
+                       * CAST((SELECT n_docs FROM stats) AS DOUBLE)
+                       / CAST((SELECT total_len FROM stats) AS DOUBLE)))
+           * 1000000) AS BIGINT) AS term_score_m
+  FROM tf
+  JOIN idf ON tf.term = idf.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+)
+SELECT doc_id,
+       CAST(SUM(term_score_m) AS BIGINT) AS score_micros
+FROM scored
+GROUP BY doc_id
+ORDER BY score_micros DESC, doc_id
+LIMIT 10
+"""
+
+
+@register("llm_bm25_search", _BM25_ORACLE)
+def llm_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (k1=1.2, b=0.75) for a 3-term query — the
+    sparse-retrieval complement of the dense ANN family (production
+    RAG runs both and fuses). Everything is relational: token stream ⋈
+    broadcast query terms → per-(doc,term) tf, term document
+    frequencies, corpus stats as one broadcast scalar row — the
+    inverted-index computation as joins, linear in corpus size with no
+    per-term state beyond counts. Determinism: the one transcendental
+    (idf's ln) is 9-dp-rounded, each term's score is quantized to
+    micros BEFORE the cross-term sum (a double SUM over terms would be
+    order-dependent; the long sum is exact), and 1/avgdl is folded as
+    dlen·N/total_len so the double chain is identical on both engines.
+    Top-10 by exact integer score with id tiebreak.
+    """
+    d = t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dlen"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dlen").alias("total_len"),
+    )
+    q = spark.createDataFrame(
+        [("spark",), ("join",), ("window",)], ["term"]
+    )
+    tf = (
+        tok.join(F.broadcast(q), tok.w == q.term)
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = (
+        df_.crossJoin(F.broadcast(stats.select("n_docs")))
+        .select(
+            "term",
+            F.round(
+                F.log(
+                    (
+                        F.col("n_docs").cast("double")
+                        - F.col("df").cast("double")
+                        + 0.5
+                    )
+                    / (F.col("df").cast("double") + 0.5)
+                    + 1
+                ),
+                9,
+            ).alias("idf"),
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(
+                F.col("idf")
+                * (F.col("tf").cast("double") * 2.2)
+                / (
+                    F.col("tf").cast("double")
+                    + 1.2
+                    * (
+                        0.25
+                        + 0.75
+                        * F.col("dlen").cast("double")
+                        * F.col("n_docs").cast("double")
+                        / F.col("total_len").cast("double")
+                    )
+                )
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("term_score_m"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.sum("term_score_m").alias("score_micros"))
+        .orderBy(F.col("score_micros").desc(), "doc_id")
+        .limit(10)
+    )

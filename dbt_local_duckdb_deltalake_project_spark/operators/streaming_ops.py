@@ -1017,3 +1017,87 @@ def stream_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "stream_foreachbatch_multi_sink",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_raw,
+           COUNT(*) AS n_agg,
+           TRUE AS sinks_consistent
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def stream_foreachbatch_multi_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One stream fanned to TWO sinks in the same foreachBatch — the
+    lambda-architecture staple (raw archive + serving aggregate from a
+    single ingestion) and the place exactly-once quietly breaks: the
+    two writes are NOT one transaction, so each sink must dedup
+    independently. Sink A appends raw rows txn-stamped per batch; sink
+    B MERGEs per-key running counts. A crash between A's write and B's
+    write replays the batch — A's high-water mark skips it, B's merge
+    re-derives the same counts — so both sinks converge without a
+    cross-sink transaction. The op drains the staged event replay,
+    then proves sink A's aggregate, sink B's serving table, and the
+    batch truth all agree (the consistency the pattern promises).
+    """
+    from ..sources.deltalike import DeltaLikeTable
+    from ..sources.workspace import workdir
+
+    raw_sink = DeltaLikeTable(workdir(sf_dir, "msink_raw"))
+    agg_sink = DeltaLikeTable(workdir(sf_dir, "msink_agg"))
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        rows = batch_df.select("event_id", "event_type")
+        raw_sink.write_idempotent(
+            rows, app_id="msink_raw", app_version=batch_id
+        )
+        counts = rows.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        if agg_sink.latest_version < 0:
+            agg_sink.write(counts, mode="overwrite")
+        else:
+            cur = agg_sink.read(rows.sparkSession).withColumnRenamed(
+                "n", "n_old"
+            )
+            merged = (
+                counts.join(cur, "event_type", "full_outer")
+                .select(
+                    "event_type",
+                    (
+                        F.coalesce("n", F.lit(0))
+                        + F.coalesce("n_old", F.lit(0))
+                    ).alias("n"),
+                )
+            )
+            agg_sink.write(merged, mode="overwrite", operation="MERGE")
+
+    src, ckpt = stage_event_files(spark, sf_dir, "msink")
+    stream = read_staged_stream(spark, src)
+    with replay_shuffle(spark):
+        q = (
+            stream.writeStream.foreachBatch(commit_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    raw_agg = (
+        raw_sink.read(spark)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_raw"))
+    )
+    serving = agg_sink.read(spark).withColumnRenamed("n", "n_agg")
+    return (
+        raw_agg.join(serving, "event_type")
+        .select(
+            "event_type", "n_raw", "n_agg",
+            (F.col("n_raw") == F.col("n_agg")).alias("sinks_consistent"),
+        )
+        .orderBy("event_type")
+    )
