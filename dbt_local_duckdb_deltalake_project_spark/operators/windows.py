@@ -773,3 +773,92 @@ def win_pareto_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
             "in_top80_revenue"
         ),
     ).orderBy("rk")
+
+
+_INTERVAL_MERGE_ORACLE = """
+WITH iv AS (
+  SELECT o_custkey,
+         datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+           AS start_d,
+         datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+           + (o_orderkey % 25) + 3 AS end_d,
+         o_orderkey
+  FROM orders
+), flagged AS (
+  SELECT o_custkey, start_d, end_d, o_orderkey,
+         CASE WHEN start_d > COALESCE(MAX(end_d) OVER (
+                PARTITION BY o_custkey ORDER BY start_d, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+              ), -1)
+              THEN 1 ELSE 0 END AS new_grp
+  FROM iv
+), grouped AS (
+  SELECT o_custkey, start_d, end_d,
+         CAST(SUM(new_grp) OVER (
+           PARTITION BY o_custkey ORDER BY start_d, o_orderkey
+           ROWS UNBOUNDED PRECEDING
+         ) AS BIGINT) AS grp
+  FROM flagged
+)
+SELECT o_custkey, grp,
+       MIN(start_d) AS merged_start,
+       MAX(end_d) AS merged_end,
+       COUNT(*) AS n_intervals
+FROM grouped
+GROUP BY o_custkey, grp
+ORDER BY o_custkey, grp
+"""
+
+
+@register("win_interval_merge", _INTERVAL_MERGE_ORACLE)
+def win_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge overlapping intervals per key — coverage windows from
+    per-order service periods (the genomics/maintenance/uptime
+    staple, and the interval cousin of gaps-and-islands). The
+    classic O(n log n) rewrite: sort intervals, flag a NEW group
+    exactly where an interval's start clears the running MAX of all
+    PRECEDING ends (a touching-or-overlapping interval doesn't), and
+    a running sum of flags numbers the merged groups — two window
+    passes over ONE per-key sort plus a final groupBy, no self-join,
+    no recursion. All day arithmetic is integer; (start, orderkey)
+    tiebreaks make the flag sequence engine-identical. Skew bound =
+    the largest single key's interval count, same as any windowed op.
+    """
+    o = t(spark, sf_dir, "orders")
+    iv = o.select(
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01")).alias(
+            "start_d"
+        ),
+        (
+            F.datediff(F.col("o_orderdate"), F.lit("1995-01-01"))
+            + (F.col("o_orderkey") % 25)
+            + 3
+        ).alias("end_d"),
+        "o_orderkey",
+    )
+    order = W.partitionBy("o_custkey").orderBy("start_d", "o_orderkey")
+    prev_max_end = F.max("end_d").over(
+        order.rowsBetween(W.unboundedPreceding, -1)
+    )
+    flagged = iv.select(
+        "o_custkey", "start_d", "end_d", "o_orderkey",
+        F.when(
+            F.col("start_d") > F.coalesce(prev_max_end, F.lit(-1)), 1
+        ).otherwise(0).alias("new_grp"),
+    )
+    grouped = flagged.select(
+        "o_custkey", "start_d", "end_d",
+        F.sum("new_grp")
+        .over(order.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("grp"),
+    )
+    return (
+        grouped.groupBy("o_custkey", "grp")
+        .agg(
+            F.min("start_d").alias("merged_start"),
+            F.max("end_d").alias("merged_end"),
+            F.count(F.lit(1)).alias("n_intervals"),
+        )
+        .orderBy("o_custkey", "grp")
+    )
