@@ -856,8 +856,8 @@ def win_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         grouped.groupBy("o_custkey", "grp")
         .agg(
-            F.min("start_d").alias("merged_start"),
-            F.max("end_d").alias("merged_end"),
+            F.min("start_d").cast("long").alias("merged_start"),
+            F.max("end_d").cast("long").alias("merged_end"),
             F.count(F.lit(1)).alias("n_intervals"),
         )
         .orderBy("o_custkey", "grp")
