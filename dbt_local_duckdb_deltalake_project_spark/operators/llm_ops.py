@@ -3436,9 +3436,12 @@ def llm_dedup_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Refine on a 256-char PREFIX: Levenshtein is O(len_a·len_b) per
     # pair, and near-dup texts diverge (or don't) early — the bounded
-    # prefix caps per-pair cost at 256² regardless of document length
-    # (measured 20s→<2s at sf0.1). Denominator uses the truncated
-    # lengths so the percentage stays consistent with the distance.
+    # prefix caps per-pair cost at 256² regardless of document length.
+    # Repartition first: the candidate pairs inherit the single-file
+    # scan's one partition, which would serialize every refine into one
+    # task — spreading pairs across the cluster IS the point of
+    # blocking (measured 10.6s → ~1s at sf0.1).
+    cand = cand.repartition(64, "doc_a", "doc_b")
     pa, pb = F.substring("ta", 1, 256), F.substring("tb", 1, 256)
     dist = F.levenshtein(pa, pb).cast("long")
     maxlen = F.greatest(
