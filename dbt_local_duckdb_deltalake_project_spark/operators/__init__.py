@@ -113,6 +113,7 @@ _WINDOW_SECOND = [
     "stream_checkpoint_recovery", "cte_reuse_exchange",
     "scan_range_source", "llm_bm25_search",
     "stream_foreachbatch_multi_sink", "win_interval_merge",
+    "delta_table_properties", "agg_wilson_interval",
     "delta_time_travel", "delta_merge_upsert",   # deltalike.py changed (ts resolution, vacuum)
     "stream_tumbling", "stream_session", "win_range_frame", "fn_date",  # events/tz consumers
     "join_asof",                 # §2.3

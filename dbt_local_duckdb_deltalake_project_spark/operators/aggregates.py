@@ -1310,3 +1310,65 @@ def agg_boolean_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+_WILSON_ORACLE = """
+WITH x AS (
+  SELECT event_type, user_id,
+         COUNT(*) AS n,
+         COUNT(*) FILTER (value > 100) AS k
+  FROM events GROUP BY event_type, user_id
+), s AS (
+  SELECT event_type,
+         CAST(SUM(n) AS BIGINT) AS trials,
+         CAST(SUM(k) AS BIGINT) AS successes
+  FROM x GROUP BY event_type
+)
+SELECT event_type, trials, successes,
+       CAST(successes AS DOUBLE) / CAST(trials AS DOUBLE) AS rate,
+       (CAST(successes AS DOUBLE) / CAST(trials AS DOUBLE)
+        + 1.9208 / CAST(trials AS DOUBLE)
+        - 1.96 * sqrt(
+            (CAST(successes AS DOUBLE) / CAST(trials AS DOUBLE))
+            * (1 - CAST(successes AS DOUBLE) / CAST(trials AS DOUBLE))
+            / CAST(trials AS DOUBLE)
+            + 0.9604 / (CAST(trials AS DOUBLE) * CAST(trials AS DOUBLE))))
+       / (1 + 3.8416 / CAST(trials AS DOUBLE)) AS wilson_lower
+FROM s
+ORDER BY event_type
+"""
+
+
+@register("agg_wilson_interval", _WILSON_ORACLE)
+def agg_wilson_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score lower bound per metric — the right way to RANK rates
+    with unequal sample sizes (sorting by raw rate puts a 1-of-1
+    event first; the Wilson lower bound shrinks small samples toward
+    0.5, the "how not to sort by average rating" fix). Accumulators
+    are exact integer trial/success counts; the z=1.96 bound is then
+    one IDENTICAL double chain on both engines (z² constants folded
+    as literals: 1.9208 = z²/2, 0.9604 = z²/4, 3.8416 = z²), the
+    win_rolling_zscore discipline — bit-equal inputs through the same
+    IEEE ops give bit-equal bounds, no quantization needed. One scan,
+    two integers per group over the wire.
+    """
+    e = t(spark, sf_dir, "events")
+    x = e.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(F.col("value") > 100).alias("k"),
+    )
+    s = x.groupBy("event_type").agg(
+        F.sum("n").alias("trials"), F.sum("k").alias("successes")
+    )
+    td = F.col("trials").cast("double")
+    p = F.col("successes").cast("double") / td
+    wilson = (
+        p
+        + F.lit(1.9208) / td
+        - F.lit(1.96)
+        * F.sqrt(p * (F.lit(1) - p) / td + F.lit(0.9604) / (td * td))
+    ) / (F.lit(1) + F.lit(3.8416) / td)
+    return s.select(
+        "event_type", "trials", "successes",
+        p.alias("rate"), wilson.alias("wilson_lower"),
+    ).orderBy("event_type")

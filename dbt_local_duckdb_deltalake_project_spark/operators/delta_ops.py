@@ -1387,3 +1387,45 @@ def delta_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tbl.read(spark).select(
         "o_orderkey", "o_orderstatus", "price"
     ).orderBy("o_orderkey")
+
+
+@register(
+    "delta_table_properties",
+    """
+    SELECT * FROM (VALUES
+      ('delta.appendOnly', 'false', TRUE),
+      ('owner', 'data-platform', TRUE),
+      ('pipeline.tier', 'gold', TRUE)
+    ) AS p(prop_key, prop_value, survived_write)
+    ORDER BY prop_key
+    """,
+)
+def delta_table_properties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`ALTER TABLE … SET TBLPROPERTIES` — the protocol's metaData
+    configuration as a user surface: ownership, tiering, and behavior
+    flags ride the table itself (not a side catalog), each SET is one
+    O(1) metadata commit, and — the part that actually bites — the
+    configuration must SURVIVE unrelated data writes (a writer that
+    regenerates metaData from scratch silently wipes every property;
+    this table layer carries configuration forward, same machinery the
+    CHECK-constraint op relies on). The op sets three properties, runs
+    a data append AFTER them, and emits each property with a flag
+    asserting it is still present post-write.
+    """
+    tbl = DeltaLikeTable(workdir(sf_dir, "tblprops"))
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    tbl.write(n.filter(F.col("n_nationkey") < 10), mode="overwrite")
+    props = {
+        "delta.appendOnly": "false",
+        "owner": "data-platform",
+        "pipeline.tier": "gold",
+    }
+    tbl.set_properties(props)
+    tbl.write(n.filter(F.col("n_nationkey") >= 10), mode="append")
+    live = tbl.properties()
+    rows = [
+        (k, v, live.get(k) == v) for k, v in sorted(props.items())
+    ]
+    return spark.createDataFrame(
+        rows, "prop_key string, prop_value string, survived_write boolean"
+    ).orderBy("prop_key")

@@ -543,6 +543,25 @@ class DeltaLikeTable:
             [{"metaData": meta}], operation="ADD CONSTRAINT"
         )
 
+    def set_properties(self, props: dict[str, str]) -> int:
+        """``ALTER TABLE ... SET TBLPROPERTIES``: merge key/values into
+        the metaData configuration — one metadata-only commit, O(1) in
+        table size, and (like constraints) the configuration is carried
+        forward by every subsequent write."""
+        metas = [a["metaData"] for a in self._actions() if "metaData" in a]
+        if not metas:
+            raise ValueError(f"cannot ALTER empty table {self.path}")
+        meta = dict(metas[-1])
+        cfg = dict(meta.get("configuration") or {})
+        cfg.update({str(k): str(v) for k, v in props.items()})
+        meta["configuration"] = cfg
+        return self._commit(
+            [{"metaData": meta}], operation="SET TBLPROPERTIES"
+        )
+
+    def properties(self) -> dict[str, str]:
+        return dict(self._latest_configuration())
+
     def check_constraints(self) -> dict[str, str]:
         prefix = "delta.constraints."
         return {
