@@ -3628,3 +3628,69 @@ def llm_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score_micros").desc(), "doc_id")
         .limit(10)
     )
+
+
+_DATASET_DIFF_ORACLE = """
+WITH v1 AS (
+  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 11 <> 0
+), v2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN md5('edited:' || text)
+              ELSE md5(text) END AS h
+  FROM documents WHERE doc_id % 13 <> 0
+), d AS (
+  SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+         CASE WHEN a.doc_id IS NULL THEN 'added'
+              WHEN b.doc_id IS NULL THEN 'removed'
+              WHEN a.h <> b.h THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id
+)
+SELECT status, COUNT(*) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+FROM d GROUP BY status ORDER BY status
+"""
+
+
+@register("llm_dataset_diff", _DATASET_DIFF_ORACLE)
+def llm_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset version diff — the release audit between two corpus
+    snapshots: which documents were ADDED, REMOVED, CHANGED (same id,
+    different content hash), or carried unchanged. Hash-level
+    comparison means the diff never ships text across the wire — one
+    full-outer join on doc_id over 16-byte digests, the companion to
+    llm_dataset_manifest (manifest says "same corpus or not"; diff
+    says exactly what moved). Changed-content detection by hash is
+    also what makes the diff safe under re-encoding: byte-identical
+    text hashes identical no matter which writer produced the file.
+    One join + one aggregation, linear at any corpus size.
+    """
+    d = t(spark, sf_dir, "documents")
+    v1 = d.filter(F.col("doc_id") % 11 != 0).select(
+        "doc_id", F.md5("text").alias("h1")
+    )
+    v2 = d.filter(F.col("doc_id") % 13 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.md5(F.concat(F.lit("edited:"), F.col("text"))),
+        )
+        .otherwise(F.md5("text"))
+        .alias("h2"),
+    )
+    status = (
+        F.when(F.col("h1").isNull(), "added")
+        .when(F.col("h2").isNull(), "removed")
+        .when(F.col("h1") != F.col("h2"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        v1.join(v2, "doc_id", "full_outer")
+        .select("doc_id", status.alias("status"))
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("id_checksum"),
+        )
+        .orderBy("status")
+    )

@@ -862,3 +862,57 @@ def win_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "grp")
     )
+
+
+_YOY_ORACLE = """
+WITH yearly AS (
+  SELECT o_orderpriority,
+         CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+         CAST(SUM(CAST(ROUND(o_totalprice * 1000000) AS BIGINT)) AS BIGINT)
+           AS rev_m
+  FROM orders GROUP BY o_orderpriority, EXTRACT(year FROM o_orderdate)
+)
+SELECT o_orderpriority, yr,
+       CAST(rev_m AS DOUBLE) / 1000000 AS revenue,
+       CAST(LAG(rev_m) OVER w AS BIGINT) AS prev_rev_m,
+       CASE WHEN LAG(rev_m) OVER w IS NOT NULL
+            THEN (CAST(rev_m AS DOUBLE)
+                  - CAST(LAG(rev_m) OVER w AS DOUBLE))
+                 / CAST(LAG(rev_m) OVER w AS DOUBLE)
+       END AS yoy_growth
+FROM yearly
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY yr)
+ORDER BY o_orderpriority, yr
+"""
+
+
+@register("win_yoy_growth", _YOY_ORACLE)
+def win_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year growth per segment — aggregate to (segment, year)
+    in exact scaled-long micros FIRST, then lag-compare on the tiny
+    yearly frame: the windowed pass runs over |segments|×|years| rows,
+    not the fact table, which is the composition order that keeps
+    period-over-period reporting O(groups) after one fact scan. Growth
+    divides two bit-identical integers as doubles; first year is NULL
+    by definition. Years via EXTRACT, engine-identical on timestamps.
+    """
+    o = t(spark, sf_dir, "orders")
+    yearly = o.groupBy(
+        "o_orderpriority", F.year("o_orderdate").cast("long").alias("yr")
+    ).agg(
+        F.sum(
+            F.round(F.col("o_totalprice") * 1_000_000).cast("long")
+        ).alias("rev_m")
+    )
+    w = W.partitionBy("o_orderpriority").orderBy("yr")
+    prev = F.lag("rev_m").over(w)
+    return yearly.select(
+        "o_orderpriority", "yr",
+        (F.col("rev_m").cast("double") / 1_000_000).alias("revenue"),
+        prev.alias("prev_rev_m"),
+        F.when(
+            prev.isNotNull(),
+            (F.col("rev_m").cast("double") - prev.cast("double"))
+            / prev.cast("double"),
+        ).alias("yoy_growth"),
+    ).orderBy("o_orderpriority", "yr")
