@@ -277,3 +277,70 @@ def udf_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nationkey")
     )
+
+
+_ITER_UDF_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)
+                * (CASE event_type
+                     WHEN 'purchase' THEN 5 WHEN 'click' THEN 3
+                     WHEN 'view' THEN 2 ELSE 1 END)) AS BIGINT)
+         AS score_cents
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("udf_pandas_scalar_iter", _ITER_UDF_ORACLE)
+def udf_pandas_scalar_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterator-form Pandas UDF (`Iterator[Tuple[Series, ...]] →
+    Iterator[Series]`) — the API whose point is AMORTIZED PER-WORKER
+    INIT: expensive state (a model, a tokenizer, a compiled automaton)
+    is constructed ONCE before the batch loop and reused across every
+    Arrow batch the worker sees, instead of per row or per batch. That
+    is the only viable shape for model-scoring 100 TB (loading a model
+    per batch would dominate the run). The "model" here is a
+    deterministic weight table (the container has no ML runtime —
+    same stubbing contract as multimodal decode); the scoring is
+    integer cents × integer weight, so the UDF output is engine-exact
+    and the oracle can replay it relationally.
+    """
+    from typing import Iterator, Tuple
+
+    from pyspark.sql.functions import pandas_udf
+
+    def _score(it):
+        # one-time init per worker: the "model" loads before the loop
+        model = {"purchase": 5, "click": 3, "view": 2}
+        for etype, cents in it:
+            yield cents * etype.map(lambda e: model.get(e, 1)).astype(
+                "int64"
+            )
+
+    # `from __future__ import annotations` stringifies hints, which
+    # pandas_udf's signature inference rejects — attach REAL type
+    # objects so it recognizes the iterator form.
+    _score.__annotations__ = {
+        "it": Iterator[Tuple[pd.Series, pd.Series]],
+        "return": Iterator[pd.Series],
+    }
+    score = pandas_udf(_score, "long")
+
+    e = t(spark, sf_dir, "events")
+    scored = e.select(
+        "event_type",
+        score(
+            F.col("event_type"),
+            F.round(F.col("value") * 100).cast("long"),
+        ).alias("s"),
+    )
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("s").alias("score_cents"),
+        )
+        .orderBy("event_type")
+    )
