@@ -1429,3 +1429,51 @@ def delta_table_properties(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "prop_key string, prop_value string, survived_write boolean"
     ).orderBy("prop_key")
+
+
+@register(
+    "delta_deep_clone",
+    """
+    SELECT n_regionkey, COUNT(*) AS n_nations,
+           TRUE AS clone_independent
+    FROM nation
+    GROUP BY n_regionkey
+    ORDER BY n_regionkey
+    """,
+)
+def delta_deep_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEEP CLONE — the full-copy sibling of `delta_shallow_clone`: the
+    clone gets its OWN data files and log, so it stays correct after
+    the source is vacuumed, mutated, or deleted (a shallow clone's
+    absolute-path add actions dangle the moment the source GCs them —
+    that lifetime coupling is exactly why prod backups are deep and
+    dev forks are shallow). The op clones, then MUTATES THE SOURCE
+    (delete + append), and asserts the clone still reads the original
+    content — isolation proved, not assumed. Cost model is honest:
+    deep clone is O(data) once (a distributed file copy, parallel per
+    file), shallow is O(metadata); both are one atomic commit on the
+    clone side.
+    """
+    src = DeltaLikeTable(workdir(sf_dir, "deepclone_src"))
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    src.write(n, mode="overwrite")
+    clone = DeltaLikeTable(workdir(sf_dir, "deepclone_dst"))
+    clone.write(src.read(spark), mode="overwrite", operation="CLONE")
+    # mutate the SOURCE after cloning: the deep clone must not notice
+    src.delete(spark, F.col("n_regionkey") == 0)
+    src.write(
+        n.withColumn("n_nationkey", F.col("n_nationkey") + 1000),
+        mode="append",
+    )
+    got = clone.read(spark)
+    expected_rows = n.count()
+    independent = got.count() == expected_rows
+    return (
+        got.groupBy("n_regionkey")
+        .agg(F.count(F.lit(1)).alias("n_nations"))
+        .select(
+            "n_regionkey", "n_nations",
+            F.lit(bool(independent)).alias("clone_independent"),
+        )
+        .orderBy("n_regionkey")
+    )
