@@ -1372,3 +1372,105 @@ def agg_wilson_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "trials", "successes",
         p.alias("rate"), wilson.alias("wilson_lower"),
     ).orderBy("event_type")
+
+
+_CUPED_ORACLE = """
+WITH u AS (
+  SELECT user_id, user_id % 2 AS arm,
+         CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-07-01'
+                       THEN CAST(ROUND(value * 100) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-07-01'
+                       THEN CAST(ROUND(value * 100) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS y
+  FROM events GROUP BY user_id
+), g AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM u
+), th AS (
+  SELECT CAST(CAST(n * sxy - sx * sy AS BIGINT) AS DOUBLE)
+         / CAST(CAST(n * sxx - sx * sx AS BIGINT) AS DOUBLE) AS theta,
+         CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_x
+  FROM g
+), a AS (
+  SELECT arm, COUNT(*) AS n_users,
+         CAST(SUM(x) AS BIGINT) AS asx,
+         CAST(SUM(y) AS BIGINT) AS asy
+  FROM u GROUP BY arm
+)
+SELECT a.arm, a.n_users,
+       CAST(a.asy AS DOUBLE) / CAST(a.n_users AS DOUBLE) AS mean_y_cents,
+       CAST(a.asy AS DOUBLE) / CAST(a.n_users AS DOUBLE)
+       - th.theta * (CAST(a.asx AS DOUBLE) / CAST(a.n_users AS DOUBLE)
+                     - th.mean_x) AS mean_y_cuped_cents,
+       th.theta
+FROM a CROSS JOIN th
+ORDER BY a.arm
+"""
+
+
+@register("agg_cuped_adjustment", _CUPED_ORACLE)
+def agg_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (Controlled-experiment Using Pre-Experiment Data) — the
+    variance-reduction step serious A/B platforms apply before the
+    t-test: each user's experiment-period metric Y is adjusted by
+    θ·(X − mean X) using their PRE-period metric X, removing the
+    between-user variance X explains (θ = cov(X,Y)/var X, the pooled
+    OLS slope). Pipeline: one per-user aggregation (pre/post split on
+    the period boundary, exact cents), then pooled moments and per-arm
+    sums — all exact BIGINTs, two rows per arm over the wire; θ and
+    the adjusted means are the usual identical IEEE chain from
+    bit-equal integers (numerator/denominator computed IN BIGINT, the
+    agg_regression_trend discipline). Composes with agg_ab_ttest:
+    same experiment frame, tighter confidence at the same sample size.
+    """
+    e = t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    boundary = F.lit("2024-07-01").cast("timestamp")
+    u = e.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < boundary, cents).otherwise(0)).alias("x"),
+        F.sum(F.when(F.col("ts") >= boundary, cents).otherwise(0)).alias("y"),
+    ).select("user_id", (F.col("user_id") % 2).alias("arm"), "x", "y")
+    g = u.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    th = g.select(
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            .cast("long")
+            .cast("double")
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            .cast("long")
+            .cast("double")
+        ).alias("theta"),
+        (F.col("sx").cast("double") / F.col("n").cast("double")).alias(
+            "mean_x"
+        ),
+    )
+    a = u.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("x").alias("asx"),
+        F.sum("y").alias("asy"),
+    )
+    mean_y = F.col("asy").cast("double") / F.col("n_users").cast("double")
+    mean_x_arm = F.col("asx").cast("double") / F.col("n_users").cast("double")
+    return (
+        a.crossJoin(F.broadcast(th))
+        .select(
+            "arm", "n_users",
+            mean_y.alias("mean_y_cents"),
+            (
+                mean_y - F.col("theta") * (mean_x_arm - F.col("mean_x"))
+            ).alias("mean_y_cuped_cents"),
+            "theta",
+        )
+        .orderBy("arm")
+    )
