@@ -3694,3 +3694,52 @@ def llm_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+_PROMPT_ORACLE = """
+WITH r AS (
+  SELECT doc_id, lang,
+         'SYSTEM: summarize the document.\nDOC[' || lang || ']: '
+           || array_to_string((string_split(text, ' '))[1:64], ' ')
+           || '\nSUMMARY:' AS prompt,
+         LEAST(length(string_split(text, ' ')), 64) AS doc_tokens_used
+  FROM documents
+)
+SELECT doc_id, lang, CAST(doc_tokens_used AS BIGINT) AS doc_tokens_used,
+       CAST(length(prompt) AS BIGINT) AS prompt_chars,
+       md5(prompt) AS prompt_hash
+FROM r
+ORDER BY doc_id
+"""
+
+
+@register("llm_prompt_render", _PROMPT_ORACLE)
+def llm_prompt_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch prompt assembly — the last hop before training/inference:
+    render every document into an instruction template under a TOKEN
+    BUDGET (truncate to the first 64 tokens; production uses a real
+    tokenizer count, same shape). Pure codegen string ops — slice the
+    token array, re-join, concat the template — one linear pass, no
+    shuffle, which is why prompt rendering belongs in the engine
+    rather than a driver loop: at 100 TB it's a map stage like any
+    other. Output carries the md5 of each rendered prompt (the driver
+    hash then certifies byte-identical rendering across engines)
+    rather than megabytes of prompt text.
+    """
+    d = t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    prompt = F.concat(
+        F.lit("SYSTEM: summarize the document.\nDOC["),
+        F.col("lang"),
+        F.lit("]: "),
+        F.array_join(F.slice(toks, 1, 64), " "),
+        F.lit("\nSUMMARY:"),
+    )
+    return d.select(
+        "doc_id", "lang",
+        F.least(F.size(toks), F.lit(64)).cast("long").alias(
+            "doc_tokens_used"
+        ),
+        F.length(prompt).cast("long").alias("prompt_chars"),
+        F.md5(prompt).alias("prompt_hash"),
+    ).orderBy("doc_id")
