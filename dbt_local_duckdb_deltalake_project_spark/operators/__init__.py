@@ -116,6 +116,7 @@ _WINDOW_SECOND = [
     "delta_table_properties", "agg_wilson_interval",
     "llm_dataset_diff", "win_yoy_growth", "udf_pandas_scalar_iter",
     "delta_deep_clone", "agg_cuped_adjustment", "llm_prompt_render",
+    "llm_vocab_coverage",
     "delta_time_travel", "delta_merge_upsert",   # deltalike.py changed (ts resolution, vacuum)
     "stream_tumbling", "stream_session", "win_range_frame", "fn_date",  # events/tz consumers
     "join_asof",                 # §2.3

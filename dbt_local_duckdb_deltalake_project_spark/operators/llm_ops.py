@@ -3743,3 +3743,70 @@ def llm_prompt_render(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(prompt).cast("long").alias("prompt_chars"),
         F.md5(prompt).alias("prompt_hash"),
     ).orderBy("doc_id")
+
+
+_VOCAB_COVERAGE_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), vocab AS (
+  SELECT w FROM (
+    SELECT w, COUNT(*) AS c,
+           ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, w ASC) AS rk
+    FROM tok GROUP BY w
+  ) WHERE rk <= 30
+)
+SELECT t.doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(COUNT(*) FILTER (v.w IS NOT NULL) AS BIGINT) AS n_in_vocab,
+       CAST(COUNT(*) FILTER (v.w IS NOT NULL) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS coverage
+FROM tok t LEFT JOIN vocab v ON t.w = v.w
+GROUP BY t.doc_id
+ORDER BY t.doc_id
+"""
+
+
+@register("llm_vocab_coverage", _VOCAB_COVERAGE_ORACLE)
+def llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage / OOV rate per document — the tokenizer-fit
+    diagnostic: a corpus slice whose tokens fall outside the model's
+    vocabulary fragments into byte-fallbacks and wastes context (code
+    mixed into prose, wrong-language spans, mojibake all show up as
+    coverage cliffs). Vocabulary = top-30 corpus tokens with
+    deterministic (count DESC, token ASC) ranking; coverage = exact
+    integer hit counts via a LEFT join against the broadcast vocab —
+    at a real 50k-token vocabulary this is still one broadcast and one
+    linear pass, the cheapest per-doc quality signal after length.
+    """
+    d = t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    vocab = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.orderBy(F.col("c").desc(), F.col("w").asc())
+            ),
+        )
+        .filter(F.col("rk") <= 30)
+        .select("w", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.coalesce(F.col("in_vocab"), F.lit(False)).cast("long")
+            ).alias("n_in_vocab"),
+        )
+        .select(
+            "doc_id", "n_tokens", "n_in_vocab",
+            (
+                F.col("n_in_vocab").cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("coverage"),
+        )
+        .orderBy("doc_id")
+    )
