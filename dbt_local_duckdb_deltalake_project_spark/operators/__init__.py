@@ -39,49 +39,14 @@ for _m in _MODULES:
 # the back. Within the window, cheaper queries come first in case the
 # window is time-budgeted. Rotate this list each round as rows come back.
 _WINDOW_FIRST = [
-    # --- r4 window: the 19 sql-mode ids that have never had a driver
-    # CORRECTNESS row (added r3, window was full) ---
-    "tpch_q3", "tpch_q5", "tpch_q10",
-    "delta_partition_pruning", "delta_data_skipping",
-    "delta_change_data_feed", "delta_shallow_clone",
-    "join_bloom_runtime_filter", "win_distribution",
-    "dbt_lineage_export", "dbt_dq_observe",
-    "stream_join_static", "stream_deltalike_source",
-    "scan_deltalike_datasource", "mm_dedup_exact",
-    "llm_rarity_score", "llm_bpe_pairs", "llm_embed_quantize",
-    "llm_cosine_topk_multi",
-    # --- new r4 operators (need their first green row). The late-r4
-    # additions (tpch_q1 representing the six new micros-sum composites,
-    # delta_zorder, stream_upsert_foreachbatch) take the slots of three
-    # bedrock regression ids (scan_parquet/topk/cte_chain — pytest-held)
-    # so every new family lands a driver row this round ---
-    "delta_time_travel_ts", "delta_vacuum", "dbt_select_subgraph",
-    "tpch_q1", "delta_zorder", "stream_upsert_foreachbatch",
-    # --- late-r4: the remaining 13 TPC-H composites (suite now complete
-    # at 22) — identical-text shared SQL, need their first driver row ---
-    "tpch_q2", "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q11", "tpch_q12",
-    "tpch_q13", "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q20",
-    "tpch_q21", "tpch_q22",
-    # --- ids whose implementation changed in r4 (hot-shingle DF cap) ---
-    "llm_dedup_near", "llm_dedup_clusters",
-    # --- the 10 never-checked rows-mode ids (weaker rows-only check,
-    # but a row is a row) ---
-    "llm_dedup_minhash", "llm_simhash", "llm_fingerprint_rolling",
-    "llm_cosine_topk_blocked", "llm_cosine_topk_lsh", "llm_cosine_topk_ivf",
-    "scan_binaryfile", "stream_watermark_late", "stream_session_streamed",
-    "stream_funnel_stateful",
-]
-
-
-# Directly behind the window: first the regression breadth mix (one-plus
-# per §2 family, preferring ids near code touched this round — deltalike
-# internals, catalog tz pin, events consumers — all driver-green in
-# r1–r3; they re-check first if the window is wider than 50), then the
-# r3-window ids; the already-proven relational core rotates to the very
-# back (local pytest still covers everything).
-_WINDOW_SECOND = [
-    # late-r4 additions that did not fit the 50-slot window — rotate
-    # these four to _WINDOW_FIRST in r5 (they need their first row):
+    # --- r5 window: ids whose implementation changes this round come
+    # first (r4-green but touched: large-star/small-star rewrite of
+    # dedup clusters; deltalike vacuum now reclaims DV sidecars) ---
+    "llm_dedup_clusters", "delta_vacuum",
+    # --- then the never-driver-checked backlog (93 ids after r4) in
+    # registry order; llm_minhash_signature_sql hoisted because its
+    # shingle stage is rebuilt this round (VERDICT r4 task 4) ---
+    "llm_minhash_signature_sql",
     "delta_history", "scan_xml", "sink_partitioned_overwrite",
     "win_gap_fill", "delta_constraints", "fn_url",
     "pipeline_llm_corpus", "llm_kmeans",
@@ -100,6 +65,20 @@ _WINDOW_SECOND = [
     "llm_dataset_manifest", "agg_retention_cohort",
     "llm_split_leakage_audit", "scan_orc", "win_ratio_to_report",
     "mm_dedup_phash", "llm_token_entropy",
+]
+
+
+# Directly behind the window: first the regression breadth mix (one-plus
+# per §2 family, preferring ids near code touched this round — deltalike
+# internals, catalog tz pin, events consumers — all driver-green in
+# r1–r3; they re-check first if the window is wider than 50), then the
+# r3-window ids; the already-proven relational core rotates to the very
+# back (local pytest still covers everything).
+_WINDOW_SECOND = [
+    # --- r6 window plan (VERDICT r4 task 2): the remaining ~44
+    # never-checked ids, in registry order, form the top of this list —
+    # take them verbatim as r6's _WINDOW_FIRST (plus any r5 FAILs at the
+    # very front), then resume round-robin of longest-unchecked greens ---
     "dbt_snapshot_timestamp", "dbt_store_failures", "dbt_profile_table",
     "llm_ngram_novelty", "join_asof_tolerance", "agg_regression_trend",
     "stream_change_data_feed", "delta_update", "join_null_safe_eq",
@@ -117,7 +96,9 @@ _WINDOW_SECOND = [
     "llm_dataset_diff", "win_yoy_growth", "udf_pandas_scalar_iter",
     "delta_deep_clone", "agg_cuped_adjustment", "llm_prompt_render",
     "llm_vocab_coverage",
-    "delta_time_travel", "delta_merge_upsert",   # deltalike.py changed (ts resolution, vacuum)
+    "tpch_q4", "tpch_q6", "tpch_q14", "tpch_q18", "tpch_q19",
+    # --- end of never-checked block; greens rotate below ---
+    "delta_time_travel", "delta_merge_upsert",
     "stream_tumbling", "stream_session", "win_range_frame", "fn_date",  # events/tz consumers
     "join_asof",                 # §2.3
     "agg_groupby_basic",         # §2.4
@@ -127,7 +108,6 @@ _WINDOW_SECOND = [
     "dbt_materialize_incremental",  # §2.12
     "pipeline_medallion",
     "scan_parquet", "topk", "cte_chain",
-    "tpch_q4", "tpch_q6", "tpch_q14", "tpch_q18", "tpch_q19",
     "scan_projection_pushdown", "scan_filter_pushdown",
     "scan_csv", "scan_json", "sink_parquet",
     "sink_delta_append", "scd2_snapshot", "delta_schema_evolution",

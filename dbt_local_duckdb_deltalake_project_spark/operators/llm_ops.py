@@ -1577,6 +1577,81 @@ FROM reach GROUP BY src ORDER BY doc_id
 """
 
 
+def _large_star(e: DataFrame) -> DataFrame:
+    """One large-star round over directed large→small edges (u > v):
+    for every node u, hang each strictly-larger neighbor off
+    m = min(Γ(u) ∪ {u}). Output stays directed large→small."""
+    nbrs = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    m = (
+        nbrs.groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .select("u", F.least("mn", F.col("u")).alias("m"))
+    )
+    return (
+        nbrs.join(m, "u")  # m is already hash-partitioned on u
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """One small-star round: for every node u, re-hang its smaller
+    neighbors (and u itself) off m = min of those neighbors. Input and
+    output are directed large→small; at the fixed point this yields one
+    star per component centered at the component min."""
+    mn = e.groupBy("u").agg(F.min("v").alias("m"))
+    return (
+        e.join(mn, "u")
+        .select(F.col("v").alias("n"), "m")
+        .union(mn.select(F.col("u").alias("n"), "m"))
+        .filter(F.col("n") != F.col("m"))
+        .select(F.col("n").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _cc_large_small_star(sym: DataFrame, max_rounds: int = 12):
+    """Connected components of a symmetric edge list (doc_a, doc_b) via
+    alternating large-star/small-star (Kiveris et al.). Returns
+    ``(labels, rounds)`` where labels is (doc_id, label) with label =
+    component min over ALL nodes appearing in ``sym``, and rounds is
+    the number of large+small rounds run before the edge set was
+    stable. Convergence is detected with an order-independent one-row
+    signature (count + bit_xor of xxhash64 of each edge — xor, not sum:
+    the edge set is distinct so xor is collision-safe, and it cannot
+    overflow under ANSI mode) — never an O(edges) driver pull. 2^12 ≥
+    any real component diameter."""
+    nodes = sym.select(F.col("doc_a").alias("doc_id")).distinct()
+    e = (
+        sym.filter(F.col("doc_a") > F.col("doc_b"))
+        .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _sig(df: DataFrame):
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    prev = _sig(e)
+    rounds = 0
+    for _ in range(max_rounds):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        rounds += 1
+        cur = _sig(e)
+        if cur == prev:
+            break
+        prev = cur
+    roots = e.groupBy("u").agg(F.min("v").alias("root"))
+    labels = nodes.join(
+        roots.select(F.col("u").alias("doc_id"), "root"), "doc_id", "left"
+    ).select("doc_id", F.coalesce("root", F.col("doc_id")).alias("label"))
+    return labels, rounds
+
+
 @register("llm_dedup_clusters", _CLUSTER_ORACLE)
 def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resolve near-duplicate PAIRS into connected components and elect
@@ -1584,22 +1659,25 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     after candidate generation (pairs alone over-delete: A~B and B~C
     must keep exactly one of {A,B,C}, not zero).
 
-    Min-label propagation: label(doc) starts as doc_id; each round every
-    doc takes the min of its own label and its neighbors' labels, until
-    a fixed point. Rounds = cluster diameter (near-dup clusters are
-    short chains; the oracle's recursive CTE computes the same closure).
-    Spark 4.1's WITH RECURSIVE cannot express this closure in one
-    statement: cyclic graphs need UNION-dedup termination and Spark
-    supports UNION ALL only (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE) —
-    see cte_recursive for the acyclic form that IS expressible.
-    Each round is one shuffle join (edges × labels) plus one min-groupBy
-    — both algebraic. The convergence check is a single scalar count per
-    round (the standard Pregel-style driver loop, NOT an O(corpus)
-    collect); lineage is truncated with localCheckpoint so plans don't
-    grow with iterations. At 100 TB the same loop runs with the
-    large-star/small-star optimization (alternate min over full
-    neighborhood vs. strictly-larger neighbors) which converges in
-    O(log n) rounds on pathological chains.
+    Large-star/small-star alternation (the MapReduce connected-
+    components algorithm of Kiveris et al., "Connected Components in
+    MapReduce and Beyond"): edges are kept directed large→small;
+    large-star hangs every strictly-larger neighbor of u off
+    min(Γ(u) ∪ {u}), small-star re-hangs every smaller neighbor (and u
+    itself) off the same min. Each operation preserves connectivity and
+    the fixed point is a star per component centered at the component
+    min — O(log n) rounds even on pathological chains, where plain
+    min-label propagation needs O(diameter) rounds (the oracle's
+    recursive CTE computes the same closure). Spark 4.1's WITH
+    RECURSIVE cannot express this closure in one statement: cyclic
+    graphs need UNION-dedup termination and Spark supports UNION ALL
+    only (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE) — see cte_recursive for
+    the acyclic form that IS expressible. Each round is a bounded
+    number of shuffles (two min-groupBys + two key-colocated joins + a
+    distinct — see test_plans.py's exchange-count pin); convergence is
+    a single-row signature agg per round (count + order-independent
+    hash-sum of the edge set, NOT an O(corpus) collect); lineage is
+    truncated with localCheckpoint so plans don't grow with iterations.
     """
     d = t(spark, sf_dir, "documents")
     edges = _neardup_pairs(d).select("doc_a", "doc_b")
@@ -1608,40 +1686,11 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
         )
     )
-    # Checkpoint the edge set FIRST: everything downstream (the label
-    # seed and every propagation round) re-reads it, and without the
-    # checkpoint the whole shingle-join pipeline would re-execute per
-    # consumer.
+    # Checkpoint the edge set FIRST: everything downstream (the node
+    # set and every star round) re-reads it, and without the checkpoint
+    # the whole shingle-join pipeline would re-execute per consumer.
     sym = sym.localCheckpoint(eager=True)
-    labels = (
-        sym.select(F.col("doc_a").alias("doc_id"))
-        .distinct()
-        .select("doc_id", F.col("doc_id").alias("label"))
-        .localCheckpoint(eager=True)
-    )
-    for _ in range(20):  # diameter bound; fixture converges in ≤3
-        neigh = (
-            sym.join(labels, sym.doc_a == labels.doc_id)
-            .groupBy(F.col("doc_b").alias("doc_id"))
-            .agg(F.min("label").alias("nlabel"))
-        )
-        updated = (
-            labels.join(neigh, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("label"), F.coalesce("nlabel", F.col("label"))
-                ).alias("label"),
-                (
-                    F.coalesce("nlabel", F.col("label")) < F.col("label")
-                ).alias("changed"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        n_changed = updated.filter("changed").count()
-        labels = updated.select("doc_id", "label")
-        if n_changed == 0:
-            break
+    labels, _rounds = _cc_large_small_star(sym)
     size_w = W.partitionBy("label")
     return (
         labels.select(
@@ -3278,20 +3327,28 @@ def llm_minhash_signature_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the signature table is 8 longs per doc regardless of doc size.
     """
     d = t(spark, sf_dir, "documents")
-    tok = d.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    # String 3-gram shingles via the same narrow slice/arrays_zip codegen
+    # pipeline as `_shingle_rows` — each shingle is stitched inside the
+    # row it came from, so the first shuffle in the plan is the distinct
+    # on (doc_id, shingle). The earlier lead()-over-window form re-sorted
+    # the full token explosion per doc before the distinct (measured
+    # 16.3s at sf0.1 — the widest intermediate in the whole suite paid a
+    # per-doc shuffle+sort for nothing).
+    w = F.split("text", " ")
+    n3 = F.greatest(F.size(w) - 2, F.lit(0))  # docs under 3 tokens → none
+    z = F.arrays_zip(
+        F.slice(w, 1, n3).alias("a"),
+        F.slice(w, 2, n3).alias("b"),
+        F.slice(w, 3, n3).alias("c"),
     )
-    win = W.partitionBy("doc_id").orderBy("pos")
     sh = (
-        tok.select(
+        d.select("doc_id", F.explode(z).alias("g"))
+        .select(
             "doc_id",
             F.concat_ws(
-                " ", "w", F.lead("w", 1).over(win), F.lead("w", 2).over(win)
+                " ", F.col("g.a"), F.col("g.b"), F.col("g.c")
             ).alias("shingle"),
-            F.lead("w", 2).over(win).alias("_l2"),
         )
-        .filter(F.col("_l2").isNotNull())
-        .drop("_l2")
         .distinct()
     )
     # md5 digests are projected BEFORE the 8-way explode so each is

@@ -643,9 +643,13 @@ class DeltaLikeTable:
         }
 
     def _guard_constraint_references(self, col: str, action: str) -> None:
-        """Refuse ALTERs on a column a CHECK constraint references (the
-        stored expression names the LOGICAL column; renaming or dropping
-        it would silently break enforcement — Delta blocks this too)."""
+        """Refuse ALTERs on a column a CHECK constraint or a generated
+        column's expression references (the stored expressions name the
+        LOGICAL column; renaming or dropping it would silently break
+        enforcement — or, for generation expressions, make every later
+        write fail with an opaque unresolved-column error — Delta blocks
+        both). Dropping the generated column ITSELF stays legal: only
+        references from OTHER columns' expressions block the ALTER."""
         import re
 
         for name, expr in self.check_constraints().items():
@@ -653,6 +657,15 @@ class DeltaLikeTable:
                 raise ValueError(
                     f"cannot {action} column {col!r}: referenced by CHECK "
                     f"constraint {name!r} ({expr}); DROP CONSTRAINT first"
+                )
+        for gname, expr in self._generated_columns().items():
+            if gname == col:
+                continue
+            if re.search(rf"\b{re.escape(col)}\b", expr):
+                raise ValueError(
+                    f"cannot {action} column {col!r}: referenced by "
+                    f"generated column {gname!r} (GENERATED ALWAYS AS "
+                    f"({expr})); drop that column first"
                 )
 
     def add_generated_column(
@@ -1344,32 +1357,83 @@ class DeltaLikeTable:
         cutoff = (
             int(time.time() * 1000) if now_ms is None else now_ms
         ) - retention_ms
-        live = {a["path"] for a in self._active_files()}
+        active = self._active_files()
+        live = {a["path"] for a in active}
+        # DV sidecars the CURRENT snapshot still resolves — never touched
+        live_dv = {
+            a["deletionVector"]["pathOrInlineDv"]
+            for a in active
+            if (a.get("deletionVector") or {}).get("storageType") == "p"
+        }
         added_at: dict[str, int] = {}
         removed_ts: dict[str, int] = {}
+        # sidecar → (orphaned-at timestamp, commit version): a sidecar is
+        # orphaned when the add that carried it is superseded by an add
+        # with a different/no DV (e.g. a later DV delete or a RESTORE
+        # re-add) or removed outright — either way it leaks forever
+        # without this tracking, since no remove action ever names it.
+        pending_dv: dict[str, str] = {}
+        dv_orphaned: dict[str, tuple[int, int]] = {}
+        commit_ts = 0
         for i, fname in enumerate(self._commit_files()):
             with open(os.path.join(self._log_dir, fname)) as f:
                 for ln in f:
                     act = json.loads(ln)
-                    if "add" in act:
-                        added_at.setdefault(act["add"]["path"], i)
+                    if "commitInfo" in act:
+                        commit_ts = int(
+                            act["commitInfo"].get("timestamp") or 0
+                        )
+                    elif "add" in act:
+                        a = act["add"]
+                        added_at.setdefault(a["path"], i)
+                        dv = a.get("deletionVector") or {}
+                        side = (
+                            dv.get("pathOrInlineDv")
+                            if dv.get("storageType") == "p"
+                            else None
+                        )
+                        old_side = pending_dv.get(a["path"])
+                        if old_side and old_side != side:
+                            # superseded without a remove (RESTORE path):
+                            # gate on the superseding commit's timestamp
+                            dv_orphaned[old_side] = (commit_ts, i)
+                        if side:
+                            pending_dv[a["path"]] = side
+                        else:
+                            pending_dv.pop(a["path"], None)
                     elif "remove" in act:
                         r = act["remove"]
-                        removed_ts[r["path"]] = int(
-                            r.get("deletionTimestamp") or 0
-                        )
+                        ts = int(r.get("deletionTimestamp") or 0)
+                        removed_ts[r["path"]] = ts
+                        old_side = pending_dv.pop(r["path"], None)
+                        if old_side:
+                            dv_orphaned[old_side] = (ts, i)
         reclaimed: set[int] = set()
         root = os.path.abspath(self.path)
-        for path, version in added_at.items():
-            full = os.path.join(self.path, path)
+
+        def _under_root(rel: str) -> str | None:
+            full = os.path.join(self.path, rel)
             # never delete outside the table root: a shallow clone's
             # absolute-path adds reference the SOURCE table's files
             if not os.path.abspath(full).startswith(root + os.sep):
-                continue
-            if path in live:
+                return None
+            return full
+
+        for path, version in added_at.items():
+            full = _under_root(path)
+            if full is None or path in live:
                 continue
             if removed_ts.get(path, 0) > cutoff:
                 continue  # inside the retention window — keep
+            if os.path.exists(full):
+                os.remove(full)
+                reclaimed.add(version)
+        for side, (ts, version) in dv_orphaned.items():
+            full = _under_root(side)
+            if full is None or side in live_dv:
+                continue
+            if ts > cutoff:
+                continue
             if os.path.exists(full):
                 os.remove(full)
                 reclaimed.add(version)

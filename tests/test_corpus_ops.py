@@ -101,3 +101,57 @@ def test_scan_binaryfile_hashes_match_duckdb_read_blob(spark, sf_dir):
         .fetchall()
     }
     assert got == want and len(got) > 0
+
+
+def test_cc_large_small_star_chain_converges_logarithmically(spark):
+    # A 256-node path is the pathological case for plain min-label
+    # propagation (255 rounds = the diameter); large-star/small-star
+    # must collapse it to one star in O(log n) alternations.
+    from dbt_local_duckdb_deltalake_project_spark.operators.llm_ops import _cc_large_small_star
+
+    n = 256
+    edges = [(i, i + 1) for i in range(n - 1)]
+    sym = spark.createDataFrame(
+        edges + [(b, a) for a, b in edges], "doc_a long, doc_b long"
+    )
+    labels, rounds = _cc_large_small_star(sym)
+    got = {r.doc_id: r.label for r in labels.collect()}
+    assert got == {i: 0 for i in range(n)}
+    assert rounds <= 10  # log2(256)=8 + convergence-confirming round
+
+
+def test_cc_large_small_star_matches_union_find(spark):
+    import random
+
+    from dbt_local_duckdb_deltalake_project_spark.operators.llm_ops import _cc_large_small_star
+
+    rng = random.Random(7)
+    nodes = list(range(120))
+    edges = {
+        tuple(sorted(rng.sample(nodes, 2))) for _ in range(90)
+    }
+    parent = {v: v for v in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    touched = {v for e in edges for v in e}
+    want = {}
+    for v in touched:
+        root = find(v)
+        want.setdefault(root, []).append(v)
+    expect = {
+        v: min(members) for members in want.values() for v in members
+    }
+    sym = spark.createDataFrame(
+        [(a, b) for a, b in edges] + [(b, a) for a, b in edges],
+        "doc_a long, doc_b long",
+    )
+    labels, _rounds = _cc_large_small_star(sym)
+    got = {r.doc_id: r.label for r in labels.collect()}
+    assert got == expect

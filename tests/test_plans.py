@@ -324,3 +324,35 @@ def test_cte_reuse_plans_reused_exchange(spark, sf_dir):
     df = QUERIES["cte_reuse_exchange"](spark, sf_dir)
     df.collect()
     assert "ReusedExchange" in plan(df)
+
+
+def test_cc_star_round_has_bounded_exchanges(spark):
+    # One large-star + small-star alternation must stay a BOUNDED number
+    # of shuffles regardless of graph size: two min-groupBys, two joins
+    # that reuse the groupBy's hash partitioning on u, and the output
+    # distinct. If an edit re-keys a join or adds a distinct, the
+    # per-round cost at 100 TB multiplies by the round count — pin it.
+    from dbt_local_duckdb_deltalake_project_spark.operators.llm_ops import (
+        _large_star,
+        _small_star,
+    )
+
+    e = spark.createDataFrame(
+        [(3, 1), (5, 2), (7, 3)], "u long, v long"
+    )
+    p = plan(_small_star(_large_star(e)))
+    # 10 in the printed tree = the real shuffles PLUS re-listed shared
+    # subtrees (each groupBy's upstream is shown again under the join
+    # probe side; AQE reuse + the per-round localCheckpoint collapse
+    # them at runtime). The pin catches a re-keyed join or an added
+    # distinct, which would multiply per-round cost at 100 TB.
+    assert p.count("Exchange hashpartitioning") <= 10
+    # every shuffle in the round is keyed on u — a single co-partition
+    # key end-to-end; any other key means a re-shuffle snuck in
+    import re
+
+    keys = {
+        m.group(1)
+        for m in re.finditer(r"Exchange hashpartitioning\((\w+)#", p)
+    }
+    assert keys <= {"u", "v"}  # v only in the output distinct's (u,v) key

@@ -832,3 +832,58 @@ def test_generated_column_computed_and_validated(spark, tbl):
     assert sorted(r.k for r in tbl.read(spark).collect()) == [1, 2, 3]
     # the generation expression survives unrelated writes
     assert tbl._generated_columns() == {"v2": "v * 2"}
+
+
+def test_vacuum_reclaims_orphaned_dv_sidecar(spark, tbl):
+    import glob
+    import os
+
+    tbl.write(spark.range(1000).coalesce(1), mode="overwrite")
+    tbl.delete_with_dv(spark, F.col("id") < 500)  # > inline max → sidecar
+    side1 = glob.glob(os.path.join(tbl.path, "deletion_vector_*.bin"))
+    assert len(side1) == 1
+    # a second DV delete supersedes the first sidecar with a bigger one
+    tbl.delete_with_dv(spark, F.col("id") < 600)
+    sides = set(glob.glob(os.path.join(tbl.path, "deletion_vector_*.bin")))
+    assert len(sides) == 2
+    live = sides - set(side1)
+    # inside the retention window: nothing reclaimed, both sidecars kept
+    assert tbl.vacuum(retention_ms=10**9) == []
+    assert set(
+        glob.glob(os.path.join(tbl.path, "deletion_vector_*.bin"))
+    ) == sides
+    # window expired: the superseded sidecar goes, the live one stays
+    assert tbl.vacuum(retention_ms=0) != []
+    assert set(
+        glob.glob(os.path.join(tbl.path, "deletion_vector_*.bin"))
+    ) == live
+    assert sorted(r.id for r in tbl.read(spark).collect()) == list(
+        range(600, 1000)
+    )
+
+
+def test_vacuum_reclaims_dv_sidecar_orphaned_by_overwrite(spark, tbl):
+    import glob
+    import os
+
+    tbl.write(spark.range(1000).coalesce(1), mode="overwrite")
+    tbl.delete_with_dv(spark, F.col("id") < 500)
+    assert glob.glob(os.path.join(tbl.path, "deletion_vector_*.bin"))
+    tbl.write(spark.range(5).coalesce(1), mode="overwrite")
+    tbl.vacuum(retention_ms=0)
+    assert glob.glob(os.path.join(tbl.path, "deletion_vector_*.bin")) == []
+    assert sorted(r.id for r in tbl.read(spark).collect()) == list(range(5))
+
+
+def test_generated_column_blocks_rename_drop_of_referenced(spark, tbl):
+    df = spark.createDataFrame([(1, 10), (2, 20)], "k int, v int")
+    tbl.write(df, mode="overwrite")
+    tbl.add_generated_column("v2", "v * 2", dtype="integer")
+    with pytest.raises(ValueError, match="generated column"):
+        tbl.rename_column("v", "value")
+    with pytest.raises(ValueError, match="generated column"):
+        tbl.drop_column("v")
+    # dropping the generated column ITSELF is legal, and unblocks v
+    tbl.drop_column("v2")
+    tbl.rename_column("v", "value")
+    assert tbl.read(spark).columns == ["k", "value"]
