@@ -1474,3 +1474,111 @@ def agg_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("arm")
     )
+
+
+_CMS_ORACLE = """
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+),
+rows_ AS (SELECT r FROM (VALUES (0), (1), (2), (3)) AS v(r)),
+cms AS (
+  SELECT r,
+         CAST(('0x' || substr(md5('cms' || CAST(r AS VARCHAR) || ':' || w),
+                              1, 8)) AS BIGINT) % 64 AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM tok CROSS JOIN rows_
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS exact_count
+  FROM tok GROUP BY w ORDER BY exact_count DESC, w LIMIT 10
+)
+SELECT e.w AS token, e.exact_count,
+       MIN(c.cnt) AS cms_estimate,
+       MIN(c.cnt) - e.exact_count AS overcount,
+       (MIN(c.cnt) >= e.exact_count) AS never_undercounts
+FROM exact e
+JOIN rows_ r ON TRUE
+JOIN cms c
+  ON c.r = r.r
+ AND c.bucket = CAST(('0x' || substr(md5('cms' || CAST(r.r AS VARCHAR)
+                                         || ':' || e.w), 1, 8))
+                     AS BIGINT) % 64
+GROUP BY e.w, e.exact_count
+ORDER BY token
+"""
+
+
+@register("agg_count_min_sketch", _CMS_ORACLE)
+def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the token stream — the fixed-memory
+    heavy-hitter counter for streams/corpora where an exact per-token
+    groupBy's key cardinality is the bottleneck: d=4 hash rows × w=64
+    buckets is 256 counters regardless of vocabulary size, mergeable
+    across partitions/days by cell-wise addition. Probing the top-10
+    exact tokens against the sketch demonstrates the one-sided
+    guarantee (estimate ≥ true count, overcount bounded by collisions).
+    Hashes are engine-portable md5-substring integers (the
+    llm_minhash_signature_sql discipline), so every sketch CELL is
+    value-hash-checked against the oracle, not just the bound. Plan:
+    one explode, a 4-way row fan-out, and a groupBy on (row, bucket)
+    whose map-side combine reduces each task to ≤256 partial cells —
+    the shuffle is O(1) in corpus size; the probe side joins 40 rows.
+    """
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split("text", " ")).alias("w"))
+
+    def bucket(r_col, w_col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("cms"), r_col.cast("string"),
+                            F.lit(":"), w_col,
+                        )
+                    ),
+                    1, 8,
+                ),
+                16, 10,
+            ).cast("long")
+            % 64
+        )
+
+    fan = tok.select(
+        "w", F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("r")
+    )
+    cms = (
+        fan.select("r", bucket(F.col("r"), F.col("w")).alias("bucket"))
+        .groupBy("r", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    exact = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .orderBy(F.col("exact_count").desc(), "w")
+        .limit(10)
+    )
+    probe = exact.select(
+        F.col("w").alias("token"),
+        "exact_count",
+        F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("r"),
+    ).select(
+        "token", "exact_count", "r",
+        bucket(F.col("r"), F.col("token")).alias("bucket"),
+    )
+    return (
+        probe.join(F.broadcast(cms), ["r", "bucket"])
+        .groupBy("token", "exact_count")
+        .agg(F.min("cnt").alias("cms_estimate"))
+        .select(
+            "token",
+            "exact_count",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("exact_count")).alias("overcount"),
+            (F.col("cms_estimate") >= F.col("exact_count")).alias(
+                "never_undercounts"
+            ),
+        )
+        .orderBy("token")
+    )

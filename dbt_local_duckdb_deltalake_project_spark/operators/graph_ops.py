@@ -245,3 +245,58 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tri))
         .select("n_nodes", "n_edges", "n_triangles")
     )
+
+
+_CC_ORACLE = """
+WITH edges AS (
+  SELECT c_custkey AS a, c_custkey - 1 AS b
+  FROM customer WHERE c_custkey % 16 <> 0
+),
+nodes AS (
+  SELECT a AS node FROM edges UNION SELECT b FROM edges
+)
+SELECT node,
+       CAST(node - node % 16 AS BIGINT) AS component_id,
+       CAST(COUNT(*) OVER (PARTITION BY node - node % 16) AS BIGINT)
+         AS component_size,
+       (node % 16 = 0) AS is_root
+FROM nodes
+ORDER BY node
+"""
+
+
+@register("graph_connected_components", _CC_ORACLE)
+def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components as a first-class operator, run on chain
+    graphs — the worst case for the naive algorithm. Edges link each
+    customer key to its predecessor within blocks of 16, so the graph
+    is ~1k disjoint 16-node paths: plain min-label propagation needs
+    diameter (15) rounds, while the large-star/small-star alternation
+    used here (shared with llm_dedup_clusters) collapses every path in
+    O(log n) rounds — the 100 TB-safe shape, since each round is a
+    bounded set of shuffles all keyed on the node id and the round
+    count stays logarithmic even for pathological chains. The
+    key-constructed graph gives the oracle a closed form (component =
+    node - node % 16) that verifies every label exactly — the same
+    construction discipline as llm_dedup_url.
+    """
+    from .llm_ops import _cc_large_small_star
+
+    c = t(spark, sf_dir, "customer").select("c_custkey")
+    edges = c.filter(F.col("c_custkey") % 16 != 0).select(
+        F.col("c_custkey").alias("doc_a"),
+        (F.col("c_custkey") - 1).alias("doc_b"),
+    )
+    sym = edges.union(
+        edges.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    ).localCheckpoint(eager=True)
+    labels, _rounds = _cc_large_small_star(sym)
+    size_w = W.partitionBy("label")
+    return labels.select(
+        F.col("doc_id").alias("node"),
+        F.col("label").alias("component_id"),
+        F.count(F.lit(1)).over(size_w).cast("long").alias("component_size"),
+        (F.col("doc_id") == F.col("label")).alias("is_root"),
+    ).orderBy("node")

@@ -3867,3 +3867,345 @@ def llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_MIX_TEMP_ORACLE = """
+WITH g AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+         CAST(ROUND(ROUND(sqrt(CAST(SUM(n_chars) AS DOUBLE)), 9) * 1000000)
+              AS BIGINT) AS s_m
+  FROM documents GROUP BY lang
+),
+tot AS (SELECT SUM(s_m) AS total_m FROM g)
+SELECT lang, n_docs, n_chars,
+       CAST(s_m * 1000000 // (SELECT total_m FROM tot) AS BIGINT)
+         AS weight_ppm,
+       CAST((s_m * 1000000 // (SELECT total_m FROM tot)) * 10 AS BIGINT)
+         AS tokens_at_10m_budget
+FROM g
+ORDER BY lang
+"""
+
+
+@register("llm_mix_temperature", _MIX_TEMP_ORACLE)
+def llm_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled corpus mixing weights — the multilingual
+    sampling formula (p_i^alpha / sum p_j^alpha, here alpha = 0.5):
+    up-weights low-resource languages relative to proportional
+    sampling without letting any group dominate. Produces the sampling
+    table llm_corpus_mix CONSUMES (that op applies fixed keep-rates;
+    this one derives them from corpus statistics). Determinism: sqrt
+    is IEEE correctly-rounded (bit-identical across engines, unlike
+    ln/pow), the 9-dp round + micros quantization follows the fn_math
+    discipline anyway, and the ppm weights come from exact integer
+    floor division of scaled longs — both engines floor on positive
+    operands. Plan: one map-side-combined groupBy(lang) to ~5 rows,
+    one broadcast total — scale-free at any corpus size.
+    """
+    d = t(spark, sf_dir, "documents")
+    g = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("n_chars"),
+        F.round(
+            F.round(F.sqrt(F.sum("n_chars").cast("double")), 9) * 1_000_000
+        )
+        .cast("long")
+        .alias("s_m"),
+    )
+    tot = g.agg(F.sum("s_m").alias("total_m"))
+    # exact long integer division (`div`), not floor(double /): the
+    # scaled numerator is ~1e15 and a double quotient can mis-round at
+    # an integer boundary; DuckDB's // on BIGINT is exact too.
+    w_ppm = F.expr("(s_m * 1000000L) div total_m")
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_docs",
+            "n_chars",
+            w_ppm.cast("long").alias("weight_ppm"),
+            (w_ppm * 10).cast("long").alias("tokens_at_10m_budget"),
+        )
+        .orderBy("lang")
+    )
+
+
+_DSIR_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+  FROM documents
+),
+tgt AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS c_t
+  FROM tok WHERE source = 'src0' GROUP BY w
+),
+corpus AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS c_a FROM tok GROUP BY w
+),
+sizes AS (
+  SELECT CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_t,
+         CAST(COUNT(*) AS BIGINT) AS n_a,
+         CAST(COUNT(DISTINCT w) AS BIGINT) AS v
+  FROM tok
+),
+wt AS (
+  SELECT c.w,
+         CAST(ROUND(ROUND(ln((COALESCE(t.c_t, 0) + 1.0)
+                             / ((SELECT n_t FROM sizes)
+                                + (SELECT v FROM sizes))), 9)
+                    * 1000000) AS BIGINT)
+         - CAST(ROUND(ROUND(ln((c.c_a + 1.0)
+                               / ((SELECT n_a FROM sizes)
+                                  + (SELECT v FROM sizes))), 9)
+                      * 1000000) AS BIGINT) AS lr_m
+  FROM corpus c LEFT JOIN tgt t ON t.w = c.w
+),
+scored AS (
+  SELECT k.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(wt.lr_m) AS BIGINT) AS lr_micros
+  FROM tok k JOIN wt ON wt.w = k.w
+  GROUP BY k.doc_id
+),
+ranked AS (
+  SELECT doc_id, n_tokens, lr_micros,
+         ROW_NUMBER() OVER (ORDER BY lr_micros DESC, doc_id) AS rk
+  FROM scored
+)
+SELECT doc_id, n_tokens, lr_micros, (rk <= 100) AS selected
+FROM ranked ORDER BY doc_id
+"""
+
+
+@register("llm_importance_resample", _DSIR_ORACLE)
+def llm_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-selection-by-importance-resampling (DSIR-style): score every
+    corpus document by its unigram log-likelihood ratio between a
+    TARGET domain sample (here source='src0') and the raw corpus, then
+    select the top-k — the standard "find more data that looks like my
+    high-quality set" pass run before pretraining-mix assembly. Both
+    distributions are add-one smoothed over the shared vocabulary;
+    each log term is 9-dp-rounded then micros-quantized (the fn_math /
+    llm_perplexity_proxy transcendental discipline) so the per-doc sum
+    is an exact long in both engines, and selection breaks ties on
+    doc_id. Plan: one token explode, two map-side-combined vocab
+    groupBys, a vocab-sized broadcast-or-shuffle join back onto the
+    token stream, one per-doc agg, and a distributed top-k
+    (TakeOrderedAndProject, never a global single-task rank window)
+    broadcast back as the selection flag — every pass linear in the
+    corpus; the weight table is vocabulary-sized, never corpus-sized.
+    """
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("w")
+    )
+    tgt = (
+        tok.filter(F.col("source") == "src0")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c_t"))
+    )
+    corpus = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c_a"))
+    sizes = tok.agg(
+        F.sum((F.col("source") == "src0").cast("long")).alias("n_t"),
+        F.count(F.lit(1)).alias("n_a"),
+        F.count_distinct("w").alias("v"),
+    )
+
+    def _logm(num, den):
+        return (
+            F.round(F.round(F.log(num / den), 9) * 1_000_000).cast("long")
+        )
+
+    wt = (
+        corpus.join(tgt, "w", "left")
+        .crossJoin(F.broadcast(sizes))
+        .select(
+            "w",
+            (
+                _logm(
+                    (F.coalesce("c_t", F.lit(0)) + F.lit(1.0)),
+                    (F.col("n_t") + F.col("v")).cast("double"),
+                )
+                - _logm(
+                    (F.col("c_a") + F.lit(1.0)),
+                    (F.col("n_a") + F.col("v")).cast("double"),
+                )
+            ).alias("lr_m"),
+        )
+    )
+    scored = (
+        tok.join(wt, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("lr_m").alias("lr_micros"),
+        )
+    )
+    # top-k via orderBy+limit (TakeOrderedAndProject — per-partition
+    # partial top-k, no single-task global window) then a broadcast
+    # membership join: the scale-safe global-rank selection.
+    top = (
+        scored.orderBy(F.col("lr_micros").desc(), "doc_id")
+        .limit(100)
+        .select("doc_id", F.lit(True).alias("selected"))
+    )
+    return (
+        scored.join(F.broadcast(top), "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "lr_micros",
+            F.coalesce("selected", F.lit(False)).alias("selected"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_SEMDEDUP_ORACLE = """
+WITH pts AS (
+  SELECT vec_id, dim,
+         CAST(ROUND(CAST(embedding[dim] AS DOUBLE) * 1000000) AS BIGINT)
+           AS x_m
+  FROM embeddings, (SELECT unnest(range(1, 65)) AS dim)
+),
+cent AS (
+  SELECT vec_id AS code, dim, x_m AS c_m FROM pts WHERE vec_id < 16
+),
+dist AS (
+  SELECT p.vec_id, c.code,
+         SUM((p.x_m - c.c_m) * (p.x_m - c.c_m)) AS d2
+  FROM pts p JOIN cent c ON p.dim = c.dim
+  GROUP BY p.vec_id, c.code
+),
+assign AS (
+  SELECT vec_id, code AS cluster FROM (
+    SELECT vec_id, code,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY d2, code) AS rn
+    FROM dist) WHERE rn = 1
+),
+norms AS (
+  SELECT vec_id, CAST(SUM(x_m * x_m) AS BIGINT) AS n2
+  FROM pts GROUP BY vec_id
+),
+m AS (
+  SELECT p.vec_id, a.cluster, p.dim, p.x_m
+  FROM pts p JOIN assign a ON p.vec_id = a.vec_id
+),
+dots AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb, a.cluster,
+         CAST(SUM(a.x_m * b.x_m) AS BIGINT) AS dot
+  FROM m a JOIN m b ON a.cluster = b.cluster AND a.dim = b.dim
+                   AND a.vec_id < b.vec_id
+  GROUP BY a.vec_id, b.vec_id, a.cluster
+),
+dups AS (
+  SELECT DISTINCT d.vb AS vec_id
+  FROM dots d
+  JOIN norms na ON na.vec_id = d.va
+  JOIN norms nb ON nb.vec_id = d.vb
+  WHERE d.dot > 0
+    AND CAST(20 * d.dot AS HUGEINT) * (20 * d.dot)
+        >= CAST(81 AS HUGEINT) * na.n2 * nb.n2
+)
+SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cluster,
+       (dups.vec_id IS NOT NULL) AS is_dup
+FROM assign a LEFT JOIN dups ON dups.vec_id = a.vec_id
+ORDER BY a.vec_id
+"""
+
+
+@register("llm_dedup_semantic", _SEMDEDUP_ORACLE)
+def llm_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication: partition embeddings into
+    K=16 clusters (nearest first-K centroid, the llm_kmeans assign
+    step), then compare ONLY within clusters — cosine >= 0.45 to any
+    lower-id cluster-mate marks a vector as a semantic duplicate (the
+    threshold is fixture-calibrated: the synthetic embeddings' cosine
+    ceiling is ~0.51, so 0.45 exercises the dup path; production runs
+    pass their own tau). The
+    cluster scoping is the entire point at 100 TB: pairwise work drops
+    from O(n^2) to sum of per-cluster squares, each cluster's pair
+    block is an independent shuffle-join task, and K scales with the
+    corpus so clusters stay executor-sized (the published SemDeDup
+    recipe). Arithmetic is exact end-to-end: micros-long dot products
+    and norms, and the threshold test (20*dot)^2 >= 81*|a|^2*|b|^2
+    (tau=0.45 squared, scaled integer — Spark decimal(38,0) vs DuckDB
+    HUGEINT, both exact) — no float cosine anywhere, so the dup set is
+    engine-identical. Keeps the lowest vec_id of each duplicate group
+    (is_dup=false), the deterministic keeper rule every dedup op here
+    uses.
+    """
+    e = t(spark, sf_dir, "embeddings")
+    pts = e.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "x")
+    ).select(
+        "vec_id",
+        "dim",
+        F.round(F.col("x").cast("double") * 1_000_000)
+        .cast("long")
+        .alias("x_m"),
+    )
+    cent = pts.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("code"),
+        F.col("dim").alias("c_dim"),
+        F.col("x_m").alias("c_m"),
+    )
+    d2 = (
+        pts.join(F.broadcast(cent), pts["dim"] == cent["c_dim"])
+        .groupBy("vec_id", "code")
+        .agg(
+            F.sum(
+                (F.col("x_m") - F.col("c_m")) * (F.col("x_m") - F.col("c_m"))
+            ).alias("d2")
+        )
+    )
+    rn = F.row_number().over(W.partitionBy("vec_id").orderBy("d2", "code"))
+    assign = (
+        d2.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("code").alias("cluster"))
+    )
+    norms = pts.groupBy("vec_id").agg(
+        F.sum(F.col("x_m") * F.col("x_m")).alias("n2")
+    )
+    m = pts.join(assign, "vec_id").select("vec_id", "cluster", "dim", "x_m")
+    ma, mb = m.alias("a"), m.alias("b")
+    dots = (
+        ma.join(
+            mb,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.dim") == F.col("b.dim"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .groupBy(
+            F.col("a.vec_id").alias("va"),
+            F.col("b.vec_id").alias("vb"),
+        )
+        .agg(F.sum(F.col("a.x_m") * F.col("b.x_m")).alias("dot"))
+    )
+    na = norms.select(F.col("vec_id").alias("va"), F.col("n2").alias("na2"))
+    nb = norms.select(F.col("vec_id").alias("vb"), F.col("n2").alias("nb2"))
+    lhs = (F.col("dot") * 20).cast("decimal(19,0)")
+    rhs = (F.col("na2") * 81).cast("decimal(19,0)") * F.col("nb2").cast(
+        "decimal(19,0)"
+    )
+    dups = (
+        dots.join(F.broadcast(na), "va")
+        .join(F.broadcast(nb), "vb")
+        .filter((F.col("dot") > 0) & (lhs * lhs >= rhs))
+        .select(F.col("vb").alias("vec_id"))
+        .distinct()
+        .withColumn("d", F.lit(True))
+    )
+    return (
+        assign.join(dups, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cluster").cast("long").alias("cluster"),
+            F.coalesce("d", F.lit(False)).alias("is_dup"),
+        )
+        .orderBy("vec_id")
+    )

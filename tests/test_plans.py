@@ -356,3 +356,28 @@ def test_cc_star_round_has_bounded_exchanges(spark):
         for m in re.finditer(r"Exchange hashpartitioning\((\w+)#", p)
     }
     assert keys <= {"u", "v"}  # v only in the output distinct's (u,v) key
+
+
+def test_count_min_sketch_has_partial_aggregation(spark, sf_dir):
+    # the sketch build must map-side combine to <=256 cells per task —
+    # the property that makes the shuffle O(1) in corpus size.
+    df = QUERIES["agg_count_min_sketch"](spark, sf_dir)
+    p = plan(df)
+    assert p.count("HashAggregate") >= 2
+
+
+def test_importance_resample_topk_is_distributed(spark, sf_dir):
+    # global top-100 selection must fuse to TakeOrderedAndProject
+    # (per-partition partial top-k), never a single-task rank window.
+    df = QUERIES["llm_importance_resample"](spark, sf_dir)
+    p = plan(df)
+    assert "TakeOrderedAndProject" in p
+    assert "Window" not in p
+
+
+def test_semantic_dedup_broadcasts_centroids(spark, sf_dir):
+    # the K x dims centroid table must broadcast to the (vec, dim)
+    # stream — a shuffle join there would re-partition the widest
+    # intermediate at 100 TB.
+    df = QUERIES["llm_dedup_semantic"](spark, sf_dir)
+    assert "BroadcastHashJoin" in plan(df)
