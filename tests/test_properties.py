@@ -280,3 +280,87 @@ def test_hi_lo_split_double_conversion_is_correctly_rounded(n):
     lo = n % 2**32
     hi = n - lo
     assert float(hi) + float(lo) == float(n)
+
+
+WORDS = st.lists(
+    st.sampled_from(["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(words=WORDS)
+@_settings
+def test_count_min_sketch_never_undercounts(spark, words):
+    # CMS one-sided guarantee: for ANY token stream, the min over hash
+    # rows of the bucket count is >= the true count of every token.
+    tok = spark.createDataFrame([(w,) for w in words], "w string")
+
+    def bucket(r_col, w_col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("cms"), r_col.cast("string"),
+                            F.lit(":"), w_col,
+                        )
+                    ),
+                    1, 8,
+                ),
+                16, 10,
+            ).cast("long")
+            % 64
+        )
+
+    fan = tok.select(
+        "w", F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("r")
+    )
+    cms = (
+        fan.select("r", bucket(F.col("r"), F.col("w")).alias("bucket"))
+        .groupBy("r", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    exact = tok.groupBy("w").agg(F.count(F.lit(1)).alias("exact_count"))
+    probe = exact.select(
+        "w", "exact_count",
+        F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("r"),
+    ).select(
+        "w", "exact_count", "r", bucket(F.col("r"), F.col("w")).alias("bucket")
+    )
+    est = (
+        probe.join(cms, ["r", "bucket"])
+        .groupBy("w", "exact_count")
+        .agg(F.min("cnt").alias("est"))
+        .collect()
+    )
+    assert est and all(r["est"] >= r["exact_count"] for r in est)
+
+
+@given(
+    sizes=st.lists(
+        st.integers(min_value=1, max_value=10**9), min_size=1, max_size=8
+    )
+)
+@_settings
+def test_temperature_weights_are_a_subdistribution(spark, sizes):
+    # floor-division ppm weights must sum to <= 1e6 (never over-allocate
+    # the token budget) and preserve the size ordering.
+    rows = [(f"g{i}", n) for i, n in enumerate(sizes)]
+    g = spark.createDataFrame(rows, "lang string, n_chars long").select(
+        "lang",
+        "n_chars",
+        F.round(
+            F.round(F.sqrt(F.col("n_chars").cast("double")), 9) * 1_000_000
+        ).cast("long").alias("s_m"),
+    )
+    tot = g.agg(F.sum("s_m").alias("total_m"))
+    out = (
+        g.crossJoin(F.broadcast(tot))
+        .select("lang", "n_chars", F.expr("(s_m * 1000000L) div total_m").alias("w"))
+        .collect()
+    )
+    assert sum(r["w"] for r in out) <= 1_000_000
+    by_size = sorted(out, key=lambda r: (r["n_chars"], r["lang"]))
+    ws = [r["w"] for r in by_size]
+    assert all(a <= b for a, b in zip(ws, ws[1:]))
