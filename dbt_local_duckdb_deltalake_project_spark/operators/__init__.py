@@ -75,10 +75,14 @@ _WINDOW_FIRST = [
 # r3-window ids; the already-proven relational core rotates to the very
 # back (local pytest still covers everything).
 _WINDOW_SECOND = [
-    # --- r6 window plan (VERDICT r4 task 2): the remaining ~44
-    # never-checked ids, in registry order, form the top of this list —
-    # take them verbatim as r6's _WINDOW_FIRST (plus any r5 FAILs at the
-    # very front), then resume round-robin of longest-unchecked greens ---
+    # --- r6 window plan (VERDICT r4 task 2): changed-in-r5 id first
+    # (cosine_topk_blocked was upgraded rows→sql with an exact verify
+    # phase), then the remaining never-checked ids in registry order —
+    # take the first 50 verbatim as r6's _WINDOW_FIRST (plus any r5
+    # FAILs at the very front); anything past slot 50 (the tail of the
+    # new-r5 block) rolls to r7, then resume round-robin of
+    # longest-unchecked greens ---
+    "llm_cosine_topk_blocked",
     "dbt_snapshot_timestamp", "dbt_store_failures", "dbt_profile_table",
     "llm_ngram_novelty", "join_asof_tolerance", "agg_regression_trend",
     "stream_change_data_feed", "delta_update", "join_null_safe_eq",

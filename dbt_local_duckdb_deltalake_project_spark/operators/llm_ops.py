@@ -333,14 +333,22 @@ def llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("llm_cosine_topk_blocked")  # rows-mode: float reduction order differs
+@register("llm_cosine_topk_blocked", _COSINE_ORACLE)
 def llm_cosine_topk_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched brute-force ANN — the scale path for llm_cosine_topk.
+    """Arrow-batched brute-force ANN — the scale path for llm_cosine_topk,
+    two-phase so the result is EXACT (upgraded to sql-mode in r5; the
+    same candidate-then-verify shape as llm_embed_neardup):
 
-    mapInPandas computes per-partition cosine top-k with numpy (vectorized
-    over the whole Arrow batch), then a global top-k merges k rows per
-    partition. At 100 TB: broadcast the query block, one scan, no shuffle
-    until the k-row merge. IVF/LSH variants bucket first to skip scan.
+    1. PREFILTER — mapInPandas computes per-partition cosine top-k with
+       numpy (one BLAS matvec per Arrow batch, query broadcast in the
+       closure). float64 error is <1e-12, so a true global top-k member
+       can only be excluded from its partition's top-k if >k vectors sit
+       within 1e-12 of each other — not a real risk; candidates = k rows
+       per partition, no shuffle until then.
+    2. VERIFY — the ≤ k×partitions candidates are re-scored through the
+       exact decimal posexplode pipeline (bit-equal to the oracle's
+       decimal SUM), and the final exact top-k is ordered on the exact
+       values. At 100 TB phase 2 touches a few hundred rows.
     """
     import numpy as np
     import pandas as pd
@@ -360,12 +368,30 @@ def llm_cosine_topk_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
             m = np.stack(cand.embedding.to_numpy()).astype(np.float64)
             cos = (m @ qvec) / (np.sqrt((m * m).sum(axis=1)) * qn)
             top = np.argsort(-cos)[:k]
-            yield pd.DataFrame(
-                {"vec_id": cand.vec_id.to_numpy()[top], "cosine": cos[top]}
-            )
+            yield pd.DataFrame({"vec_id": cand.vec_id.to_numpy()[top]})
 
+    cand = e.mapInPandas(block_topk, schema="vec_id long")
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.posexplode("embedding").alias("pos", "qv")
+    )
+    b = e.join(cand, "vec_id").select(
+        "vec_id", F.posexplode("embedding").alias("pos", "bv")
+    )
+    bd, qd = F.col("bv").cast("double"), F.col("qv").cast("double")
+    prod = (
+        b.join(F.broadcast(q), "pos")
+        .groupBy("vec_id")
+        .agg(
+            F.sum((bd * qd).cast(DEC12)).alias("dot"),
+            F.sum((bd * bd).cast(DEC12)).alias("nb"),
+            F.sum((qd * qd).cast(DEC12)).alias("nq"),
+        )
+    )
+    cos = F.col("dot").cast("double") / (
+        F.sqrt(F.col("nb").cast("double")) * F.sqrt(F.col("nq").cast("double"))
+    )
     return (
-        e.mapInPandas(block_topk, schema="vec_id long, cosine double")
+        prod.select("vec_id", F.round(cos, 6).alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
         .limit(k)
     )
