@@ -101,11 +101,12 @@ _WINDOW_SECOND = [
     "delta_deep_clone", "agg_cuped_adjustment", "llm_prompt_render",
     "llm_vocab_coverage",
     "tpch_q4", "tpch_q6", "tpch_q14", "tpch_q18", "tpch_q19",
-    # --- new r5 operators (never checked; with llm_token_entropy +
-    # the 44 ids above this makes r6's window exactly 50) ---
+    # --- new r5 operators (never checked); the tail past r6's 50-slot
+    # window rolls into r7's ---
     "graph_connected_components", "agg_count_min_sketch",
     "llm_mix_temperature", "llm_importance_resample",
     "llm_dedup_semantic",
+    "join_spatial_grid", "llm_simhash_portable", "scan_text",
     # --- end of never-checked block; greens rotate below ---
     "delta_time_travel", "delta_merge_upsert",
     "stream_tumbling", "stream_session", "win_range_frame", "fn_date",  # events/tz consumers

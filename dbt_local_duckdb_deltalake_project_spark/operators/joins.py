@@ -907,3 +907,131 @@ def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("o_orderpriority")
     )
+
+
+_SPATIAL_ORACLE = """
+WITH cust AS (
+  SELECT c_custkey,
+         CAST(('0x' || substr(md5('gx:' || CAST(c_custkey AS VARCHAR)),
+                              1, 8)) AS BIGINT) % 10000 AS x,
+         CAST(('0x' || substr(md5('gy:' || CAST(c_custkey AS VARCHAR)),
+                              1, 8)) AS BIGINT) % 10000 AS y
+  FROM customer
+),
+supp AS (
+  SELECT s_suppkey,
+         CAST(('0x' || substr(md5('gx:s' || CAST(s_suppkey AS VARCHAR)),
+                              1, 8)) AS BIGINT) % 10000 AS x,
+         CAST(('0x' || substr(md5('gy:s' || CAST(s_suppkey AS VARCHAR)),
+                              1, 8)) AS BIGINT) % 10000 AS y
+  FROM supplier
+),
+hits AS (
+  SELECT s.s_suppkey,
+         CAST(COUNT(*) AS BIGINT) AS n_within,
+         CAST(MIN((s.x - c.x) * (s.x - c.x)
+                  + (s.y - c.y) * (s.y - c.y)) AS BIGINT) AS min_d2
+  FROM supp s JOIN cust c
+    ON (s.x - c.x) * (s.x - c.x) + (s.y - c.y) * (s.y - c.y) <= 62500
+  GROUP BY s.s_suppkey
+)
+SELECT p.s_suppkey,
+       COALESCE(h.n_within, 0) AS n_within,
+       h.min_d2
+FROM supp p LEFT JOIN hits h ON h.s_suppkey = p.s_suppkey
+ORDER BY p.s_suppkey
+"""
+
+
+@register("join_spatial_grid", _SPATIAL_ORACLE)
+def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial radius join via grid binning — "customers within 250 units
+    of each supplier" on a synthetic 10k×10k integer plane (coordinates
+    are key-constructed md5 integers, so the oracle reproduces them
+    exactly). The 100 TB shape: cell size = radius, points bucket into
+    cells, each probe point fans out to its 3×3 neighborhood, and the
+    candidate join is a plain EQUI-join on the cell key (shuffle both
+    sides on cellk, uniform by construction) followed by the exact
+    integer distance filter — candidates per probe ≈ 9·density, never
+    the O(n·m) theta join the oracle runs at fixture scale. Exactness:
+    a grid of cell size R with 8-neighbor probing covers every pair
+    within distance R; all arithmetic is integer (squared distances),
+    so both engines agree bit-for-bit.
+    """
+    R = 250
+
+    def coords(df, key, salt):
+        def axis(prefix):
+            return (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit(prefix + salt),
+                                F.col(key).cast("string"),
+                            )
+                        ),
+                        1, 8,
+                    ),
+                    16, 10,
+                ).cast("long")
+                % 10000
+            )
+
+        return df.select(
+            F.col(key), axis("gx:").alias("x"), axis("gy:").alias("y")
+        )
+
+    cust = coords(t(spark, sf_dir, "customer"), "c_custkey", "")
+    supp = coords(t(spark, sf_dir, "supplier"), "s_suppkey", "s")
+    cgrid = cust.select(
+        "c_custkey", "x", "y",
+        ((F.col("x") / R).cast("long") * 1000
+         + (F.col("y") / R).cast("long")).alias("cellk"),
+    )
+    off = F.explode(
+        F.array(*[F.lit(d) for d in range(9)])
+    ).alias("d")
+    sgrid = supp.select("s_suppkey", "x", "y", off).select(
+        "s_suppkey", "x", "y",
+        (
+            ((F.col("x") / R).cast("long") + F.col("d") % 3 - 1) * 1000
+            + (
+                (F.col("y") / R).cast("long")
+                + F.floor(F.col("d") / 3).cast("long")
+                - 1
+            )
+        ).cast("long").alias("cellk"),
+    )
+    d2 = (
+        (F.col("sx") - F.col("cx")) * (F.col("sx") - F.col("cx"))
+        + (F.col("sy") - F.col("cy")) * (F.col("sy") - F.col("cy"))
+    )
+    hits = (
+        sgrid.select(
+            "s_suppkey", "cellk",
+            F.col("x").alias("sx"), F.col("y").alias("sy"),
+        )
+        .join(
+            cgrid.select(
+                "cellk", F.col("x").alias("cx"), F.col("y").alias("cy")
+            ),
+            "cellk",
+        )
+        .filter(d2 <= R * R)
+        .groupBy("s_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_within"),
+            F.min(d2).alias("min_d2"),
+        )
+    )
+    return (
+        supp.select("s_suppkey")
+        .join(hits, "s_suppkey", "left")
+        .select(
+            "s_suppkey",
+            F.coalesce("n_within", F.lit(0)).cast("long").alias("n_within"),
+            F.col("min_d2").cast("long").alias("min_d2"),
+        )
+        .orderBy("s_suppkey")
+    )

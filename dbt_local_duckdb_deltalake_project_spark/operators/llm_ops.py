@@ -4235,3 +4235,92 @@ def llm_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+_SIMHASH_PORTABLE_ORACLE = """
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+  FROM documents
+),
+h AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('sh:' || w), 1, 15)) AS BIGINT) AS hv
+  FROM tok
+),
+bits AS (
+  SELECT doc_id, i,
+         SUM(CASE WHEN (hv >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM h, (SELECT unnest(range(0, 60)) AS i)
+  GROUP BY doc_id, i
+),
+sig AS (
+  -- CAST the sum: DuckDB SUM(BIGINT) yields HUGEINT, which pandas
+  -- conversion turns into float64 and mangles above 2^53
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << i ELSE 0 END)
+              AS BIGINT) AS simhash60
+  FROM bits GROUP BY doc_id
+)
+SELECT doc_id, simhash60,
+       simhash60 % 32768 AS band0,
+       (simhash60 >> 15) % 32768 AS band1,
+       (simhash60 >> 30) % 32768 AS band2,
+       (simhash60 >> 45) % 32768 AS band3
+FROM sig ORDER BY doc_id
+"""
+
+
+@register("llm_simhash_portable", _SIMHASH_PORTABLE_ORACLE)
+def llm_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash with ENGINE-PORTABLE hashes — the differential twin of the
+    rows-mode xxhash `llm_simhash` (same relationship as
+    llm_minhash_signature_sql to llm_dedup_minhash): every token hash
+    is a 60-bit md5-substring integer both engines compute identically,
+    so the full signature AND its four 15-bit LSH bands are
+    value-hash-checked end-to-end. 60 bits (15 hex chars) keeps the
+    hash inside a signed BIGINT in both engines. Plan: distinct
+    (doc, token), one 60-way bit fan-out, and two algebraic groupBys —
+    the ±1 bit sums map-side combine so the shuffle carries one 60-int
+    partial state per doc per mapper, never the exploded bit rows; the
+    band projection is pure codegen. Linear passes, scale-free.
+    """
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).distinct()
+    h = tok.select(
+        "doc_id",
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("sh:"), F.col("w"))), 1, 15),
+            16, 10,
+        ).cast("long").alias("hv"),
+    )
+    bits = (
+        h.select(
+            "doc_id", "hv",
+            F.explode(F.array(*[F.lit(i) for i in range(60)])).alias("i"),
+        )
+        .select(
+            "doc_id", "i",
+            F.when(
+                F.expr("(hv >> i) & 1") == 1, F.lit(1)
+            ).otherwise(F.lit(-1)).alias("b"),
+        )
+        .groupBy("doc_id", "i")
+        .agg(F.sum("b").alias("s"))
+    )
+    sig = bits.groupBy("doc_id").agg(
+        F.sum(
+            F.when(
+                F.col("s") > 0, F.expr("cast(1 as bigint) << i")
+            ).otherwise(F.lit(0))
+        ).alias("simhash60")
+    )
+    return sig.select(
+        "doc_id",
+        "simhash60",
+        (F.col("simhash60") % 32768).alias("band0"),
+        F.expr("(simhash60 >> 15) % 32768").alias("band1"),
+        F.expr("(simhash60 >> 30) % 32768").alias("band2"),
+        F.expr("(simhash60 >> 45) % 32768").alias("band3"),
+    ).orderBy("doc_id")

@@ -602,3 +602,50 @@ def scan_range_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("i")
     )
+
+
+_SCAN_TEXT_ORACLE = """
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY lang ORDER BY lang
+"""
+
+
+@register("scan_text", _SCAN_TEXT_ORACLE)
+def scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-oriented text source (``spark.read.text``) — the rawest
+    ingest format (logs, one-JSON-per-line before schema, WET/plain
+    dumps): each line is one row of a single ``value`` column; all
+    structure is imposed by the query. Round-trip demo: documents are
+    staged as pipe-delimited lines, read back through the text source,
+    parsed with codegen splits, and aggregated — the result must equal
+    the same aggregate over the original table (oracle). At 100 TB the
+    text scan is splittable (newline-delimited), so this parse pattern
+    is a full-parallel map stage; the parse stays JVM-side.
+    """
+    d = t(spark, sf_dir, "documents")
+    path = workdir(sf_dir, "scan_text")
+    d.select(
+        F.concat_ws(
+            "|",
+            F.col("doc_id").cast("string"),
+            "lang",
+            F.col("n_chars").cast("string"),
+        ).alias("value")
+    ).coalesce(1).write.mode("overwrite").text(path)
+    lines = spark.read.text(path)
+    parts = F.split("value", "\\|")
+    return (
+        lines.select(
+            parts.getItem(1).alias("lang"),
+            parts.getItem(2).cast("long").alias("n_chars"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
