@@ -225,3 +225,75 @@ def stream_stateful_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+_DYN_SESSION_ORACLE = """
+WITH iv AS (
+  SELECT user_id, ts, event_id,
+         ts + CASE WHEN event_type = 'purchase'
+                   THEN INTERVAL 60 MINUTE ELSE INTERVAL 30 MINUTE END AS te
+  FROM events
+),
+x AS (
+  SELECT user_id, ts, te,
+         MAX(te) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+  FROM iv
+),
+flagged AS (
+  SELECT user_id, ts, te,
+         CASE WHEN prev_end IS NULL OR ts >= prev_end THEN 1 ELSE 0 END
+           AS new_session
+  FROM x
+),
+numbered AS (
+  SELECT user_id, ts, te,
+         SUM(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(te) AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM numbered
+GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""
+
+
+@register("stream_session_dynamic_gap", _DYN_SESSION_ORACLE)
+def stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``session_window`` with a DYNAMIC per-event gap (Spark 3.2+
+    surface): purchases hold a session open for 60 minutes, everything
+    else 30 — the "high-intent events extend the session" rule real
+    funnels use, inexpressible with a constant gap. Each event spans
+    [ts, ts+gap(event)) and overlapping spans merge, which is interval
+    union, not lag-vs-gap — the oracle computes the same merge with a
+    running MAX(end) over (ts, event_id) order (new session iff ts >=
+    every previous end; Spark's window end is exclusive, so an event
+    landing exactly on the boundary starts a new session in both
+    engines). Plan: one shuffle on user_id into the native
+    session-window aggregation — state is per-open-session, which is
+    what survives on a 100 TB stream (same operator works under
+    readStream + watermark).
+    """
+    e = t(spark, sf_dir, "events")
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit("60 minutes")
+    ).otherwise(F.lit("30 minutes"))
+    return (
+        e.groupBy(
+            "user_id", F.session_window("ts", gap).alias("w")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )

@@ -4324,3 +4324,74 @@ def llm_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(simhash60 >> 30) % 32768").alias("band2"),
         F.expr("(simhash60 >> 45) % 32768").alias("band3"),
     ).orderBy("doc_id")
+
+
+_DPO_PAIR_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, source,
+         CAST(COUNT(DISTINCT w) * 1000000 // COUNT(*) AS BIGINT) AS score_m
+  FROM tok GROUP BY doc_id, source
+),
+ranked AS (
+  SELECT doc_id, source, score_m,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY score_m DESC, doc_id) AS rk_top,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY score_m ASC, doc_id) AS rk_bot
+  FROM scored
+)
+SELECT t.source,
+       t.doc_id AS chosen_doc, t.score_m AS chosen_score_m,
+       b.doc_id AS rejected_doc, b.score_m AS rejected_score_m,
+       t.score_m - b.score_m AS margin_m
+FROM ranked t JOIN ranked b
+  ON t.source = b.source AND t.rk_top = 1 AND b.rk_bot = 1
+ORDER BY t.source
+"""
+
+
+@register("llm_dpo_pair_builder", _DPO_PAIR_ORACLE)
+def llm_dpo_pair_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair construction for DPO/RLHF-style training: per
+    prompt group (source), pair the highest-scoring response with the
+    lowest-scoring one and report the margin — the mechanical step that
+    turns a scored candidate pool into (chosen, rejected) rows. Score
+    is lexical diversity (distinct tokens per token) as exact scaled
+    integers (floor division — engine-identical), tie-broken on doc_id,
+    so pair selection is deterministic. Plan: one token explode + one
+    (doc, source) distinct-count agg, then TWO single-row-per-group
+    argmax/argmin reductions via min_by/max_by over a struct key — all
+    algebraic, one shuffle per agg, no window over the full corpus.
+    """
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("w")
+    )
+    scored = tok.groupBy("doc_id", "source").agg(
+        F.expr("(count(distinct w) * 1000000L) div count(*)").alias("score_m")
+    )
+    # argmax/argmin with (score, doc_id) tiebreak: max_by on a struct
+    # orders lexicographically; doc_id is negated for the top side so
+    # ties pick the SMALLER doc_id (mirrors the oracle's ORDER BY).
+    pairs = scored.groupBy("source").agg(
+        F.max_by(
+            F.struct(F.col("doc_id").alias("d"), F.col("score_m").alias("s")),
+            F.struct(F.col("score_m"), (-F.col("doc_id")).alias("nd")),
+        ).alias("top"),
+        F.min_by(
+            F.struct(F.col("doc_id").alias("d"), F.col("score_m").alias("s")),
+            F.struct(F.col("score_m"), F.col("doc_id")),
+        ).alias("bot"),
+    )
+    return pairs.select(
+        "source",
+        F.col("top.d").alias("chosen_doc"),
+        F.col("top.s").alias("chosen_score_m"),
+        F.col("bot.d").alias("rejected_doc"),
+        F.col("bot.s").alias("rejected_score_m"),
+        (F.col("top.s") - F.col("bot.s")).alias("margin_m"),
+    ).orderBy("source")

@@ -916,3 +916,63 @@ def win_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             / prev.cast("double"),
         ).alias("yoy_growth"),
     ).orderBy("o_orderpriority", "yr")
+
+
+_IGNORE_NULLS_ORACLE = """
+WITH base AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN event_type = 'click' THEN NULL ELSE value END AS vn
+  FROM events
+)
+SELECT event_id, user_id, ts, vn,
+       last_value(vn IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_nn,
+       last_value(vn IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_nn,
+       first_value(vn IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_nn
+FROM base
+ORDER BY user_id, ts, event_id
+"""
+
+
+@register("win_lead_lag_ignore_nulls", _IGNORE_NULLS_ORACLE)
+def win_lead_lag_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS navigation — the gap-bridging forms every sparse
+    time series needs (sensor last-observation-carried-forward, CDC
+    last-known-value): last/prev/next NON-NULL value per user ordered
+    by event time, with clicks' values nulled out to make the gaps
+    real. All three are expressed as frame-bounded first/last with
+    ignorenulls=True (the form both engines implement identically —
+    lag/lead IGNORE NULLS are sugar for exactly these frames). One
+    shuffle+sort on (user_id) serves all three window frames; values
+    pass through untouched, so doubles stay bit-identical.
+    """
+    e = t(spark, sf_dir, "events")
+    base = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "click", F.lit(None)).otherwise(
+            F.col("value")
+        ).alias("vn"),
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return base.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "vn",
+        F.last("vn", ignorenulls=True)
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("last_nn"),
+        F.last("vn", ignorenulls=True)
+        .over(w.rowsBetween(W.unboundedPreceding, -1))
+        .alias("prev_nn"),
+        F.first("vn", ignorenulls=True)
+        .over(w.rowsBetween(1, W.unboundedFollowing))
+        .alias("next_nn"),
+    ).orderBy("user_id", "ts", "event_id")
