@@ -4395,3 +4395,80 @@ def llm_dpo_pair_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bot.s").alias("rejected_score_m"),
         (F.col("top.s") - F.col("bot.s")).alias("margin_m"),
     ).orderBy("source")
+
+
+_WINNOW_SQL_ORACLE = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+sh AS (
+  SELECT doc_id, i,
+         a[i] || ' ' || a[i+1] || ' ' || a[i+2] || ' ' || a[i+3] AS s
+  FROM d, LATERAL (SELECT unnest(range(1, greatest(len(a) - 2, 1))) AS i)
+),
+wh AS (
+  SELECT doc_id, (i - 1) // 8 AS bucket,
+         CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS whash
+  FROM sh
+),
+fp AS (
+  SELECT doc_id, bucket, MIN(whash) AS fp FROM wh GROUP BY doc_id, bucket
+)
+SELECT doc_id,
+       array_to_string(list_sort(list(fp)), ',') AS fingerprints
+FROM fp GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@register("llm_fingerprint_winnow_sql", _WINNOW_SQL_ORACLE)
+def llm_fingerprint_winnow_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints with ENGINE-PORTABLE hashes — the sql-mode
+    differential twin of rows-mode `llm_fingerprint_rolling` (the same
+    twin relationship as llm_minhash_signature_sql / llm_simhash_portable
+    to their xxhash siblings). Each 4-token window is hashed as ONE
+    60-bit md5-substring integer (hashing the joined shingle instead of
+    bit-packing four per-token hashes — an equally standard winnowing
+    formulation that needs no rolling state), and the minimum window
+    hash per stride-of-8 bucket is kept: >=1 fingerprint per stride,
+    position-robust. The window construction is the narrow
+    slice/arrays_zip codegen pipeline — no per-doc window sort — so the
+    first shuffle is the (doc, bucket) min-groupBy, which map-side
+    combines to O(windows/8) rows. Fingerprint lists are serialized at
+    the edge (driver hashes row tuples; CLAUDE.md scalar-output rule).
+    """
+    d = t(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    n4 = F.greatest(F.size(w) - 3, F.lit(0))
+    z = F.arrays_zip(
+        F.slice(w, 1, n4).alias("a"),
+        F.slice(w, 2, n4).alias("b"),
+        F.slice(w, 3, n4).alias("c"),
+        F.slice(w, 4, n4).alias("e"),
+    )
+    sh = d.select(
+        "doc_id", F.posexplode(z).alias("pos", "g")
+    ).select(
+        "doc_id",
+        (F.col("pos") / 8).cast("long").alias("bucket"),
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        " ",
+                        F.col("g.a"), F.col("g.b"), F.col("g.c"), F.col("g.e"),
+                    )
+                ),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("long").alias("whash"),
+    )
+    return (
+        sh.groupBy("doc_id", "bucket")
+        .agg(F.min("whash").alias("fp"))
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_list("fp")).cast("array<string>"), ","
+            ).alias("fingerprints")
+        )
+        .orderBy("doc_id")
+    )
