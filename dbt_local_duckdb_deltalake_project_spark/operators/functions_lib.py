@@ -730,3 +730,101 @@ def fn_tz_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ny_hour")
     )
+
+
+def _interleave_sql(lon: str, lat: str) -> str:
+    """30-bit geohash interleave as one folded integer expression —
+    identical text runs in Spark SQL and DuckDB (pure >>, &, <<, +)."""
+    terms = []
+    for j in range(15):
+        terms.append(f"((({lon} >> {14 - j}) & 1) << {29 - 2 * j})")
+        terms.append(f"((({lat} >> {14 - j}) & 1) << {28 - 2 * j})")
+    return " + ".join(terms)
+
+
+_GEOHASH_B32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+_GEOHASH_ORACLE = f"""
+WITH pts AS (
+  SELECT c_custkey,
+         CAST(('0x' || substr(md5('gx:' || CAST(c_custkey AS VARCHAR)),
+                              1, 8)) AS BIGINT) % 10000 AS x,
+         CAST(('0x' || substr(md5('gy:' || CAST(c_custkey AS VARCHAR)),
+                              1, 8)) AS BIGINT) % 10000 AS y
+  FROM customer
+),
+q AS (
+  SELECT c_custkey,
+         (x * 32768) // 10000 AS lon_q,
+         (y * 32768) // 10000 AS lat_q
+  FROM pts
+),
+coded AS (
+  SELECT c_custkey,
+         CAST({_interleave_sql('lon_q', 'lat_q')} AS BIGINT) AS code30
+  FROM q
+)
+SELECT c_custkey, code30,
+       substr('{_GEOHASH_B32}', 1 + CAST((code30 >> 25) & 31 AS INTEGER), 1)
+    || substr('{_GEOHASH_B32}', 1 + CAST((code30 >> 20) & 31 AS INTEGER), 1)
+    || substr('{_GEOHASH_B32}', 1 + CAST((code30 >> 15) & 31 AS INTEGER), 1)
+    || substr('{_GEOHASH_B32}', 1 + CAST((code30 >> 10) & 31 AS INTEGER), 1)
+    || substr('{_GEOHASH_B32}', 1 + CAST((code30 >> 5) & 31 AS INTEGER), 1)
+    || substr('{_GEOHASH_B32}', 1 + CAST(code30 & 31 AS INTEGER), 1)
+      AS geohash6
+FROM coded
+ORDER BY c_custkey
+"""
+
+
+@register("fn_geohash", _GEOHASH_ORACLE)
+def fn_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash encoding — the spatial partition key every geo pipeline
+    derives before bucketing/joining (join_spatial_grid's grid cells,
+    as a sortable string hierarchy: a shared prefix = spatial
+    proximity, so ORDER BY geohash co-locates neighbors in storage).
+    Implemented as pure integer bit math: the 15-bit quantized lon/lat
+    interleave into one 30-bit code via a folded 30-term expression
+    (generated once, identical text in both engines — whole-stage
+    codegen, no UDF), then six base32 chars are substring-indexed out.
+    Map-side only; scale-free.
+    """
+    c = t(spark, sf_dir, "customer")
+
+    def axis(prefix):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(F.lit(prefix), F.col("c_custkey").cast("string"))
+                    ),
+                    1, 8,
+                ),
+                16, 10,
+            ).cast("long")
+            % 10000
+        )
+
+    q = c.select(
+        "c_custkey",
+        axis("gx:").alias("x"),
+        axis("gy:").alias("y"),
+    ).select(
+        "c_custkey",
+        F.expr("(x * 32768) div 10000").alias("lon_q"),
+        F.expr("(y * 32768) div 10000").alias("lat_q"),
+    )
+    coded = q.select(
+        "c_custkey",
+        F.expr(_interleave_sql("lon_q", "lat_q")).cast("long").alias("code30"),
+    )
+    ch = [
+        F.expr(
+            f"substr('{_GEOHASH_B32}', "
+            f"cast((code30 >> {s}) & 31 as int) + 1, 1)"
+        )
+        for s in (25, 20, 15, 10, 5, 0)
+    ]
+    return coded.select(
+        "c_custkey", "code30", F.concat(*ch).alias("geohash6")
+    ).orderBy("c_custkey")
