@@ -364,3 +364,71 @@ def test_temperature_weights_are_a_subdistribution(spark, sizes):
     by_size = sorted(out, key=lambda r: (r["n_chars"], r["lang"]))
     ws = [r["w"] for r in by_size]
     assert all(a <= b for a, b in zip(ws, ws[1:]))
+
+
+# ---------------------------------------------------------------------------
+# Model-based storage fuzz: a random sequence of table operations applied
+# both to a DeltaLikeTable and to a trivial in-memory multiset model must
+# agree at EVERY version via time travel. This is the strongest guard the
+# versioned-storage layer has: any replay bug (add/remove ordering,
+# restore content comparison, checkpoint interaction) shows up as a
+# divergence at some historical version, not just at HEAD.
+# ---------------------------------------------------------------------------
+
+_OP = st.one_of(
+    st.tuples(st.just("append"), st.lists(ROW, min_size=1, max_size=5)),
+    st.tuples(st.just("overwrite"), st.lists(ROW, min_size=1, max_size=5)),
+    st.tuples(st.just("delete_lt"), st.integers(min_value=0, max_value=9)),
+    st.tuples(st.just("compact"), st.just(None)),
+    st.tuples(st.just("restore"), st.integers(min_value=0, max_value=5)),
+)
+
+
+@given(ops=st.lists(_OP, min_size=1, max_size=6))
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_storage_op_sequence_matches_model(spark, tmp_path_factory, ops):
+    from dbt_local_duckdb_deltalake_project_spark.sources.deltalike import DeltaLikeTable
+
+    tbl = DeltaLikeTable(str(tmp_path_factory.mktemp("fuzz") / "t"))
+
+    def df(rows):
+        return spark.createDataFrame(rows or [(0, 0)], "k int, v int").limit(
+            len(rows)
+        )
+
+    versions = []  # model state (sorted tuple multiset) per commit version
+    state = []
+    for op, arg in ops:
+        if op == "append" and versions:
+            tbl.write(df(arg), mode="append")
+            state = state + list(arg)
+        elif op in ("append", "overwrite"):
+            tbl.write(df(arg), mode="overwrite")
+            state = list(arg)
+        elif op == "delete_lt":
+            if not versions:
+                continue
+            tbl.delete(spark, F.col("k") < arg)
+            state = [r for r in state if not (r[0] < arg)]
+        elif op == "compact":
+            if not versions:
+                continue
+            tbl.compact(spark, target_files=1)
+        elif op == "restore":
+            if not versions:
+                continue
+            v = min(arg, len(versions) - 1)
+            tbl.restore(v)
+            state = list(versions[v])
+        versions.append(sorted(state))
+
+    assert tbl.latest_version == len(versions) - 1
+    for v, want in enumerate(versions):
+        got = sorted(
+            (r.k, r.v) for r in tbl.read(spark, as_of=v).collect()
+        )
+        assert got == want, f"diverged at version {v}: {got} != {want}"
