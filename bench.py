@@ -101,6 +101,7 @@ def main() -> None:
         "stream_change_data_feed",
         "stream_checkpoint_recovery",
         "stream_foreachbatch_multi_sink",
+        "stream_corpus_ingest_dedup",
     )}
     sql_pooled = sorted(n for n in qs if n in oracles)
     rows_pooled = sorted(n for n in qs if n not in oracles)

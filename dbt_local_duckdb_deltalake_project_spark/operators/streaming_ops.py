@@ -1101,3 +1101,112 @@ def stream_foreachbatch_multi_sink(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("event_type")
     )
+
+
+_CORPUS_INGEST_ORACLE = """
+WITH cut AS (SELECT COUNT(*) * 3 // 5 AS c FROM documents),
+keep AS (
+  SELECT doc_id, source, text,
+         MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+  FROM documents
+)
+SELECT doc_id, source,
+       CASE WHEN doc_id < (SELECT c FROM cut) THEN 0 ELSE 1 END
+         AS arrival_batch
+FROM keep
+WHERE doc_id = keeper
+ORDER BY doc_id
+"""
+
+
+@register("stream_corpus_ingest_dedup", _CORPUS_INGEST_ORACLE)
+def stream_corpus_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus ingest with exact dedup against the accumulating
+    corpus — the incremental version of llm_dedup_exact and the pattern
+    a 100 TB training corpus actually grows by: each arriving batch is
+    (a) deduped within itself (keep the lowest doc_id per content
+    hash), (b) anti-joined by content md5 against everything already
+    committed, and (c) appended as one atomic version. The staged
+    replay engineers a 20%% overlap between the two micro-batches
+    (batch 0 = first 60%% of doc ids, batch 1 = last 60%%), so the
+    cross-batch anti-join provably drops rows. At scale the anti-join
+    probes only the 16-byte digest column of the corpus (llm_dedup_bloom
+    is the sketch-accelerated variant of the same gate); the dedup
+    state IS the table, so no streaming state store grows unboundedly.
+    Deterministic end state: exactly one doc per distinct text, kept at
+    its earliest arrival — the oracle's min-per-content-hash rule.
+    """
+    import os
+
+    from ..catalog import t
+    from ..sources.deltalike import DeltaLikeTable
+    from ..sources.workspace import (
+        fixture_fingerprint,
+        mark_staged,
+        staging_current,
+        staging_lock,
+        workdir,
+    )
+
+    src = workdir(sf_dir, "stream_doc_src", fresh=False)
+    ckpt = workdir(sf_dir, "stream_ckpt_corpus")
+    with staging_lock:
+        if not (
+            staging_current(src, sf_dir)
+            and os.path.exists(f"{src}/f0/_SUCCESS")
+            and os.path.exists(f"{src}/f1/_SUCCESS")
+        ):
+            fp = fixture_fingerprint(sf_dir)
+            d = t(spark, sf_dir, "documents").select(
+                "doc_id", "source", "text"
+            )
+            n = d.count()  # bounded scalar, staging-time only
+            cut60, cut40 = (n * 3) // 5, (n * 2) // 5
+            d.filter(F.col("doc_id") < cut60).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(f"{src}/f0")
+            d.filter(F.col("doc_id") >= cut40).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(f"{src}/f1")
+            mark_staged(src, sf_dir, fp)
+
+    tbl = DeltaLikeTable(workdir(sf_dir, "stream_corpus"))
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        batch = batch_df.withColumn("content_md5", F.md5("text"))
+        w = W.partitionBy("content_md5").orderBy("doc_id")
+        batch = (
+            batch.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "doc_id", "source", "content_md5",
+                F.lit(batch_id).cast("int").alias("arrival_batch"),
+            )
+        )
+        if batch_id == 0:
+            tbl.write(batch, mode="overwrite")
+            return
+        seen = tbl.read(s).select("content_md5")
+        tbl.write(batch.join(seen, "content_md5", "left_anti"), mode="append")
+
+    schema = spark.read.parquet(f"{src}/f0").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    with replay_shuffle(spark, 8):
+        q = (
+            stream.writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return (
+        tbl.read(spark)
+        .select("doc_id", "source", "arrival_batch")
+        .orderBy("doc_id")
+    )
