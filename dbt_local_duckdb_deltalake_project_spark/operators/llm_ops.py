@@ -4472,3 +4472,116 @@ def llm_fingerprint_winnow_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_SPAN_MASK_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, i - 1 AS pos
+  FROM (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+       LATERAL (SELECT unnest(range(1, len(a) + 1)) AS i)
+),
+flags AS (
+  SELECT doc_id, pos,
+         (CAST(('0x' || substr(md5('sp:' || CAST(doc_id AS VARCHAR) || ':'
+                                || CAST(pos AS VARCHAR)), 1, 4)) AS INTEGER)
+          % 20 = 0) AS s0,
+         (pos >= 1 AND CAST(('0x' || substr(md5('sp:'
+            || CAST(doc_id AS VARCHAR) || ':' || CAST(pos - 1 AS VARCHAR)),
+            1, 4)) AS INTEGER) % 20 = 0) AS s1,
+         (pos >= 2 AND CAST(('0x' || substr(md5('sp:'
+            || CAST(doc_id AS VARCHAR) || ':' || CAST(pos - 2 AS VARCHAR)),
+            1, 4)) AS INTEGER) % 20 = 0) AS s2,
+         (pos >= 3 AND CAST(('0x' || substr(md5('sp:'
+            || CAST(doc_id AS VARCHAR) || ':' || CAST(pos - 3 AS VARCHAR)),
+            1, 4)) AS INTEGER) % 20 = 0) AS s3
+  FROM tok
+),
+m AS (
+  SELECT doc_id, pos,
+         (s0 OR s1 OR s2) AS masked,
+         (s0 AND NOT s1 AND NOT s2 AND NOT s3) AS span_begin
+  FROM flags
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) FILTER (masked) AS BIGINT) AS n_masked,
+       CAST(COUNT(*) FILTER (span_begin) AS BIGINT) AS n_spans,
+       CAST(COUNT(*) FILTER (masked) * 1000000 // COUNT(*) AS BIGINT)
+         AS masked_ppm,
+       md5(COALESCE(
+         array_to_string(list(pos ORDER BY pos) FILTER (masked), ','), ''))
+         AS mask_digest
+FROM m GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@register("llm_span_corruption_mask", _SPAN_MASK_ORACLE)
+def llm_span_corruption_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption mask planning: choose spans of 3 tokens
+    to mask, span starts drawn at a deterministic 5% rate — the
+    denoising-objective preprocessing step, made reproducible by
+    key-addressed hashing (llm_split_assign discipline: re-runs,
+    backfills, and both engines pick identical spans). The trick that
+    keeps it scale-free: "is position p masked" = "did a span start at
+    p, p-1, or p-2", and the start decision is a PURE FUNCTION of
+    (doc_id, pos) — so masked/span-begin flags are computed map-side
+    from 4 hash evaluations per token, no per-doc window sort, no
+    sequential scan. One groupBy(doc_id) folds counts and the md5
+    digest of the masked-position list (the span plan's content
+    address). Output: per-doc token/masked/span counts, masked ppm
+    (exact floor division), and the digest.
+    """
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    ).select("doc_id", "pos")
+
+    def start(off: int):
+        cond = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("sp:"),
+                            F.col("doc_id").cast("string"),
+                            F.lit(":"),
+                            (F.col("pos") - off).cast("string"),
+                        )
+                    ),
+                    1, 4,
+                ),
+                16, 10,
+            ).cast("int")
+            % 20
+            == 0
+        )
+        if off == 0:
+            return cond
+        return (F.col("pos") >= off) & cond
+
+    m = tok.select(
+        "doc_id",
+        "pos",
+        (start(0) | start(1) | start(2)).alias("masked"),
+        (start(0) & ~start(1) & ~start(2) & ~start(3)).alias("span_begin"),
+    )
+    return (
+        m.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.col("masked").cast("long")).alias("n_masked"),
+            F.sum(F.col("span_begin").cast("long")).alias("n_spans"),
+            F.expr(
+                "(sum(cast(masked as bigint)) * 1000000L) div count(*)"
+            ).alias("masked_ppm"),
+            F.md5(
+                F.array_join(
+                    F.array_sort(
+                        F.collect_list(F.when(F.col("masked"), F.col("pos")))
+                    ).cast("array<string>"),
+                    ",",
+                )
+            ).alias("mask_digest"),
+        )
+        .orderBy("doc_id")
+    )

@@ -344,3 +344,65 @@ def udf_pandas_scalar_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_POLY_UDTF_ORACLE = """
+SELECT doc_id,
+       string_split(text, ' ')[1] AS c0,
+       string_split(text, ' ')[2] AS c1,
+       string_split(text, ' ')[3] AS c2,
+       string_split(text, ' ')[4] AS c3
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register("udtf_polymorphic", _POLY_UDTF_ORACLE)
+def udtf_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polymorphic Python UDTF (Spark 4 ``analyze()`` API): the output
+    SCHEMA is computed at plan time from a literal argument — here
+    ``split_fixed(text, 4)`` derives columns c0..c3 from the requested
+    width, the way real table functions (read_csv-style parsers,
+    pivot-to-N, JSON flatteners) size their output from configuration
+    rather than a hard-coded returnType. eval() then emits one row per
+    input row with exactly the analyzed arity (padding with NULLs), so
+    Catalyst plans downstream projections against a schema that never
+    existed in source code. Arrow-batched; fixture scan fanned out
+    first so the Python stage runs wide (single-row-group parquet would
+    otherwise serialize through one worker — udtf_explode_custom note).
+    """
+    from pyspark.sql.functions import lit, udtf
+    from pyspark.sql.types import StringType, StructField, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf(useArrow=True)
+    class SplitFixed:
+        @staticmethod
+        def analyze(s: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            width = int(n.value)
+            return AnalyzeResult(
+                StructType(
+                    [
+                        StructField(f"c{i}", StringType())
+                        for i in range(width)
+                    ]
+                )
+            )
+
+        def eval(self, s, n):
+            parts = (s or "").split(" ")
+            yield tuple(
+                parts[i] if i < len(parts) else None for i in range(n)
+            )
+
+    spark.udtf.register("split_fixed", SplitFixed)
+    d = t(spark, sf_dir, "documents").repartition(16)
+    d.createOrReplaceTempView("docs_udtf_poly")
+    return spark.sql(
+        """
+        SELECT doc_id, s.c0, s.c1, s.c2, s.c3
+        FROM docs_udtf_poly,
+             LATERAL split_fixed(text, 4) s
+        ORDER BY doc_id
+        """
+    )
