@@ -395,10 +395,10 @@ def test_spatial_grid_candidate_join_is_equi(spark, sf_dir):
 
 def test_registry_window_covers_unverified_ids():
     # driver-window bookkeeping guard: every id with no CORRECTNESS row
-    # across all recorded rounds must sit inside the first 108 registry
-    # positions (r5 window = first 50; r6/r7 take the contiguous block
-    # behind it). A never-checked id drifting to the registry tail would
-    # silently never get verified.
+    # across all recorded rounds must sit inside the first 150 registry
+    # positions — three 50-slot windows (r5 = first 50; r6/r7 take the
+    # contiguous block behind it). A never-checked id drifting to the
+    # registry tail would silently never get verified.
     import glob
     import json
     import os
@@ -413,7 +413,7 @@ def test_registry_window_covers_unverified_ids():
     never = [q for q in ids if q not in checked]
     assert never, "all ids verified — retire this guard's bound"
     worst = max(ids.index(q) for q in never)
-    assert worst < 108, (
+    assert worst < 150, (
         f"never-checked id at registry position {worst}: "
         f"{ids[worst]} — rotate it into the window blocks"
     )
