@@ -250,16 +250,16 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CC_ORACLE = """
 WITH edges AS (
   SELECT c_custkey AS a, c_custkey - 1 AS b
-  FROM customer WHERE c_custkey % 16 <> 0
+  FROM customer WHERE c_custkey % 8 <> 0
 ),
 nodes AS (
   SELECT a AS node FROM edges UNION SELECT b FROM edges
 )
 SELECT node,
-       CAST(node - node % 16 AS BIGINT) AS component_id,
-       CAST(COUNT(*) OVER (PARTITION BY node - node % 16) AS BIGINT)
+       CAST(node - node % 8 AS BIGINT) AS component_id,
+       CAST(COUNT(*) OVER (PARTITION BY node - node % 8) AS BIGINT)
          AS component_size,
-       (node % 16 = 0) AS is_root
+       (node % 8 = 0) AS is_root
 FROM nodes
 ORDER BY node
 """
@@ -269,21 +269,22 @@ ORDER BY node
 def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components as a first-class operator, run on chain
     graphs — the worst case for the naive algorithm. Edges link each
-    customer key to its predecessor within blocks of 16, so the graph
-    is ~1k disjoint 16-node paths: plain min-label propagation needs
-    diameter (15) rounds, while the large-star/small-star alternation
+    customer key to its predecessor within blocks of 8, so the graph
+    is ~2k disjoint 8-node paths: plain min-label propagation needs
+    diameter (7) rounds, while the large-star/small-star alternation
     used here (shared with llm_dedup_clusters) collapses every path in
     O(log n) rounds — the 100 TB-safe shape, since each round is a
     bounded set of shuffles all keyed on the node id and the round
-    count stays logarithmic even for pathological chains. The
+    count stays logarithmic even for pathological chains (the 256-node
+    property test in tests/test_corpus_ops.py pins that bound). The
     key-constructed graph gives the oracle a closed form (component =
-    node - node % 16) that verifies every label exactly — the same
+    node - node % 8) that verifies every label exactly — the same
     construction discipline as llm_dedup_url.
     """
     from .llm_ops import _cc_large_small_star
 
     c = t(spark, sf_dir, "customer").select("c_custkey")
-    edges = c.filter(F.col("c_custkey") % 16 != 0).select(
+    edges = c.filter(F.col("c_custkey") % 8 != 0).select(
         F.col("c_custkey").alias("doc_a"),
         (F.col("c_custkey") - 1).alias("doc_b"),
     )
