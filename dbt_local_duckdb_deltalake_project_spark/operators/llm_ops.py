@@ -397,30 +397,97 @@ def llm_cosine_topk_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("llm_cosine_topk_lsh")  # rows-mode: approximate by design
-def llm_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN — the sub-linear scale path for similarity search.
+_LSH_ORACLE = """
+WITH pts AS (
+  SELECT vec_id, dim,
+         CAST(ROUND(CAST(embedding[dim] AS DOUBLE) * 1000000) AS BIGINT)
+           AS x_m
+  FROM embeddings, (SELECT unnest(range(1, 65)) AS dim)
+),
+anch AS (
+  SELECT vec_id AS aid, dim, x_m AS a_m FROM pts
+  WHERE vec_id BETWEEN 1 AND 4
+),
+dots AS (
+  SELECT p.vec_id, a.aid, SUM(p.x_m * a.a_m) AS d
+  FROM pts p JOIN anch a USING (dim) GROUP BY p.vec_id, a.aid
+),
+buck AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN d > 0 THEN 1 << (aid - 1) ELSE 0 END)
+              AS BIGINT) AS b
+  FROM dots GROUP BY vec_id
+),
+probe AS (
+  SELECT xor((SELECT b FROM buck WHERE vec_id = 0), v) AS pb
+  FROM (VALUES (0), (1), (2), (4), (8)) t(v)
+),
+cand AS (
+  SELECT vec_id FROM buck
+  WHERE vec_id <> 0 AND b IN (SELECT pb FROM probe)
+),
+q AS (
+  SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
+),
+prod AS (
+  SELECT b.vec_id,
+         SUM(CAST(CAST(b.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)
+                  AS DECIMAL(38,12))) AS dot,
+         SUM(CAST(CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
+                  AS DECIMAL(38,12))) AS nb,
+         SUM(CAST(CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)
+                  AS DECIMAL(38,12))) AS nq
+  FROM embeddings b CROSS JOIN q, generate_series(1, 64) t(i)
+  WHERE b.vec_id IN (SELECT vec_id FROM cand)
+  GROUP BY b.vec_id
+)
+SELECT vec_id,
+       ROUND(CAST(dot AS DOUBLE)
+             / (SQRT(CAST(nb AS DOUBLE)) * SQRT(CAST(nq AS DOUBLE))), 6)
+         AS cosine
+FROM prod
+ORDER BY cosine DESC, vec_id ASC
+LIMIT 10
+"""
 
-    Random-hyperplane LSH with deterministic anchors (vectors 1..4 serve
-    as hyperplanes): bucket(v) = sign bits of v·anchor_j. Multi-probe:
-    the query's bucket plus its four Hamming-1 neighbors are scanned
-    (5/16 of the corpus in expectation — near-misses land one flipped
-    sign bit away, so probing them recovers most of the recall a
-    single-bucket scan loses), then exact cosine within. At 100 TB the
-    table is WRITTEN partitioned by bucket, so the scan prunes at the
-    storage layer and each query touches nprobe partitions; recall
-    tunes with the probe radius.
+
+@register("llm_cosine_topk_lsh", _LSH_ORACLE)
+def llm_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN — the sub-linear scale path for similarity
+    search, upgraded to sql-mode in r5: bucketing AND scoring are now
+    engine-exact, so the oracle reproduces the approximate result set
+    bit-for-bit (approximate != nondeterministic).
+
+    Random-hyperplane LSH with deterministic anchors (vectors 1..4
+    serve as hyperplanes): bucket(v) = sign bits of v·anchor_j, with
+    the dot computed over HALF-AWAY-ROUNDED MICROS INTEGERS (int64
+    matmul in numpy == SUM(x_m*a_m) in SQL — no float sign flips at
+    the bucket boundary). Multi-probe: the query's bucket plus its
+    four Hamming-1 neighbors are scanned (5/16 of the corpus in
+    expectation), float cosine picks per-batch top-k candidates, and
+    the exact decimal pipeline re-scores those (the
+    llm_cosine_topk_blocked verify phase — float64 error <1e-12 cannot
+    eject a true top-k member). At 100 TB the table is WRITTEN
+    partitioned by bucket, so the scan prunes at the storage layer and
+    each query touches nprobe partitions; recall tunes with the probe
+    radius (llm_ann_recall measures it).
     """
     import numpy as np
     import pandas as pd
+
+    def _micros(a):
+        return (np.sign(a) * np.floor(np.abs(a) * 1e6 + 0.5)).astype(
+            np.int64
+        )
 
     e = t(spark, sf_dir, "embeddings")
     head = {
         r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
         for r in e.filter(F.col("vec_id") <= 4).collect()
     }
-    qvec, anchors = head[0], np.stack([head[i] for i in (1, 2, 3, 4)])
-    qbucket = int((qvec @ anchors.T > 0) @ (1 << np.arange(4)))
+    qvec = head[0]
+    anchors_m = np.stack([_micros(head[i]) for i in (1, 2, 3, 4)])
+    qbucket = int((_micros(qvec) @ anchors_m.T > 0) @ (1 << np.arange(4)))
     probe = np.array([qbucket] + [qbucket ^ (1 << j) for j in range(4)])
     k = 10
 
@@ -431,7 +498,7 @@ def llm_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             if not len(cand):
                 continue
             m = np.stack(cand.embedding.to_numpy()).astype(np.float64)
-            buckets = (m @ anchors.T > 0) @ (1 << np.arange(4))
+            buckets = (_micros(m) @ anchors_m.T > 0) @ (1 << np.arange(4))
             sel = np.isin(buckets, probe)
             if not sel.any():
                 continue
@@ -439,14 +506,31 @@ def llm_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             cos = (m @ qvec) / (np.sqrt((m * m).sum(axis=1)) * qn)
             top = np.argsort(-cos)[:k]
             yield pd.DataFrame(
-                {
-                    "vec_id": cand.vec_id.to_numpy()[sel][top],
-                    "cosine": cos[top],
-                }
+                {"vec_id": cand.vec_id.to_numpy()[sel][top]}
             )
 
+    cand = e.mapInPandas(bucket_topk, schema="vec_id long")
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.posexplode("embedding").alias("pos", "qv")
+    )
+    b = e.join(cand, "vec_id").select(
+        "vec_id", F.posexplode("embedding").alias("pos", "bv")
+    )
+    bd, qd = F.col("bv").cast("double"), F.col("qv").cast("double")
+    prod = (
+        b.join(F.broadcast(q), "pos")
+        .groupBy("vec_id")
+        .agg(
+            F.sum((bd * qd).cast(DEC12)).alias("dot"),
+            F.sum((bd * bd).cast(DEC12)).alias("nb"),
+            F.sum((qd * qd).cast(DEC12)).alias("nq"),
+        )
+    )
+    cos = F.col("dot").cast("double") / (
+        F.sqrt(F.col("nb").cast("double")) * F.sqrt(F.col("nq").cast("double"))
+    )
     return (
-        e.mapInPandas(bucket_topk, schema="vec_id long, cosine double")
+        prod.select("vec_id", F.round(cos, 6).alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
         .limit(k)
     )
