@@ -307,9 +307,29 @@ class DeltaLikeTable:
             try:
                 base = self._read_checkpoint(cp["version"])
             except OSError:
-                return self._replay_json(upto=upto)
-            return base + self._replay_json(upto=upto, start=cp["version"] + 1)
-        return self._replay_json(upto=upto)
+                return self._guard_protocol(self._replay_json(upto=upto))
+            return self._guard_protocol(
+                base + self._replay_json(upto=upto, start=cp["version"] + 1)
+            )
+        return self._guard_protocol(self._replay_json(upto=upto))
+
+    def _guard_protocol(self, actions: list[dict]) -> list[dict]:
+        """PROTOCOL.md reader requirement: a client MUST refuse to read a
+        table whose protocol action demands a reader version above what
+        it implements — silently proceeding returns wrong results once
+        an unsupported feature (e.g. deletion vectors at reader v3 in
+        real Delta) changes file interpretation. Checked on every replay
+        so a foreign writer's protocol upgrade mid-log is honored."""
+        supported = PROTOCOL["minReaderVersion"]
+        for act in actions:
+            p = act.get("protocol")
+            if p and int(p.get("minReaderVersion") or 1) > supported:
+                raise ValueError(
+                    f"table at {self.path} requires minReaderVersion "
+                    f"{p['minReaderVersion']}; this reader supports "
+                    f"{supported} — upgrade the reader, do not guess"
+                )
+        return actions
 
     def _active_files(self, as_of: int | None = None) -> list[dict]:
         """Replay add/remove actions → the live ``add`` set at a version."""

@@ -887,3 +887,20 @@ def test_generated_column_blocks_rename_drop_of_referenced(spark, tbl):
     tbl.drop_column("v2")
     tbl.rename_column("v", "value")
     assert tbl.read(spark).columns == ["k", "value"]
+
+
+def test_reader_refuses_higher_protocol_version(spark, tbl):
+    import json
+    import os
+
+    tbl.write(_df(spark, [(1, "a")]), mode="overwrite")
+    assert tbl.read(spark).count() == 1
+    # a foreign writer upgrades the table protocol beyond what this
+    # reader implements — every subsequent read must refuse, not guess
+    log = os.path.join(tbl.path, "_delta_log")
+    nxt = os.path.join(log, "%020d.json" % (tbl.latest_version + 1))
+    with open(nxt, "w") as f:
+        f.write(json.dumps({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7}}) + "\n")
+    with pytest.raises(ValueError, match="minReaderVersion"):
+        tbl.read(spark).count()
