@@ -1481,12 +1481,14 @@ WITH tok AS (
   SELECT unnest(string_split(text, ' ')) AS w FROM documents
 ),
 rows_ AS (SELECT r FROM (VALUES (0), (1), (2), (3)) AS v(r)),
+hashed AS (
+  SELECT w, md5('cms:' || w) AS h FROM tok
+),
 cms AS (
   SELECT r,
-         CAST(('0x' || substr(md5('cms' || CAST(r AS VARCHAR) || ':' || w),
-                              1, 8)) AS BIGINT) % 64 AS bucket,
+         CAST(('0x' || substr(h.h, r * 8 + 1, 8)) AS BIGINT) % 64 AS bucket,
          CAST(COUNT(*) AS BIGINT) AS cnt
-  FROM tok CROSS JOIN rows_
+  FROM hashed h CROSS JOIN rows_
   GROUP BY 1, 2
 ),
 exact AS (
@@ -1501,8 +1503,7 @@ FROM exact e
 JOIN rows_ r ON TRUE
 JOIN cms c
   ON c.r = r.r
- AND c.bucket = CAST(('0x' || substr(md5('cms' || CAST(r.r AS VARCHAR)
-                                         || ':' || e.w), 1, 8))
+ AND c.bucket = CAST(('0x' || substr(md5('cms:' || e.w), r.r * 8 + 1, 8))
                      AS BIGINT) % 64
 GROUP BY e.w, e.exact_count
 ORDER BY token
@@ -1525,31 +1526,33 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose map-side combine reduces each task to ≤256 partial cells —
     the shuffle is O(1) in corpus size; the probe side joins 40 rows.
     """
-    d = t(spark, sf_dir, "documents")
+    # Fixture parquet is a single row group → the scan is ONE task, and
+    # the hash/fan-out stage would run on one core (measured 6.8s vs
+    # 4.0s at the 10x scale smoke). Fan out first; on a real cluster
+    # the scan's own task count provides this (udtf_explode_custom note).
+    d = t(spark, sf_dir, "documents").repartition(16)
     tok = d.select(F.explode(F.split("text", " ")).alias("w"))
 
-    def bucket(r_col, w_col):
+    # ONE md5 per token: the 32-hex digest carries all four 8-hex row
+    # buckets (substr r*8+1). Hashing dominated the sketch build at the
+    # 10x scale smoke (4 digests/token: 17.5s -> 1 digest: ~4x less
+    # hash work); the fan-out then reuses the digest column.
+    def bucket(r_col, h_col):
         return (
             F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat(
-                            F.lit("cms"), r_col.cast("string"),
-                            F.lit(":"), w_col,
-                        )
-                    ),
-                    1, 8,
-                ),
-                16, 10,
+                F.substring(h_col, r_col * 8 + 1, 8), 16, 10
             ).cast("long")
             % 64
         )
 
-    fan = tok.select(
-        "w", F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("r")
+    hashed = tok.select(
+        "w", F.md5(F.concat(F.lit("cms:"), F.col("w"))).alias("h")
+    )
+    fan = hashed.select(
+        "h", F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("r")
     )
     cms = (
-        fan.select("r", bucket(F.col("r"), F.col("w")).alias("bucket"))
+        fan.select("r", bucket(F.col("r"), F.col("h")).alias("bucket"))
         .groupBy("r", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -1561,11 +1564,12 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     probe = exact.select(
         F.col("w").alias("token"),
+        F.md5(F.concat(F.lit("cms:"), F.col("w"))).alias("h"),
         "exact_count",
         F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("r"),
     ).select(
         "token", "exact_count", "r",
-        bucket(F.col("r"), F.col("token")).alias("bucket"),
+        bucket(F.col("r"), F.col("h")).alias("bucket"),
     )
     return (
         probe.join(F.broadcast(cms), ["r", "bucket"])

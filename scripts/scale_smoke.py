@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Scale smoke: run representative operators at ~10x the largest fixture.
+
+Replicates documents/embeddings/customer (shifted keys, so dedup keys
+and graph structure stay realistic) into .work/scale10 and times a
+representative operator set against it. This is NOT the bench — it is
+the "would the plan survive a 10x scale-up" check: a hidden quadratic,
+a driver-side collect, or an overflow shows up here long before 100 TB.
+
+Usage: python scripts/scale_smoke.py [factor]   (default 10, on sf0.1)
+Prints one line per op and a final JSON summary.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+FACTOR = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# ops chosen to cover the risk classes: shuffle-heavy dedup, iterative
+# graph, banded LSH, blocked ANN, windowed agg, spatial bin join.
+OPS = [
+    "llm_dedup_exact",
+    "llm_dedup_near",
+    "llm_minhash_signature_sql",
+    "llm_simhash_portable",
+    "graph_connected_components",
+    "llm_cosine_topk_blocked",
+    "join_spatial_grid",
+    "win_sessionize",
+    "agg_count_min_sketch",
+    "llm_span_corruption_mask",
+]
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from dbt_local_duckdb_deltalake_project_spark.session import get_spark
+    from dbt_local_duckdb_deltalake_project_spark.sources.workspace import workdir
+
+    spark = get_spark(app_name="scale_smoke")
+    out = workdir(BASE, f"scale{FACTOR}", fresh=False)
+
+    def stage(name: str, key: str) -> None:
+        dst = f"{out}/{name}.parquet"
+        if os.path.exists(f"{dst}/_SUCCESS"):
+            return
+        src = spark.read.parquet(f"{BASE}/{name}.parquet")
+        n = src.agg(F.max(key)).first()[0] + 1
+        rep = src.crossJoin(
+            spark.range(FACTOR).select(F.col("id").alias("_r"))
+        ).withColumn(key, F.col(key) + F.col("_r") * n).drop("_r")
+        rep.write.mode("overwrite").parquet(dst)
+
+    t0 = time.perf_counter()
+    for name, key in (
+        ("documents", "doc_id"),
+        ("embeddings", "vec_id"),
+        ("customer", "c_custkey"),
+        ("supplier", "s_suppkey"),
+        ("events", "event_id"),
+    ):
+        stage(name, key)
+    # the catalog registers every fixture table for a dir — link the
+    # rest through at 1x (they are not what this smoke stresses)
+    for name in (
+        "region", "nation", "part", "orders", "lineitem",
+    ):
+        dst = f"{out}/{name}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(f"{BASE}/{name}.parquet", dst)
+    print(f"staging: {time.perf_counter() - t0:.1f}s", flush=True)
+
+    from dbt_local_duckdb_deltalake_project_spark.operators import QUERIES
+
+    results: dict[str, dict] = {}
+    for qid in OPS:
+        t0 = time.perf_counter()
+        try:
+            n = QUERIES[qid](spark, out).count()
+            sec = round(time.perf_counter() - t0, 2)
+            results[qid] = {"sec": sec, "rows": n}
+            print(f"{qid}: {sec}s, {n} rows", flush=True)
+        except Exception as e:  # noqa: BLE001
+            results[qid] = {"error": f"{type(e).__name__}: {e}"[:200]}
+            print(f"{qid}: ERROR {e}", flush=True)
+    print(json.dumps({"factor": FACTOR, "base": BASE, "ops": results}))
+
+
+if __name__ == "__main__":
+    main()
