@@ -300,19 +300,17 @@ LIMIT 10
 """
 
 
-@register("llm_cosine_topk", _COSINE_ORACLE)
-def llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Exact top-k neighbors of vec_id=0 by cosine. Float32 elements are
-    # cast to double (exact) and each product routed through decimal so
-    # the reduction is order-insensitive. posexplode+groupBy rather than
-    # F.aggregate keeps the whole reduction JVM-side and parallel.
-    e = t(spark, sf_dir, "embeddings")
+def _exact_cosine_topk(e: DataFrame, base: DataFrame, k: int = 10) -> DataFrame:
+    """Exact decimal cosine of ``base`` rows (vec_id, embedding) against
+    query vec_id=0, top-k with (cosine desc, vec_id) tiebreak. The
+    shared verify phase of llm_cosine_topk / _blocked / _lsh: float32
+    elements cast to double (exact), each product routed through
+    decimal so the reduction is order-insensitive and bit-equal to the
+    oracle's decimal SUM; posexplode+groupBy keeps it JVM-side."""
     q = e.filter(F.col("vec_id") == 0).select(
         F.posexplode("embedding").alias("pos", "qv")
     )
-    b = e.filter(F.col("vec_id") != 0).select(
-        "vec_id", F.posexplode("embedding").alias("pos", "bv")
-    )
+    b = base.select("vec_id", F.posexplode("embedding").alias("pos", "bv"))
     bd, qd = F.col("bv").cast("double"), F.col("qv").cast("double")
     prod = (
         b.join(F.broadcast(q), "pos")
@@ -329,8 +327,17 @@ def llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         prod.select("vec_id", F.round(cos, 6).alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
-        .limit(10)
+        .limit(k)
     )
+
+
+@register("llm_cosine_topk", _COSINE_ORACLE)
+def llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact top-k neighbors of vec_id=0 by cosine — the brute-force
+    # baseline: every non-query vector goes through the exact decimal
+    # pipeline (_exact_cosine_topk).
+    e = t(spark, sf_dir, "embeddings")
+    return _exact_cosine_topk(e, e.filter(F.col("vec_id") != 0))
 
 
 @register("llm_cosine_topk_blocked", _COSINE_ORACLE)
@@ -371,30 +378,7 @@ def llm_cosine_topk_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"vec_id": cand.vec_id.to_numpy()[top]})
 
     cand = e.mapInPandas(block_topk, schema="vec_id long")
-    q = e.filter(F.col("vec_id") == 0).select(
-        F.posexplode("embedding").alias("pos", "qv")
-    )
-    b = e.join(cand, "vec_id").select(
-        "vec_id", F.posexplode("embedding").alias("pos", "bv")
-    )
-    bd, qd = F.col("bv").cast("double"), F.col("qv").cast("double")
-    prod = (
-        b.join(F.broadcast(q), "pos")
-        .groupBy("vec_id")
-        .agg(
-            F.sum((bd * qd).cast(DEC12)).alias("dot"),
-            F.sum((bd * bd).cast(DEC12)).alias("nb"),
-            F.sum((qd * qd).cast(DEC12)).alias("nq"),
-        )
-    )
-    cos = F.col("dot").cast("double") / (
-        F.sqrt(F.col("nb").cast("double")) * F.sqrt(F.col("nq").cast("double"))
-    )
-    return (
-        prod.select("vec_id", F.round(cos, 6).alias("cosine"))
-        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
-        .limit(k)
-    )
+    return _exact_cosine_topk(e, e.join(cand, "vec_id"), k)
 
 
 _LSH_ORACLE = """
@@ -510,30 +494,7 @@ def llm_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     cand = e.mapInPandas(bucket_topk, schema="vec_id long")
-    q = e.filter(F.col("vec_id") == 0).select(
-        F.posexplode("embedding").alias("pos", "qv")
-    )
-    b = e.join(cand, "vec_id").select(
-        "vec_id", F.posexplode("embedding").alias("pos", "bv")
-    )
-    bd, qd = F.col("bv").cast("double"), F.col("qv").cast("double")
-    prod = (
-        b.join(F.broadcast(q), "pos")
-        .groupBy("vec_id")
-        .agg(
-            F.sum((bd * qd).cast(DEC12)).alias("dot"),
-            F.sum((bd * bd).cast(DEC12)).alias("nb"),
-            F.sum((qd * qd).cast(DEC12)).alias("nq"),
-        )
-    )
-    cos = F.col("dot").cast("double") / (
-        F.sqrt(F.col("nb").cast("double")) * F.sqrt(F.col("nq").cast("double"))
-    )
-    return (
-        prod.select("vec_id", F.round(cos, 6).alias("cosine"))
-        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
-        .limit(k)
-    )
+    return _exact_cosine_topk(e, e.join(cand, "vec_id"), k)
 
 
 @register("llm_cosine_topk_ivf")  # rows-mode: approximate by design
