@@ -82,7 +82,7 @@ _WINDOW_SECOND = [
     # FAILs at the very front); anything past slot 50 (the tail of the
     # new-r5 block) rolls to r7, then resume round-robin of
     # longest-unchecked greens ---
-    "llm_cosine_topk_blocked", "llm_cosine_topk_lsh",
+    "llm_cosine_topk_blocked", "llm_cosine_topk_lsh", "llm_cosine_topk",
     "dbt_snapshot_timestamp", "dbt_store_failures", "dbt_profile_table",
     "llm_ngram_novelty", "join_asof_tolerance", "agg_regression_trend",
     "stream_change_data_feed", "delta_update", "join_null_safe_eq",
