@@ -64,7 +64,10 @@ _WINDOW_FIRST = [
     "join_range_bucketed", "agg_ab_ttest", "llm_dedup_bloom",
     "llm_dataset_manifest", "agg_retention_cohort",
     "llm_split_leakage_audit", "scan_orc", "win_ratio_to_report",
-    "mm_dedup_phash", "llm_token_entropy",
+    # swapped in late-r5: the exact-cosine verify refactor touched this
+    # green id (mm_dedup_phash + llm_token_entropy displaced; both are
+    # never-checked so the auto-rotation puts them at r6's front)
+    "llm_cosine_topk",
 ]
 
 
@@ -75,14 +78,15 @@ _WINDOW_FIRST = [
 # r3-window ids; the already-proven relational core rotates to the very
 # back (local pytest still covers everything).
 _WINDOW_SECOND = [
-    # --- r6 window plan (VERDICT r4 task 2): changed-in-r5 id first
-    # (cosine_topk_blocked was upgraded rows→sql with an exact verify
-    # phase), then the remaining never-checked ids in registry order —
-    # take the first 50 verbatim as r6's _WINDOW_FIRST (plus any r5
-    # FAILs at the very front); anything past slot 50 (the tail of the
-    # new-r5 block) rolls to r7, then resume round-robin of
-    # longest-unchecked greens ---
-    "llm_cosine_topk_blocked", "llm_cosine_topk_lsh", "llm_cosine_topk",
+    # --- r6 window plan (VERDICT r4 task 2): the rotation below is now
+    # AUTOMATIC (never-checked ids float ahead of greens; greens sort by
+    # last-checked round), so this list only fixes the RELATIVE order of
+    # never-checked ids. r6's window = any r5 FAILs hoisted into
+    # _WINDOW_FIRST, then the first ~50 never-checked ids below
+    # (mode-upgraded cosine variants + displaced r5-window ids first);
+    # the tail (the new-r5 block) rolls to r7 ---
+    "llm_cosine_topk_blocked", "llm_cosine_topk_lsh",
+    "mm_dedup_phash", "llm_token_entropy",
     "dbt_snapshot_timestamp", "dbt_store_failures", "dbt_profile_table",
     "llm_ngram_novelty", "join_asof_tolerance", "agg_regression_trend",
     "stream_change_data_feed", "delta_update", "join_null_safe_eq",
@@ -143,13 +147,71 @@ _WINDOW_SECOND = [
 ]
 
 
+# Ids whose existing driver record no longer verifies the CURRENT
+# implementation (e.g. a rows-mode record for an op since upgraded to
+# sql-mode): the rotation treats them as never-checked until a fresh
+# row lands. Clear entries once re-verified.
+_FORCE_RECHECK = {
+    # r4 rows-mode records; both upgraded to exact sql-mode in r5
+    "llm_cosine_topk_blocked",
+    "llm_cosine_topk_lsh",
+}
+
+
+def _last_checked() -> dict[str, int]:
+    """id → newest round with a driver CORRECTNESS row (absent = never).
+    Read at import so the rotation below tracks reality automatically —
+    manual list edits are only needed to FRONT-LOAD changed ids."""
+    import glob
+    import json
+    import os
+    import re
+
+    repo = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    last: dict[str, int] = {}
+    for f in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        m = re.search(r"_r(\d+)\.json$", f)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(f) as fh:
+                for qid in json.load(fh):
+                    last[qid] = max(last.get(qid, 0), rnd)
+        except (OSError, ValueError):
+            continue
+    return last
+
+
 def _reorder() -> None:
+    """Registry order = verification priority (the driver checks a
+    50-entry prefix per round):
+
+    1. `_WINDOW_FIRST` — manual: ids changed this round (plus, for r5,
+       the explicit window) — ALWAYS first;
+    2. `_WINDOW_SECOND`'s never-checked ids, in its (registry) order;
+    3. every other never-checked id (safety net for ids missing from
+       the manual lists — they can never drift to the tail);
+    4. driver-green ids by ascending last-checked round (stalest
+       re-verify first), stable on the manual order.
+    """
+    last = {
+        q: r for q, r in _last_checked().items() if q not in _FORCE_RECHECK
+    }
     front = [q for q in _WINDOW_FIRST if q in QUERIES]
-    second = [
-        q for q in _WINDOW_SECOND if q in QUERIES and q not in set(front)
+    seen = set(front)
+    manual_rest = [
+        q for q in _WINDOW_SECOND if q in QUERIES and q not in seen
     ]
-    seen = set(front) | set(second)
-    order = front + second + [q for q in QUERIES if q not in seen]
+    seen.update(manual_rest)
+    unlisted = [q for q in QUERIES if q not in seen]
+    never_manual = [q for q in manual_rest if q not in last]
+    never_unlisted = [q for q in unlisted if q not in last]
+    greens = [q for q in manual_rest + unlisted if q in last]
+    greens.sort(key=lambda q: last[q])  # stable: manual order on ties
+    order = front + never_manual + never_unlisted + greens
     for d in (QUERIES, ORACLE):
         snapshot = dict(d)
         d.clear()
