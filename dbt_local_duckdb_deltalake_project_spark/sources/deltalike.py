@@ -1373,7 +1373,12 @@ class DeltaLikeTable:
         wins at replay, so membership in the CURRENT live set is the
         guard); files outside the table root (a shallow clone's
         absolute-path adds pointing into the source) are never touched;
-        files younger than the retention window are kept."""
+        files younger than the retention window are kept. Known hazard
+        shared with real Delta: vacuuming a SOURCE table can reclaim
+        files a shallow clone of it still references (the source has no
+        registry of its clones) — Delta documents the same restriction;
+        deep-clone before vacuuming the source if clones must outlive
+        it."""
         cutoff = (
             int(time.time() * 1000) if now_ms is None else now_ms
         ) - retention_ms

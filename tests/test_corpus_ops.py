@@ -155,3 +155,19 @@ def test_cc_large_small_star_matches_union_find(spark):
     labels, _rounds = _cc_large_small_star(sym)
     got = {r.doc_id: r.label for r in labels.collect()}
     assert got == expect
+
+
+def test_semantic_dedup_keeps_lowest_id_per_cluster(spark, sf_dir):
+    # SemDeDup keeper rule: a vector can only be marked duplicate by a
+    # LOWER-id cluster-mate, so the minimum vec_id of every cluster must
+    # always survive (is_dup = False) — the anchor the dedup pass keeps.
+    from dbt_local_duckdb_deltalake_project_spark.operators import QUERIES
+
+    rows = QUERIES["llm_dedup_semantic"](spark, sf_dir).collect()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster, []).append(r)
+    assert by_cluster
+    for members in by_cluster.values():
+        anchor = min(members, key=lambda r: r.vec_id)
+        assert not anchor.is_dup
