@@ -86,6 +86,7 @@ _WINDOW_SECOND = [
     # (mode-upgraded cosine variants + displaced r5-window ids first);
     # the tail (the new-r5 block) rolls to r7 ---
     "llm_cosine_topk_blocked", "llm_cosine_topk_lsh",
+    "llm_cosine_topk_ivf",
     "mm_dedup_phash", "llm_token_entropy",
     "dbt_snapshot_timestamp", "dbt_store_failures", "dbt_profile_table",
     "llm_ngram_novelty", "join_asof_tolerance", "agg_regression_trend",
@@ -152,9 +153,10 @@ _WINDOW_SECOND = [
 # sql-mode): the rotation treats them as never-checked until a fresh
 # row lands. Clear entries once re-verified.
 _FORCE_RECHECK = {
-    # r4 rows-mode records; both upgraded to exact sql-mode in r5
+    # r4 rows-mode records; all three upgraded to exact sql-mode in r5
     "llm_cosine_topk_blocked",
     "llm_cosine_topk_lsh",
+    "llm_cosine_topk_ivf",
 }
 
 

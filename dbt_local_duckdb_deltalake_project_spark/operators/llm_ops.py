@@ -497,52 +497,151 @@ def llm_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _exact_cosine_topk(e, e.join(cand, "vec_id"), k)
 
 
-@register("llm_cosine_topk_ivf")  # rows-mode: approximate by design
+_IVF_ORACLE = """
+WITH pts AS (
+  SELECT vec_id, dim,
+         CAST(ROUND(CAST(embedding[dim] AS DOUBLE) * 1000000) AS BIGINT)
+           AS x_m
+  FROM embeddings, (SELECT unnest(range(1, 65)) AS dim)
+),
+seeds AS (
+  SELECT vec_id AS lid, dim, x_m AS s_m FROM pts
+  WHERE vec_id BETWEEN 1 AND 8
+),
+seedn AS (SELECT lid, SUM(s_m * s_m) AS n2 FROM seeds GROUP BY lid),
+d1 AS (
+  SELECT p.vec_id, s.lid, SUM(p.x_m * s.s_m) AS d
+  FROM pts p JOIN seeds s USING (dim)
+  WHERE p.vec_id <> 0
+  GROUP BY p.vec_id, s.lid
+),
+a1 AS (
+  SELECT vec_id, lid FROM (
+    SELECT d1.vec_id, d1.lid,
+           ROW_NUMBER() OVER (
+             PARTITION BY d1.vec_id
+             ORDER BY CAST(d1.d AS DOUBLE) / sqrt(CAST(n.n2 AS DOUBLE))
+                      DESC, d1.lid) AS rn
+    FROM d1 JOIN seedn n USING (lid)) WHERE rn = 1
+),
+cent AS (
+  SELECT a1.lid, p.dim, SUM(p.x_m) // COUNT(*) AS c_m
+  FROM pts p JOIN a1 ON p.vec_id = a1.vec_id
+  GROUP BY a1.lid, p.dim
+),
+cent2 AS (
+  SELECT lid, dim, c_m FROM cent
+  UNION ALL
+  SELECT lid, dim, s_m FROM seeds
+  WHERE lid NOT IN (SELECT DISTINCT lid FROM cent)
+),
+centn AS (SELECT lid, SUM(c_m * c_m) AS n2 FROM cent2 GROUP BY lid),
+dq AS (
+  SELECT c.lid, SUM(q.x_m * c.c_m) AS d
+  FROM cent2 c
+  JOIN (SELECT dim, x_m FROM pts WHERE vec_id = 0) q USING (dim)
+  GROUP BY c.lid
+),
+probe AS (
+  SELECT lid FROM (
+    SELECT dq.lid,
+           ROW_NUMBER() OVER (
+             ORDER BY CAST(dq.d AS DOUBLE) / sqrt(CAST(n.n2 AS DOUBLE))
+                      DESC, dq.lid) AS rn
+    FROM dq JOIN centn n USING (lid)) WHERE rn <= 4
+),
+d2 AS (
+  SELECT p.vec_id, c.lid, SUM(p.x_m * c.c_m) AS d
+  FROM pts p JOIN cent2 c USING (dim)
+  WHERE p.vec_id <> 0
+  GROUP BY p.vec_id, c.lid
+),
+a2 AS (
+  SELECT vec_id, lid FROM (
+    SELECT d2.vec_id, d2.lid,
+           ROW_NUMBER() OVER (
+             PARTITION BY d2.vec_id
+             ORDER BY CAST(d2.d AS DOUBLE) / sqrt(CAST(n.n2 AS DOUBLE))
+                      DESC, d2.lid) AS rn
+    FROM d2 JOIN centn n USING (lid)) WHERE rn = 1
+),
+cand AS (
+  SELECT vec_id FROM a2 WHERE lid IN (SELECT lid FROM probe)
+),
+q AS (
+  SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
+),
+prod AS (
+  SELECT b.vec_id,
+         SUM(CAST(CAST(b.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)
+                  AS DECIMAL(38,12))) AS dot,
+         SUM(CAST(CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
+                  AS DECIMAL(38,12))) AS nb,
+         SUM(CAST(CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)
+                  AS DECIMAL(38,12))) AS nq
+  FROM embeddings b CROSS JOIN q, generate_series(1, 64) t(i)
+  WHERE b.vec_id IN (SELECT vec_id FROM cand)
+  GROUP BY b.vec_id
+)
+SELECT vec_id,
+       ROUND(CAST(dot AS DOUBLE)
+             / (SQRT(CAST(nb AS DOUBLE)) * SQRT(CAST(nq AS DOUBLE))), 6)
+         AS cosine
+FROM prod
+ORDER BY cosine DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+@register("llm_cosine_topk_ivf", _IVF_ORACLE)
 def llm_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF (inverted-file) ANN — the partition-pruned scale path.
+    """IVF (inverted-file) ANN — the partition-pruned scale path,
+    upgraded to sql-mode in r5: the whole pipeline (seeding, one Lloyd
+    refinement, probe choice, candidate scan, final top-k) is now
+    engine-exact, so the oracle reproduces the approximate result set
+    bit-for-bit.
 
     Classic IVF-Flat: partition the corpus into ``nlist`` coarse cells
     around k-means centroids, then answer a query by scanning only the
-    ``nprobe`` cells whose centroids are nearest the query. Spark-first
-    shape:
-
-    - seeds: vectors 1..nlist (deterministic, constant-bounded fetch);
-    - one distributed Lloyd refinement: an Arrow-batched ``mapInPandas``
-      assigns each batch to its nearest seed and emits PER-LIST PARTIAL
-      SUMS (nlist x dim rows per batch — map-side combine by hand), a
-      groupBy folds them, and only the nlist x dim centroid table comes
-      back to the driver (O(1) in the corpus);
-    - probe: exact cosine against the refined centroids picks nprobe
-      cells; a second Arrow-batched scan keeps rows assigned to those
-      cells and computes exact cosine top-k per batch; a k-row-per-task
-      global merge finishes.
-
-    At 100 TB the assignment is computed once at ingest and the table is
-    WRITTEN ``partitionBy(list_id)``, so a query reads nprobe/nlist of
-    the data via storage-level partition pruning — the scan here stands
-    in for that pruned read. Recall tunes with nprobe (multi-cell probe),
-    cost with nlist; centroid state stays O(nlist x dim) regardless of
-    corpus size.
+    ``nprobe`` cells whose centroids are nearest the query. Exactness
+    discipline: assignments maximize d/sqrt(n2) where d (micros-integer
+    dot) and n2 (integer squared norm) are exact in both engines and
+    the double division is the identical IEEE chain (agg_wilson rule),
+    ties on the lower list id (np.argmax first-max == ROW_NUMBER
+    tiebreak); centroid refinement folds INT64 partial sums JVM-side
+    (order-independent, no float jitter) and floor-divides driver-side
+    (python // == DuckDB //); the probed cells' candidates finish
+    through the shared exact-decimal verify (_exact_cosine_topk).
+    Spark-first shape unchanged: one Arrow-batched assignment pass
+    emitting per-list partial sums (map-side combine by hand), one
+    bounded nlist x dim centroid pull (O(1) in corpus), one probe scan.
+    At 100 TB the assignment is computed once at ingest and the table
+    is WRITTEN partitionBy(list_id), so a query reads nprobe/nlist of
+    the data via storage-level partition pruning; recall tunes with
+    nprobe (llm_ann_recall asserts the floor).
     """
     import numpy as np
     import pandas as pd
 
-    # nprobe=4 measured recall@10 0.7 (sf0.01) / 0.8 (sf0.1) vs 0.2-0.5
-    # at nprobe=2; the synthetic embeddings are near-uniform on the
-    # sphere, so cell membership barely correlates with query
-    # neighborhoods and recall tracks the scanned fraction — on real
-    # (clustered) embeddings the same code gets high recall at small
-    # nprobe. Extra Lloyd iterations were measured NOT to help here for
-    # the same reason. llm_ann_recall asserts the floor.
     nlist, nprobe, k, dim = 8, 4, 10, 64
     e = t(spark, sf_dir, "embeddings")
+
+    def _micros(a):
+        return (np.sign(a) * np.floor(np.abs(a) * 1e6 + 0.5)).astype(
+            np.int64
+        )
+
     head = {
         r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
         for r in e.filter(F.col("vec_id") <= nlist).collect()
     }
     qvec = head[0]
-    seeds = np.stack([head[i] for i in range(1, nlist + 1)])
-    seeds_n = seeds / np.linalg.norm(seeds, axis=1, keepdims=True)
+    seeds_m = np.stack([_micros(head[i]) for i in range(1, nlist + 1)])
+    seeds_n2 = (seeds_m * seeds_m).sum(axis=1)
+
+    def _assign(m_f64, cent_m, cent_n2):
+        d = _micros(m_f64) @ cent_m.T  # int64, exact (|d| <= 6.4e13)
+        return (d / np.sqrt(cent_n2.astype(np.float64))).argmax(axis=1)
 
     def partial_sums(batches):
         for pdf in batches:
@@ -550,10 +649,10 @@ def llm_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             if not len(cand):
                 continue
             m = np.stack(cand.embedding.to_numpy()).astype(np.float64)
-            mn = m / np.linalg.norm(m, axis=1, keepdims=True)
-            assign = (mn @ seeds_n.T).argmax(axis=1)
+            mi = _micros(m)
+            assign = _assign(m, seeds_m, seeds_n2)
             for lid in np.unique(assign):
-                grp = m[assign == lid]
+                grp = mi[assign == lid]
                 yield pd.DataFrame(
                     {
                         "list_id": int(lid),
@@ -563,51 +662,38 @@ def llm_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                     }
                 )
 
-    # One Lloyd iteration: fold the per-batch partial sums JVM-side, then
-    # pull back only the nlist x dim centroid table (constant-bounded).
+    # One Lloyd iteration: fold the INT64 per-batch partial sums
+    # JVM-side (exact, order-independent), then pull back only the
+    # nlist x dim centroid table (constant-bounded).
     cent_rows = (
         e.mapInPandas(
-            partial_sums, schema="list_id int, pos int, s double, c long"
+            partial_sums, schema="list_id int, pos int, s long, c long"
         )
         .groupBy("list_id", "pos")
         .agg(F.sum("s").alias("s"), F.sum("c").alias("c"))
         .collect()  # bounded: nlist x dim rows, O(1) in corpus size
     )
-    cent = seeds.copy()
+    cent_m = seeds_m.copy()  # empty lists keep their seed
     for r in cent_rows:
-        cent[r["list_id"], r["pos"]] = r["s"] / r["c"]
-    # Round away float-reduction jitter so the probe choice is stable
-    # across partition orderings.
-    cent = np.round(cent, 6)
-    cent_n = cent / np.linalg.norm(cent, axis=1, keepdims=True)
-    qn = qvec / np.linalg.norm(qvec)
-    probed = set(np.argsort(-(cent_n @ qn))[:nprobe].tolist())
+        cent_m[r["list_id"], r["pos"]] = r["s"] // r["c"]  # floor == //
+    cent_n2 = (cent_m * cent_m).sum(axis=1)
+    qd = _micros(qvec) @ cent_m.T
+    qkey = qd / np.sqrt(cent_n2.astype(np.float64))
+    probed = np.argsort(-qkey, kind="stable")[:nprobe]  # ties: lower lid
 
-    def probe_topk(batches):
+    def probe_cand(batches):
         for pdf in batches:
             cand = pdf[pdf.vec_id != 0]
             if not len(cand):
                 continue
             m = np.stack(cand.embedding.to_numpy()).astype(np.float64)
-            mn = m / np.linalg.norm(m, axis=1, keepdims=True)
-            assign = (mn @ cent_n.T).argmax(axis=1)
-            sel = np.isin(assign, list(probed))
+            sel = np.isin(_assign(m, cent_m, cent_n2), probed)
             if not sel.any():
                 continue
-            cos = mn[sel] @ qn
-            top = np.argsort(-cos)[:k]
-            yield pd.DataFrame(
-                {
-                    "vec_id": cand.vec_id.to_numpy()[sel][top],
-                    "cosine": np.round(cos[top], 6),
-                }
-            )
+            yield pd.DataFrame({"vec_id": cand.vec_id.to_numpy()[sel]})
 
-    return (
-        e.mapInPandas(probe_topk, schema="vec_id long, cosine double")
-        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
-        .limit(k)
-    )
+    cand = e.mapInPandas(probe_cand, schema="vec_id long")
+    return _exact_cosine_topk(e, e.join(cand, "vec_id"), k)
 
 
 @register(
