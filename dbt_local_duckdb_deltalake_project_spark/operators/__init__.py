@@ -87,6 +87,7 @@ _WINDOW_SECOND = [
     # the tail (the new-r5 block) rolls to r7 ---
     "llm_cosine_topk_blocked", "llm_cosine_topk_lsh",
     "llm_cosine_topk_ivf",
+    "stream_watermark_late", "stream_session_streamed",
     "mm_dedup_phash", "llm_token_entropy",
     "dbt_snapshot_timestamp", "dbt_store_failures", "dbt_profile_table",
     "llm_ngram_novelty", "join_asof_tolerance", "agg_regression_trend",
@@ -153,10 +154,12 @@ _WINDOW_SECOND = [
 # sql-mode): the rotation treats them as never-checked until a fresh
 # row lands. Clear entries once re-verified.
 _FORCE_RECHECK = {
-    # r4 rows-mode records; all three upgraded to exact sql-mode in r5
+    # r4 rows-mode records; all upgraded to sql-mode in r5
     "llm_cosine_topk_blocked",
     "llm_cosine_topk_lsh",
     "llm_cosine_topk_ivf",
+    "stream_watermark_late",
+    "stream_session_streamed",
 }
 
 

@@ -7,9 +7,10 @@ queries execute the SAME logical transformations through
 - ``stream_tumbling_streamed`` replays in order in complete mode, so its
   result equals the batch/oracle answer exactly → sql mode (a genuine
   batch/stream-parity check run by the driver).
-- ``stream_watermark_late`` replays OUT of order (late half first) in
-  append mode: micro-batch 2's rows arrive behind the watermark and are
-  dropped — streaming-only semantics, rows mode (SURVEY.md §2.9).
+- ``stream_watermark_late`` replays OUT of order (late half first,
+  three files) in append mode: the third file's rows are dropped by the
+  (one-trigger-lagged) late-input filter and every emitted window is
+  hash-checked against a closed-form oracle — sql mode since r5.
 - ``stream_dedup_within_watermark`` exercises
   ``dropDuplicatesWithinWatermark`` state cleanup; with in-order replay
   and unique event ids the result is the identity → sql mode.
@@ -75,18 +76,49 @@ def stream_tumbling_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("stream_watermark_late")
+_WATERMARK_LATE_ORACLE = """
+WITH kept AS (
+  SELECT * FROM events
+  WHERE ts >= TIMESTAMP '2024-01-15 00:00:00' OR event_id % 2 = 0
+),
+wm AS (SELECT MAX(ts) - INTERVAL 10 MINUTE AS w FROM events)
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 4)
+         AS total_value
+FROM kept
+GROUP BY 1, 2
+HAVING CAST(date_trunc('hour', MIN(ts)) AS TIMESTAMP) + INTERVAL 1 HOUR
+       <= (SELECT w FROM wm)
+"""
+
+
+@register("stream_watermark_late", _WATERMARK_LATE_ORACLE)
 def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Late-data drop: the second micro-batch carries events ~14 days
-    # behind the watermark (10-minute tolerance) — all dropped; only
-    # finalized windows from the first (later-time) file are emitted.
+    """Watermark late-data handling, demonstrated with the drop REAL and
+    the whole result hash-checked (upgraded rows→sql in r5 after
+    measuring Spark 4.1's actual semantics): the late-INPUT filter uses
+    the watermark committed one trigger behind the one used for
+    emission, so a two-file out-of-order replay never drops anything —
+    its "late" file slips in under the lag (the r1–r4 form of this op
+    asserted drops that were not happening; rows-mode hid it). The
+    three-file replay makes both behaviors observable: f0 (late half)
+    advances the watermark, f1 (early evens) arrives behind it but
+    inside the filter lag → KEPT, f2 (early odds) arrives after the
+    watermark reached the filter → DROPPED in full. Final output =
+    windows over f0 ∪ f1 whose end the emission watermark passed
+    (max event time − 10 min) — exactly the oracle's closed form, so
+    every count and sum is value-checked, including the absence of
+    every f2 row.
+    """
     return run_stream_to_batch(
         spark,
         sf_dir,
-        "late",
+        "late3",
         _tumbling,
-        late_fraction=True,
         output_mode="append",
+        three_way=True,
     )
 
 
@@ -312,16 +344,44 @@ def stream_upsert_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tbl.read(spark)
 
 
-@register("stream_session_streamed")
+_SESSION_STREAMED_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts - LAG(ts) OVER w <= INTERVAL 30 MINUTE
+              THEN 0 ELSE 1 END AS ns
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT user_id, ts,
+         SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+),
+sess AS (
+  SELECT user_id, MIN(ts) AS session_start,
+         MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+         COUNT(*) AS n_events
+  FROM numbered GROUP BY user_id, sid
+),
+wm AS (SELECT MAX(ts) - INTERVAL 10 MINUTE AS w FROM events)
+SELECT user_id, session_start, session_end, n_events
+FROM sess WHERE session_end <= (SELECT w FROM wm)
+"""
+
+
+@register("stream_session_streamed", _SESSION_STREAMED_ORACLE)
 def stream_session_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming ``session_window`` twin of the batch gaps-and-islands
-    sessionization (eventtime.stream_session).
-
-    Native session windows need a watermark and merge adjacent state as
-    events arrive; sessions are emitted once the watermark passes their
-    gap. With availableNow replay the final still-open sessions never
-    finalize in append mode — streaming-only emission semantics, hence
-    rows mode (the batch twin is the oracle-checked form).
+    sessionization (eventtime.stream_session), upgraded rows→sql in r5:
+    the emission rule is deterministic under availableNow replay, so
+    the oracle reproduces it — batch sessions (30-min gap; session end
+    = last event + gap, Spark's session_window convention) FILTERED to
+    those the final watermark (max event time − 10 min) has passed.
+    Sessions still open at termination never emit in append mode —
+    that is not noise, it IS the check: the oracle's watermark
+    predicate must drop exactly the same trailing sessions or the
+    hash mismatches.
     """
 
     def sessionize(stream: DataFrame) -> DataFrame:

@@ -16,14 +16,15 @@ from pyspark.sql import SparkSession
 
 from .operators.medallion import stage_bronze_csv
 from .sources.bucketed import ensure_bucketed_tables
-from .streaming.twins import stage_event_files
+from .streaming.twins import stage_event_files, stage_event_files_3way
 
 
 def prestage(spark: SparkSession, sf_dir: str) -> None:
     ensure_bucketed_tables(spark, sf_dir)
-    # Both replay orders: in-order (fwd) and late-half-first (rev).
+    # Replay orders: in-order (fwd) and the three-file out-of-order
+    # replay (rev3 — the one whose late-data drop is real; twins.py).
     stage_event_files(spark, sf_dir, "prestage_fwd", late_fraction=False)
-    stage_event_files(spark, sf_dir, "prestage_rev", late_fraction=True)
+    stage_event_files_3way(spark, sf_dir, "prestage_rev3")
     stage_bronze_csv(spark, sf_dir)
     # Read-path Delta layouts (pruning / skipping / CDF / pyds scan):
     # running each op once stages its table via _staged_table's gate.

@@ -8,9 +8,13 @@ transformation, and drains to a memory sink with
 DataFrame — comparable against the batch twin or an oracle.
 
 Multi-file replay is what makes watermarks real: the watermark advances
-between micro-batches, so late rows in later files are actually dropped
-(single-batch replay would never drop anything). At 100 TB the same code
-reads a Kafka/files source; only the staging step is test-local.
+between micro-batches, so late rows in later files are gated — and,
+from the THIRD file on, actually dropped: Spark applies the late-input
+filter with the watermark committed one trigger behind the one used for
+emission (measured on 4.1), so a two-file replay only demonstrates
+emission gating while ``stage_event_files_3way`` demonstrates the drop.
+At 100 TB the same code reads a Kafka/files source; only the staging
+step is test-local.
 """
 
 from __future__ import annotations
@@ -38,8 +42,11 @@ def stage_event_files(
 
     Default: two files split at the median day (early half then late
     half) — an in-order replay. With ``late_fraction``: file 1 carries
-    the LATER half first, file 2 the earlier half, so file 2's rows
-    arrive behind the watermark and are dropped.
+    the LATER half first, file 2 the earlier half — file 2's rows land
+    behind the EMISSION watermark (their windows only surface once the
+    watermark passes them) but are NOT input-dropped: the late-input
+    filter lags one trigger (see stage_event_files_3way for the replay
+    that makes the drop real).
     """
     import os
 
@@ -63,6 +70,51 @@ def stage_event_files(
             # one file each: coalesce(1) so file order == micro-batch order
             first.coalesce(1).write.mode("overwrite").parquet(f"{src}/f0")
             second.coalesce(1).write.mode("overwrite").parquet(f"{src}/f1")
+            mark_staged(src, sf_dir, fp)
+    return src, ckpt
+
+
+def stage_event_files_3way(
+    spark: SparkSession, sf_dir: str, tag: str
+) -> tuple[str, str]:
+    """Three-file out-of-order replay: f0 = LATE half, f1 = early half
+    with even event_id, f2 = early half with odd event_id.
+
+    Why three files: Spark's late-INPUT filter uses the watermark
+    committed one batch behind the one used for emission (measured on
+    4.1 — the documented one-trigger watermark lag), so in a two-file
+    replay the second file's rows are never actually dropped (the
+    filter still sees watermark 0). With three files the drop is real:
+    f1 slips in under the lag, f2 arrives after the watermark from f0
+    has propagated into the filter and is dropped in full.
+    """
+    import os
+
+    src = workdir(sf_dir, "stream_src_rev3", fresh=False)
+    ckpt = workdir(sf_dir, f"stream_ckpt_{tag}")  # checkpoints never shared
+    with staging_lock:
+        if not (
+            staging_current(src, sf_dir)
+            and all(
+                os.path.exists(f"{src}/f{i}/_SUCCESS") for i in range(3)
+            )
+        ):
+            fp = fixture_fingerprint(sf_dir)  # BEFORE reading the source
+            ev = t(spark, sf_dir, "events").select(
+                "event_id", "ts", "user_id", "event_type", "value"
+            )
+            cut = "2024-01-15 00:00:00"
+            late = ev.filter(F.col("ts") >= cut)
+            early = ev.filter(F.col("ts") < cut)
+            parts = [
+                late,
+                early.filter(F.col("event_id") % 2 == 0),
+                early.filter(F.col("event_id") % 2 == 1),
+            ]
+            for i, part in enumerate(parts):
+                part.coalesce(1).write.mode("overwrite").parquet(
+                    f"{src}/f{i}"
+                )
             mark_staged(src, sf_dir, fp)
     return src, ckpt
 
@@ -115,6 +167,7 @@ def run_stream_to_batch(
     late_fraction: bool = False,
     output_mode: str = "append",
     partitions: int = 1,
+    three_way: bool = False,
 ) -> DataFrame:
     """Replay staged event files through readStream → transform → memory
     sink; returns the drained sink as a DataFrame.
@@ -125,7 +178,10 @@ def run_stream_to_batch(
     (applyInPandasWithState) want parallelism across their Python
     workers instead — pass more.
     """
-    src, ckpt = stage_event_files(spark, sf_dir, tag, late_fraction)
+    if three_way:
+        src, ckpt = stage_event_files_3way(spark, sf_dir, tag)
+    else:
+        src, ckpt = stage_event_files(spark, sf_dir, tag, late_fraction)
     stream = read_staged_stream(spark, src)
     sink = f"sink_{tag}_{uuid.uuid4().hex[:8]}"
     with replay_shuffle(spark, partitions):
