@@ -88,6 +88,7 @@ _WINDOW_SECOND = [
     "llm_cosine_topk_blocked", "llm_cosine_topk_lsh",
     "llm_cosine_topk_ivf",
     "stream_watermark_late", "stream_session_streamed",
+    "stream_funnel_stateful",
     "mm_dedup_phash", "llm_token_entropy",
     "dbt_snapshot_timestamp", "dbt_store_failures", "dbt_profile_table",
     "llm_ngram_novelty", "join_asof_tolerance", "agg_regression_trend",
@@ -160,6 +161,7 @@ _FORCE_RECHECK = {
     "llm_cosine_topk_ivf",
     "stream_watermark_late",
     "stream_session_streamed",
+    "stream_funnel_stateful",
 }
 
 

@@ -15,7 +15,8 @@ queries execute the SAME logical transformations through
   ``dropDuplicatesWithinWatermark`` state cleanup; with in-order replay
   and unique event ids the result is the identity → sql mode.
 - ``stream_funnel_stateful`` is the custom stateful operator
-  (``applyInPandasWithState``), state surviving across micro-batches.
+  (``applyInPandasWithState``), state surviving across micro-batches;
+  its drained sink equals the greedy batch funnel → sql mode (r5).
 - ``stream_sink_deltalike`` closes the loop into versioned storage via
   ``foreachBatch`` (streaming bronze ingest).
 """
@@ -144,19 +145,42 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-@register("stream_funnel_stateful")
+_FUNNEL_STATEFUL_ORACLE = """
+WITH s AS (
+  SELECT user_id, MIN(ts) AS st FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS ct
+  FROM events e JOIN s ON s.user_id = e.user_id AND e.ts > s.st
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS pt
+  FROM events e JOIN c ON c.user_id = e.user_id AND e.ts > c.ct
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT s.user_id, s.st AS signup_ts, c.ct AS click_ts, p.pt AS purchase_ts
+FROM s JOIN c USING (user_id) JOIN p USING (user_id)
+ORDER BY user_id
+"""
+
+
+@register("stream_funnel_stateful", _FUNNEL_STATEFUL_ORACLE)
 def stream_funnel_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator: per-user ordered funnel
-    (signup → click → purchase) via ``applyInPandasWithState``.
-
-    The batch twin (eventtime.stream_stateful_funnel) is the
-    oracle-checked semantics; this runs the stream form for real: state
+    (signup → click → purchase) via ``applyInPandasWithState`` — state
     (the funnel's partial timestamps) lives in the state store keyed by
-    user_id and SURVIVES across micro-batches — funnels whose stages
-    span the two replayed files complete correctly, which is exactly
-    what a window-based batch emulation cannot do incrementally. A
-    completed funnel is emitted once, in the batch where its purchase
-    arrives. rows-mode: emission batching is streaming-only semantics.
+    user_id and SURVIVES across micro-batches, so funnels whose stages
+    span the replayed files complete correctly. Upgraded rows→sql in
+    r5: a completed funnel is emitted exactly once (in the batch where
+    its purchase arrives), so the DRAINED sink is the full greedy
+    funnel set — first signup, first later click, first later purchase
+    per user — which the oracle computes as three chained min-
+    aggregations; the per-batch emission timing never changes the
+    final multiset. The in-order replay keeps per-user ts order across
+    batches, which is what makes the cross-batch state path equal the
+    batch-global answer.
 
     Scale: state is O(active users) × 3 timestamps, evicted on
     completion; shuffle key user_id. (GroupStateTimeout would bound
