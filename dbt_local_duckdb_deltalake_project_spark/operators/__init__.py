@@ -117,7 +117,7 @@ _WINDOW_SECOND = [
     "win_lead_lag_ignore_nulls", "stream_session_dynamic_gap",
     "llm_dpo_pair_builder", "llm_fingerprint_winnow_sql", "fn_geohash",
     "stream_corpus_ingest_dedup", "udtf_polymorphic",
-    "llm_span_corruption_mask",
+    "llm_span_corruption_mask", "delta_merge_matched_delete",
     # --- end of never-checked block; greens rotate below ---
     "delta_time_travel", "delta_merge_upsert",
     "stream_tumbling", "stream_session", "win_range_frame", "fn_date",  # events/tz consumers

@@ -1477,3 +1477,69 @@ def delta_deep_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_regionkey")
     )
+
+
+_MERGE_MATCHED_DELETE_ORACLE = """
+WITH target AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus
+  FROM orders WHERE o_orderkey % 2 = 0
+),
+source AS (
+  SELECT o_orderkey, o_totalprice * 1.1 AS o_totalprice,
+         CASE WHEN o_orderkey % 6 = 0 THEN 'D' ELSE 'U' END
+           AS o_orderstatus
+  FROM orders WHERE o_orderkey % 3 = 0
+)
+SELECT t.o_orderkey,
+       CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice
+            ELSE t.o_totalprice END AS o_totalprice,
+       CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus
+            ELSE t.o_orderstatus END AS o_orderstatus
+FROM target t LEFT JOIN source s ON s.o_orderkey = t.o_orderkey
+WHERE NOT (s.o_orderkey IS NOT NULL AND s.o_orderstatus = 'D')
+UNION ALL
+SELECT s.o_orderkey, s.o_totalprice, s.o_orderstatus
+FROM source s LEFT JOIN target t ON t.o_orderkey = s.o_orderkey
+WHERE t.o_orderkey IS NULL
+ORDER BY o_orderkey
+"""
+
+
+@register("delta_merge_matched_delete", _MERGE_MATCHED_DELETE_ORACLE)
+def delta_merge_matched_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE with ``WHEN MATCHED AND s.flag = 'D' THEN DELETE`` — the
+    CDC-tombstone clause: a change feed carries updates AND deletion
+    markers, and one MERGE applies both (flagged matched rows leave the
+    table, other matched rows update, unmatched source rows insert).
+    This completes the MERGE clause matrix alongside upsert,
+    insert-only, full-sync, and schema-evolution. Note the asymmetry
+    the oracle pins: a 'D'-flagged source row whose key is NOT in the
+    target INSERTS (WHEN NOT MATCHED has no condition here) — exactly
+    Delta's clause semantics, where each WHEN branch is independent.
+    At 100 TB this is one key-shuffle join, churn-proportional like
+    every MERGE here.
+    """
+    tbl = DeltaLikeTable(workdir(sf_dir, "delta_merge_mdel"))
+    o = t(spark, sf_dir, "orders")
+    target = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    source = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+        F.when(F.col("o_orderkey") % 6 == 0, F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("o_orderstatus"),
+    )
+    tbl.write(target, mode="overwrite")
+    tbl.merge(
+        spark,
+        source,
+        on="o_orderkey",
+        matched_delete_where="s.o_orderstatus = 'D'",
+    )
+    return (
+        tbl.read(spark)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .orderBy("o_orderkey")
+    )

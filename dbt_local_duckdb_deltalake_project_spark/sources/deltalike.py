@@ -1473,6 +1473,7 @@ class DeltaLikeTable:
         update_cols: list[str] | None = None,
         delete_not_matched_by_source: bool = False,
         evolve_schema: bool = False,
+        matched_delete_where: str | None = None,
     ) -> DataFrame:
         """``MERGE INTO target USING source ON target.k = source.k
         WHEN MATCHED THEN UPDATE WHEN NOT MATCHED THEN INSERT`` —
@@ -1486,6 +1487,12 @@ class DeltaLikeTable:
         SOURCE THEN DELETE`` — target rows absent from the source are
         dropped, making one MERGE a complete mirror of the source (the
         full-sync / snapshot-ingestion pattern).
+
+        ``matched_delete_where`` adds ``WHEN MATCHED AND <cond> THEN
+        DELETE`` (cond is SQL over the ``t``/``s`` aliases): matched
+        rows satisfying it leave the table instead of updating — the
+        CDC tombstone pattern (a source row flagged deleted removes its
+        target row in the same MERGE).
 
         ``evolve_schema=True`` adds ``WITH SCHEMA EVOLUTION``: source
         columns the target lacks are appended to the table schema —
@@ -1510,6 +1517,11 @@ class DeltaLikeTable:
         # values for every column the source carries.
         matched = F.col(f"s.{on}").isNotNull() & F.col(f"t.{on}").isNotNull()
         inserted = F.col(f"t.{on}").isNull()
+        if matched_delete_where is not None:
+            # WHEN MATCHED AND cond THEN DELETE: drop the joined row
+            # entirely — neither the update nor the pass-through branch
+            # may see it.
+            joined = joined.filter(~(matched & F.expr(matched_delete_where)))
 
         def _merged_col(c: str):
             s_c = (
