@@ -30,13 +30,18 @@ OPS = [
     "llm_dedup_exact",
     "llm_dedup_near",
     "llm_minhash_signature_sql",
-    "llm_simhash_portable",
     "graph_connected_components",
     "llm_cosine_topk_blocked",
     "join_spatial_grid",
     "win_sessionize",
     "agg_count_min_sketch",
     "llm_span_corruption_mask",
+    "llm_fingerprint_winnow_sql",
+    "llm_simhash_portable",
+    "llm_dedup_semantic",
+    "llm_importance_resample",
+    "fn_geohash",
+    "delta_merge_matched_delete",
 ]
 
 
