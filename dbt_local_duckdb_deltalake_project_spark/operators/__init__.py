@@ -118,6 +118,7 @@ _WINDOW_SECOND = [
     "llm_dpo_pair_builder", "llm_fingerprint_winnow_sql", "fn_geohash",
     "stream_corpus_ingest_dedup", "udtf_polymorphic",
     "llm_span_corruption_mask", "delta_merge_matched_delete",
+    "llm_dedup_cross_split", "delta_cdf_downstream_sync",
     # --- end of never-checked block; greens rotate below ---
     "delta_time_travel", "delta_merge_upsert",
     "stream_tumbling", "stream_session", "win_range_frame", "fn_date",  # events/tz consumers

@@ -1543,3 +1543,71 @@ def delta_merge_matched_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_totalprice", "o_orderstatus")
         .orderBy("o_orderkey")
     )
+
+
+_CDF_SYNC_ORACLE = """
+WITH base AS (
+  SELECT c_custkey, ROUND(c_acctbal, 2) AS acctbal FROM customer
+),
+merged AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 10 = 0 THEN ROUND(acctbal + 1000, 2)
+              ELSE acctbal END AS acctbal
+  FROM base
+  UNION ALL
+  SELECT c_custkey + 1000000, acctbal FROM base WHERE c_custkey % 97 = 0
+)
+SELECT c_custkey, acctbal
+FROM merged WHERE c_custkey % 13 <> 7
+ORDER BY c_custkey
+"""
+
+
+@register("delta_cdf_downstream_sync", _CDF_SYNC_ORACLE)
+def delta_cdf_downstream_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDF → downstream pipeline end-to-end: an upstream table takes
+    a MERGE (updates + inserts) then a DELETE; the downstream replica,
+    seeded at v0, catches up by reading the CHANGE FEED between
+    versions and applying it as ONE tombstone MERGE (update/insert
+    post-images upsert; delete changes ride the same source flagged
+    ``_tomb`` and fire WHEN MATCHED AND s._tomb THEN DELETE — the
+    r5 merge clause). This is the canonical Delta incremental-sync
+    pattern: downstream work is proportional to the CHANGES between
+    versions, never the table, which is the entire point of CDF at
+    100 TB. The oracle is the closed form of the upstream's final
+    state — the sync is correct iff the replica hash-matches it.
+    """
+    def build(tbl: DeltaLikeTable) -> None:
+        c = t(spark, sf_dir, "customer").select(
+            "c_custkey", F.round("c_acctbal", 2).alias("acctbal")
+        )
+        tbl.write(c, mode="overwrite")
+        updates = c.filter(F.col("c_custkey") % 10 == 0).withColumn(
+            "acctbal", F.round(F.col("acctbal") + 1000, 2)
+        )
+        inserts = c.filter(F.col("c_custkey") % 97 == 0).withColumn(
+            "c_custkey", F.col("c_custkey") + 1000000
+        )
+        tbl.merge(spark, updates.unionByName(inserts), on="c_custkey")
+        tbl.delete(spark, F.col("c_custkey") % 13 == 7)
+
+    src = _staged_table(sf_dir, "delta_cdf_sync", build)
+    pre = src.read(spark, as_of=0)
+    post = src.read(spark)
+    # change feed v0 → latest (diff-derived, as in delta_change_data_feed)
+    appeared = post.exceptAll(pre).withColumn("_tomb", F.lit(False))
+    post_keys = post.select("c_custkey").distinct()
+    deletes = (
+        pre.exceptAll(post)
+        .join(post_keys, "c_custkey", "left_anti")
+        .withColumn("_tomb", F.lit(True))
+    )
+    changes = appeared.unionByName(deletes)
+    down = DeltaLikeTable(workdir(sf_dir, "delta_cdf_downstream"))
+    down.write(pre, mode="overwrite")  # replica seeded at v0
+    down.merge(
+        spark, changes, on="c_custkey", matched_delete_where="s._tomb"
+    )
+    return down.read(spark).select("c_custkey", "acctbal").orderBy(
+        "c_custkey"
+    )

@@ -4716,3 +4716,84 @@ def llm_span_corruption_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_CROSS_SPLIT_ORACLE = f"""
+WITH {_PAIR_CTES},
+near AS (
+  SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.5
+),
+splits AS (
+  SELECT doc_id,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+                THEN 'train'
+              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+),
+tagged AS (
+  SELECT n.doc_a, n.doc_b, sa.split AS split_a, sb.split AS split_b
+  FROM near n
+  JOIN splits sa ON sa.doc_id = n.doc_a
+  JOIN splits sb ON sb.doc_id = n.doc_b
+)
+SELECT LEAST(split_a, split_b) AS split_lo,
+       GREATEST(split_a, split_b) AS split_hi,
+       CAST(COUNT(*) AS BIGINT) AS n_near_dup_pairs,
+       CAST(COUNT(*) FILTER (split_a <> split_b) AS BIGINT)
+         AS n_leaking_pairs
+FROM tagged
+GROUP BY 1, 2
+ORDER BY split_lo, split_hi
+"""
+
+
+@register("llm_dedup_cross_split", _CROSS_SPLIT_ORACLE)
+def llm_dedup_cross_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-duplicate leakage across train/val/test — the eval-integrity
+    gate llm_split_leakage_audit (exact content hashes) cannot provide:
+    a lightly-edited train document in the test split inflates eval
+    scores while hashing differently. Composes the banded near-dup
+    pair machinery (_neardup_pairs: shingle → DF cap → inverted-index
+    join → exact Jaccard >= 0.5) with the deterministic md5
+    split assignment (llm_split_assign's exact rule), and reports the
+    pair matrix per unordered split pair with the leaking (cross-
+    split) count separated. Same scale shape as llm_dedup_near — the
+    split tag rides the pair join as two broadcast-sized maps of
+    doc → split. An all-zero n_leaking_pairs column is the release
+    gate passing, asserted not implied (rows exist whenever near-dup
+    pairs exist at all).
+    """
+    d = t(spark, sf_dir, "documents")
+    pairs = _neardup_pairs(d).select("doc_a", "doc_b")
+    split = F.when(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "cd",
+        "train",
+    ).when(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "e6",
+        "val",
+    ).otherwise("test")
+    splits = d.select("doc_id", split.alias("split"))
+    sa = splits.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+    )
+    sb = splits.select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+    )
+    tagged = pairs.join(F.broadcast(sa), "doc_a").join(
+        F.broadcast(sb), "doc_b"
+    )
+    return (
+        tagged.groupBy(
+            F.least("split_a", "split_b").alias("split_lo"),
+            F.greatest("split_a", "split_b").alias("split_hi"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_near_dup_pairs"),
+            F.sum(
+                (F.col("split_a") != F.col("split_b")).cast("long")
+            ).alias("n_leaking_pairs"),
+        )
+        .orderBy("split_lo", "split_hi")
+    )
