@@ -1586,3 +1586,83 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("token")
     )
+
+
+_GINI_ORACLE = """
+WITH x AS (
+  SELECT c_mktsegment,
+         CAST(ROUND(c_acctbal * 1000000) AS BIGINT) - (
+           SELECT CAST(ROUND(MIN(c_acctbal) * 1000000) AS BIGINT)
+           FROM customer) AS x_m,
+         ROW_NUMBER() OVER (
+           PARTITION BY c_mktsegment
+           ORDER BY CAST(ROUND(c_acctbal * 1000000) AS BIGINT), c_custkey
+         ) AS rk
+  FROM customer
+),
+g AS (
+  SELECT c_mktsegment,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x_m) AS BIGINT) AS sum_m,
+         CAST(SUM(rk * x_m) AS BIGINT) AS rank_weighted_m
+  FROM x GROUP BY c_mktsegment
+)
+SELECT c_mktsegment, n, sum_m, rank_weighted_m,
+       ROUND(CAST(2 * rank_weighted_m AS DOUBLE)
+             / (CAST(n AS DOUBLE) * CAST(sum_m AS DOUBLE))
+             - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE), 9) AS gini
+FROM g ORDER BY c_mktsegment
+"""
+
+
+@register("agg_gini_by_segment", _GINI_ORACLE)
+def agg_gini_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of account balances per market segment — the
+    concentration/inequality readout (revenue concentration, data-
+    contributor skew) via the rank formula G = 2·Σ(i·x_i)/(n·Σx_i) −
+    (n+1)/n over ascending-sorted values. Balances shift to a
+    non-negative scale (Gini needs x ≥ 0) as exact micros longs; the
+    rank weighting runs in a PER-SEGMENT window (never a global
+    single-task sort) with a key tiebreak, and the integer moments are
+    emitted alongside the 9-dp-rounded ratio — Σ(i·x) exceeds 2^53 so
+    the BIGINT columns carry the exact values (CAST from DuckDB's
+    HUGEINT per the r5 rule) and the double division is the identical
+    IEEE chain in both engines.
+    """
+    from pyspark.sql import Window as W
+
+    c = t(spark, sf_dir, "customer")
+    min_m = c.agg(
+        F.round(F.min("c_acctbal") * 1_000_000).cast("long").alias("m")
+    )
+    x = (
+        c.crossJoin(F.broadcast(min_m))
+        .select(
+            "c_mktsegment",
+            "c_custkey",
+            (
+                F.round(F.col("c_acctbal") * 1_000_000).cast("long")
+                - F.col("m")
+            ).alias("x_m"),
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("c_mktsegment").orderBy("x_m", "c_custkey")
+            ),
+        )
+    )
+    g = x.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x_m").alias("sum_m"),
+        F.sum(F.col("rk") * F.col("x_m")).alias("rank_weighted_m"),
+    )
+    gini = F.round(
+        (F.col("rank_weighted_m") * 2).cast("double")
+        / (F.col("n").cast("double") * F.col("sum_m").cast("double"))
+        - (F.col("n") + 1).cast("double") / F.col("n").cast("double"),
+        9,
+    )
+    return g.select(
+        "c_mktsegment", "n", "sum_m", "rank_weighted_m", gini.alias("gini")
+    ).orderBy("c_mktsegment")
