@@ -1666,3 +1666,65 @@ def agg_gini_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select(
         "c_mktsegment", "n", "sum_m", "rank_weighted_m", gini.alias("gini")
     ).orderBy("c_mktsegment")
+
+
+_ENTROPY_ORACLE = """
+WITH counts AS (
+  SELECT user_id % 50 AS cohort, event_type,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+tot AS (
+  SELECT cohort, CAST(SUM(c) AS BIGINT) AS n FROM counts GROUP BY cohort
+),
+terms AS (
+  SELECT c.cohort,
+         CAST(ROUND(ROUND(
+           (CAST(c.c AS DOUBLE) / t.n) * ln(CAST(t.n AS DOUBLE) / c.c),
+           9) * 1000000) AS BIGINT) AS h_m
+  FROM counts c JOIN tot t USING (cohort)
+)
+SELECT cohort,
+       CAST(SUM(h_m) AS BIGINT) AS entropy_micros,
+       CAST(COUNT(*) AS BIGINT) AS n_types
+FROM terms GROUP BY cohort ORDER BY cohort
+"""
+
+
+@register("agg_entropy_by_group", _ENTROPY_ORACLE)
+def agg_entropy_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the event-type mix per user cohort — the
+    behavioral-diversity / load-balance readout (a cohort doing one
+    thing scores 0; a uniform mix scores ln(k)). Each -p·ln(p) term is
+    computed from exact integer counts, 9-dp-rounded, then
+    micros-quantized (the fn_math / llm_perplexity_proxy transcendental
+    discipline) so the per-cohort sum is an exact long in both engines.
+    Two map-side-combined groupBys and a cohort-keyed join of ~50×5
+    rows — scale-free at any event volume.
+    """
+    e = t(spark, sf_dir, "events")
+    counts = e.groupBy(
+        (F.col("user_id") % 50).alias("cohort"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    tot = counts.groupBy("cohort").agg(F.sum("c").alias("n"))
+    terms = counts.join(tot, "cohort").select(
+        "cohort",
+        F.round(
+            F.round(
+                (F.col("c").cast("double") / F.col("n"))
+                * F.log(F.col("n").cast("double") / F.col("c")),
+                9,
+            )
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("h_m"),
+    )
+    return (
+        terms.groupBy("cohort")
+        .agg(
+            F.sum("h_m").alias("entropy_micros"),
+            F.count(F.lit(1)).alias("n_types"),
+        )
+        .orderBy("cohort")
+    )

@@ -976,3 +976,67 @@ def win_lead_lag_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(w.rowsBetween(1, W.unboundedFollowing))
         .alias("next_nn"),
     ).orderBy("user_id", "ts", "event_id")
+
+
+_DRAWDOWN_ORACLE = """
+WITH series AS (
+  SELECT user_id, ts, event_id,
+         CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS equity_m
+  FROM events
+),
+peaked AS (
+  SELECT user_id, ts, event_id, equity_m,
+         CAST(MAX(equity_m) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS peak_m
+  FROM series
+)
+SELECT user_id,
+       CAST(MAX(peak_m - equity_m) AS BIGINT) AS max_drawdown_m,
+       CAST(MAX(peak_m) AS BIGINT) AS peak_m,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM peaked
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@register("win_running_drawdown", _DRAWDOWN_ORACLE)
+def win_running_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per user — the running-peak-minus-current
+    classic (portfolio risk, SLO burn-down, battery/stock depletion):
+    cumulative sum of event values forms the equity curve, a running
+    MAX over the same frame is the peak, and the largest gap is the
+    drawdown. Two stacked cumulative windows share ONE per-user
+    shuffle+sort (Catalyst plans both over the same window spec);
+    values accumulate as exact micros longs so every intermediate is
+    engine-identical. The final per-user fold is an algebraic groupBy.
+    """
+    e = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    series = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.sum(F.round(F.col("value") * 1_000_000).cast("long"))
+        .over(w)
+        .alias("equity_m"),
+    )
+    peaked = series.withColumn("peak_m", F.max("equity_m").over(w))
+    return (
+        peaked.groupBy("user_id")
+        .agg(
+            F.max(F.col("peak_m") - F.col("equity_m")).alias(
+                "max_drawdown_m"
+            ),
+            F.max("peak_m").alias("peak_m"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
