@@ -1728,3 +1728,98 @@ def agg_entropy_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort")
     )
+
+
+_BOOTSTRAP_ORACLE = """
+WITH w AS (
+  SELECT c_mktsegment, b.b,
+         CAST(('0x' || substr(md5('bs:' || CAST(b.b AS VARCHAR) || ':'
+                              || CAST(c_custkey AS VARCHAR)), 1, 4))
+              AS INTEGER) % 4 AS wt,
+         CAST(ROUND(c_acctbal * 1000000) AS BIGINT) AS x_m
+  FROM customer, (SELECT unnest(range(0, 32)) AS b) b
+),
+reps AS (
+  SELECT c_mktsegment, b,
+         CAST(SUM(wt * x_m) // SUM(wt) AS BIGINT) AS mean_m
+  FROM w GROUP BY c_mktsegment, b
+),
+ranked AS (
+  SELECT c_mktsegment, mean_m,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                            ORDER BY mean_m, b) AS rk
+  FROM reps
+)
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_replicates,
+       CAST(MIN(mean_m) AS BIGINT) AS ci_lo_m,
+       CAST(MAX(mean_m) AS BIGINT) AS ci_hi_m,
+       CAST(MIN(CASE WHEN rk = 16 THEN mean_m END) AS BIGINT) AS median_m
+FROM ranked
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+@register("agg_bootstrap_ci", _BOOTSTRAP_ORACLE)
+def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap confidence interval for the segment mean balance —
+    WITHOUT an RNG: replicate b resamples each row with weight
+    md5(b, key) % 4 (key-addressed, the llm_split_assign discipline),
+    so all 32 replicate means are exact integer ratios both engines
+    reproduce bit-for-bit, and re-runs/backfills produce the identical
+    interval — the reproducibility property seeded RNG bootstraps lose
+    across engines and partitionings. Envelope (min/max) and the 16th
+    order statistic summarize the replicate distribution. Plan: one
+    32-way fan-out (map-side), one (segment, b) groupBy of ~160 partial
+    cells per task, one tiny ranked fold — linear, scale-free.
+    """
+    c = t(spark, sf_dir, "customer")
+    fan = c.select(
+        "c_mktsegment",
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 1_000_000).cast("long").alias("x_m"),
+        F.explode(F.array(*[F.lit(i) for i in range(32)])).alias("b"),
+    ).select(
+        "c_mktsegment",
+        "b",
+        "x_m",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("bs:"),
+                            F.col("b").cast("string"),
+                            F.lit(":"),
+                            F.col("c_custkey").cast("string"),
+                        )
+                    ),
+                    1, 4,
+                ),
+                16, 10,
+            ).cast("int")
+            % 4
+        ).alias("wt"),
+    )
+    reps = fan.groupBy("c_mktsegment", "b").agg(
+        F.expr("sum(wt * x_m) div sum(wt)").alias("mean_m")
+    )
+    from pyspark.sql import Window as W
+
+    rk = F.row_number().over(
+        W.partitionBy("c_mktsegment").orderBy("mean_m", "b")
+    )
+    ranked = reps.withColumn("rk", rk)
+    return (
+        ranked.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_replicates"),
+            F.min("mean_m").alias("ci_lo_m"),
+            F.max("mean_m").alias("ci_hi_m"),
+            F.min(F.when(F.col("rk") == 16, F.col("mean_m"))).alias(
+                "median_m"
+            ),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -828,3 +828,34 @@ def fn_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return coded.select(
         "c_custkey", "code30", F.concat(*ch).alias("geohash6")
     ).orderBy("c_custkey")
+
+
+_BASE64_ORACLE = """
+SELECT doc_id,
+       to_base64(encode(substr(text, 1, 24))) AS b64,
+       decode(from_base64(to_base64(encode(substr(text, 1, 24)))))
+         = substr(text, 1, 24) AS roundtrips,
+       length(to_base64(encode(substr(text, 1, 24)))) AS b64_len
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register("fn_base64", _BASE64_ORACLE)
+def fn_base64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Base64 encode/decode round trip — the wire format for binary
+    payloads embedded in JSON/CSV interchange (and the inline
+    deletion-vector encoding deltalike.py uses a85 for). RFC 4648 with
+    padding is byte-identical across engines, so the encoded string,
+    its round-trip equality, and its padded length all value-check.
+    Pure map stage.
+    """
+    d = t(spark, sf_dir, "documents")
+    s24 = F.substring("text", 1, 24)
+    b64 = F.base64(s24.cast("binary"))
+    return d.select(
+        "doc_id",
+        b64.alias("b64"),
+        (F.unbase64(b64).cast("string") == s24).alias("roundtrips"),
+        F.length(b64).alias("b64_len"),
+    ).orderBy("doc_id")
