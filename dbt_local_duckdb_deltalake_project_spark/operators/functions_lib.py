@@ -857,5 +857,5 @@ def fn_base64(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         b64.alias("b64"),
         (F.unbase64(b64).cast("string") == s24).alias("roundtrips"),
-        F.length(b64).alias("b64_len"),
+        F.length(b64).cast("long").alias("b64_len"),
     ).orderBy("doc_id")
