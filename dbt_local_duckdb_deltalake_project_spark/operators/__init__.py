@@ -121,6 +121,7 @@ _WINDOW_SECOND = [
     "llm_dedup_cross_split", "delta_cdf_downstream_sync",
     "agg_gini_by_segment", "win_running_drawdown",
     "agg_entropy_by_group", "fn_base64", "agg_bootstrap_ci",
+    "subq_not_in_nulls", "win_ntile_deciles",
     # --- end of never-checked block; greens rotate below ---
     "delta_time_travel", "delta_merge_upsert",
     "stream_tumbling", "stream_session", "win_range_frame", "fn_date",  # events/tz consumers

@@ -510,3 +510,40 @@ def cte_reuse_exchange(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey")
     )
+
+
+_shared(
+    "subq_not_in_nulls",
+    """
+    WITH probe AS (
+      SELECT c_custkey FROM customer WHERE c_custkey <= 100
+    ),
+    nullable_set AS (
+      SELECT CASE WHEN s_suppkey % 10 = 0 THEN NULL
+                  ELSE s_suppkey END AS k
+      FROM supplier
+    ),
+    clean_set AS (
+      SELECT s_suppkey AS k FROM supplier WHERE s_suppkey % 10 <> 0
+    )
+    SELECT p.c_custkey,
+           (p.c_custkey NOT IN (SELECT k FROM nullable_set)) IS TRUE
+             AS not_in_nullable_is_true,
+           p.c_custkey NOT IN (SELECT k FROM clean_set)
+             AS not_in_clean,
+           NOT EXISTS (SELECT 1 FROM nullable_set n
+                       WHERE n.k = p.c_custkey) AS not_exists_2vl
+    FROM probe p
+    ORDER BY p.c_custkey
+    """,
+)
+# subq_not_in_nulls: the classic NOT IN null trap as a first-class,
+# value-checked surface. Against a set containing a NULL, standard SQL
+# makes `x NOT IN (...)` three-valued (FALSE or NULL, never TRUE);
+# engines disagree on the raw residue (DuckDB yields NULL, Spark's
+# null-aware anti-join rewrite yields FALSE — measured r5), so the
+# checked column is `(...) IS TRUE`, where both agree it can NEVER be
+# true — the trap, asserted per key. The clean-set NOT IN and NOT
+# EXISTS columns carry the real membership answer both ways. Catalyst
+# rewrites NOT IN to a null-aware anti join (the expensive form — the
+# reason style guides say NOT EXISTS) and NOT EXISTS to a plain anti.

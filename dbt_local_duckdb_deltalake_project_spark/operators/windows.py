@@ -1040,3 +1040,58 @@ def win_running_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+_NTILE_ORACLE = """
+WITH tiled AS (
+  SELECT c_mktsegment,
+         CAST(ROUND(c_acctbal * 1000000) AS BIGINT) AS bal_m,
+         NTILE(10) OVER (
+           PARTITION BY c_mktsegment
+           ORDER BY CAST(ROUND(c_acctbal * 1000000) AS BIGINT), c_custkey
+         ) AS decile
+  FROM customer
+)
+SELECT c_mktsegment, CAST(decile AS INTEGER) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(bal_m) AS BIGINT) AS lo_m,
+       CAST(MAX(bal_m) AS BIGINT) AS hi_m
+FROM tiled
+GROUP BY c_mktsegment, decile
+ORDER BY c_mktsegment, decile
+"""
+
+
+@register("win_ntile_deciles", _NTILE_ORACLE)
+def win_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile banding per segment via NTILE(10) — the equal-population
+    bucketing behind score bands, price tiers, and contributor
+    leaderboards (vs fixed-width histogram bins, agg_histogram). NTILE
+    is standard SQL (earlier tiles absorb the remainder), so with a
+    deterministic (micros balance, key) ordering both engines assign
+    identical tiles; the per-tile fold reports population and exact
+    micros bounds. One per-segment window shuffle + an algebraic
+    groupBy.
+    """
+    c = t(spark, sf_dir, "customer")
+    bal_m = F.round(F.col("c_acctbal") * 1_000_000).cast("long")
+    tiled = c.select(
+        "c_mktsegment",
+        bal_m.alias("bal_m"),
+        F.ntile(10)
+        .over(
+            W.partitionBy("c_mktsegment").orderBy(
+                bal_m, F.col("c_custkey")
+            )
+        )
+        .alias("decile"),
+    )
+    return (
+        tiled.groupBy("c_mktsegment", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("bal_m").alias("lo_m"),
+            F.max("bal_m").alias("hi_m"),
+        )
+        .orderBy("c_mktsegment", "decile")
+    )
