@@ -122,6 +122,7 @@ _WINDOW_SECOND = [
     "agg_gini_by_segment", "win_running_drawdown",
     "agg_entropy_by_group", "fn_base64", "agg_bootstrap_ci",
     "subq_not_in_nulls", "win_ntile_deciles",
+    "agg_markov_transition", "llm_bigram_nll",
     # --- end of never-checked block; greens rotate below ---
     "delta_time_travel", "delta_merge_upsert",
     "stream_tumbling", "stream_session", "win_range_frame", "fn_date",  # events/tz consumers

@@ -1823,3 +1823,61 @@ def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+_MARKOV_ORACLE = """
+WITH seq AS (
+  SELECT user_id, ts, event_id, event_type,
+         LAG(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+trans AS (
+  SELECT prev_type AS from_type, event_type AS to_type,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT from_type, CAST(SUM(n) AS BIGINT) AS row_n
+  FROM trans GROUP BY from_type
+)
+SELECT t.from_type, t.to_type, t.n,
+       CAST(t.n * 1000000 // o.row_n AS BIGINT) AS p_ppm
+FROM trans t JOIN tot o USING (from_type)
+ORDER BY from_type, to_type
+"""
+
+
+@register("agg_markov_transition", _MARKOV_ORACLE)
+def agg_markov_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of event types per user
+    journey — the behavioral model behind next-action prediction and
+    funnel-shape drift monitoring: consecutive event pairs (lag over
+    the per-user time order) are counted and row-normalized to exact
+    ppm (integer floor division, engine-identical). One per-user
+    window shuffle builds the pairs; the matrix itself is k² rows
+    regardless of event volume — the groupBys map-side combine to it.
+    """
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    trans = seq.groupBy(
+        F.col("prev_type").alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = trans.groupBy("from_type").agg(F.sum("n").alias("row_n"))
+    return (
+        trans.join(tot, "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.expr("(n * 1000000L) div row_n").alias("p_ppm"),
+        )
+        .orderBy("from_type", "to_type")
+    )

@@ -4797,3 +4797,80 @@ def llm_dedup_cross_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split_lo", "split_hi")
     )
+
+
+_BIGRAM_NLL_ORACLE = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+bg AS (
+  SELECT doc_id, a[i] AS w1, a[i+1] AS w2
+  FROM d, LATERAL (SELECT unnest(range(1, greatest(len(a), 1))) AS i)
+),
+c2 AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY w1, w2
+),
+c1 AS (
+  SELECT w1, CAST(SUM(c) AS BIGINT) AS c FROM c2 GROUP BY w1
+),
+q AS (
+  SELECT c2.w1, c2.w2,
+         CAST(ROUND(ROUND(ln(CAST(c1.c AS DOUBLE) / c2.c), 9) * 1000000)
+              AS BIGINT) AS nll_m
+  FROM c2 JOIN c1 USING (w1)
+)
+SELECT b.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(q.nll_m) AS BIGINT) AS nll_micros,
+       CAST(SUM(q.nll_m) AS DOUBLE) / 1000000 / COUNT(*) AS avg_nll
+FROM bg b JOIN q ON q.w1 = b.w1 AND q.w2 = b.w2
+GROUP BY b.doc_id
+ORDER BY doc_id
+"""
+
+
+@register("llm_bigram_nll", _BIGRAM_NLL_ORACLE)
+def llm_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram conditional negative log likelihood per document — one
+    Markov order above llm_perplexity_proxy's unigram score, and the
+    cheapest LM that catches scrambled-but-plausible-vocabulary junk
+    (right words, wrong order — invisible to unigram scoring). Per
+    bigram -ln P(w2|w1) = ln(c(w1)/c(w1w2)), 9-dp-rounded then
+    micros-quantized (the fn_math discipline) so the per-doc sum is an
+    exact long. The bigram stream is built with the narrow
+    slice/arrays_zip codegen pipeline (no per-doc window sort — the
+    llm_minhash_signature_sql lesson); counts fold with map-side
+    combine; the probability table is bigram-vocabulary-sized, never
+    corpus-sized.
+    """
+    d = t(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    n2 = F.greatest(F.size(w) - 1, F.lit(0))
+    z = F.arrays_zip(
+        F.slice(w, 1, n2).alias("w1"), F.slice(w, 2, n2).alias("w2")
+    )
+    bg = d.select("doc_id", F.explode(z).alias("g")).select(
+        "doc_id", F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2")
+    )
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    c1 = c2.groupBy("w1").agg(F.sum("c").alias("c1"))
+    q = c2.join(c1, "w1").select(
+        "w1",
+        "w2",
+        F.round(
+            F.round(F.log(F.col("c1").cast("double") / F.col("c")), 9)
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("nll_m"),
+    )
+    return (
+        bg.join(q, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("nll_m").alias("nll_micros"),
+            (
+                F.sum("nll_m").cast("double") / 1_000_000 / F.count(F.lit(1))
+            ).alias("avg_nll"),
+        )
+        .orderBy("doc_id")
+    )
