@@ -39,35 +39,22 @@ for _m in _MODULES:
 # the back. Within the window, cheaper queries come first in case the
 # window is time-budgeted. Rotate this list each round as rows come back.
 _WINDOW_FIRST = [
-    # --- r5 window: ids whose implementation changes this round come
-    # first (r4-green but touched: large-star/small-star rewrite of
-    # dedup clusters; deltalike vacuum now reclaims DV sidecars) ---
-    "llm_dedup_clusters", "delta_vacuum",
-    # --- then the never-driver-checked backlog (93 ids after r4) in
-    # registry order; llm_minhash_signature_sql hoisted because its
-    # shingle stage is rebuilt this round (VERDICT r4 task 4) ---
-    "llm_minhash_signature_sql",
-    "delta_history", "scan_xml", "sink_partitioned_overwrite",
-    "win_gap_fill", "delta_constraints", "fn_url",
-    "pipeline_llm_corpus", "llm_kmeans",
-    "sql_pipe_syntax", "fn_variant", "fn_collation", "agg_mode_median",
-    "llm_corpus_mix", "llm_dedup_spans", "delta_deletion_vectors",
-    "delta_column_mapping", "agg_bitmap_distinct",
-    "delta_txn_idempotent", "dbt_unit_test", "udf_cogrouped_map",
-    "stream_txn_exactly_once", "scan_csv_permissive", "win_rolling_zscore",
-    "agg_histogram", "llm_embed_pq", "join_asof_nearest",
-    "delta_generated_columns", "delta_merge_full_sync",
-    "win_cumulative_distinct", "fn_mask", "llm_dedup_url",
-    "llm_perplexity_proxy",
-    "win_gaps_islands", "win_sessionize", "agg_hll_sketch_merge",
-    "graph_pagerank", "win_ewma", "graph_triangle_count",
-    "join_range_bucketed", "agg_ab_ttest", "llm_dedup_bloom",
-    "llm_dataset_manifest", "agg_retention_cohort",
-    "llm_split_leakage_audit", "scan_orc", "win_ratio_to_report",
-    # swapped in late-r5: the exact-cosine verify refactor touched this
-    # green id (mm_dedup_phash + llm_token_entropy displaced; both are
-    # never-checked so the auto-rotation puts them at r6's front)
-    "llm_cosine_topk",
+    # --- r6 window head: ids whose implementation (or oracle) changed
+    # this round. The cosine variants got the ADVICE fixes (truncating
+    # centroid division matching DuckDB //, rounded-tie prefilter
+    # margin); stream_session_dynamic_gap's oracle gained the event_id
+    # tiebreak; llm_vocab_coverage's vocab top-30 moved off the
+    # unpartitioned rank window; win_pareto_analysis's cumsum is the
+    # two-pass range-partitioned rewrite; delta_merge_matched_delete
+    # consumes deltalike.merge's NULL-condition fix; delta_vacuum
+    # (green r5) consumes vacuum's per-commit timestamp fallback. ---
+    "llm_cosine_topk_ivf", "llm_cosine_topk_blocked",
+    "llm_cosine_topk_lsh", "stream_session_dynamic_gap",
+    "llm_vocab_coverage", "win_pareto_analysis",
+    "delta_merge_matched_delete", "delta_vacuum",
+    # --- the rest of the 50-slot window fills automatically: the
+    # remaining _FORCE_RECHECK stream ids, then the never-checked
+    # backlog in _WINDOW_SECOND order. ---
 ]
 
 

@@ -235,14 +235,14 @@ WITH iv AS (
   FROM events
 ),
 x AS (
-  SELECT user_id, ts, te,
+  SELECT user_id, ts, event_id, te,
          MAX(te) OVER (
            PARTITION BY user_id ORDER BY ts, event_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
   FROM iv
 ),
 flagged AS (
-  SELECT user_id, ts, te,
+  SELECT user_id, ts, event_id, te,
          CASE WHEN prev_end IS NULL OR ts >= prev_end THEN 1 ELSE 0 END
            AS new_session
   FROM x
@@ -250,7 +250,7 @@ flagged AS (
 numbered AS (
   SELECT user_id, ts, te,
          SUM(new_session) OVER (
-           PARTITION BY user_id ORDER BY ts
+           PARTITION BY user_id ORDER BY ts, event_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
   FROM flagged
 )

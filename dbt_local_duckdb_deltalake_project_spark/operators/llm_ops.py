@@ -348,10 +348,13 @@ def llm_cosine_topk_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     1. PREFILTER — mapInPandas computes per-partition cosine top-k with
        numpy (one BLAS matvec per Arrow batch, query broadcast in the
-       closure). float64 error is <1e-12, so a true global top-k member
-       can only be excluded from its partition's top-k if >k vectors sit
-       within 1e-12 of each other — not a real risk; candidates = k rows
-       per partition, no shuffle until then.
+       closure), keeping every row within 2e-6 of the k-th per-batch
+       cosine: the final order is by 6-dp-ROUNDED cosine with vec_id
+       tiebreak, so a contender whose exact cosine rounds EQUAL to the
+       k-th (up to ~1e-6 away, plus <1e-12 float error) must reach the
+       verify phase or the rounded-tie vec_id order can differ from the
+       oracle. Candidates ≈ k + ties per partition, no shuffle until
+       then.
     2. VERIFY — the ≤ k×partitions candidates are re-scored through the
        exact decimal posexplode pipeline (bit-equal to the oracle's
        decimal SUM), and the final exact top-k is ordered on the exact
@@ -374,8 +377,12 @@ def llm_cosine_topk_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
                 continue
             m = np.stack(cand.embedding.to_numpy()).astype(np.float64)
             cos = (m @ qvec) / (np.sqrt((m * m).sum(axis=1)) * qn)
-            top = np.argsort(-cos)[:k]
-            yield pd.DataFrame({"vec_id": cand.vec_id.to_numpy()[top]})
+            # keep everything within the rounded-tie margin of the
+            # k-th cosine (see docstring) — slack rows are cheap, a
+            # dropped tie contender is a hash mismatch
+            kth = np.sort(cos)[::-1][min(k, len(cos)) - 1]
+            sel = cos >= kth - 2e-6
+            yield pd.DataFrame({"vec_id": cand.vec_id.to_numpy()[sel]})
 
     cand = e.mapInPandas(block_topk, schema="vec_id long")
     return _exact_cosine_topk(e, e.join(cand, "vec_id"), k)
@@ -448,10 +455,10 @@ def llm_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     matmul in numpy == SUM(x_m*a_m) in SQL — no float sign flips at
     the bucket boundary). Multi-probe: the query's bucket plus its
     four Hamming-1 neighbors are scanned (5/16 of the corpus in
-    expectation), float cosine picks per-batch top-k candidates, and
-    the exact decimal pipeline re-scores those (the
-    llm_cosine_topk_blocked verify phase — float64 error <1e-12 cannot
-    eject a true top-k member). At 100 TB the table is WRITTEN
+    expectation), float cosine picks per-batch top-k candidates with a
+    2e-6 rounded-tie margin (see llm_cosine_topk_blocked), and the
+    exact decimal pipeline re-scores those through the shared verify
+    phase. At 100 TB the table is WRITTEN
     partitioned by bucket, so the scan prunes at the storage layer and
     each query touches nprobe partitions; recall tunes with the probe
     radius (llm_ann_recall measures it).
@@ -488,9 +495,13 @@ def llm_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 continue
             m = m[sel]
             cos = (m @ qvec) / (np.sqrt((m * m).sum(axis=1)) * qn)
-            top = np.argsort(-cos)[:k]
+            # rounded-tie margin as in llm_cosine_topk_blocked: the
+            # final order is 6-dp-rounded, so tie contenders within
+            # ~1e-6 of the k-th cosine must reach the exact verify
+            kth = np.sort(cos)[::-1][min(k, len(cos)) - 1]
+            keep = cos >= kth - 2e-6
             yield pd.DataFrame(
-                {"vec_id": cand.vec_id.to_numpy()[sel][top]}
+                {"vec_id": cand.vec_id.to_numpy()[sel][keep]}
             )
 
     cand = e.mapInPandas(bucket_topk, schema="vec_id long")
@@ -609,8 +620,9 @@ def llm_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the double division is the identical IEEE chain (agg_wilson rule),
     ties on the lower list id (np.argmax first-max == ROW_NUMBER
     tiebreak); centroid refinement folds INT64 partial sums JVM-side
-    (order-independent, no float jitter) and floor-divides driver-side
-    (python // == DuckDB //); the probed cells' candidates finish
+    (order-independent, no float jitter) and divides driver-side with
+    TRUNCATION toward zero to match DuckDB's `//` (Python's floor
+    differs by 1 on negative sums); the probed cells' candidates finish
     through the shared exact-decimal verify (_exact_cosine_topk).
     Spark-first shape unchanged: one Arrow-batched assignment pass
     emitting per-list partial sums (map-side combine by hand), one
@@ -675,7 +687,11 @@ def llm_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cent_m = seeds_m.copy()  # empty lists keep their seed
     for r in cent_rows:
-        cent_m[r["list_id"], r["pos"]] = r["s"] // r["c"]  # floor == //
+        # DuckDB's // TRUNCATES toward zero (-7//2 = -3) while Python's
+        # floors (-4): truncate on |s| and reapply the sign so negative
+        # sums land on the identical centroid in both engines.
+        s, c = r["s"], r["c"]
+        cent_m[r["list_id"], r["pos"]] = (abs(s) // c) * (1 if s >= 0 else -1)
     cent_n2 = (cent_m * cent_m).sum(axis=1)
     qd = _micros(qvec) @ cent_m.T
     qkey = qd / np.sqrt(cent_n2.astype(np.float64))
@@ -3994,16 +4010,16 @@ def llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = t(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    # Top-30 via orderBy().limit() — TakeOrderedAndProject (per-partition
+    # heaps + driver merge of 30-row tops), NOT row_number over an
+    # unpartitioned window, which funnels the whole distinct-token table
+    # (~1e8 rows on a web corpus) through one task. The (c DESC, w ASC)
+    # ordering makes the cut deterministic, same as the old rank filter.
     vocab = (
         tok.groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
-        .withColumn(
-            "rk",
-            F.row_number().over(
-                W.orderBy(F.col("c").desc(), F.col("w").asc())
-            ),
-        )
-        .filter(F.col("rk") <= 30)
+        .orderBy(F.col("c").desc(), F.col("w").asc())
+        .limit(30)
         .select("w", F.lit(True).alias("in_vocab"))
     )
     return (

@@ -739,14 +739,20 @@ def win_pareto_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto / ABC analysis — customers ranked by spend with cumulative
     revenue share and the "which customers make up the first 80% of
     revenue" flag (the 80/20 cut every account-tiering exercise runs).
-    Cumulative sums ride exact scaled longs over a unique-tiebreak
-    global sort; the 80% membership test is integer cross-
-    multiplication (cum·5 ≤ total·4), so no boundary row can flip on
-    float rounding. The global sort is the honest cost: ranking the
-    whole key space is inherently one ordered pass (Spark range-
-    partitions the sort; the single-partition window here is the
-    fixture-scale shortcut, win_ratio_to_report documents the
-    broadcast-scalar swap for the total at 100 TB).
+    Cumulative sums ride exact scaled longs; the 80% membership test is
+    integer cross-multiplication (cum·5 ≤ total·4), so no boundary row
+    can flip on float rounding.
+
+    Scale-safe two-pass cumsum (r6 rewrite — no single-partition
+    WindowExec anywhere in the plan): (1) range-partition the per-
+    customer aggregate on the global sort key and stamp
+    spark_partition_id (localCheckpoint pins the nondeterministic pid
+    assignment so every consumer sees the same one); (2) running
+    sum/rank WITHIN each pid via a pid-partitioned window — group size
+    is bounded by n/P, distributed; (3) per-pid totals fold into
+    prefix offsets with a P×P theta self-join (P = partition count,
+    O(1) in data); (4) offsets and the grand total broadcast back.
+    cum = local_cum + offset, exact longs end-to-end.
     """
     o = t(spark, sf_dir, "orders")
     spend = o.groupBy("o_custkey").agg(
@@ -754,14 +760,46 @@ def win_pareto_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("o_totalprice") * 1_000_000).cast("long")
         ).alias("spend_m")
     )
-    order = W.orderBy(F.col("spend_m").desc(), "o_custkey")
-    running = order.rowsBetween(W.unboundedPreceding, W.currentRow)
-    ranked = spend.select(
+    parts = (
+        spend.repartitionByRange(
+            16, F.col("spend_m").desc(), F.col("o_custkey").asc()
+        )
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    wl = W.partitionBy("pid").orderBy(F.col("spend_m").desc(), "o_custkey")
+    local = parts.select(
         "o_custkey",
         "spend_m",
-        F.row_number().over(order).cast("long").alias("rk"),
-        F.sum("spend_m").over(running).alias("cum_m"),
-        F.sum("spend_m").over(W.partitionBy()).alias("total_m"),
+        "pid",
+        F.row_number().over(wl).cast("long").alias("lrk"),
+        F.sum("spend_m")
+        .over(wl.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("lcum_m"),
+    )
+    pstats = parts.groupBy("pid").agg(
+        F.sum("spend_m").alias("psum"), F.count(F.lit(1)).alias("pcnt")
+    )
+    offsets = (
+        pstats.alias("a")
+        .join(pstats.alias("b"), F.col("b.pid") < F.col("a.pid"), "left")
+        .groupBy(F.col("a.pid").alias("pid"))
+        .agg(
+            F.coalesce(F.sum("b.psum"), F.lit(0)).cast("long").alias("off_m"),
+            F.coalesce(F.sum("b.pcnt"), F.lit(0)).cast("long").alias("off_rk"),
+        )
+    )
+    total = parts.agg(F.sum("spend_m").alias("total_m"))
+    ranked = (
+        local.join(F.broadcast(offsets), "pid")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "o_custkey",
+            "spend_m",
+            (F.col("lrk") + F.col("off_rk")).alias("rk"),
+            (F.col("lcum_m") + F.col("off_m")).alias("cum_m"),
+            "total_m",
+        )
     )
     return ranked.select(
         "o_custkey", "rk",

@@ -1399,9 +1399,16 @@ class DeltaLikeTable:
         # without this tracking, since no remove action ever names it.
         pending_dv: dict[str, str] = {}
         dv_orphaned: dict[str, tuple[int, int]] = {}
-        commit_ts = 0
         for i, fname in enumerate(self._commit_files()):
-            with open(os.path.join(self._log_dir, fname)) as f:
+            fpath = os.path.join(self._log_dir, fname)
+            # Per-commit timestamp: commitInfo (first action since r4)
+            # overrides below; pre-r4/foreign commits without one fall
+            # back to the file's mtime (same rule as commit_timestamp)
+            # instead of carrying a stale value across commits — a
+            # superseded sidecar must be gated on ITS commit's clock or
+            # it can be reclaimed before its retention window elapses.
+            commit_ts = int(os.path.getmtime(fpath) * 1000)
+            with open(fpath) as f:
                 for ln in f:
                     act = json.loads(ln)
                     if "commitInfo" in act:
@@ -1520,8 +1527,12 @@ class DeltaLikeTable:
         if matched_delete_where is not None:
             # WHEN MATCHED AND cond THEN DELETE: drop the joined row
             # entirely — neither the update nor the pass-through branch
-            # may see it.
-            joined = joined.filter(~(matched & F.expr(matched_delete_where)))
+            # may see it. A NULL condition is NOT satisfied (Delta
+            # clause semantics): coalesce to FALSE so the row falls
+            # through to the unconditional UPDATE instead of being
+            # silently deleted by ~(matched & NULL) = NULL.
+            cond = F.coalesce(F.expr(matched_delete_where), F.lit(False))
+            joined = joined.filter(~(matched & cond))
 
         def _merged_col(c: str):
             s_c = (

@@ -393,6 +393,29 @@ def test_spatial_grid_candidate_join_is_equi(spark, sf_dir):
     assert "BroadcastHashJoin" in p or "SortMergeJoin" in p
 
 
+def test_vocab_coverage_top30_is_distributed(spark, sf_dir):
+    # the vocabulary top-30 must fuse to TakeOrderedAndProject
+    # (per-partition heaps + driver merge) — the old rank-over-
+    # unpartitioned-window funneled the whole distinct-token table
+    # (~1e8 rows on a web corpus) through one task.
+    df = QUERIES["llm_vocab_coverage"](spark, sf_dir)
+    p = plan(df)
+    assert "TakeOrderedAndProject" in p
+    assert "windowspecdefinition" not in p
+
+
+def test_pareto_cumsum_has_no_unpartitioned_window(spark, sf_dir):
+    # two-pass range-partitioned cumulative sum: every window in the
+    # plan must be partitioned by pid (bounded n/P groups) — an empty
+    # partition spec means the global cumsum collapsed back onto a
+    # single task.
+    df = QUERIES["win_pareto_analysis"](spark, sf_dir)
+    p = plan(df)
+    n_specs = p.count("windowspecdefinition(")
+    assert n_specs > 0  # the pid-local running sum/rank windows
+    assert n_specs == p.count("windowspecdefinition(pid")
+
+
 def test_registry_window_covers_unverified_ids():
     # driver-window bookkeeping guard: every id with no CORRECTNESS row
     # across all recorded rounds must sit inside the first 150 registry

@@ -133,6 +133,23 @@ def test_merge_null_source_value_overwrites(spark, tbl):
     assert got == {1: None, 2: "keep", 3: "ins"}
 
 
+def test_merge_matched_delete_null_condition_updates(spark, tbl):
+    # WHEN MATCHED AND cond THEN DELETE where cond is NULL on a matched
+    # row: Delta treats a NULL clause condition as NOT satisfied — the
+    # row must fall through to the unconditional UPDATE, not be deleted
+    # (a bare ~(matched AND NULL) filter would silently drop it).
+    tbl.write(_df(spark, [(1, "old"), (2, "old2")]), mode="overwrite")
+    merged = tbl.merge(
+        spark,
+        # source v: NULL for k=1 (condition NULL), 'dead' for k=2
+        _df(spark, [(1, None), (2, "dead")]),
+        on="k",
+        matched_delete_where="s.v = 'dead'",
+    )
+    got = {r.k: r.v for r in merged.collect()}
+    assert got == {1: None}  # k=1 updated (to NULL), k=2 deleted
+
+
 def test_model_graph_topo_and_ephemeral(spark, tmp_path):
     g = ModelGraph(str(tmp_path / "models"))
     calls = []
