@@ -721,3 +721,241 @@ def dbt_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("column_name")
+
+
+# -- dbt docs generate -----------------------------------------------------
+
+def _docs_oracle() -> str:
+    """DESCRIBE x N + COUNT(*) x N over the registered views, with the
+    DuckDB type names normalized to the same engine-neutral classes the
+    Spark side emits."""
+    from ..catalog import TABLES
+
+    cols = "\n  UNION ALL\n".join(
+        f"  SELECT '{n}' AS table_name, column_name, column_type"
+        f" FROM (DESCRIBE {n})"
+        for n in TABLES
+    )
+    counts = "\n  UNION ALL\n".join(
+        f"  SELECT '{n}' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows"
+        f" FROM {n}"
+        for n in TABLES
+    )
+    return f"""
+WITH cols AS (
+{cols}
+),
+counts AS (
+{counts}
+)
+SELECT c.table_name, c.column_name,
+       CASE c.column_type
+         WHEN 'BIGINT' THEN 'bigint'
+         WHEN 'INTEGER' THEN 'int'
+         WHEN 'VARCHAR' THEN 'string'
+         WHEN 'DOUBLE' THEN 'double'
+         WHEN 'FLOAT' THEN 'float'
+         WHEN 'TIMESTAMP' THEN 'timestamp'
+         WHEN 'TIMESTAMP_NS' THEN 'timestamp'
+         WHEN 'DATE' THEN 'date'
+         WHEN 'FLOAT[]' THEN 'array<float>'
+         WHEN 'BLOB' THEN 'binary'
+         WHEN 'BOOLEAN' THEN 'boolean'
+         ELSE lower(c.column_type)
+       END AS type_class,
+       n.n_rows
+FROM cols c JOIN counts n USING (table_name)
+ORDER BY table_name, column_name
+"""
+
+
+_SPARK_TYPE_CLASS = {
+    "bigint": "bigint",
+    "long": "bigint",
+    "int": "int",
+    "integer": "int",
+    "string": "string",
+    "double": "double",
+    "float": "float",
+    "timestamp": "timestamp",
+    "timestamp_ntz": "timestamp",
+    "date": "date",
+    "array<float>": "array<float>",
+    "binary": "binary",
+    "boolean": "boolean",
+}
+
+
+@register("dbt_docs_generate", _docs_oracle())
+def dbt_docs_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dbt docs generate`` — the catalog artifact (catalog.json): one
+    row per (table, column) with a normalized type class and the
+    table's row count, the inventory the docs site and column-level
+    lineage tools read. Schema comes from parquet FOOTERS (driver-side
+    metadata, no data scan; `timestamp`/`timestamp_ntz` collapse to
+    one class so the doc is session-config-independent); row counts
+    are one count aggregation per table — at 100 TB each count is
+    metadata-answerable from parquet row-group stats (Spark's
+    LocalLimit/count pushdown) or swapped for the Delta log's own
+    numRecords stats, never a full scan. The per-table frames union
+    into one catalog frame joined to the column inventory (both sides
+    O(tables x columns), data-volume-free).
+    """
+    from ..catalog import TABLES
+
+    col_rows = []
+    counts = None
+    for name in TABLES:
+        df = t(spark, sf_dir, name)
+        for fld in df.schema.fields:
+            cls = _SPARK_TYPE_CLASS.get(
+                fld.dataType.simpleString(), fld.dataType.simpleString()
+            )
+            col_rows.append((name, fld.name, cls))
+        c = df.agg(F.count(F.lit(1)).cast("long").alias("n_rows")).select(
+            F.lit(name).alias("table_name"), "n_rows"
+        )
+        counts = c if counts is None else counts.unionByName(c)
+    cols = spark.createDataFrame(
+        col_rows, "table_name string, column_name string, type_class string"
+    )
+    return (
+        cols.join(counts, "table_name")
+        .select("table_name", "column_name", "type_class", "n_rows")
+        .orderBy("table_name", "column_name")
+    )
+
+
+# -- dbt incremental on_schema_change --------------------------------------
+
+_OSC_ORACLE = f"""
+WITH gold AS (
+  SELECT CAST(DATE_TRUNC('month', o.o_orderdate) AS TIMESTAMP)
+           AS order_month,
+         o.o_orderstatus,
+         COUNT(*) AS n_items,
+         {sql_dsum("l.l_extendedprice * (1 - l.l_discount)", "revenue")},
+         CAST(SUM(CAST(ROUND(l.l_discount * 1000000) AS BIGINT)) AS BIGINT)
+           AS disc_all_m
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  WHERE l.l_returnflag <> 'A'
+  GROUP BY DATE_TRUNC('month', o.o_orderdate), o.o_orderstatus
+)
+SELECT order_month, o_orderstatus, n_items, revenue,
+       CASE WHEN order_month >= TIMESTAMP '1999-01-01'
+            THEN disc_all_m END AS sum_disc_m
+FROM gold
+ORDER BY order_month, o_orderstatus
+"""
+
+
+@register("dbt_incremental_on_schema_change", _OSC_ORACLE)
+def dbt_incremental_on_schema_change(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """dbt incremental with ``on_schema_change: append_new_columns`` —
+    the model is EDITED between runs to emit a new column (here
+    ``sum_disc_m``, exact discount micros): run 1 builds the target
+    without it, run 2's MERGE evolves the table schema and the rows
+    run 2 didn't touch read back NULL for the new column — exactly
+    dbt's documented append_new_columns contract (the default
+    ``ignore`` would silently drop the column; that path is the plain
+    dbt_materialize_incremental). Runs split on the order-month
+    boundary so the incremental grain keys are disjoint: run 1 loads
+    pre-1999 months, run 2 merges 1999+ months with the widened
+    schema. Same MERGE/schema-evolution machinery as
+    delta_merge_schema_evolution underneath — the dbt config is a
+    front-end over the storage layer's evolve path.
+    """
+
+    def silver_disc(spark: SparkSession, deps: dict[str, DataFrame]) -> DataFrame:
+        return (
+            deps["lineitem"]
+            .filter(F.col("l_returnflag") != "A")
+            .join(
+                deps["orders"].select(
+                    "o_orderkey", "o_orderdate", "o_orderstatus"
+                ),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .select(
+                "o_orderkey",
+                "o_orderdate",
+                "o_orderstatus",
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                    "net"
+                ),
+                F.round(F.col("l_discount") * 1_000_000)
+                .cast("long")
+                .alias("disc_m"),
+            )
+        )
+
+    def _with_key(df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "grain_key",
+            F.concat_ws(
+                "|", F.col("order_month").cast("string"), "o_orderstatus"
+            ),
+        )
+
+    def gold_v1(spark: SparkSession, deps: dict[str, DataFrame]) -> DataFrame:
+        return _with_key(_gold(spark, deps))
+
+    def gold_v2(spark: SparkSession, deps: dict[str, DataFrame]) -> DataFrame:
+        return _with_key(
+            deps["silver_items"]
+            .groupBy(
+                F.date_trunc("month", "o_orderdate").alias("order_month"),
+                "o_orderstatus",
+            )
+            .agg(
+                F.count("*").alias("n_items"),
+                dsum(F.col("net"), "revenue"),
+                F.sum("disc_m").alias("sum_disc_m"),
+            )
+        )
+
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    root = workdir(sf_dir, "mart_osc")
+
+    g1 = ModelGraph(root)
+    g1.model(
+        "silver_items", deps=["orders", "lineitem"], materialized="ephemeral"
+    )(_silver)
+    g1.model(
+        "gold_revenue",
+        deps=["silver_items"],
+        materialized="incremental",
+        unique_key="grain_key",
+    )(gold_v1)
+    g1.run(
+        spark,
+        {
+            "orders": o.filter(F.col("o_orderdate") < "1999-01-01"),
+            "lineitem": li,
+        },
+    )
+
+    # run 2: the edited model (new column) over the post-boundary slice,
+    # same storage root — a fresh graph object, as a fresh `dbt run`.
+    g2 = ModelGraph(root)
+    g2.model(
+        "silver_items", deps=["orders", "lineitem"], materialized="ephemeral"
+    )(silver_disc)
+    g2.model(
+        "gold_revenue",
+        deps=["silver_items"],
+        materialized="incremental",
+        unique_key="grain_key",
+        on_schema_change="append_new_columns",
+    )(gold_v2)
+    out = g2.run(
+        spark,
+        {
+            "orders": o.filter(F.col("o_orderdate") >= "1999-01-01"),
+            "lineitem": li,
+        },
+    )["gold_revenue"]
+    return out.drop("grain_key").orderBy("order_month", "o_orderstatus")

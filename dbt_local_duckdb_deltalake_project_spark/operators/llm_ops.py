@@ -4890,3 +4890,84 @@ def llm_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# -- linear quality-classifier inference -----------------------------------
+
+_LINEAR_CLF_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+vocab AS (
+  SELECT DISTINCT w FROM tok WHERE doc_id % 10 = 0
+),
+wt AS (
+  SELECT w,
+         CAST(('0x' || substr(md5('w:' || w), 1, 8)) AS BIGINT) % 2001 - 1000
+           AS w_m
+  FROM vocab
+)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(COUNT(v.w_m) AS BIGINT) AS n_feats,
+       CAST(COALESCE(SUM(v.w_m), 0) AS BIGINT) AS logit_m,
+       CAST(COALESCE(SUM(v.w_m), 0) AS BIGINT) >= 0 AS keep
+FROM tok t LEFT JOIN wt v ON t.w = v.w
+GROUP BY t.doc_id
+ORDER BY t.doc_id
+"""
+
+
+@register("llm_linear_classifier_score", _LINEAR_CLF_ORACLE)
+def llm_linear_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-classifier INFERENCE at corpus scale — the
+    fastText/logreg-style filter every web-scale pipeline runs (CCNet,
+    DCLM, FineWeb quality classifiers): score = sum of per-token
+    weights from a trained weight table, keep = score above threshold.
+    The weight table here is deterministic (md5-keyed micros in
+    [-1000, 1000] over the vocabulary of a 10% training slice) so the
+    oracle reproduces it bit-for-bit; swap in real trained weights and
+    nothing about the plan changes. Shape is the scale-relevant part:
+    the weight table (~50k rows at a real vocab) BROADCASTS to the
+    exploded token stream — map-side hash join, no shuffle of text;
+    the per-doc aggregation is algebraic (map-side combine), so the
+    only shuffle is doc_id-keyed partial sums. Integer micros
+    end-to-end: no float accumulation, engine-exact keep decisions at
+    the threshold boundary.
+    """
+    d = t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    wt = (
+        tok.filter(F.col("doc_id") % 10 == 0)
+        .select("w")
+        .distinct()
+        .select(
+            "w",
+            (
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit("w:"), F.col("w"))), 1, 8),
+                    16,
+                    10,
+                ).cast("long")
+                % 2001
+                - 1000
+            ).alias("w_m"),
+        )
+    )
+    return (
+        tok.join(F.broadcast(wt), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count("w_m").alias("n_feats"),
+            F.coalesce(F.sum("w_m"), F.lit(0)).alias("logit_m"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_feats",
+            "logit_m",
+            (F.col("logit_m") >= 0).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

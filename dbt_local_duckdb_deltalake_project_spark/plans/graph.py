@@ -43,6 +43,10 @@ class Model:
     unique_key: str | None = None  # incremental: MERGE instead of append
     watermark_col: str | None = None  # incremental: high-watermark filter
     tags: list[str] = field(default_factory=list)  # dbt `tags:` config
+    # dbt `on_schema_change` (incremental only): 'ignore' drops source
+    # columns the target lacks (dbt's default); 'append_new_columns'
+    # evolves the target schema through MERGE, untouched rows NULL.
+    on_schema_change: str = "ignore"
 
 
 class ModelGraph:
@@ -65,6 +69,7 @@ class ModelGraph:
         unique_key: str | None = None,
         watermark_col: str | None = None,
         tags: list[str] | None = None,
+        on_schema_change: str = "ignore",
     ) -> Callable[[ModelFn], ModelFn]:
         def deco(fn: ModelFn) -> ModelFn:
             self.add(
@@ -76,6 +81,7 @@ class ModelGraph:
                     unique_key,
                     watermark_col,
                     tags or [],
+                    on_schema_change,
                 )
             )
             return fn
@@ -193,7 +199,12 @@ class ModelGraph:
             if not exists:
                 tbl.write(df, mode="overwrite")
             elif m.unique_key:
-                tbl.merge(spark, df, on=m.unique_key)
+                tbl.merge(
+                    spark,
+                    df,
+                    on=m.unique_key,
+                    evolve_schema=(m.on_schema_change == "append_new_columns"),
+                )
             else:
                 new = df
                 if m.watermark_col:
