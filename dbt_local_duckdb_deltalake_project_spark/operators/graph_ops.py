@@ -301,3 +301,103 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(size_w).cast("long").alias("component_size"),
         (F.col("doc_id") == F.col("label")).alias("is_root"),
     ).orderBy("node")
+
+
+_BFS_ORACLE = """
+WITH pairs AS (
+  SELECT DISTINCT o_custkey, l_suppkey
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+edges AS (
+  SELECT 'c:' || CAST(o_custkey AS VARCHAR) AS src,
+         's:' || CAST(l_suppkey AS VARCHAR) AS dst FROM pairs
+  UNION ALL
+  SELECT 's:' || CAST(l_suppkey AS VARCHAR),
+         'c:' || CAST(o_custkey AS VARCHAR) FROM pairs
+),
+d0 AS (SELECT 'c:1' AS node, CAST(0 AS BIGINT) AS d),
+d1 AS (
+  SELECT node, MIN(d) AS d FROM (
+    SELECT * FROM d0
+    UNION ALL
+    SELECT e.dst, p.d + 1 FROM d0 p JOIN edges e ON e.src = p.node
+  ) GROUP BY node
+),
+d2 AS (
+  SELECT node, MIN(d) AS d FROM (
+    SELECT * FROM d1
+    UNION ALL
+    SELECT e.dst, p.d + 1 FROM d1 p JOIN edges e ON e.src = p.node
+  ) GROUP BY node
+),
+d3 AS (
+  SELECT node, MIN(d) AS d FROM (
+    SELECT * FROM d2
+    UNION ALL
+    SELECT e.dst, p.d + 1 FROM d2 p JOIN edges e ON e.src = p.node
+  ) GROUP BY node
+),
+d4 AS (
+  SELECT node, MIN(d) AS d FROM (
+    SELECT * FROM d3
+    UNION ALL
+    SELECT e.dst, p.d + 1 FROM d3 p JOIN edges e ON e.src = p.node
+  ) GROUP BY node
+)
+SELECT node, d AS dist FROM d4 ORDER BY node
+"""
+
+
+@register("graph_bfs_shortest_path", _BFS_ORACLE)
+def graph_bfs_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unweighted single-source shortest paths (BFS, 4 hops) from
+    customer c:1 over the bipartite purchase graph — "everything within
+    N hops of this account", the reachability/blast-radius query behind
+    fraud rings and recall expansion. FRONTIER formulation, the form
+    that survives at 100 TB: each round joins only the nodes FIRST
+    REACHED last round against the edge list (not the whole dist
+    table), anti-joins out already-settled nodes, and appends the new
+    frontier with dist = k. Frontier rounds are the textbook
+    Pregel-style BFS: per-round cost tracks the frontier's edge
+    boundary, total work = O(E) across all rounds, and the min-dist
+    invariant holds by construction (a node is settled the first round
+    it appears — BFS order IS the shortest unweighted path). Each
+    frontier is localCheckpoint-ed (it feeds both the next expansion
+    and the settled set, and lineage would otherwise double per round
+    — the llm_dedup_clusters discipline). The oracle computes the same
+    four expansions as min-over-union CTEs; identical integer hop
+    counts, no floats anywhere.
+    """
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    cnode = F.concat(F.lit("c:"), F.col("o_custkey").cast("string"))
+    snode = F.concat(F.lit("s:"), F.col("l_suppkey").cast("string"))
+    edges = (
+        pairs.select(cnode.alias("src"), snode.alias("dst"))
+        .unionAll(pairs.select(snode.alias("src"), cnode.alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    seed = spark.createDataFrame(
+        [("c:1", 0)], "node string, d long"
+    )
+    dist = seed
+    frontier = seed
+    for k in range(1, 5):
+        reached = (
+            edges.join(frontier, edges.src == frontier.node)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        frontier = (
+            reached.join(dist, "node", "left_anti")
+            .select("node", F.lit(k).cast("long").alias("d"))
+            .localCheckpoint(eager=True)
+        )
+        dist = dist.unionByName(frontier)
+    return dist.select("node", F.col("d").alias("dist")).orderBy("node")

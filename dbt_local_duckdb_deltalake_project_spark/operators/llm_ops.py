@@ -4971,3 +4971,157 @@ def llm_linear_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# -- containment (asymmetric) dedup ----------------------------------------
+
+_CONTAINMENT_ORACLE = f"""
+WITH {_PAIR_CTES},
+directed AS (
+  SELECT p.doc_a AS contained_doc, p.doc_b AS container_doc,
+         CAST(p.shared AS DOUBLE) / na.n AS containment
+  FROM pairs p
+  JOIN n_per na ON na.doc_id = p.doc_a
+  UNION ALL
+  SELECT p.doc_b, p.doc_a, CAST(p.shared AS DOUBLE) / nb.n
+  FROM pairs p
+  JOIN n_per nb ON nb.doc_id = p.doc_b
+)
+SELECT contained_doc, container_doc, ROUND(containment, 6) AS containment
+FROM directed
+WHERE containment >= 0.8
+ORDER BY contained_doc, container_doc
+"""
+
+
+@register("llm_dedup_containment", _CONTAINMENT_ORACLE)
+def llm_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup detection — shingle containment
+    |S(a)∩S(b)| / |S(a)| ≥ 0.8, the measure that catches a document
+    NESTED inside a larger one (quote farms, boilerplate-wrapped
+    copies, page-plus-navigation rescrapes). Symmetric Jaccard misses
+    these: a 100-shingle doc embedded in a 10k-shingle page scores
+    J ≈ 0.01 but containment 1.0 — which is why dedup pipelines run
+    both (Lee et al. 2022 use substring containment for the same
+    reason). Same capped inverted-index candidate machinery as
+    llm_dedup_near (`NEARDUP_DF_CAP` kills the hot-shingle quadratic;
+    the cap is mirrored in the oracle), then each unordered candidate
+    pair is scored in BOTH directions — the shared-shingle count is
+    symmetric, so the directional scores are two projections of one
+    aggregated pair row, not a second join.
+    """
+    d = t(spark, sf_dir, "documents")
+    all_sh = _shingle_rows(d)
+    hot = (
+        all_sh.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > NEARDUP_DF_CAP)
+        .select("s")
+    )
+    sh = all_sh.join(F.broadcast(hot), "s", "left_anti").localCheckpoint(
+        eager=True
+    )
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("b.doc_id") > F.col("a.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .join(
+            counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+            "doc_a",
+        )
+        .join(
+            counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
+            "doc_b",
+        )
+    )
+    fwd = pairs.select(
+        F.col("doc_a").alias("contained_doc"),
+        F.col("doc_b").alias("container_doc"),
+        (F.col("shared").cast("double") / F.col("na")).alias("containment"),
+    )
+    rev = pairs.select(
+        F.col("doc_b").alias("contained_doc"),
+        F.col("doc_a").alias("container_doc"),
+        (F.col("shared").cast("double") / F.col("nb")).alias("containment"),
+    )
+    return (
+        fwd.unionByName(rev)
+        .filter(F.col("containment") >= 0.8)
+        .select(
+            "contained_doc",
+            "container_doc",
+            F.round("containment", 6).alias("containment"),
+        )
+        .orderBy("contained_doc", "container_doc")
+    )
+
+
+# -- tokenizer fertility ---------------------------------------------------
+
+_FERTILITY_ORACLE = """
+WITH per_doc AS (
+  SELECT lang,
+         len(string_split(text, ' ')) AS n_ws,
+         len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+           AS n_bpe
+  FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_ws) AS BIGINT) AS n_words,
+       CAST(SUM(n_bpe) AS BIGINT) AS n_subword_tokens,
+       CAST(SUM(n_bpe) * 1000000 // SUM(n_ws) AS BIGINT) AS fertility_ppm
+FROM per_doc
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register("llm_tokenizer_fertility", _FERTILITY_ORACLE)
+def llm_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY per language — subword tokens per whitespace
+    word, the metric multilingual tokenizer evaluations report (a
+    language whose fertility is 2-3× English pays that factor in
+    context length and training compute; the reason vocabularies get
+    rebalanced). Subword proxy = the BPE-ish pre-tokenization lexer of
+    llm_token_count (letter runs / digit runs / single punctuation —
+    dialect-portable regex); fertility is exact integer ppm
+    (sum_subword × 10⁶ // sum_words, positive operands so Spark DIV ==
+    DuckDB //). Per-row codegen counts + one map-side-combined groupBy
+    on lang — scale-free.
+    """
+    d = t(spark, sf_dir, "documents")
+    per = d.select(
+        "lang",
+        F.size(F.split("text", " ")).cast("long").alias("n_ws"),
+        F.size(
+            F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)
+        ).cast("long").alias("n_bpe"),
+    )
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_ws").alias("n_words"),
+            F.sum("n_bpe").alias("n_subword_tokens"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_words",
+            "n_subword_tokens",
+            F.expr("n_subword_tokens * 1000000 DIV n_words").alias(
+                "fertility_ppm"
+            ),
+        )
+        .orderBy("lang")
+    )
