@@ -102,6 +102,7 @@ def main() -> None:
         "stream_checkpoint_recovery",
         "stream_foreachbatch_multi_sink",
         "stream_corpus_ingest_dedup",
+        "stream_left_outer_join",
     )}
     sql_pooled = sorted(n for n in qs if n in oracles)
     rows_pooled = sorted(n for n in qs if n not in oracles)

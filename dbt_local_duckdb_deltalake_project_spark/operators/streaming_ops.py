@@ -1294,3 +1294,108 @@ def stream_corpus_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "arrival_batch")
         .orderBy("doc_id")
     )
+
+
+_LEFT_OUTER_JOIN_ORACLE = """
+WITH c AS (
+  SELECT event_id AS click_id, user_id, ts AS click_ts
+  FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+  FROM events WHERE event_type = 'purchase'
+),
+wm AS (
+  SELECT least((SELECT MAX(ts) FROM events WHERE event_type = 'click'),
+               (SELECT MAX(ts) FROM events WHERE event_type = 'purchase'))
+         - INTERVAL 10 MINUTE AS w
+),
+matched AS (
+  SELECT c.click_id, p.purchase_id, c.user_id, c.click_ts, p.purchase_ts
+  FROM c JOIN p
+    ON p.user_id = c.user_id
+   AND p.purchase_ts >= c.click_ts
+   AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
+),
+unmatched AS (
+  SELECT c.click_id, CAST(NULL AS BIGINT) AS purchase_id, c.user_id,
+         c.click_ts, CAST(NULL AS TIMESTAMP) AS purchase_ts
+  FROM c
+  WHERE NOT EXISTS (
+          SELECT 1 FROM p
+          WHERE p.user_id = c.user_id
+            AND p.purchase_ts >= c.click_ts
+            AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR)
+    AND c.click_ts + INTERVAL 1 HOUR < (SELECT w FROM wm)
+)
+SELECT * FROM matched
+UNION ALL
+SELECT * FROM unmatched
+ORDER BY click_id, purchase_id
+"""
+
+
+@register("stream_left_outer_join", _LEFT_OUTER_JOIN_ORACLE)
+def stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join with watermark-gated null emission —
+    the attribution query that also reports the clicks that did NOT
+    convert. The outer side is the genuinely streaming-specific part:
+    an unmatched click can only emit its null row once the engine can
+    PROVE no matching purchase is coming, i.e. once the global
+    watermark (the MIN over both inputs' per-column watermarks — the
+    multiple-watermark policy, measured on 4.1) passes the click's
+    join-window deadline click_ts + 1h; clicks whose deadline the final
+    watermark never clears are withheld forever (their state would
+    still accept a match). The oracle states that rule in closed form:
+    inner matches unconditionally (in-order availableNow replay — every
+    pair eventually meets, hash-equal to the batch join) plus null rows
+    for exactly the unmatched clicks with click_ts + 1h <
+    least(max click ts, max purchase ts) − 10min. Both sides keyed and
+    shuffled once on user_id; state = clicks/purchases inside the 1h
+    horizon, evicted as the watermark moves — bounded on an unbounded
+    stream, which is the property the batch twin can't express.
+    """
+
+    def join_pairs(stream: DataFrame) -> DataFrame:
+        clicks = (
+            stream.filter(F.col("event_type") == "click")
+            .select(
+                F.col("event_id").alias("click_id"),
+                F.col("user_id").alias("c_user"),
+                F.col("ts").alias("click_ts"),
+            )
+            .withWatermark("click_ts", "10 minutes")
+        )
+        purchases = (
+            stream.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("purchase_ts"),
+            )
+            .withWatermark("purchase_ts", "10 minutes")
+        )
+        return (
+            clicks.join(
+                purchases,
+                (F.col("p_user") == F.col("c_user"))
+                & (F.col("purchase_ts") >= F.col("click_ts"))
+                & (
+                    F.col("purchase_ts")
+                    <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")
+                ),
+                "left_outer",
+            )
+            .select(
+                "click_id",
+                "purchase_id",
+                F.col("c_user").alias("user_id"),
+                "click_ts",
+                "purchase_ts",
+            )
+        )
+
+    return run_stream_to_batch(
+        spark, sf_dir, "lojoin", join_pairs, output_mode="append",
+        partitions=4,
+    ).orderBy("click_id", "purchase_id")
