@@ -42,6 +42,14 @@ OPS = [
     "llm_importance_resample",
     "fn_geohash",
     "delta_merge_matched_delete",
+    # r6 adds: asymmetric containment (same capped-index risk class as
+    # dedup_near), frontier BFS (iterative graph), classifier inference
+    # (broadcast join + explode), pareto two-pass cumsum (range
+    # partition + offsets)
+    "llm_dedup_containment",
+    "graph_bfs_shortest_path",
+    "llm_linear_classifier_score",
+    "win_pareto_analysis",
 ]
 
 
