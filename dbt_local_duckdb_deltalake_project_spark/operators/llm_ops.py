@@ -5125,3 +5125,138 @@ def llm_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# -- incremental cluster maintenance ---------------------------------------
+
+@register("llm_dedup_clusters_incremental", _CLUSTER_ORACLE)
+def llm_dedup_clusters_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INCREMENTAL connected-component maintenance — the daily-ingest
+    form of llm_dedup_clusters: a new batch of documents (doc_id % 5 ==
+    0, ~20%) arrives against an already-clustered corpus, and the
+    existing labels are UPDATED without re-running CC over the old
+    edge set. The old clustering collapses to its star edges (member →
+    component label, one edge per member — O(nodes), not O(old
+    edges)); seeded CC runs over star edges ∪ only the candidate pairs
+    that TOUCH a new document. Correctness argument, verified by the
+    oracle being the FULL recompute: star edges preserve old component
+    membership exactly, new-touching edges are the only way the
+    partition can change, so CC over (stars ∪ new edges) equals CC
+    over the full pair set — including merged components relabeling to
+    the new global min. At 100 TB this is the difference between
+    re-shuffling the accumulated multi-year edge set nightly and
+    processing O(batch) edges + O(corpus) one-hop stars. (The capped
+    shingle index is corpus-level frequency state shared by both
+    passes — production maintains the hot-shingle list incrementally
+    the same way.)
+    """
+    d = t(spark, sf_dir, "documents")
+    pairs = (
+        _neardup_pairs(d)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    new_a = F.col("doc_a") % 5 == 0
+    new_b = F.col("doc_b") % 5 == 0
+    old_pairs = pairs.filter(~new_a & ~new_b)
+    new_pairs = pairs.filter(new_a | new_b)
+    sym_old = old_pairs.union(
+        old_pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    ).localCheckpoint(eager=True)
+    labels_old, _ = _cc_large_small_star(sym_old)
+    stars = labels_old.filter(F.col("doc_id") != F.col("label")).select(
+        F.col("doc_id").alias("doc_a"), F.col("label").alias("doc_b")
+    )
+    inc = stars.union(new_pairs)
+    sym_inc = inc.union(
+        inc.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    ).localCheckpoint(eager=True)
+    labels, _ = _cc_large_small_star(sym_inc)
+    size_w = W.partitionBy("label")
+    return (
+        labels.select(
+            "doc_id",
+            F.col("label").alias("cluster_id"),
+            F.count(F.lit(1)).over(size_w).cast("long").alias("cluster_size"),
+            (F.col("doc_id") == F.col("label")).alias("is_canonical"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# -- keep-best canonical selection -----------------------------------------
+
+_KEEP_BEST_ORACLE = f"""
+WITH RECURSIVE {_PAIR_CTES}, edges AS (
+  SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.5
+), sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM edges
+  UNION ALL SELECT doc_b, doc_a FROM edges
+), members AS (SELECT DISTINCT a FROM sym),
+reach(src, dst) AS (
+  SELECT a, a FROM members
+  UNION
+  SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a
+),
+lab AS (
+  SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
+),
+ranked AS (
+  SELECT l.doc_id, l.cluster_id, d.n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY l.cluster_id
+           ORDER BY d.n_chars DESC, l.doc_id ASC) AS rk
+  FROM lab l JOIN documents d ON d.doc_id = l.doc_id
+)
+SELECT doc_id, cluster_id, CAST(n_chars AS BIGINT) AS n_chars,
+       (rk = 1) AS is_kept
+FROM ranked
+ORDER BY doc_id
+"""
+
+
+@register("llm_dedup_keep_best", _KEEP_BEST_ORACLE)
+def llm_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection — after clustering, keep the
+    BEST member of each near-dup cluster, not the arbitrary min-id:
+    real pipelines keep the longest / highest-quality copy (the
+    truncated rescrape loses to the full page). Policy here: max
+    n_chars, doc_id as the deterministic tiebreak — swap any scoring
+    column (llm_quality_score's output) without changing the plan.
+    The per-cluster argmax is a rank-1 window over the LABEL table
+    (O(corpus) rows, partitioned by cluster — never over text), after
+    one hash join to attach the score; Spark plans the rank filter
+    with WindowGroupLimit, so only each cluster's running top row
+    materializes. Same star-CC labels as llm_dedup_clusters.
+    """
+    d = t(spark, sf_dir, "documents")
+    edges = _neardup_pairs(d).select("doc_a", "doc_b")
+    sym = edges.union(
+        edges.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    ).localCheckpoint(eager=True)
+    labels, _ = _cc_large_small_star(sym)
+    scored = labels.join(
+        d.select("doc_id", "n_chars"), "doc_id"
+    )
+    rk = F.row_number().over(
+        W.partitionBy("label").orderBy(
+            F.col("n_chars").desc(), F.col("doc_id").asc()
+        )
+    )
+    return (
+        scored.select(
+            "doc_id",
+            F.col("label").alias("cluster_id"),
+            F.col("n_chars").cast("long").alias("n_chars"),
+            (rk == 1).alias("is_kept"),
+        )
+        .orderBy("doc_id")
+    )
