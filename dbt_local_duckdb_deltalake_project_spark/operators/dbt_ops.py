@@ -959,3 +959,69 @@ def dbt_incremental_on_schema_change(
         },
     )["gold_revenue"]
     return out.drop("grain_key").orderBy("order_month", "o_orderstatus")
+
+
+# -- dbt state:modified selection (slim CI) --------------------------------
+
+@register(
+    "dbt_state_modified",
+    """
+    SELECT * FROM (VALUES
+      ('bronze_orders',            'unchanged',  FALSE),
+      ('gold_revenue_by_segment',  'downstream', TRUE),
+      ('silver_orders',            'modified',   TRUE)
+    ) AS t(model, status, selected)
+    ORDER BY model
+    """,
+)
+def dbt_state_modified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt `--select state:modified+` — slim CI: diff each model's
+    definition fingerprint against the PREVIOUS run's manifest and
+    select only the changed models plus their downstream closure (the
+    build that runs on every PR instead of the full DAG). Fingerprints
+    are md5 over the canonical model definition (dbt hashes the
+    compiled SQL the same way); the closure comes from the SAME
+    ModelGraph the medallion pipeline executes (`graph.select`'s `+`
+    walk), so CI selection can never drift from the real DAG. Here
+    silver_orders' definition changed between manifests →
+    silver_orders is `modified`, gold_revenue_by_segment (downstream)
+    is pulled in, bronze_orders stays unselected. Pure driver-side
+    graph/metadata work — independent of data volume, like dbt itself.
+    """
+    import hashlib
+
+    from ..operators.medallion import build_medallion_graph
+
+    g = build_medallion_graph(spark, sf_dir, storage_name="medallion_state")
+
+    def fp(defn: str) -> str:
+        return hashlib.md5(defn.encode()).hexdigest()
+
+    # previous-state manifest vs current definitions: silver edited
+    prev = {
+        "bronze_orders": fp("select * from orders where o_orderkey > 0"),
+        "silver_orders": fp("join customer nation -- v1"),
+        "gold_revenue_by_segment": fp("group by segment"),
+    }
+    cur = {
+        "bronze_orders": fp("select * from orders where o_orderkey > 0"),
+        "silver_orders": fp("join customer nation -- v2 adds region"),
+        "gold_revenue_by_segment": fp("group by segment"),
+    }
+    modified = {m for m in cur if prev.get(m) != cur[m]}
+    selected: set[str] = set()
+    for m in modified:
+        selected |= set(g.select(f"{m}+"))
+    rows = [
+        (
+            m,
+            "modified"
+            if m in modified
+            else ("downstream" if m in selected else "unchanged"),
+            m in selected,
+        )
+        for m in cur
+    ]
+    return spark.createDataFrame(
+        rows, "model string, status string, selected boolean"
+    ).orderBy("model")
