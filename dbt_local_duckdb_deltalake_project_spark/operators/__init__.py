@@ -52,6 +52,8 @@ _WINDOW_FIRST = [
     "llm_cosine_topk_lsh", "stream_session_dynamic_gap",
     "llm_vocab_coverage", "win_pareto_analysis",
     "delta_merge_matched_delete", "delta_vacuum",
+    # grand-total moved off the empty-partition window late-r6
+    "win_ratio_to_report",
     # --- the rest of the 50-slot window fills automatically: the
     # remaining _FORCE_RECHECK stream ids, then the never-checked
     # backlog in _WINDOW_SECOND order. ---

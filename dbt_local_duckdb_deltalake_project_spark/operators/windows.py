@@ -673,14 +673,14 @@ ORDER BY o_custkey, o_orderkey
 def win_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ratio-to-report: each order as a share of its customer's spend and
     of the grand total — the two-level contribution breakdown every
-    revenue report carries. Both denominators are UNFRAMED window sums
-    (whole-partition, order-free), accumulated as exact scaled longs so
-    the shares divide bit-identical integers on both engines. The
-    partition-level sum shuffles once on o_custkey; the grand total is
-    a single-partition window over the already-reduced value — at 100
-    TB you'd swap that for a broadcast scalar agg (llm_tfidf's
-    crossJoin pattern) to avoid the one-partition exchange; here the
-    windowed form is the declared surface.
+    revenue report carries. Both denominators accumulate as exact
+    scaled longs so the shares divide bit-identical integers on both
+    engines. The customer-level denominator is an unframed window sum
+    (one shuffle on o_custkey, group size = orders per customer); the
+    GRAND total is a broadcast scalar — a map-side-combined global agg
+    crossJoined back (the llm_tfidf pattern, r6 rewrite) — NOT an
+    empty-partition window, which would funnel every order row through
+    one task at 100 TB.
     """
     o = t(spark, sf_dir, "orders")
     x = o.select(
@@ -690,12 +690,11 @@ def win_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("price_m"),
     )
     by_cust = W.partitionBy("o_custkey")
-    overall = W.partitionBy()
+    totals = x.agg(F.sum("price_m").alias("grand_total_m"))
     s = x.select(
         "o_custkey", "o_orderkey", "price_m",
         F.sum("price_m").over(by_cust).alias("cust_total_m"),
-        F.sum("price_m").over(overall).alias("grand_total_m"),
-    )
+    ).crossJoin(F.broadcast(totals))
     return s.select(
         "o_custkey", "o_orderkey",
         (F.col("price_m").cast("double") / 1_000_000).alias("price"),

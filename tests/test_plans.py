@@ -404,6 +404,18 @@ def test_vocab_coverage_top30_is_distributed(spark, sf_dir):
     assert "windowspecdefinition" not in p
 
 
+def test_ratio_to_report_grand_total_is_broadcast_scalar(spark, sf_dir):
+    # the grand-total denominator must be a broadcast scalar crossJoin,
+    # never an empty-partition window funneling every order row through
+    # one task; the only window left is the o_custkey-partitioned sum.
+    df = QUERIES["win_ratio_to_report"](spark, sf_dir)
+    p = plan(df)
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    n_specs = p.count("windowspecdefinition(")
+    assert n_specs > 0
+    assert n_specs == p.count("windowspecdefinition(o_custkey")
+
+
 def test_pareto_cumsum_has_no_unpartitioned_window(spark, sf_dir):
     # two-pass range-partitioned cumulative sum: every window in the
     # plan must be partitioned by pid (bounded n/P groups) — an empty
