@@ -1881,3 +1881,104 @@ def agg_markov_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("from_type", "to_type")
     )
+
+
+_WINSOR_ORACLE = """
+WITH v AS (
+  SELECT event_id, event_type,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+ranked AS (
+  SELECT event_type, event_id, cents,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY cents, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM v
+),
+bounds AS (
+  SELECT event_type,
+         MAX(CASE WHEN rn = GREATEST(1, (5 * n + 99) // 100)
+                  THEN cents END) AS lo_cents,
+         MAX(CASE WHEN rn = (95 * n + 99) // 100
+                  THEN cents END) AS hi_cents,
+         MAX(n) AS n_rows
+  FROM ranked GROUP BY event_type
+)
+SELECT r.event_type,
+       b.n_rows,
+       b.lo_cents,
+       b.hi_cents,
+       ROUND(CAST(SUM(LEAST(GREATEST(r.cents, b.lo_cents), b.hi_cents))
+                  AS DOUBLE) / b.n_rows, 6) AS winsor_mean_cents
+FROM ranked r JOIN bounds b USING (event_type)
+GROUP BY r.event_type, b.n_rows, b.lo_cents, b.hi_cents
+ORDER BY r.event_type
+"""
+
+
+@register("agg_winsorized_mean", _WINSOR_ORACLE)
+def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean per event_type — the outlier-robust KPI: clamp to
+    the [p05, p95] band, then average. Engines disagree on interpolated
+    quantiles in the last double bit, so the cut points use an EXPLICIT
+    discrete rule spelled out identically on both sides: rank rows by
+    (cents, event_id), cut at rank ceil(q*n) via pure integer math
+    ((5n+99)//100 — Spark's `div` truncates, DuckDB's `//` floors,
+    positive operands so they agree). Plan: one window shuffle on
+    event_type to rank, an algebraic fold to the per-type bounds (one
+    tiny row per type), broadcast those back over the ranked rows, and
+    an exact long-sum mean. At 100 TB the rank-window partitions by a
+    low-cardinality key — the real-scale swap is approx_percentile cut
+    points (agg_percentile_approx pattern) feeding the same broadcast
+    clamp; the clamp+mean stage itself is already map-side and exact.
+    """
+    from pyspark.sql import Window as W
+
+    v = t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    pw = W.partitionBy("event_type")
+    ranked = v.select(
+        "event_type",
+        "cents",
+        F.row_number()
+        .over(pw.orderBy("cents", "event_id"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(pw).alias("n"),
+    )
+    bounds = ranked.groupBy("event_type").agg(
+        F.max(
+            F.when(
+                F.col("rn")
+                == F.greatest(F.lit(1), F.expr("(5 * n + 99) div 100")),
+                F.col("cents"),
+            )
+        ).alias("lo_cents"),
+        F.max(
+            F.when(
+                F.col("rn") == F.expr("(95 * n + 99) div 100"), F.col("cents")
+            )
+        ).alias("hi_cents"),
+        F.max("n").alias("n_rows"),
+    )
+    clamped = ranked.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        "n_rows",
+        "lo_cents",
+        "hi_cents",
+        F.least(
+            F.greatest(F.col("cents"), F.col("lo_cents")), F.col("hi_cents")
+        ).alias("w_cents"),
+    )
+    return (
+        clamped.groupBy("event_type", "n_rows", "lo_cents", "hi_cents")
+        .agg(
+            F.round(
+                F.sum("w_cents").cast("double") / F.col("n_rows"), 6
+            ).alias("winsor_mean_cents")
+        )
+        .orderBy("event_type")
+    )

@@ -1132,3 +1132,61 @@ def win_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment", "decile")
     )
+
+
+_ROLLMED_ORACLE = """
+WITH v AS (
+  SELECT event_id, user_id, ts,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_id, user_id,
+       median(cents) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+       ) AS med_cents
+FROM v
+ORDER BY user_id, event_id
+"""
+
+
+@register("win_rolling_median", _ROLLMED_ORACLE)
+def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling median over the trailing 5 readings per user — the robust
+    de-noising twin of win_moving_avg_rows (a median shrugs off the
+    spike that drags a mean). Spark has no MEDIAN-with-frame window
+    (INVALID_WINDOW_SPEC_FOR_AGGREGATION_FUNC), so the fixed ROWS frame
+    is UNROLLED: 4 lags + the current row form an array, array_sort
+    (nulls last) orders it, and the median is picked by order-statistic
+    index off the in-frame count. All inputs are exact 2-dp cents
+    (longs), so odd frames yield an exact value and even frames an
+    exact .5 midpoint — bit-equal to DuckDB's native MEDIAN OVER.
+    One shuffle on user_id, all codegen expressions; the unroll is
+    frame-size-bounded (k lags for a k-row frame), the right trade for
+    the small fixed frames monitoring queries use. At 100 TB the
+    partition key (user) shards the sort, same shape as zscore above.
+    """
+    v = t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    ow = W.partitionBy("user_id").orderBy("ts", "event_id")
+    arr = F.array_sort(
+        F.array(
+            F.col("cents"),
+            *[F.lag("cents", k).over(ow) for k in range(1, 5)],
+        )
+    )
+    n = F.least(F.row_number().over(ow), F.lit(5))
+    lo = F.element_at(arr, F.floor((n + F.lit(1)) / 2).cast("int"))
+    hi = F.element_at(arr, (F.floor(n / 2) + F.lit(1)).cast("int"))
+    return (
+        v.select(
+            "event_id",
+            "user_id",
+            ((lo + hi) / F.lit(2.0)).alias("med_cents"),
+        )
+        .orderBy("user_id", "event_id")
+    )
