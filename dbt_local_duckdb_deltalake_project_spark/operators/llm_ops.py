@@ -5260,3 +5260,298 @@ def llm_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# -- Gopher-rule quality filtering -----------------------------------------
+
+_GOPHER_ORACLE = """
+WITH d AS (
+  SELECT doc_id, n_chars, string_split(text, ' ') AS toks FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         -- text is single-space-joined, so total word chars is exact
+         -- arithmetic: n_chars - (n_words - 1) separators
+         CAST(n_chars - (len(toks) - 1) AS BIGINT) AS word_chars,
+         CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+              AS BIGINT) AS n_alpha_words,
+         CAST(len(list_intersect(list_distinct(toks),
+              ['the', 'a', 'of', 'and', 'to', 'in', 'is', 'that']))
+              AS BIGINT) AS n_stop_distinct,
+         CAST(len(list_filter(toks, x -> x IN ('#', '...')))
+              AS BIGINT) AS n_symbol_words
+  FROM d
+)
+SELECT doc_id, n_words,
+       ROUND(CAST(word_chars AS DOUBLE) / n_words, 6) AS mean_word_len,
+       n_stop_distinct,
+       (n_words BETWEEN 50 AND 100000) AS r_word_count,
+       (CAST(word_chars AS DOUBLE) / n_words BETWEEN 3 AND 10)
+         AS r_mean_word_len,
+       (CAST(n_alpha_words AS DOUBLE) / n_words >= 0.8) AS r_alpha_frac,
+       (n_stop_distinct >= 2) AS r_stopwords,
+       (CAST(n_symbol_words AS DOUBLE) / n_words <= 0.1) AS r_symbol_ratio,
+       ((n_words BETWEEN 50 AND 100000)
+        AND (CAST(word_chars AS DOUBLE) / n_words BETWEEN 3 AND 10)
+        AND (CAST(n_alpha_words AS DOUBLE) / n_words >= 0.8)
+        AND (n_stop_distinct >= 2)
+        AND (CAST(n_symbol_words AS DOUBLE) / n_words <= 0.1))
+         AS passes_gopher
+FROM m ORDER BY doc_id
+"""
+
+
+@register("llm_filter_gopher", _GOPHER_ORACLE)
+def llm_filter_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule document filter (Rae et al. 2021, "Scaling Language
+    Models", table A1 heuristics): word-count window, mean-word-length
+    window, alphabetic-word fraction, minimum distinct stop words,
+    symbol-to-word ratio. Distinct from llm_quality_score (generic
+    stats) — this is the published rule SET with per-rule verdict
+    columns so a pipeline can report WHICH gate rejected a doc.
+    All-narrow codegen expressions, zero shuffles, no explode: mean
+    word length comes from n_chars arithmetic (single-space-joined
+    text), stop-word presence from array_intersect on the token array.
+    Boundary comparisons are exact (integer inputs, one division) so
+    both engines decide each rule identically. Trivially linear at
+    100 TB; on the synthetic fixture the symbol rule is vacuous (no
+    punctuation tokens) but evaluated for real.
+    """
+    d = t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_words = F.size(toks).cast("long")
+    word_chars = (F.col("n_chars") - (n_words - 1)).cast("long")
+    mean_wl = word_chars.cast("double") / n_words
+    alpha_frac = (
+        F.size(F.filter(toks, lambda x: x.rlike("[a-z]"))).cast("double")
+        / n_words
+    )
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(toks),
+            F.array(
+                *[
+                    F.lit(s)
+                    for s in (
+                        "the", "a", "of", "and", "to", "in", "is", "that"
+                    )
+                ]
+            ),
+        )
+    ).cast("long")
+    sym_ratio = (
+        F.size(F.filter(toks, lambda x: x.isin("#", "..."))).cast("double")
+        / n_words
+    )
+    r1 = n_words.between(50, 100000)
+    r2 = mean_wl.between(3, 10)
+    r3 = alpha_frac >= 0.8
+    r4 = n_stop >= 2
+    r5 = sym_ratio <= 0.1
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        n_stop.alias("n_stop_distinct"),
+        r1.alias("r_word_count"),
+        r2.alias("r_mean_word_len"),
+        r3.alias("r_alpha_frac"),
+        r4.alias("r_stopwords"),
+        r5.alias("r_symbol_ratio"),
+        (r1 & r2 & r3 & r4 & r5).alias("passes_gopher"),
+    ).orderBy("doc_id")
+
+
+# -- CCNet-style perplexity bucketing --------------------------------------
+
+_CCNET_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+  FROM documents
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tok),
+vocab AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY w
+),
+q AS (
+  SELECT w,
+         CAST(ROUND(ROUND(ln(CAST((SELECT n FROM tot) AS DOUBLE) / c), 9)
+                    * 1000000) AS BIGINT) AS nll_m
+  FROM vocab
+),
+scored AS (
+  SELECT t.doc_id, t.lang,
+         CAST(SUM(q.nll_m) AS BIGINT) // COUNT(*) AS nllpt_m
+  FROM tok t JOIN q ON t.w = q.w
+  GROUP BY t.doc_id, t.lang
+),
+tiled AS (
+  SELECT lang, nllpt_m,
+         NTILE(3) OVER (PARTITION BY lang
+                        ORDER BY nllpt_m, doc_id) AS tile
+  FROM scored
+)
+SELECT lang,
+       CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                 ELSE 'tail' END AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(nllpt_m) AS min_nllpt_m,
+       MAX(nllpt_m) AS max_nllpt_m,
+       ROUND(CAST(SUM(nllpt_m) AS DOUBLE) / COUNT(*), 6) AS avg_nllpt_m
+FROM tiled
+GROUP BY lang, tile
+ORDER BY lang, bucket
+"""
+
+
+@register("llm_ccnet_bucket", _CCNET_ORACLE)
+def llm_ccnet_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail corpus split (Wenzek et al. 2020):
+    per language, docs are ranked by LM perplexity and cut into
+    terciles — "head" (most fluent) trains first-class, "tail" gets
+    dropped or downweighted. The LM here is the same unigram-NLL micros
+    pipeline as llm_perplexity_proxy (9-dp-rounded ln, exact long sum);
+    per-token NLL uses integer floor division (Spark `div` == DuckDB
+    `//` on positives) and the tercile cut is NTILE(3) over the
+    deterministic (nllpt, doc_id) order, so both engines assign
+    identical buckets. Plan: explode → vocab fold → broadcast-join
+    score → per-doc agg → ONE window shuffle on lang (low-cardinality
+    partitions; at 100 TB the real system replaces exact NTILE with
+    approx-quantile cut points, same downstream shape) → tiny fold.
+    """
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
+    )
+    tot = tok.agg(F.count(F.lit(1)).alias("n"))
+    vocab = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    q = vocab.crossJoin(F.broadcast(tot)).select(
+        "w",
+        F.round(
+            F.round(F.log(F.col("n").cast("double") / F.col("c")), 9)
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("nll_m"),
+    )
+    scored = (
+        tok.join(q, "w")
+        .groupBy("doc_id", "lang")
+        .agg(F.expr("sum(nll_m) div count(*)").alias("nllpt_m"))
+    )
+    from pyspark.sql import Window as W
+
+    tiled = scored.select(
+        "lang",
+        "nllpt_m",
+        F.ntile(3)
+        .over(W.partitionBy("lang").orderBy("nllpt_m", "doc_id"))
+        .alias("tile"),
+    )
+    bucket = (
+        F.when(F.col("tile") == 1, "head")
+        .when(F.col("tile") == 2, "middle")
+        .otherwise("tail")
+    )
+    return (
+        tiled.groupBy("lang", bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("nllpt_m").alias("min_nllpt_m"),
+            F.max("nllpt_m").alias("max_nllpt_m"),
+            F.round(
+                F.sum("nllpt_m").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_nllpt_m"),
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
+# -- ROUGE-2 overlap evaluation --------------------------------------------
+
+_ROUGE2_ORACLE = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+bg AS (
+  SELECT doc_id // 2 AS pair_id, doc_id % 2 AS side,
+         a[i] || ' ' || a[i+1] AS bigram
+  FROM d, LATERAL (SELECT unnest(range(1, greatest(len(a), 1))) AS i)
+),
+counts AS (
+  SELECT pair_id, bigram,
+         CAST(SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_cand,
+         CAST(SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_ref
+  FROM bg GROUP BY pair_id, bigram
+),
+folded AS (
+  SELECT pair_id,
+         CAST(SUM(LEAST(c_cand, c_ref)) AS BIGINT) AS overlap,
+         CAST(SUM(c_cand) AS BIGINT) AS cand_n,
+         CAST(SUM(c_ref) AS BIGINT) AS ref_n
+  FROM counts GROUP BY pair_id
+)
+SELECT pair_id, overlap, cand_n, ref_n,
+       ROUND(CAST(overlap AS DOUBLE) / ref_n, 6) AS rouge2_recall,
+       ROUND(CAST(overlap AS DOUBLE) / cand_n, 6) AS rouge2_precision,
+       CASE WHEN overlap = 0 THEN 0.0
+            ELSE ROUND(2 * (CAST(overlap AS DOUBLE) / cand_n)
+                         * (CAST(overlap AS DOUBLE) / ref_n)
+                       / ((CAST(overlap AS DOUBLE) / cand_n)
+                          + (CAST(overlap AS DOUBLE) / ref_n)), 6)
+       END AS rouge2_f1
+FROM folded ORDER BY pair_id
+"""
+
+
+@register("llm_eval_rouge2", _ROUGE2_ORACLE)
+def llm_eval_rouge2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-2 (Lin 2004) candidate-vs-reference scoring — the batch
+    eval-harness shape: clipped bigram overlap yields recall /
+    precision / F1 per pair. Pairing is deterministic from the fixture
+    (doc 2k = candidate, 2k+1 = reference). Bigrams come from the
+    narrow slice/arrays_zip codegen pipeline (llm_bigram_nll lesson);
+    both sides of a pair count in ONE shuffle keyed (pair_id, bigram)
+    via conditional sums, then fold to per-pair clipped overlap.
+    Determinism: counts are exact longs; recall/precision are single
+    divisions; F1 is the identical double-op chain on both engines,
+    6-dp-rounded. At 100 TB (model outputs vs references) this is two
+    linear passes keyed by pair — no cross-pair traffic, no skew
+    (bigram multiplicity within one doc pair is tiny).
+    """
+    d = t(spark, sf_dir, "documents")
+    a = F.split("text", " ")
+    n2 = F.greatest(F.size(a) - 1, F.lit(0))
+    z = F.arrays_zip(
+        F.slice(a, 1, n2).alias("w1"), F.slice(a, 2, n2).alias("w2")
+    )
+    bg = d.select(
+        F.expr("doc_id div 2").alias("pair_id"),
+        (F.col("doc_id") % 2).alias("side"),
+        F.explode(z).alias("g"),
+    ).select(
+        "pair_id",
+        "side",
+        F.concat_ws(" ", F.col("g.w1"), F.col("g.w2")).alias("bigram"),
+    )
+    counts = bg.groupBy("pair_id", "bigram").agg(
+        F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).alias("c_cand"),
+        F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).alias("c_ref"),
+    )
+    folded = counts.groupBy("pair_id").agg(
+        F.sum(F.least("c_cand", "c_ref")).alias("overlap"),
+        F.sum("c_cand").alias("cand_n"),
+        F.sum("c_ref").alias("ref_n"),
+    )
+    prec = F.col("overlap").cast("double") / F.col("cand_n")
+    rec = F.col("overlap").cast("double") / F.col("ref_n")
+    return folded.select(
+        "pair_id",
+        "overlap",
+        "cand_n",
+        "ref_n",
+        F.round(rec, 6).alias("rouge2_recall"),
+        F.round(prec, 6).alias("rouge2_precision"),
+        F.when(F.col("overlap") == 0, F.lit(0.0))
+        .otherwise(F.round(2 * prec * rec / (prec + rec), 6))
+        .alias("rouge2_f1"),
+    ).orderBy("pair_id")
