@@ -401,3 +401,95 @@ def graph_bfs_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         dist = dist.unionByName(frontier)
     return dist.select("node", F.col("d").alias("dist")).orderBy("node")
+
+
+_COMMON_NEIGHBORS_ORACLE = """
+WITH pairs AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+capped AS (
+  SELECT c, s FROM (
+    SELECT c, s, ROW_NUMBER() OVER (PARTITION BY c ORDER BY s) AS rn
+    FROM pairs
+  ) WHERE rn <= 8
+),
+deg AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS d FROM capped GROUP BY s),
+inter AS (
+  SELECT a.s AS s1, b.s AS s2, CAST(COUNT(*) AS BIGINT) AS shared
+  FROM capped a JOIN capped b ON a.c = b.c AND a.s < b.s
+  GROUP BY a.s, b.s
+)
+SELECT i.s1, i.s2, i.shared,
+       d1.d AS deg1, d2.d AS deg2,
+       (i.shared * 1000000) // (d1.d + d2.d - i.shared) AS jaccard_ppm
+FROM inter i JOIN deg d1 ON i.s1 = d1.s JOIN deg d2 ON i.s2 = d2.s
+ORDER BY jaccard_ppm DESC, s1, s2
+LIMIT 20
+"""
+
+
+@register("graph_common_neighbors", _COMMON_NEIGHBORS_ORACLE)
+def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor (Jaccard) node similarity over the bipartite
+    purchase graph: suppliers are similar when the same customers buy
+    from both — the link-prediction / seller-recommendation primitive.
+    The quadratic danger is the wedge join (Σ deg² over customers), so
+    the adjacency is SPARSIFIED first: each customer keeps its 8
+    lowest-keyed suppliers (graph_triangle_count's degree-cap trick;
+    deterministic, mirrored in the oracle, and the standard large-graph
+    move — sampled neighborhoods bound wedges to 8²/customer ≈ 28
+    pairs regardless of corpus size). Jaccard on the capped adjacency
+    is pure integer math (shared·10⁶ // (d1+d2-shared); Spark div ==
+    DuckDB // on positives), top-20 via TakeOrderedAndProject — no
+    global sort materialization. Plan: distinct fold → one rank window
+    on customer → self-equi-join on customer → count fold → two
+    broadcast deg joins.
+    """
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    capped = (
+        pairs.select(
+            "c",
+            "s",
+            F.row_number()
+            .over(W.partitionBy("c").orderBy("s"))
+            .alias("rn"),
+        )
+        .filter(F.col("rn") <= 8)
+        .drop("rn")
+    )
+    deg = capped.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
+    a = capped.alias("a")
+    b = capped.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.c") == F.col("b.c")) & (F.col("a.s") < F.col("b.s")),
+        )
+        .groupBy(F.col("a.s").alias("s1"), F.col("b.s").alias("s2"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    d1 = deg.select(F.col("s").alias("s1"), F.col("d").alias("deg1"))
+    d2 = deg.select(F.col("s").alias("s2"), F.col("d").alias("deg2"))
+    return (
+        inter.join(F.broadcast(d1), "s1")
+        .join(F.broadcast(d2), "s2")
+        .select(
+            "s1",
+            "s2",
+            "shared",
+            "deg1",
+            "deg2",
+            F.expr(
+                "(shared * 1000000L) div (deg1 + deg2 - shared)"
+            ).alias("jaccard_ppm"),
+        )
+        .orderBy(F.col("jaccard_ppm").desc(), "s1", "s2")
+        .limit(20)
+    )

@@ -311,3 +311,110 @@ def mm_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .orderBy("n_equal_bands")
     )
+
+
+@register(
+    "mm_aspect_bucket",
+    """
+    WITH img AS (
+      SELECT doc_id AS media_id,
+             CAST(1 + (doc_id * 37) % 1920 AS BIGINT) AS w,
+             CAST(1 + (doc_id * 17) % 1080 AS BIGINT) AS h
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    -- exact integer argmin of |w/h - p/q| over the 5 targets:
+    -- scale each |w*q - h*p| by 144/q (144 = lcm of the q's) so all
+    -- five distances share the h*144 denominator and compare as longs
+    d AS (
+      SELECT media_id, w, h,
+             abs(w * 1 - h * 1) * 144  AS d_1_1,
+             abs(w * 3 - h * 4) * 48   AS d_4_3,
+             abs(w * 4 - h * 3) * 36   AS d_3_4,
+             abs(w * 9 - h * 16) * 16  AS d_16_9,
+             abs(w * 16 - h * 9) * 9   AS d_9_16
+      FROM img
+    ),
+    labeled AS (
+      SELECT media_id, w, h,
+             CASE
+               WHEN d_1_1 <= d_4_3 AND d_1_1 <= d_3_4
+                    AND d_1_1 <= d_16_9 AND d_1_1 <= d_9_16 THEN '1:1'
+               WHEN d_4_3 <= d_3_4 AND d_4_3 <= d_16_9
+                    AND d_4_3 <= d_9_16 THEN '4:3'
+               WHEN d_3_4 <= d_16_9 AND d_3_4 <= d_9_16 THEN '3:4'
+               WHEN d_16_9 <= d_9_16 THEN '16:9'
+               ELSE '9:16'
+             END AS bucket
+      FROM d
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_images,
+           ROUND(CAST(SUM(w) AS DOUBLE) / COUNT(*), 6) AS avg_width,
+           ROUND(CAST(SUM(h) AS DOUBLE) / COUNT(*), 6) AS avg_height
+    FROM labeled GROUP BY bucket ORDER BY bucket
+    """,
+)
+def mm_aspect_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Aspect-ratio bucketing — the batching prerequisite of image-model
+    # training (pad-free batches need same-shape members; SDXL-style
+    # pipelines bucket by nearest canonical aspect). Dimensions come
+    # from metadata (deterministic fake; a real pipeline reads codec
+    # headers). The nearest-target argmin is EXACT integer math: the
+    # five |w/h - p/q| distances are cross-multiplied onto the common
+    # denominator h*144 (144 = lcm of the target q's), so both engines
+    # pick identical buckets even at boundary ties (CASE order breaks
+    # them identically). Map-only + one tiny fold: linear at 100 TB,
+    # and the bucket key is exactly the repartition key the downstream
+    # batch-builder shuffles on.
+    img = _payloads(spark, sf_dir).filter(F.col("media_type") == "image")
+    # multipliers decouple w from h (plain doc_id mods coincide below 1080)
+    w = (1 + (F.col("media_id") * 37) % 1920).cast("long")
+    h = (1 + (F.col("media_id") * 17) % 1080).cast("long")
+    dims = img.select("media_id", w.alias("w"), h.alias("h"))
+    targets = [  # (label, p, q, 144 // q)
+        ("1:1", 1, 1, 144),
+        ("4:3", 4, 3, 48),
+        ("3:4", 3, 4, 36),
+        ("16:9", 16, 9, 16),
+        ("9:16", 9, 16, 9),
+    ]
+    dcols = {
+        lbl: F.abs(F.col("w") * q - F.col("h") * p) * scale
+        for lbl, p, q, scale in targets
+    }
+    bucket = (
+        F.when(
+            (dcols["1:1"] <= dcols["4:3"])
+            & (dcols["1:1"] <= dcols["3:4"])
+            & (dcols["1:1"] <= dcols["16:9"])
+            & (dcols["1:1"] <= dcols["9:16"]),
+            "1:1",
+        )
+        .when(
+            (dcols["4:3"] <= dcols["3:4"])
+            & (dcols["4:3"] <= dcols["16:9"])
+            & (dcols["4:3"] <= dcols["9:16"]),
+            "4:3",
+        )
+        .when(
+            (dcols["3:4"] <= dcols["16:9"])
+            & (dcols["3:4"] <= dcols["9:16"]),
+            "3:4",
+        )
+        .when(dcols["16:9"] <= dcols["9:16"], "16:9")
+        .otherwise("9:16")
+    )
+    return (
+        dims.select(bucket.alias("bucket"), "w", "h")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.round(F.sum("w").cast("double") / F.count(F.lit(1)), 6).alias(
+                "avg_width"
+            ),
+            F.round(F.sum("h").cast("double") / F.count(F.lit(1)), 6).alias(
+                "avg_height"
+            ),
+        )
+        .orderBy("bucket")
+    )

@@ -649,3 +649,48 @@ def scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+_CSV_SINK_ORACLE = """
+SELECT c_mktsegment, COUNT(*) AS n_rows,
+       CAST(SUM(c_custkey) AS BIGINT) AS key_checksum,
+       CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+         AS bal_checksum_c
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+@register("sink_csv_roundtrip", _CSV_SINK_ORACLE)
+def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV export/re-ingest — the DataFrameWriter.csv surface (the scan_
+    csv twin writes-then-reads instead of reading a staged file). The
+    checked property is round-trip fidelity under a DECLARED schema:
+    headers on, quoting left to Spark's writer, doubles surviving via
+    shortest-round-trip rendering; the cents checksum would catch any
+    parse drift. Each output part file is written and re-read in
+    parallel (CSV splits by line like JSONL when uncompressed). The
+    aggregate proves nothing was lost or widened.
+    """
+    path = workdir(sf_dir, "csv_sink")
+    c = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    c.write.mode("overwrite").option("header", "true").csv(path)
+    back = (
+        spark.read.option("header", "true")
+        .schema("c_custkey bigint, c_mktsegment string, c_acctbal double")
+        .csv(path)
+    )
+    return (
+        back.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("c_custkey").alias("key_checksum"),
+            F.sum(
+                F.round(F.col("c_acctbal") * 100).cast("long")
+            ).alias("bal_checksum_c"),
+        )
+        .orderBy("c_mktsegment")
+    )
