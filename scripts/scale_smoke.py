@@ -50,6 +50,15 @@ OPS = [
     "graph_bfs_shortest_path",
     "llm_linear_classifier_score",
     "win_pareto_analysis",
+    # late-r6 adds: NLL bucket (vocab join + lang window), ROUGE-2
+    # (bigram pair shuffle), winsorize (low-cardinality rank window —
+    # the skewed-partition risk class), rolling median (per-user
+    # frame), common-neighbor wedge join (sparsified)
+    "llm_ccnet_bucket",
+    "llm_eval_rouge2",
+    "agg_winsorized_mean",
+    "win_rolling_median",
+    "graph_common_neighbors",
 ]
 
 
