@@ -1025,3 +1025,171 @@ def dbt_state_modified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "model string, status string, selected boolean"
     ).orderBy("model")
+
+
+_RUN_HOOKS_ORACLE = """
+WITH gold AS (
+  SELECT DATE_TRUNC('month', o.o_orderdate) AS m, o.o_orderstatus AS s
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  WHERE l.l_returnflag <> 'A'
+  GROUP BY DATE_TRUNC('month', o.o_orderdate), o.o_orderstatus
+), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM gold)
+SELECT CAST(1 AS BIGINT) AS seq, 'run_start' AS event, '<run>' AS node,
+       CAST(NULL AS BIGINT) AS n_rows
+UNION ALL
+SELECT CAST(2 AS BIGINT), 'pre_hook', 'gold_revenue', CAST(NULL AS BIGINT)
+UNION ALL
+SELECT CAST(3 AS BIGINT), 'post_hook', 'gold_revenue', (SELECT c FROM n)
+UNION ALL
+SELECT CAST(4 AS BIGINT), 'run_end', '<run>', (SELECT c FROM n)
+ORDER BY seq
+"""
+
+
+@register("dbt_run_hooks", _RUN_HOOKS_ORACLE)
+def dbt_run_hooks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt `pre-hook` / `post-hook` + `on-run-start` / `on-run-end` —
+    the audit-log pattern (dbt docs' canonical hook example): the run
+    opens an audit table, each hooked model logs before and after its
+    materialization (post-hook counting `{{ this }}`), and the
+    run-end hook writes the summary row. Hooks are runtime surface
+    (`plans/graph.py:Model.pre_hook/post_hook`, `ModelGraph.run`'s
+    on_run_start/on_run_end), not op-local code. Every audit insert is
+    one metadata-sized commit to the Delta-protocol log — O(models)
+    tiny writes regardless of warehouse size, exactly how dbt's audit
+    hooks behave at scale. Output = the audit table in hook firing
+    order (deterministic seq, no wall-clock timestamps).
+    """
+    from ..sources.deltalike import DeltaLikeTable
+
+    audit = DeltaLikeTable(workdir(sf_dir, "hooks_audit"))
+    schema = "seq long, event string, node string, n_rows long"
+
+    def log(seq: int, event: str, node: str, n_rows: int | None) -> None:
+        row = spark.createDataFrame([(seq, event, node, n_rows)], schema)
+        audit.write(row, mode="overwrite" if seq == 1 else "append")
+
+    g = ModelGraph(workdir(sf_dir, "mart_hooks"))
+    g.model(
+        "silver_items", deps=["orders", "lineitem"], materialized="ephemeral"
+    )(_silver)
+    g.model(
+        "gold_revenue",
+        deps=["silver_items"],
+        materialized="table",
+        pre_hook=[lambda sp, ctx: log(2, "pre_hook", ctx["node"], None)],
+        post_hook=[
+            lambda sp, ctx: log(
+                3, "post_hook", ctx["node"], ctx["df"].count()
+            )
+        ],
+    )(_gold)
+    resolved = g.run(
+        spark,
+        {
+            "orders": t(spark, sf_dir, "orders"),
+            "lineitem": t(spark, sf_dir, "lineitem"),
+        },
+        on_run_start=lambda sp: log(1, "run_start", "<run>", None),
+        on_run_end=lambda sp, res: log(
+            4, "run_end", "<run>", res["gold_revenue"].count()
+        ),
+    )
+    del resolved
+    return audit.read(spark).select(
+        "seq", "event", "node", "n_rows"
+    ).orderBy("seq")
+
+
+_SNAPSHOT_HD_ORACLE = """
+WITH base AS (SELECT s_suppkey, s_nationkey FROM supplier)
+SELECT s_suppkey, s_nationkey,
+       CAST(100 AS BIGINT) AS valid_from, CAST(200 AS BIGINT) AS valid_to
+FROM base WHERE s_suppkey % 5 = 0
+UNION ALL
+SELECT s_suppkey, s_nationkey, CAST(100 AS BIGINT), CAST(200 AS BIGINT)
+FROM base WHERE s_suppkey % 5 <> 0 AND s_suppkey % 7 = 0
+UNION ALL
+SELECT s_suppkey, s_nationkey + 100, CAST(200 AS BIGINT),
+       CAST(NULL AS BIGINT)
+FROM base WHERE s_suppkey % 5 <> 0 AND s_suppkey % 7 = 0
+UNION ALL
+SELECT s_suppkey, s_nationkey, CAST(100 AS BIGINT), CAST(NULL AS BIGINT)
+FROM base WHERE s_suppkey % 5 <> 0 AND s_suppkey % 7 <> 0
+ORDER BY s_suppkey, valid_from
+"""
+
+
+@register("dbt_snapshot_hard_deletes", _SNAPSHOT_HD_ORACLE)
+def dbt_snapshot_hard_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt snapshot with `hard_deletes: invalidate` (the renamed
+    `invalidate_hard_deletes: true`) — when a natural key vanishes
+    from the source between runs, its open dim row is CLOSED at the
+    snapshot stamp instead of silently persisting forever (the default
+    `ignore` behavior, which `dbt_snapshot_timestamp`/`scd2_snapshot`
+    model). Change detection here is the check strategy on
+    s_nationkey; run 2's source hard-deletes every 5th supplier and
+    moves every 7th surviving one. Three dim-sized frames (changed /
+    deleted / carried) via one equi-join + two anti-joins on the
+    natural key — all broadcast-able at dim scale, no shuffle wider
+    than the dim itself; versions live in the Delta-protocol table.
+    Integer stamps (100/200) keep the oracle engine-exact.
+    """
+    from ..sources.deltalike import DeltaLikeTable
+
+    tbl = DeltaLikeTable(workdir(sf_dir, "snap_hd"))
+    s = t(spark, sf_dir, "supplier")
+    dim = s.select(
+        "s_suppkey", "s_nationkey",
+        F.lit(100).cast("long").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+    )
+    tbl.write(dim, mode="overwrite")
+    # Source as of run 2: every 5th supplier gone upstream (hard
+    # delete); every 7th surviving one re-homed (checked column moves).
+    snap2 = s.filter(F.col("s_suppkey") % 5 != 0).select(
+        "s_suppkey",
+        F.when(F.col("s_suppkey") % 7 == 0, F.col("s_nationkey") + 100)
+        .otherwise(F.col("s_nationkey"))
+        .alias("s_nationkey"),
+    )
+    cur = tbl.read(spark).alias("d")
+    new = snap2.alias("n")
+    open_rows = cur.filter(F.col("d.valid_to").isNull())
+    changed = open_rows.join(new, "s_suppkey").filter(
+        F.col("d.s_nationkey") != F.col("n.s_nationkey")
+    )
+    deleted = open_rows.join(
+        new.select("s_suppkey"), "s_suppkey", "left_anti"
+    )
+    closed = changed.select(
+        "s_suppkey",
+        F.col("d.s_nationkey").alias("s_nationkey"),
+        F.col("d.valid_from").alias("valid_from"),
+        F.lit(200).cast("long").alias("valid_to"),
+    )
+    invalidated = deleted.select(
+        "s_suppkey", "s_nationkey", "valid_from",
+        F.lit(200).cast("long").alias("valid_to"),
+    )
+    opened = changed.select(
+        "s_suppkey",
+        F.col("n.s_nationkey").alias("s_nationkey"),
+        F.lit(200).cast("long").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+    )
+    touched = changed.select("s_suppkey").unionByName(
+        deleted.select("s_suppkey")
+    )
+    carried = cur.join(touched, "s_suppkey", "left_anti").select(
+        "s_suppkey", "s_nationkey", "valid_from", "valid_to"
+    )
+    tbl.write(
+        carried.unionByName(closed)
+        .unionByName(invalidated)
+        .unionByName(opened),
+        mode="overwrite",
+    )
+    return tbl.read(spark).select(
+        "s_suppkey", "s_nationkey", "valid_from", "valid_to"
+    ).orderBy("s_suppkey", "valid_from")

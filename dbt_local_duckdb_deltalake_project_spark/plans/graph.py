@@ -47,6 +47,12 @@ class Model:
     # columns the target lacks (dbt's default); 'append_new_columns'
     # evolves the target schema through MERGE, untouched rows NULL.
     on_schema_change: str = "ignore"
+    # dbt `pre-hook` / `post-hook`: callables run around this model's
+    # materialization. pre_hook receives (spark, {"node": name});
+    # post_hook additionally gets the materialized DataFrame under
+    # "df" (dbt's `{{ this }}`) so audit hooks can count/inspect it.
+    pre_hook: list = field(default_factory=list)
+    post_hook: list = field(default_factory=list)
 
 
 class ModelGraph:
@@ -70,6 +76,8 @@ class ModelGraph:
         watermark_col: str | None = None,
         tags: list[str] | None = None,
         on_schema_change: str = "ignore",
+        pre_hook: list | None = None,
+        post_hook: list | None = None,
     ) -> Callable[[ModelFn], ModelFn]:
         def deco(fn: ModelFn) -> ModelFn:
             self.add(
@@ -82,6 +90,8 @@ class ModelGraph:
                     watermark_col,
                     tags or [],
                     on_schema_change,
+                    pre_hook or [],
+                    post_hook or [],
                 )
             )
             return fn
@@ -165,18 +175,36 @@ class ModelGraph:
         return order
 
     def run(
-        self, spark: SparkSession, sources: dict[str, DataFrame]
+        self,
+        spark: SparkSession,
+        sources: dict[str, DataFrame],
+        on_run_start=None,
+        on_run_end=None,
     ) -> dict[str, DataFrame]:
         """Execute the DAG; returns every model's final DataFrame.
 
         ``sources`` seed the dep namespace (dbt ``source()``); model
         outputs become available to downstream models (dbt ``ref()``).
+        ``on_run_start(spark)`` / ``on_run_end(spark, resolved)`` are
+        dbt's project-level `on-run-start` / `on-run-end` hooks; the
+        per-model ``pre_hook`` / ``post_hook`` lists fire around each
+        materialization. Hooks do metadata-sized work (audit inserts,
+        grants) — O(models) tiny actions, never O(data).
         """
+        if on_run_start is not None:
+            on_run_start(spark)
         resolved: dict[str, DataFrame] = dict(sources)
         for m in self._topo():
             deps = {d: resolved[d] for d in m.deps}
+            for h in m.pre_hook:
+                h(spark, {"node": m.name})
             df = m.fn(spark, deps)
-            resolved[m.name] = self._materialize(spark, m, df)
+            out = self._materialize(spark, m, df)
+            for h in m.post_hook:
+                h(spark, {"node": m.name, "df": out})
+            resolved[m.name] = out
+        if on_run_end is not None:
+            on_run_end(spark, resolved)
         return resolved
 
     def _materialize(
