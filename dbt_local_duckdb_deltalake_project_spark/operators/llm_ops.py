@@ -5312,7 +5312,11 @@ def llm_filter_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     columns so a pipeline can report WHICH gate rejected a doc.
     All-narrow codegen expressions, zero shuffles, no explode: mean
     word length comes from n_chars arithmetic (single-space-joined
-    text), stop-word presence from array_intersect on the token array.
+    text), stop-word presence from array_intersect on the token array,
+    and the alpha/symbol token counts from regexp_extract_all over the
+    raw text rather than higher-order-function lambdas (HOF lambdas
+    run interpreted per-row — measured, see CLAUDE.md perf facts —
+    while RegExpExtractAll stays inside whole-stage codegen).
     Boundary comparisons are exact (integer inputs, one division) so
     both engines decide each rule identically. Trivially linear at
     100 TB; on the synthetic fixture the symbol rule is vacuous (no
@@ -5323,8 +5327,13 @@ def llm_filter_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_words = F.size(toks).cast("long")
     word_chars = (F.col("n_chars") - (n_words - 1)).cast("long")
     mean_wl = word_chars.cast("double") / n_words
+    # tokens are single-space-separated, so "space-delimited run that
+    # contains a letter" counts exactly the tokens the lambda form
+    # filter(toks, x -> x rlike '[a-z]') would keep — but in codegen.
     alpha_frac = (
-        F.size(F.filter(toks, lambda x: x.rlike("[a-z]"))).cast("double")
+        F.size(
+            F.expr(r"regexp_extract_all(text, '[^ ]*[a-z][^ ]*', 0)")
+        ).cast("double")
         / n_words
     )
     n_stop = F.size(
@@ -5340,8 +5349,15 @@ def llm_filter_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     ).cast("long")
+    # whole-token match of '#' or '...' — boundary-anchored on the
+    # space delimiters so '....' or '#x' never count (same semantics as
+    # the lambda form filter(toks, x -> x IN ('#', '...'))).
     sym_ratio = (
-        F.size(F.filter(toks, lambda x: x.isin("#", "..."))).cast("double")
+        F.size(
+            F.expr(
+                r"regexp_extract_all(text, '(?:^| )(?:#|\\.\\.\\.)(?= |$)', 0)"
+            )
+        ).cast("double")
         / n_words
     )
     r1 = n_words.between(50, 100000)
