@@ -36,5 +36,8 @@ def prestage(spark: SparkSession, sf_dir: str) -> None:
         "delta_change_data_feed",
         "scan_deltalike_datasource",
         "delta_zorder",
+        # pre-existing label state for incremental CC maintenance
+        # (llm_ops._staged_old_labels — warehouse state, not query work)
+        "llm_dedup_clusters_incremental",
     ):
         QUERIES[qid](spark, sf_dir)  # lazy build; staging happens eagerly
