@@ -59,6 +59,9 @@ OPS = [
     "agg_winsorized_mean",
     "win_rolling_median",
     "graph_common_neighbors",
+    # staged-old-labels incremental CC (cold-builds its label staging
+    # for the replicated fixture, then runs the increment over it)
+    "llm_dedup_clusters_incremental",
 ]
 
 
