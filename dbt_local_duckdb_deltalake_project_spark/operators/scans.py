@@ -585,21 +585,40 @@ def scan_range_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale it to billions). It materializes nothing: rows are generated
     per-partition from (start, end, step, numPartitions) arithmetic,
     so a trillion-row range costs no I/O and splits perfectly. The op
-    layers a running window on top to prove the generated ordering
-    composes with real operators.
+    layers a running sum on top to prove the generated ordering
+    composes with real operators — in the SCALE-SAFE two-pass form
+    (win_pareto_analysis pattern), not a single-partition window: the
+    block key derives from the generator's own arithmetic (id div B —
+    deterministic, no spark_partition_id pinning needed), the cumsum
+    runs within each block via a partitioned window, and block prefix
+    offsets fold through a tiny B×B theta self-join broadcast back.
+    On a trillion-row range the plan stays fully distributed; a naive
+    ORDER BY window would serialize it through one task.
     """
+    r = spark.range(0, 1000).select(
+        F.col("id").alias("i"),
+        (F.col("id") * F.col("id")).alias("sq"),
+        F.expr("id div 125").alias("blk"),
+    )
+    wl = W.partitionBy("blk").orderBy("i")
+    local = r.select(
+        "i",
+        "sq",
+        "blk",
+        F.sum("i")
+        .over(wl.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("lcum"),
+    )
+    bstats = r.groupBy("blk").agg(F.sum("i").alias("bsum"))
+    offsets = (
+        bstats.alias("a")
+        .join(bstats.alias("b"), F.col("b.blk") < F.col("a.blk"), "left")
+        .groupBy(F.col("a.blk").alias("blk"))
+        .agg(F.coalesce(F.sum("b.bsum"), F.lit(0)).cast("long").alias("off"))
+    )
     return (
-        spark.range(0, 1000)
-        .select(
-            F.col("id").alias("i"),
-            (F.col("id") * F.col("id")).alias("sq"),
-        )
-        .withColumn(
-            "running",
-            F.sum("i").over(
-                W.orderBy("i").rowsBetween(W.unboundedPreceding, W.currentRow)
-            ),
-        )
+        local.join(F.broadcast(offsets), "blk")
+        .select("i", "sq", (F.col("lcum") + F.col("off")).alias("running"))
         .orderBy("i")
     )
 

@@ -96,6 +96,30 @@ def test_rouge2_two_keyed_shuffles_no_join(spark, sf_dir):
     )
 
 
+def test_no_unpartitioned_windows_registry_wide(spark, sf_dir):
+    # A Window with an ORDER BY but no PARTITION BY serializes its whole
+    # input through one task — the classic silent scale-killer (VERDICT
+    # r5 flagged two; both were rewritten). Scan EVERY registered op's
+    # physical plan: a Window node whose trailing spec group is an order
+    # spec (contains ASC/DESC) with no partition group in between is
+    # unpartitioned. Registry-wide zero as of r6 — keep it that way.
+    bad = {}
+    for qid, fn in QUERIES.items():
+        try:
+            p = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        except Exception:  # noqa: BLE001 — op build issues belong to test_oracle
+            continue
+        for ln in p.splitlines():
+            s = ln.strip().lstrip("+-:* ")
+            if s.startswith("Window "):
+                groups = re.split(r"\], \[", s)
+                if len(groups) == 2 and (
+                    " ASC" in groups[1] or " DESC" in groups[1]
+                ):
+                    bad.setdefault(qid, []).append(s[:120])
+    assert not bad, f"unpartitioned Window in: {sorted(bad)}"
+
+
 def test_containment_candidate_join_is_equi(spark, sf_dir):
     # the shingle self-join must plan as an equi join on the shingle key
     # (candidate generation bounded by NEARDUP_DF_CAP), never a nested
