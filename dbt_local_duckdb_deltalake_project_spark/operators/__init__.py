@@ -59,6 +59,14 @@ _WINDOW_FIRST = [
     # backlog in _WINDOW_SECOND order. ---
 ]
 
+# The round whose driver row SATISFIES a _WINDOW_FIRST entry: once an id
+# has a CORRECTNESS record from this round or later, its fresh row has
+# landed and it self-clears out of the front (demoting to the greens
+# rotation) — the next round's 50 slots all go to the backlog without
+# waiting for a manual list edit. Bump when repopulating _WINDOW_FIRST
+# for a new round's changes.
+_WINDOW_FIRST_ROUND = 6
+
 
 # Directly behind the window: first the regression breadth mix (one-plus
 # per §2 family, preferring ids near code touched this round — deltalike
@@ -112,6 +120,21 @@ _WINDOW_SECOND = [
     "agg_entropy_by_group", "fn_base64", "agg_bootstrap_ci",
     "subq_not_in_nulls", "win_ntile_deciles",
     "agg_markov_transition", "llm_bigram_nll",
+    # --- r6 operators (never checked; first driver rows land in r7).
+    # Order = risk: the three whose implementation changed AFTER their
+    # full-pass sim lead (each re-simmed green individually); the two
+    # simplest, most-re-verified ops sit last — with a 52-id backlog
+    # against a 50-slot window they are the two that roll to r8. ---
+    "llm_filter_gopher", "llm_dedup_clusters_incremental",
+    "graph_bfs_shortest_path",
+    "stream_left_outer_join", "llm_dedup_keep_best",
+    "llm_dedup_containment", "llm_tokenizer_fertility",
+    "llm_linear_classifier_score", "llm_ccnet_bucket", "llm_eval_rouge2",
+    "win_rolling_median", "agg_winsorized_mean",
+    "graph_common_neighbors",
+    "dbt_docs_generate", "dbt_incremental_on_schema_change",
+    "dbt_state_modified", "dbt_run_hooks", "dbt_snapshot_hard_deletes",
+    "mm_aspect_bucket", "sink_csv_roundtrip",
     # --- end of never-checked block; greens rotate below ---
     "delta_time_travel", "delta_merge_upsert",
     "stream_tumbling", "stream_session", "win_range_frame", "fn_date",  # events/tz consumers
@@ -146,16 +169,19 @@ _WINDOW_SECOND = [
 
 # Ids whose existing driver record no longer verifies the CURRENT
 # implementation (e.g. a rows-mode record for an op since upgraded to
-# sql-mode): the rotation treats them as never-checked until a fresh
-# row lands. Clear entries once re-verified.
+# sql-mode): id → first round whose record counts. Records from earlier
+# rounds are ignored, so the rotation treats the id as never-checked
+# until a fresh row lands — then it self-clears (no manual cleanup
+# needed; stale entries whose fresh rows landed are harmless).
 _FORCE_RECHECK = {
-    # r4 rows-mode records; all upgraded to sql-mode in r5
-    "llm_cosine_topk_blocked",
-    "llm_cosine_topk_lsh",
-    "llm_cosine_topk_ivf",
-    "stream_watermark_late",
-    "stream_session_streamed",
-    "stream_funnel_stateful",
+    # r4 rows-mode records; all upgraded to sql-mode in r5 — only an
+    # r6-or-later record verifies the sql-mode code
+    "llm_cosine_topk_blocked": 6,
+    "llm_cosine_topk_lsh": 6,
+    "llm_cosine_topk_ivf": 6,
+    "stream_watermark_late": 6,
+    "stream_session_streamed": 6,
+    "stream_funnel_stateful": 6,
 }
 
 
@@ -198,10 +224,17 @@ def _reorder() -> None:
     4. driver-green ids by ascending last-checked round (stalest
        re-verify first), stable on the manual order.
     """
+    last_all = _last_checked()
     last = {
-        q: r for q, r in _last_checked().items() if q not in _FORCE_RECHECK
+        q: r
+        for q, r in last_all.items()
+        if r >= _FORCE_RECHECK.get(q, 0)
     }
-    front = [q for q in _WINDOW_FIRST if q in QUERIES]
+    front = [
+        q
+        for q in _WINDOW_FIRST
+        if q in QUERIES and last_all.get(q, 0) < _WINDOW_FIRST_ROUND
+    ]
     seen = set(front)
     manual_rest = [
         q for q in _WINDOW_SECOND if q in QUERIES and q not in seen
