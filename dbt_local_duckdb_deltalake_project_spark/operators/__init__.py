@@ -135,6 +135,10 @@ _WINDOW_SECOND = [
     "dbt_docs_generate", "dbt_incremental_on_schema_change",
     "dbt_state_modified", "dbt_run_hooks", "dbt_snapshot_hard_deletes",
     "mm_aspect_bucket", "sink_csv_roundtrip",
+    # --- r6 session-3 operators (never checked; behind everything
+    # above so the r6/r7 windows and the measured 52-id backlog
+    # accounting are untouched — these land in r8's window). ---
+    "llm_eval_token_f1", "llm_eval_bleu", "llm_readability",
     # --- end of never-checked block; greens rotate below ---
     "delta_time_travel", "delta_merge_upsert",
     "stream_tumbling", "stream_session", "win_range_frame", "fn_date",  # events/tz consumers

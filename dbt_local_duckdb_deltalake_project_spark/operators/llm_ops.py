@@ -5612,3 +5612,274 @@ def llm_eval_rouge2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(2 * prec * rec / (prec + rec), 6))
         .alias("rouge2_f1"),
     ).orderBy("pair_id")
+
+
+# -- SQuAD-style token-F1 evaluation ----------------------------------------
+
+_TOKEN_F1_ORACLE = """
+WITH d AS (
+  SELECT doc_id // 2 AS pair_id, doc_id % 2 AS side,
+         unnest(string_split(text, ' ')) AS w
+  FROM documents
+),
+counts AS (
+  SELECT pair_id, w,
+         CAST(SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_cand,
+         CAST(SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_ref
+  FROM d GROUP BY pair_id, w
+),
+folded AS (
+  SELECT pair_id,
+         CAST(SUM(LEAST(c_cand, c_ref)) AS BIGINT) AS overlap,
+         CAST(SUM(c_cand) AS BIGINT) AS cand_n,
+         CAST(SUM(c_ref) AS BIGINT) AS ref_n
+  FROM counts GROUP BY pair_id
+),
+em AS (
+  SELECT doc_id // 2 AS pair_id,
+         MIN(CASE WHEN doc_id % 2 = 0 THEN md5(text) END)
+           = MIN(CASE WHEN doc_id % 2 = 1 THEN md5(text) END) AS exact_match
+  FROM documents GROUP BY doc_id // 2
+)
+SELECT f.pair_id, f.overlap, f.cand_n, f.ref_n,
+       CASE WHEN f.overlap = 0 THEN 0.0
+            ELSE ROUND(2.0 * f.overlap / (f.cand_n + f.ref_n), 6)
+       END AS token_f1,
+       e.exact_match
+FROM folded f JOIN em e ON f.pair_id = e.pair_id
+ORDER BY f.pair_id
+"""
+
+
+@register("llm_eval_token_f1", _TOKEN_F1_ORACLE)
+def llm_eval_token_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQuAD-style answer scoring (Rajpurkar et al. 2016): bag-of-tokens
+    F1 = 2·overlap/(|cand|+|ref|) with clipped per-token counts, plus
+    the exact-match flag. The unigram sibling of llm_eval_rouge2 and
+    the eval-harness staple for extractive QA. Same two-shuffle shape:
+    both sides of a pair fold in ONE (pair_id, token) aggregation via
+    conditional sums; exact-match rides a separate doc-level md5
+    pivot joined on pair_id (hashes cross the wire, never text).
+    F1 is a single exact-integer division, 6-dp rounded — no
+    transcendentals. Linear at 100 TB, keyed by pair, no skew.
+    """
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        F.expr("doc_id div 2").alias("pair_id"),
+        (F.col("doc_id") % 2).alias("side"),
+        F.explode(F.split("text", " ")).alias("w"),
+    )
+    counts = tok.groupBy("pair_id", "w").agg(
+        F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).alias("c_cand"),
+        F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).alias("c_ref"),
+    )
+    folded = counts.groupBy("pair_id").agg(
+        F.sum(F.least("c_cand", "c_ref")).alias("overlap"),
+        F.sum("c_cand").alias("cand_n"),
+        F.sum("c_ref").alias("ref_n"),
+    )
+    em = (
+        d.groupBy(F.expr("doc_id div 2").alias("pair_id"))
+        .agg(
+            (
+                F.min(F.when(F.col("doc_id") % 2 == 0, F.md5("text")))
+                == F.min(F.when(F.col("doc_id") % 2 == 1, F.md5("text")))
+            ).alias("exact_match")
+        )
+    )
+    return (
+        folded.join(em, "pair_id")
+        .select(
+            "pair_id",
+            "overlap",
+            "cand_n",
+            "ref_n",
+            F.when(F.col("overlap") == 0, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    2.0 * F.col("overlap") / (F.col("cand_n") + F.col("ref_n")),
+                    6,
+                )
+            )
+            .alias("token_f1"),
+            "exact_match",
+        )
+        .orderBy("pair_id")
+    )
+
+
+# -- BLEU-2 (log domain) evaluation -----------------------------------------
+
+_BLEU2_ORACLE = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+uni AS (
+  SELECT doc_id // 2 AS pair_id, doc_id % 2 AS side, unnest(a) AS g
+  FROM d
+),
+bi AS (
+  SELECT doc_id // 2 AS pair_id, doc_id % 2 AS side,
+         a[i] || ' ' || a[i+1] AS g
+  FROM d, LATERAL (SELECT unnest(range(1, greatest(len(a), 1))) AS i)
+),
+fold1 AS (
+  SELECT pair_id,
+         CAST(SUM(LEAST(c_cand, c_ref)) AS BIGINT) AS o1,
+         CAST(SUM(c_cand) AS BIGINT) AS c1,
+         CAST(SUM(c_ref) AS BIGINT) AS r1
+  FROM (
+    SELECT pair_id, g,
+           SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS c_cand,
+           SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS c_ref
+    FROM uni GROUP BY pair_id, g
+  ) GROUP BY pair_id
+),
+fold2 AS (
+  SELECT pair_id,
+         CAST(SUM(LEAST(c_cand, c_ref)) AS BIGINT) AS o2,
+         CAST(SUM(c_cand) AS BIGINT) AS c2
+  FROM (
+    SELECT pair_id, g,
+           SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS c_cand,
+           SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS c_ref
+    FROM bi GROUP BY pair_id, g
+  ) GROUP BY pair_id
+)
+SELECT f1.pair_id, f1.o1, f1.c1, f2.o2, f2.c2, f1.r1 AS ref_n,
+       CASE WHEN f1.o1 = 0 OR f2.o2 = 0 THEN NULL
+            ELSE ROUND(
+              (ROUND(ln(CAST(f1.o1 AS DOUBLE) / f1.c1), 9)
+               + ROUND(ln(CAST(f2.o2 AS DOUBLE) / f2.c2), 9)) / 2
+              + LEAST(0.0, 1.0 - CAST(f1.r1 AS DOUBLE) / f1.c1), 6)
+       END AS log_bleu2
+FROM fold1 f1 JOIN fold2 f2 ON f1.pair_id = f2.pair_id
+ORDER BY f1.pair_id
+"""
+
+
+@register("llm_eval_bleu", _BLEU2_ORACLE)
+def llm_eval_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus BLEU-2 in log domain (Papineni et al. 2002): clipped
+    unigram + bigram precisions and the brevity penalty, reported as
+    log BLEU = (ln p1 + ln p2)/2 + min(0, 1 − ref/cand). Log domain
+    keeps the op oracle-exact: each ln is 9-dp-rounded (the
+    llm_perplexity_proxy discipline — ln differs by ≤1 ulp between
+    engines, the pre-round kills it) and everything after is the
+    identical IEEE op chain on both engines, 6-dp rounded; a zero
+    n-gram overlap yields NULL (unsmoothed BLEU is undefined), never
+    -inf. Two explode+fold aggregations (unigram, bigram), each the
+    one-shuffle conditional-sum shape of llm_eval_rouge2, joined on
+    pair_id. Linear at 100 TB (model outputs vs references); no
+    cross-pair traffic.
+    """
+    d = t(spark, sf_dir, "documents")
+    a = F.split("text", " ")
+    pair = F.expr("doc_id div 2").alias("pair_id")
+    side = (F.col("doc_id") % 2).alias("side")
+    uni = d.select(pair, side, F.explode(a).alias("g"))
+    n2 = F.greatest(F.size(a) - 1, F.lit(0))
+    z = F.arrays_zip(
+        F.slice(a, 1, n2).alias("w1"), F.slice(a, 2, n2).alias("w2")
+    )
+    bi = d.select(pair, side, F.explode(z).alias("gz")).select(
+        "pair_id",
+        "side",
+        F.concat_ws(" ", F.col("gz.w1"), F.col("gz.w2")).alias("g"),
+    )
+
+    def fold(grams: DataFrame, oc: str, cc: str, keep_ref: bool) -> DataFrame:
+        counts = grams.groupBy("pair_id", "g").agg(
+            F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).alias("cc"),
+            F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).alias("cr"),
+        )
+        aggs = [
+            F.sum(F.least("cc", "cr")).alias(oc),
+            F.sum("cc").alias(cc),
+        ]
+        if keep_ref:
+            aggs.append(F.sum("cr").alias("ref_n"))
+        return counts.groupBy("pair_id").agg(*aggs)
+
+    f1 = fold(uni, "o1", "c1", keep_ref=True)
+    f2 = fold(bi, "o2", "c2", keep_ref=False)
+    lp1 = F.round(F.log(F.col("o1").cast("double") / F.col("c1")), 9)
+    lp2 = F.round(F.log(F.col("o2").cast("double") / F.col("c2")), 9)
+    bp = F.least(
+        F.lit(0.0), 1.0 - F.col("ref_n").cast("double") / F.col("c1")
+    )
+    return (
+        f1.join(f2, "pair_id")
+        .select(
+            "pair_id",
+            "o1",
+            "c1",
+            "o2",
+            "c2",
+            "ref_n",
+            F.when(
+                (F.col("o1") == 0) | (F.col("o2") == 0),
+                F.lit(None).cast("double"),
+            )
+            .otherwise(F.round((lp1 + lp2) / 2 + bp, 6))
+            .alias("log_bleu2"),
+        )
+        .orderBy("pair_id")
+    )
+
+
+# -- Flesch readability scoring ---------------------------------------------
+
+_READABILITY_ORACLE = """
+WITH m AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         CAST(len(regexp_extract_all(text, '[aeiouy]+')) AS BIGINT)
+           AS n_syllables
+  FROM documents
+),
+s AS (
+  SELECT doc_id, n_words, n_syllables,
+         CAST(CEIL(CAST(n_words AS DOUBLE) / 20) AS BIGINT) AS n_sentences
+  FROM m
+)
+SELECT doc_id, n_words, n_syllables, n_sentences,
+       ROUND(206.835
+             - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+             - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 6)
+         AS reading_ease,
+       ROUND(0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+             + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words)
+             - 15.59, 6) AS fk_grade
+FROM s ORDER BY doc_id
+"""
+
+
+@register("llm_readability", _READABILITY_ORACLE)
+def llm_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading ease + Flesch-Kincaid grade (Kincaid et al. 1975)
+    — the classic quality-filter signal complementing llm_quality_score
+    (ratio gates) and llm_filter_gopher (rule set). Syllables are the
+    standard vowel-group heuristic, counted corpus-honestly as ONE
+    regexp_extract_all over the raw text (codegen; per-word lambda
+    folds run interpreted — CLAUDE.md perf facts). The fixture text
+    has no sentence punctuation, so sentences are fixed 20-word
+    segments (ceil(n/20)) — documented stand-in, same formula shape.
+    Determinism: integer counts, two single divisions, one linear
+    combination, 6-dp round — identical IEEE chain on both engines.
+    Pure map-side at any scale: zero shuffles, no explode.
+    """
+    d = t(spark, sf_dir, "documents")
+    n_words = F.size(F.split("text", " ")).cast("long")
+    n_syll = F.size(
+        F.expr("regexp_extract_all(text, '[aeiouy]+', 0)")
+    ).cast("long")
+    n_sent = F.ceil(n_words.cast("double") / 20).cast("long")
+    wps = n_words.cast("double") / n_sent
+    spw = n_syll.cast("double") / n_words
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_syll.alias("n_syllables"),
+        n_sent.alias("n_sentences"),
+        F.round(206.835 - 1.015 * wps - 84.6 * spw, 6).alias("reading_ease"),
+        F.round(0.39 * wps + 11.8 * spw - 15.59, 6).alias("fk_grade"),
+    ).orderBy("doc_id")
