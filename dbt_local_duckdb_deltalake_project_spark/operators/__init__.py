@@ -139,6 +139,8 @@ _WINDOW_SECOND = [
     # above so the r6/r7 windows and the measured 52-id backlog
     # accounting are untouched — these land in r8's window). ---
     "llm_eval_token_f1", "llm_eval_bleu", "llm_readability",
+    "llm_embed_outliers", "llm_eval_confusion",
+    "agg_heavy_hitters", "win_anomaly_mad",
     # --- end of never-checked block; greens rotate below ---
     "delta_time_travel", "delta_merge_upsert",
     "stream_tumbling", "stream_session", "win_range_frame", "fn_date",  # events/tz consumers

@@ -1982,3 +1982,53 @@ def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_heavy_hitters — φ-frequent items: every token whose global count
+# exceeds N/50. The exact distributed form of frequent-item mining
+# (Misra–Gries / space-saving collapse to this when the stream fits a
+# shuffle): ONE hash aggregation with map-side combine — each mapper
+# emits at most |vocab| partials, so at 100 TB the shuffle carries
+# vocab-bounded state, not tokens — then the scalar total broadcasts
+# back for the threshold test. cnt·50 > N is an exact integer compare,
+# so the knife-edge at the threshold decides identically in both
+# engines at any scale factor. No global window, no rank.
+# ---------------------------------------------------------------------------
+
+_HEAVY_HITTERS_ORACLE = """
+WITH cnt AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY w
+),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM cnt)
+SELECT c.w AS token, c.cnt,
+       ROUND(CAST(c.cnt AS DOUBLE) / t.n, 6) AS share
+FROM cnt c, tot t
+WHERE c.cnt * 50 > t.n
+ORDER BY c.cnt DESC, c.w
+"""
+
+
+@register("agg_heavy_hitters", _HEAVY_HITTERS_ORACLE)
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    cnt = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = cnt.agg(F.sum("cnt").alias("n"))
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .filter(F.col("cnt") * 50 > F.col("n"))
+        .select(
+            F.col("w").alias("token"),
+            "cnt",
+            F.round(F.col("cnt").cast("double") / F.col("n"), 6).alias(
+                "share"
+            ),
+        )
+        .orderBy(F.col("cnt").desc(), "token")
+    )

@@ -5883,3 +5883,209 @@ def llm_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(206.835 - 1.015 * wps - 84.6 * spw, 6).alias("reading_ease"),
         F.round(0.39 * wps + 11.8 * spw - 15.59, 6).alias("fk_grade"),
     ).orderBy("doc_id")
+
+
+# -- Embedding outlier detection --------------------------------------------
+
+_EMBED_OUTLIERS_ORACLE = """
+WITH e AS (
+  SELECT vec_id, label, i - 1 AS pos,
+         CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS vm
+  FROM embeddings, generate_series(1, 64) t(i)
+),
+stats AS (
+  SELECT label, pos, CAST(SUM(vm) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM e GROUP BY label, pos
+),
+dev AS (
+  SELECT e.vec_id, e.label, st.n,
+         SUM(CAST(st.n * e.vm - st.s AS HUGEINT)
+             * (st.n * e.vm - st.s)) AS dist2q
+  FROM e JOIN stats st ON e.label = st.label AND e.pos = st.pos
+  GROUP BY e.vec_id, e.label, st.n
+),
+tot AS (
+  SELECT label, SUM(dist2q) AS sum_d2q, CAST(COUNT(*) AS BIGINT) AS n_label
+  FROM dev GROUP BY label
+)
+SELECT d.vec_id, d.label,
+       ROUND(CAST(d.dist2q AS DOUBLE) / CAST(d.n * d.n AS DOUBLE)
+             / 1000000000000.0, 6) AS dist2,
+       (d.dist2q * t2.n_label > 4 * t2.sum_d2q) AS is_outlier
+FROM dev d JOIN tot t2 ON d.label = t2.label
+ORDER BY d.vec_id
+"""
+
+
+@register("llm_embed_outliers", _EMBED_OUTLIERS_ORACLE)
+def llm_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding quality control: per-label centroid-distance outliers
+    — the mislabeled-example / corrupted-embedding screen run before
+    centroids, k-NN features, or dedup thresholds are trusted. A
+    vector is an outlier when its squared centroid distance exceeds
+    4× the label mean (i.e. >2 sigma-equivalents of the RMS radius).
+    Integer-exact throughout: micros components, and the centroid is
+    never materialized as a rational — n²·dist² = Σ(n·v − s)² uses
+    only the per-(label,pos) SUM and COUNT, squared into decimal
+    (power sums overflow long at 10× scale — CLAUDE.md determinism
+    note), so the outlier inequality dist2q·n_label > 4·Σdist2q is an
+    exact integer compare on both engines. Plan: posexplode → one
+    (label,pos) agg (640 rows, broadcast back) → one (vec,label) agg
+    with map-side combine → 10-row label totals broadcast. No
+    pairwise anything; linear at any vector count.
+    """
+    e = (
+        t(spark, sf_dir, "embeddings")
+        .select("vec_id", "label", F.posexplode("embedding").alias("pos", "v"))
+        .select(
+            "vec_id",
+            "label",
+            F.col("pos").cast("long").alias("pos"),
+            F.round(F.col("v").cast("double") * 1_000_000)
+            .cast("long")
+            .alias("vm"),
+        )
+    )
+    stats = e.groupBy("label", "pos").agg(
+        F.sum("vm").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    d = F.col("n") * F.col("vm") - F.col("s")
+    dev = (
+        e.join(F.broadcast(stats), ["label", "pos"])
+        .groupBy("vec_id", "label", "n")
+        .agg(
+            F.sum(d.cast("decimal(19,0)") * d.cast("decimal(19,0)")).alias(
+                "dist2q"
+            )
+        )
+    )
+    tot = dev.groupBy("label").agg(
+        F.sum("dist2q").alias("sum_d2q"),
+        F.count(F.lit(1)).alias("n_label"),
+    )
+    return (
+        dev.join(F.broadcast(tot), "label")
+        .select(
+            "vec_id",
+            "label",
+            F.round(
+                F.col("dist2q").cast("double")
+                / (F.col("n") * F.col("n")).cast("double")
+                / 1_000_000_000_000.0,
+                6,
+            ).alias("dist2"),
+            (F.col("dist2q") * F.col("n_label") > 4 * F.col("sum_d2q")).alias(
+                "is_outlier"
+            ),
+        )
+        .orderBy("vec_id")
+    )
+
+
+# -- Nearest-centroid classifier confusion matrix ---------------------------
+
+_EVAL_CONFUSION_ORACLE = """
+WITH e AS (
+  SELECT vec_id, label, i - 1 AS pos,
+         CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS vm
+  FROM embeddings, generate_series(1, 64) t(i)
+),
+cent AS (
+  SELECT label AS clab, pos,
+         CAST(ROUND(CAST(SUM(vm) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cm
+  FROM e GROUP BY label, pos
+),
+cand AS (
+  SELECT e.vec_id, c.clab,
+         CAST(SUM((e.vm - c.cm) * (e.vm - c.cm)) AS BIGINT) AS d2
+  FROM e JOIN cent c ON e.pos = c.pos
+  GROUP BY e.vec_id, c.clab
+),
+pred AS (
+  SELECT vec_id, clab AS pred_label
+  FROM (
+    SELECT vec_id, clab,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, clab) AS rk
+    FROM cand
+  ) WHERE rk = 1
+),
+conf AS (
+  SELECT t.label AS true_label, p.pred_label,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM embeddings t JOIN pred p ON t.vec_id = p.vec_id
+  GROUP BY t.label, p.pred_label
+),
+per_true AS (
+  SELECT true_label, CAST(SUM(n) AS BIGINT) AS n_true FROM conf
+  GROUP BY true_label
+)
+SELECT c.true_label, c.pred_label, c.n,
+       ROUND(CAST(c.n AS DOUBLE) / p.n_true, 6) AS recall_share
+FROM conf c JOIN per_true p ON c.true_label = p.true_label
+ORDER BY c.true_label, c.pred_label
+"""
+
+
+@register("llm_eval_confusion", _EVAL_CONFUSION_ORACLE)
+def llm_eval_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation as a confusion matrix: a nearest-centroid
+    classifier over the embedding column is scored against the true
+    label, emitting the (true, predicted) count matrix in long form
+    with per-true-class recall shares — the eval-report table behind
+    every labeling / filtering model iteration. Centroids are
+    quantized to integer micros FIRST (one exact-rounded double
+    division each — both engines round half-away-from-zero), so every
+    distance is an exact long (|diff| ≤ 2.1e6, ×64 « 2^63) and argmin
+    with label tiebreak is engine-exact. Plan: one (label,pos) agg →
+    640-row centroid table BROADCAST to the exploded stream (the
+    classic broadcast-matmul shape: k×dim small side, linear big
+    side), (vec,candidate) partial-agg distances, per-vec argmin via
+    min(struct) — no window over the full stream — then two tiny
+    label-keyed folds. Linear at 100 TB of vectors.
+    """
+    emb = t(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "v")
+    ).select(
+        "vec_id",
+        "label",
+        F.col("pos").cast("long").alias("pos"),
+        F.round(F.col("v").cast("double") * 1_000_000)
+        .cast("long")
+        .alias("vm"),
+    )
+    cent = e.groupBy(F.col("label").alias("clab"), "pos").agg(
+        F.round(F.sum("vm").cast("double") / F.count(F.lit(1)))
+        .cast("long")
+        .alias("cm")
+    )
+    diff = F.col("vm") - F.col("cm")
+    cand = (
+        e.select("vec_id", "pos", "vm")
+        .join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "clab")
+        .agg(F.sum(diff * diff).alias("d2"))
+    )
+    pred = cand.groupBy("vec_id").agg(
+        F.min(F.struct("d2", "clab")).alias("best")
+    ).select("vec_id", F.col("best.clab").alias("pred_label"))
+    conf = (
+        emb.select("vec_id", F.col("label").alias("true_label"))
+        .join(pred, "vec_id")
+        .groupBy("true_label", "pred_label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    per_true = conf.groupBy("true_label").agg(F.sum("n").alias("n_true"))
+    return (
+        conf.join(F.broadcast(per_true), "true_label")
+        .select(
+            "true_label",
+            "pred_label",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("n_true"), 6).alias(
+                "recall_share"
+            ),
+        )
+        .orderBy("true_label", "pred_label")
+    )

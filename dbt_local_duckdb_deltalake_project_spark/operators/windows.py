@@ -1190,3 +1190,70 @@ def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+_ANOMALY_MAD_ORACLE = """
+WITH v AS (
+  SELECT event_id, user_id, ts,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+w AS (
+  SELECT event_id, user_id, cents,
+         median(cents) OVER fr AS med,
+         mad(cents) OVER fr AS mad
+  FROM v
+  WINDOW fr AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, med AS med_cents, mad AS mad_cents,
+       (abs(cents - med) > 3 * mad) AS is_anomaly
+FROM w ORDER BY user_id, event_id
+"""
+
+
+@register("win_anomaly_mad", _ANOMALY_MAD_ORACLE)
+def win_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly flagging over the trailing 5 readings per user:
+    a point is anomalous when its deviation from the frame median
+    exceeds 3× the frame's median absolute deviation — the
+    Hampel-filter shape monitoring pipelines run where a rolling
+    z-score (win_rolling_zscore) would let one spike inflate its own
+    sigma. Spark lacks MEDIAN/MAD window frames, so the fixed frame is
+    UNROLLED twice (win_rolling_median lesson): once for the median,
+    once over the |x − med| deviations — both arrays are codegen
+    expressions, no HOF lambdas. Everything stays in scaled integers
+    (med2 = 2·median is integer because cents sums pair-even; mad4 =
+    4·MAD likewise), so the flag 2·dev2 > 3·mad4 is an exact integer
+    compare, bit-equal to DuckDB's native interpolating MEDIAN/MAD
+    windows (dyadic halves are exact doubles). One shuffle on
+    user_id; frame-bounded unroll, same 100 TB shape as the zscore op.
+    """
+    v = t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.round(F.col("value") * 100).cast("long") * 2).alias("c2"),
+    )
+    ow = W.partitionBy("user_id").orderBy("ts", "event_id")
+    lags = [F.col("c2")] + [F.lag("c2", k).over(ow) for k in range(1, 5)]
+    arr = F.array_sort(F.array(*lags))
+    n = F.least(F.row_number().over(ow), F.lit(5))
+    lo = F.element_at(arr, F.floor((n + F.lit(1)) / 2).cast("int"))
+    hi = F.element_at(arr, (F.floor(n / 2) + F.lit(1)).cast("int"))
+    med2 = ((lo + hi) / 2).cast("long")  # exact: lo+hi is even
+    devarr = F.array_sort(F.array(*[F.abs(c - med2) for c in lags]))
+    dlo = F.element_at(devarr, F.floor((n + F.lit(1)) / 2).cast("int"))
+    dhi = F.element_at(devarr, (F.floor(n / 2) + F.lit(1)).cast("int"))
+    mad4 = dlo + dhi  # 4×MAD: dev2 values are 2×deviation
+    dev2 = F.abs(F.col("c2") - med2)  # 2×deviation
+    return (
+        v.select(
+            "event_id",
+            "user_id",
+            (med2 / F.lit(2.0)).alias("med_cents"),
+            (mad4 / F.lit(4.0)).alias("mad_cents"),
+            (2 * dev2 > 3 * mad4).alias("is_anomaly"),
+        )
+        .orderBy("user_id", "event_id")
+    )
