@@ -141,6 +141,8 @@ _WINDOW_SECOND = [
     "llm_eval_token_f1", "llm_eval_bleu", "llm_readability",
     "llm_embed_outliers", "llm_eval_confusion",
     "agg_heavy_hitters", "win_anomaly_mad",
+    "graph_label_propagation", "graph_degree_stats",
+    "join_interval_overlap", "dbt_semantic_metric", "mm_audio_chunk_plan",
     # --- end of never-checked block; greens rotate below ---
     "delta_time_travel", "delta_merge_upsert",
     "stream_tumbling", "stream_session", "win_range_frame", "fn_date",  # events/tz consumers

@@ -1193,3 +1193,77 @@ def dbt_snapshot_hard_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tbl.read(spark).select(
         "s_suppkey", "s_nationkey", "valid_from", "valid_to"
     ).orderBy("s_suppkey", "valid_from")
+
+
+# -- semantic-layer metric query --------------------------------------------
+
+_SEMANTIC_METRIC_ORACLE = """
+WITH base AS (
+  SELECT CAST(DATE_TRUNC('month', o.o_orderdate) AS TIMESTAMP)
+           AS order_month,
+         CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                             * 1000000) AS BIGINT)) AS BIGINT)
+           AS revenue_micros,
+         CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  GROUP BY DATE_TRUNC('month', o.o_orderdate)
+)
+SELECT 'revenue' AS metric, order_month, revenue_micros AS value_micros
+FROM base
+UNION ALL
+SELECT 'order_count' AS metric, order_month, n_orders FROM base
+UNION ALL
+SELECT 'avg_order_value' AS metric, order_month,
+       revenue_micros // n_orders
+FROM base
+ORDER BY metric, order_month
+"""
+
+
+@register("dbt_semantic_metric", _SEMANTIC_METRIC_ORACLE)
+def dbt_semantic_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-layer metric query (dbt MetricFlow shape): a metric
+    catalog — two simple measures (`revenue`, `order_count`) and one
+    DERIVED ratio metric (`avg_order_value = revenue / order_count`)
+    — queried at a month grain and emitted long-form (metric, grain,
+    value), the contract a BI layer consumes. The semantic model
+    (orders ⋈ lineitem) is aggregated ONCE; all three metrics fan out
+    from that single pass with a stack/unpivot, so adding a metric
+    never adds a scan. Values are exact micros longs (the house money
+    discipline); the derived metric uses truncating division, which
+    Spark's `div` and DuckDB's `//` agree on for the non-negative
+    revenue (the llm_cosine_topk_ivf lesson: they differ toward zero
+    vs floor only for NEGATIVE operands, which money sums here never
+    produce). One shuffle; month-grain output is KBs at any scale.
+    """
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    base = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(
+            F.date_trunc("month", "o_orderdate").alias("order_month")
+        )
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    * 1_000_000
+                ).cast("long")
+            ).alias("revenue_micros"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+    return (
+        base.select(
+            "order_month",
+            F.expr(
+                "stack(3,"
+                " 'revenue', revenue_micros,"
+                " 'order_count', n_orders,"
+                " 'avg_order_value', revenue_micros div n_orders"
+                ") AS (metric, value_micros)"
+            ),
+        )
+        .select("metric", "order_month", "value_micros")
+        .orderBy("metric", "order_month")
+    )

@@ -499,3 +499,155 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("jaccard_ppm").desc(), "s1", "s2")
         .limit(20)
     )
+
+
+_LABEL_PROP_ORACLE = """
+WITH pairs AS (
+  SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS c,
+                  's:' || CAST(l_suppkey AS VARCHAR) AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE (o_custkey + l_suppkey) % 7 = 0
+),
+edges AS (
+  SELECT c AS src, s AS dst FROM pairs
+  UNION ALL
+  SELECT s AS src, c AS dst FROM pairs
+),
+l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+l1 AS (
+  SELECT e.dst AS node, LEAST(MIN(l.label), MIN(e.dst)) AS label
+  FROM edges e JOIN l0 l ON l.node = e.src GROUP BY e.dst
+),
+l2 AS (
+  SELECT e.dst AS node, LEAST(MIN(l.label), MIN(e.dst)) AS label
+  FROM edges e JOIN l1 l ON l.node = e.src GROUP BY e.dst
+),
+l3 AS (
+  SELECT e.dst AS node, LEAST(MIN(l.label), MIN(e.dst)) AS label
+  FROM edges e JOIN l2 l ON l.node = e.src GROUP BY e.dst
+)
+SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS n_members,
+       MIN(node) AS min_node, MAX(node) AS max_node
+FROM l3 GROUP BY label ORDER BY community
+"""
+
+
+@register("graph_label_propagation", _LABEL_PROP_ORACLE)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous min-label propagation, 3 rounds, over the
+    customer–supplier bipartite graph — the community-detection
+    primitive (LPA, Raghavan et al. 2007, with the deterministic
+    min-label tie rule): after k rounds every node carries the
+    smallest label in its k-hop neighborhood. Distinct from
+    graph_connected_components (which iterates to convergence with
+    star contractions) — LPA's fixed round budget IS the operator
+    semantics, so the unrolled form is exact, not a shortcut. Each
+    round is one edges⋈labels hash join + one min-aggregation with
+    map-side combine (labels shrink toward the minimum, so partial
+    aggregation collapses duplicates early); edges are
+    localCheckpoint'd once and reused across rounds (bounded lineage,
+    same discipline as pagerank). Communities are then folded to one
+    row each. At 100 TB: hash-partition edges by src once and every
+    round co-locates — k scans, no quadratic anything.
+    """
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        # sparsify so the fixture graph fragments into real communities
+        # (the unfiltered bipartite graph is 3-hop-connected and LPA
+        # would collapse to one label — a vacuous demo)
+        .filter((F.col("o_custkey") + F.col("l_suppkey")) % 7 == 0)
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias(
+                "c"
+            ),
+            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias(
+                "s"
+            ),
+        )
+        .distinct()
+    )
+    edges = (
+        pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+        .union(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(3):
+        labels = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(edges.dst.alias("node"))
+            .agg(
+                F.least(F.min("label"), F.min(edges.dst)).alias("label")
+            )
+        )
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("node").alias("min_node"),
+            F.max("node").alias("max_node"),
+        )
+        .orderBy("community")
+    )
+
+
+_DEGREE_STATS_ORACLE = """
+WITH pairs AS (
+  SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS c,
+                  's:' || CAST(l_suppkey AS VARCHAR) AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+  FROM (
+    SELECT c AS node FROM pairs UNION ALL SELECT s AS node FROM pairs
+  ) GROUP BY node
+)
+SELECT substring(node, 1, 1) AS node_type, degree,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM deg GROUP BY substring(node, 1, 1), degree
+ORDER BY node_type, degree
+"""
+
+
+@register("graph_degree_stats", _DEGREE_STATS_ORACLE)
+def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-distribution profile of the bipartite graph: per node
+    side (customer/supplier), how many nodes have each degree — the
+    first diagnostic every graph pipeline runs (skew detection: a
+    power-law tail here is what forces salting/sparsification in the
+    heavier graph ops). Two algebraic aggregations, both map-side
+    combinable; the distribution output is bounded by max-degree, not
+    node count, so it collapses to KBs at any scale.
+    """
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias(
+                "c"
+            ),
+            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias(
+                "s"
+            ),
+        )
+        .distinct()
+    )
+    deg = (
+        pairs.select(F.col("c").alias("node"))
+        .union(pairs.select(F.col("s").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return (
+        deg.groupBy(
+            F.substring("node", 1, 1).alias("node_type"), "degree"
+        )
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy("node_type", "degree")
+    )

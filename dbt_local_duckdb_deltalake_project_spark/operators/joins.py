@@ -1035,3 +1035,98 @@ def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_suppkey")
     )
+
+
+_INTERVAL_OVERLAP_ORACLE = """
+WITH camp AS (
+  SELECT s_suppkey AS campaign_id,
+         (s_suppkey * 37) % 2000 AS sa,
+         (s_suppkey * 37) % 2000 + (s_suppkey % 45) + 5 AS ea
+  FROM supplier
+),
+act AS (
+  SELECT c_custkey AS cust_id,
+         (c_custkey * 17) % 2000 AS cb,
+         (c_custkey * 17) % 2000 + (c_custkey % 30) + 3 AS eb
+  FROM customer
+)
+SELECT a.campaign_id,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(LEAST(a.ea, b.eb) - GREATEST(a.sa, b.cb)) AS BIGINT)
+         AS overlap_days
+FROM camp a JOIN act b ON a.sa < b.eb AND b.cb < a.ea
+GROUP BY a.campaign_id
+ORDER BY a.campaign_id
+"""
+
+
+@register("join_interval_overlap", _INTERVAL_OVERLAP_ORACLE)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval overlap join — the genomics/ad-exposure
+    pattern where BOTH sides are ranges (vs join_range_bucketed's
+    point-in-interval). The naive `a.start < b.end AND b.start <
+    a.end` plans as a nested loop; here both sides explode to the
+    fixed-width buckets they cover (width 64 ≥ both max lengths ⇒ ≤2
+    buckets each) and overlap becomes a bucket EQUI-join + the exact
+    residual predicate. An overlapping pair can now meet in up to two
+    buckets, so each pair is counted ONCE in the bucket that contains
+    the later of the two starts — the standard dedup rule that keeps
+    the join duplicate-free without a distinct. Overlap length is
+    pure integer day arithmetic. O(N+M) shuffle at any scale; bucket
+    width trades explode factor vs residual selectivity exactly as in
+    the point form.
+    """
+    width = 64
+    sup = t(spark, sf_dir, "supplier")
+    camp = sup.select(
+        F.col("s_suppkey").alias("campaign_id"),
+        ((F.col("s_suppkey") * 37) % 2000).alias("sa"),
+        (
+            (F.col("s_suppkey") * 37) % 2000 + (F.col("s_suppkey") % 45) + 5
+        ).alias("ea"),
+    ).withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("sa") / width),
+                F.floor((F.col("ea") - 1) / width),
+            )
+        ),
+    )
+    cust = t(spark, sf_dir, "customer")
+    act = cust.select(
+        F.col("c_custkey").alias("cust_id"),
+        ((F.col("c_custkey") * 17) % 2000).alias("cb"),
+        (
+            (F.col("c_custkey") * 17) % 2000 + (F.col("c_custkey") % 30) + 3
+        ).alias("eb"),
+    ).withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("cb") / width),
+                F.floor((F.col("eb") - 1) / width),
+            )
+        ),
+    )
+    return (
+        act.join(F.broadcast(camp), "bucket")
+        .filter(
+            (F.col("sa") < F.col("eb"))
+            & (F.col("cb") < F.col("ea"))
+            # count each overlapping pair exactly once: in the bucket
+            # holding the later start
+            & (
+                F.col("bucket")
+                == F.floor(F.greatest("sa", "cb") / width)
+            )
+        )
+        .groupBy("campaign_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(
+                F.least("ea", "eb") - F.greatest("sa", "cb")
+            ).alias("overlap_days"),
+        )
+        .orderBy("campaign_id")
+    )

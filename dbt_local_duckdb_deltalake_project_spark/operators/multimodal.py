@@ -418,3 +418,70 @@ def mm_aspect_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "mm_audio_chunk_plan",
+    """
+    WITH audio AS (
+      SELECT doc_id AS media_id,
+             [16000, 22050, 44100][((doc_id // 3) % 3) + 1] AS sample_rate,
+             octet_length(encode(text)) * 7 AS duration_ms
+      FROM documents WHERE doc_id % 3 = 1
+    )
+    SELECT media_id, sample_rate, duration_ms,
+           CAST(s.start_ms AS BIGINT) AS start_ms,
+           CAST(LEAST(s.start_ms + 30000, duration_ms) AS BIGINT) AS end_ms,
+           CAST((LEAST(s.start_ms + 30000, duration_ms) - s.start_ms)
+                * sample_rate // 1000 AS BIGINT) AS n_samples
+    FROM audio,
+         LATERAL (SELECT unnest(range(0, duration_ms, 25000)) AS start_ms) s
+    ORDER BY media_id, start_ms
+    """,
+)
+def mm_audio_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio chunking plan: split each clip into 30 s windows on a
+    25 s stride (5 s overlap, the ASR-pipeline staple) from METADATA
+    only — like mm_resize_plan/mm_frame_sample, the plan is computed
+    without touching payload bytes (sample_rate/duration would come
+    from a real header probe; here they derive deterministically from
+    the fixture so the oracle can recompute them). The chunk table is
+    what a downstream decode stage consumes, one Arrow batch per
+    partition of (media_id, start_ms). sequence+explode is linear in
+    output chunks; n_samples is exact integer arithmetic (truncating
+    div, non-negative operands agree across engines).
+    """
+    audio = _payloads(spark, sf_dir).filter(
+        F.col("media_type") == "audio"
+    ).select(
+        "media_id",
+        F.element_at(
+            F.array(F.lit(16000), F.lit(22050), F.lit(44100)),
+            (F.expr("media_id div 3") % 3 + 1).cast("int"),
+        ).alias("sample_rate"),
+        (F.octet_length("payload").cast("long") * 7).alias("duration_ms"),
+    )
+    chunks = audio.select(
+        "media_id",
+        "sample_rate",
+        "duration_ms",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                F.col("duration_ms") - 1,
+                F.lit(25000).cast("long"),
+            )
+        ).alias("start_ms"),
+    )
+    end_ms = F.least(F.col("start_ms") + 30000, F.col("duration_ms"))
+    return chunks.select(
+        "media_id",
+        "sample_rate",
+        "duration_ms",
+        "start_ms",
+        end_ms.alias("end_ms"),
+        F.expr(
+            "(least(start_ms + 30000, duration_ms) - start_ms)"
+            " * sample_rate div 1000"
+        ).alias("n_samples"),
+    ).orderBy("media_id", "start_ms")
