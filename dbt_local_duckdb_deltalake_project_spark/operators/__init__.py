@@ -143,6 +143,8 @@ _WINDOW_SECOND = [
     "agg_heavy_hitters", "win_anomaly_mad",
     "graph_label_propagation", "graph_degree_stats",
     "join_interval_overlap", "dbt_semantic_metric", "mm_audio_chunk_plan",
+    "llm_eval_ndcg", "llm_hard_negatives", "llm_eval_calibration",
+    "udf_python_arrow",
     # --- end of never-checked block; greens rotate below ---
     "delta_time_travel", "delta_merge_upsert",
     "stream_tumbling", "stream_session", "win_range_frame", "fn_date",  # events/tz consumers

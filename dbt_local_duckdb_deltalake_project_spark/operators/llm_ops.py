@@ -6089,3 +6089,364 @@ def llm_eval_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("true_label", "pred_label")
     )
+
+
+# -- nDCG ranking evaluation -------------------------------------------------
+
+_NDCG_ORACLE = """
+WITH scored AS (
+  SELECT user_id, event_id,
+         CAST(('0x' || substr(md5('p:' || CAST(event_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 1000000 AS pred_ppm,
+         CAST(ROUND(value * 100) AS BIGINT) % 4 AS grade
+  FROM events
+),
+ranked AS (
+  SELECT user_id, grade,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY pred_ppm DESC, event_id) AS pos
+  FROM scored
+),
+ideal AS (
+  SELECT user_id, grade,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY grade DESC, event_id) AS pos
+  FROM scored
+),
+dcg AS (
+  SELECT user_id,
+         CAST(SUM(CAST(ROUND(((1 << grade) - 1)
+               / (ROUND(ln(pos + 1.0), 9) / ROUND(ln(2.0), 9))
+               * 1000000) AS BIGINT)) AS BIGINT) AS dcg_m
+  FROM ranked WHERE pos <= 10 GROUP BY user_id
+),
+idcg AS (
+  SELECT user_id,
+         CAST(SUM(CAST(ROUND(((1 << grade) - 1)
+               / (ROUND(ln(pos + 1.0), 9) / ROUND(ln(2.0), 9))
+               * 1000000) AS BIGINT)) AS BIGINT) AS idcg_m
+  FROM ideal WHERE pos <= 10 GROUP BY user_id
+)
+SELECT d.user_id, d.dcg_m, i.idcg_m,
+       CASE WHEN i.idcg_m = 0 THEN NULL
+            ELSE ROUND(CAST(d.dcg_m AS DOUBLE) / i.idcg_m, 6) END AS ndcg10
+FROM dcg d JOIN idcg i ON d.user_id = i.user_id
+ORDER BY d.user_id
+"""
+
+
+@register("llm_eval_ndcg", _NDCG_ORACLE)
+def llm_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 ranking evaluation (Järvelin & Kekäläinen 2002) — the
+    search/recsys/reranker eval staple: items ranked by a model score
+    (deterministic md5-keyed stand-in; swap in real scores, plan
+    unchanged) are judged against graded relevance, normalized by the
+    ideal ordering. Ideal-rank grade ties are broken by event_id —
+    any tie order yields the SAME IDCG (equal gains at adjacent
+    positions), but a deterministic order keeps both engines'
+    position assignment identical. Per-position terms are quantized
+    to micros BEFORE summing (the 2^g−1 gain is integer; the
+    log2(pos+1) discount is the 9-dp-pre-rounded ln chain — positions
+    are bounded by the cutoff so the discount set is 10 constants),
+    making the per-user DCG sums exact longs; nDCG is one final
+    division. Two per-user rank windows + two algebraic folds; at
+    100 TB the user key shards everything.
+    """
+    e = t(spark, sf_dir, "events")
+    scored = e.select(
+        "user_id",
+        "event_id",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("p:"), F.col("event_id").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 1_000_000
+        ).alias("pred_ppm"),
+        (F.round(F.col("value") * 100).cast("long") % 4).alias("grade"),
+    )
+
+    def fold(ordered: DataFrame, out: str) -> DataFrame:
+        disc = F.round(F.log(F.col("pos") + 1.0), 9) / F.round(
+            F.log(F.lit(2.0)), 9
+        )
+        term = F.round(
+            (F.expr("shiftleft(1, cast(grade AS int))") - 1) / disc
+            * 1_000_000
+        ).cast("long")
+        return (
+            ordered.filter(F.col("pos") <= 10)
+            .groupBy("user_id")
+            .agg(F.sum(term).alias(out))
+        )
+
+    ranked = scored.select(
+        "user_id",
+        "grade",
+        F.row_number()
+        .over(
+            W.partitionBy("user_id").orderBy(
+                F.col("pred_ppm").desc(), "event_id"
+            )
+        )
+        .alias("pos"),
+    )
+    ideal = scored.select(
+        "user_id",
+        "grade",
+        F.row_number()
+        .over(
+            W.partitionBy("user_id").orderBy(
+                F.col("grade").desc(), "event_id"
+            )
+        )
+        .alias("pos"),
+    )
+    dcg = fold(ranked, "dcg_m")
+    idcg = fold(ideal, "idcg_m")
+    return (
+        dcg.join(idcg, "user_id")
+        .select(
+            "user_id",
+            "dcg_m",
+            "idcg_m",
+            F.when(F.col("idcg_m") == 0, F.lit(None).cast("double"))
+            .otherwise(
+                F.round(F.col("dcg_m").cast("double") / F.col("idcg_m"), 6)
+            )
+            .alias("ndcg10"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# -- Hard-negative mining ----------------------------------------------------
+
+_HARD_NEG_ORACLE = """
+WITH e AS (
+  SELECT vec_id, label, i - 1 AS pos,
+         CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS vm
+  FROM embeddings, generate_series(1, 64) t(i)
+),
+q AS (SELECT * FROM e WHERE vec_id % 50 = 0),
+qlab AS (SELECT DISTINCT vec_id AS qid, label AS qlabel FROM embeddings
+         WHERE vec_id % 50 = 0),
+dots AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         CAST(SUM(q.vm * c.vm) AS BIGINT) AS dot_m2
+  FROM q JOIN e c ON q.pos = c.pos
+  GROUP BY q.vec_id, c.vec_id
+),
+tagged AS (
+  SELECT d.query_id, d.cand_id, cl.label AS neg_label, d.dot_m2,
+         ROW_NUMBER() OVER (PARTITION BY d.query_id
+                            ORDER BY d.dot_m2 DESC, d.cand_id) AS rk
+  FROM dots d
+  JOIN (SELECT DISTINCT vec_id, label FROM embeddings) cl
+    ON d.cand_id = cl.vec_id
+  JOIN qlab ql ON d.query_id = ql.qid
+  WHERE cl.label <> ql.qlabel
+)
+SELECT query_id, cand_id AS neg_vec_id, neg_label, dot_m2, rk
+FROM tagged WHERE rk <= 2
+ORDER BY query_id, rk
+"""
+
+
+@register("llm_hard_negatives", _HARD_NEG_ORACLE)
+def llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive/retriever training (DPR,
+    Karpukhin et al. 2020): for each query vector, the top-2
+    most-similar vectors carrying a DIFFERENT label — the negatives
+    that actually move a bi-encoder, vs easy random ones. Similarity
+    is the exact integer micros dot product (|Σ vm·vm| ≤ 64·2.8e11 «
+    2^63 — no float accumulation, no sqrt needed for ranking), so the
+    top-2 cut is engine-exact with the vec_id tiebreak. Plan: the
+    query slice (2% of vectors) BROADCASTS to the exploded corpus
+    stream — the same broadcast-matmul shape as llm_eval_confusion
+    with queries in place of centroids; per-(query,cand) partial-sum
+    fold, label filter, then a rank window partitioned by query (k
+    small and bounded). At 100 TB mine per IVF cell (llm_cosine_
+    topk_ivf) to keep the candidate stream sublinear; the exact
+    verify stays this plan.
+    """
+    emb = t(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "v")
+    ).select(
+        "vec_id",
+        "label",
+        F.col("pos").cast("long").alias("pos"),
+        F.round(F.col("v").cast("double") * 1_000_000)
+        .cast("long")
+        .alias("vm"),
+    )
+    q = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        "pos",
+        F.col("vm").alias("qm"),
+    )
+    dots = (
+        e.join(F.broadcast(q), "pos")
+        .filter(F.col("label") != F.col("qlabel"))
+        .groupBy("query_id", F.col("vec_id").alias("neg_vec_id"),
+                 F.col("label").alias("neg_label"))
+        .agg(F.sum(F.col("qm") * F.col("vm")).alias("dot_m2"))
+    )
+    rk = F.row_number().over(
+        W.partitionBy("query_id").orderBy(
+            F.col("dot_m2").desc(), F.col("neg_vec_id")
+        )
+    )
+    return (
+        dots.select("query_id", "neg_vec_id", "neg_label", "dot_m2",
+                    rk.cast("long").alias("rk"))
+        .filter(F.col("rk") <= 2)
+        .orderBy("query_id", "rk")
+    )
+
+
+# -- Classifier calibration (ECE bins) ---------------------------------------
+
+_CALIBRATION_ORACLE = """
+WITH e AS (
+  SELECT vec_id, label, i - 1 AS pos,
+         CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS vm
+  FROM embeddings, generate_series(1, 64) t(i)
+),
+cent AS (
+  SELECT label AS clab, pos,
+         CAST(ROUND(CAST(SUM(vm) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cm
+  FROM e GROUP BY label, pos
+),
+cand AS (
+  SELECT e.vec_id, c.clab,
+         CAST(SUM((e.vm - c.cm) * (e.vm - c.cm)) AS BIGINT) AS d2
+  FROM e JOIN cent c ON e.pos = c.pos
+  GROUP BY e.vec_id, c.clab
+),
+top2 AS (
+  SELECT vec_id, clab, d2,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, clab) AS rk
+  FROM cand
+),
+per_vec AS (
+  SELECT b.vec_id, b.clab AS pred_label, b.d2 AS d2_best, s.d2 AS d2_second,
+         CAST(FLOOR(1000000.0 * s.d2 / (b.d2 + s.d2)) AS BIGINT) AS conf_ppm
+  FROM (SELECT * FROM top2 WHERE rk = 1) b
+  JOIN (SELECT * FROM top2 WHERE rk = 2) s ON b.vec_id = s.vec_id
+),
+judged AS (
+  SELECT p.conf_ppm,
+         LEAST(CAST((p.conf_ppm - 500000) // 2500 AS BIGINT), 9) AS bin,
+         CASE WHEN p.pred_label = t.label THEN 1 ELSE 0 END AS correct
+  FROM per_vec p JOIN embeddings t ON p.vec_id = t.vec_id
+)
+SELECT bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CAST(SUM(conf_ppm) AS DOUBLE) / COUNT(*) / 1000000.0, 6)
+         AS avg_conf,
+       ROUND(CAST(SUM(correct) AS DOUBLE) / COUNT(*), 6) AS accuracy,
+       ROUND(ABS(CAST(SUM(correct) AS DOUBLE) / COUNT(*)
+                 - CAST(SUM(conf_ppm) AS DOUBLE) / COUNT(*) / 1000000.0), 6)
+         AS calib_gap
+FROM judged GROUP BY bin ORDER BY bin
+"""
+
+
+@register("llm_eval_calibration", _CALIBRATION_ORACLE)
+def llm_eval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration audit of the nearest-centroid classifier
+    (reliability-diagram bins, the per-bin terms of ECE — Guo et al.
+    2017): confidence = d2_second/(d2_best+d2_second), the margin
+    ratio in [0.5, 1] (exact rational — no softmax, no
+    transcendentals), binned into 10 equal-width bins over the
+    [0.5, 0.525] margin band the fixture classifier actually occupies
+    (clamped above; real logits would use [0, 1] bins) with per-bin
+    count, mean confidence, accuracy, and |gap|. A filtering pipeline
+    reads this table to decide whether classifier scores can be
+    trusted as keep-probabilities or need temperature scaling. Same
+    broadcast-matmul candidate fold as llm_eval_confusion; the
+    best/second extraction is one per-vec rank window (rows bounded
+    by #labels per vec) and the bin fold is algebraic. All divisions
+    single-op on exact integers; linear at any vector count.
+    """
+    emb = t(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "v")
+    ).select(
+        "vec_id",
+        "label",
+        F.col("pos").cast("long").alias("pos"),
+        F.round(F.col("v").cast("double") * 1_000_000)
+        .cast("long")
+        .alias("vm"),
+    )
+    cent = e.groupBy(F.col("label").alias("clab"), "pos").agg(
+        F.round(F.sum("vm").cast("double") / F.count(F.lit(1)))
+        .cast("long")
+        .alias("cm")
+    )
+    diff = F.col("vm") - F.col("cm")
+    cand = (
+        e.select("vec_id", "pos", "vm")
+        .join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "clab")
+        .agg(F.sum(diff * diff).alias("d2"))
+    )
+    # one window pass, then a conditional pivot — re-filtering the
+    # ranked frame twice would re-evaluate the window per branch
+    top2 = cand.select(
+        "vec_id",
+        "clab",
+        "d2",
+        F.row_number()
+        .over(W.partitionBy("vec_id").orderBy("d2", "clab"))
+        .alias("rk"),
+    ).filter(F.col("rk") <= 2)
+    pivoted = top2.groupBy("vec_id").agg(
+        F.max(F.when(F.col("rk") == 1, F.col("clab"))).alias("pred_label"),
+        F.max(F.when(F.col("rk") == 1, F.col("d2"))).alias("d2_best"),
+        F.max(F.when(F.col("rk") == 2, F.col("d2"))).alias("d2_second"),
+    )
+    # FLOOR, not ROUND: the ratio's denominator is huge, so the exact
+    # rational can sit within double noise of a .5 boundary where the
+    # engines' rounding modes (shortest-repr HALF_UP vs binary
+    # half-away) diverge — floor of the identical double never does.
+    conf_ppm = F.floor(
+        1_000_000.0 * F.col("d2_second")
+        / (F.col("d2_best") + F.col("d2_second"))
+    ).cast("long")
+    judged = (
+        pivoted.select("vec_id", "pred_label", conf_ppm.alias("conf_ppm"))
+        .join(emb.select("vec_id", "label"), "vec_id")
+        .select(
+            "conf_ppm",
+            F.least(
+                F.expr("(conf_ppm - 500000) div 2500"), F.lit(9)
+            ).alias("bin"),
+            F.when(F.col("pred_label") == F.col("label"), 1)
+            .otherwise(0)
+            .alias("correct"),
+        )
+    )
+    acc = F.sum("correct").cast("double") / F.count(F.lit(1))
+    avg_conf = (
+        F.sum("conf_ppm").cast("double") / F.count(F.lit(1)) / 1_000_000.0
+    )
+    return (
+        judged.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(avg_conf, 6).alias("avg_conf"),
+            F.round(acc, 6).alias("accuracy"),
+            F.round(F.abs(acc - avg_conf), 6).alias("calib_gap"),
+        )
+        .orderBy("bin")
+    )

@@ -406,3 +406,42 @@ def udtf_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY doc_id
         """
     )
+
+
+@register(
+    "udf_python_arrow",
+    """
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'debit'
+                WHEN c_acctbal < 5000 THEN 'standard'
+                ELSE 'premium' END
+           || ':' || c_mktsegment AS account_class
+    FROM customer
+    """,
+)
+def udf_python_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Arrow-optimized Python UDF (`useArrow=True`): the same
+    row-wise signature as udf_python but executed over Arrow record
+    batches instead of pickled rows — the documented migration path
+    that removes most of the row-UDF serde tax without rewriting the
+    function as a pandas_udf. Logic is exact (threshold banding +
+    string concat on 2-dp balances), so results are engine-portable.
+    Still Python — the hot-path rule (builtins first, pandas_udf
+    second) stands; this op pins the surface and its plan shape
+    (ArrowEvalPython, one batch exchange, no per-row pickling).
+    """
+    @F.udf(T.StringType(), useArrow=True)
+    def account_class(bal: float, seg: str) -> str:
+        if bal < 0:
+            band = "debit"
+        elif bal < 5000:
+            band = "standard"
+        else:
+            band = "premium"
+        return f"{band}:{seg}"
+
+    c = t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        account_class("c_acctbal", "c_mktsegment").alias("account_class"),
+    )

@@ -62,6 +62,18 @@ OPS = [
     # staged-old-labels incremental CC (cold-builds its label staging
     # for the replicated fixture, then runs the increment over it)
     "llm_dedup_clusters_incremental",
+    # session-3 adds: decimal power-sum outlier screen (overflow risk
+    # class), broadcast-matmul confusion (10x vectors × 10 centroids),
+    # bigram BLEU fold, per-user MAD frames over 10x events, bucketed
+    # interval×interval join, vocab-bounded heavy hitters
+    "llm_embed_outliers",
+    "llm_eval_confusion",
+    "llm_hard_negatives",
+    "llm_eval_ndcg",
+    "llm_eval_bleu",
+    "win_anomaly_mad",
+    "join_interval_overlap",
+    "agg_heavy_hitters",
 ]
 
 

@@ -105,3 +105,44 @@ def test_audio_chunk_plan_pure_mapside(spark, sf_dir):
     n = nodes(spark, sf_dir, "mm_audio_chunk_plan")
     assert n["Exchange hashpartitioning"] == 0
     assert not any(k.endswith("Join") or k == "CartesianProduct" for k in n)
+
+
+def test_ndcg_two_user_windows_only(spark, sf_dir):
+    # model-rank + ideal-rank are the only two windows, both partitioned
+    # by user_id; the folds partial-aggregate.
+    n = nodes(spark, sf_dir, "llm_eval_ndcg")
+    assert n["Window"] == 2
+    assert n["partial_sum"] >= 1
+    assert n["CartesianProduct"] == 0 and n["BroadcastNestedLoopJoin"] == 0
+
+
+def test_hard_negatives_query_slice_broadcasts(spark, sf_dir):
+    # the 2% query slice broadcasts to the exploded corpus; the only
+    # window is the per-query top-2 rank.
+    n = nodes(spark, sf_dir, "llm_hard_negatives")
+    assert n["BroadcastHashJoin"] >= 1
+    assert n["partial_sum"] >= 1
+    assert n["Window"] == 1
+    assert n["CartesianProduct"] == 0 and n["BroadcastNestedLoopJoin"] == 0
+
+
+def test_calibration_broadcast_and_one_rank_window(spark, sf_dir):
+    n = nodes(spark, sf_dir, "llm_eval_calibration")
+    assert n["BroadcastHashJoin"] >= 1
+    assert n["Window"] == 1
+    assert n["CartesianProduct"] == 0 and n["BroadcastNestedLoopJoin"] == 0
+
+
+def test_arrow_udf_plans_as_arrow_eval(spark, sf_dir):
+    # useArrow=True must plan as ArrowEvalPython (Arrow batch exec),
+    # not the pickled-row BatchEvalPython of the legacy surface.
+    from dbt_local_duckdb_deltalake_project_spark.operators import QUERIES
+
+    p = (
+        QUERIES["udf_python_arrow"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" in p
+    assert "BatchEvalPython" not in p
