@@ -6233,9 +6233,9 @@ WITH e AS (
          CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS vm
   FROM embeddings, generate_series(1, 64) t(i)
 ),
-q AS (SELECT * FROM e WHERE vec_id % 50 = 0),
+q AS (SELECT * FROM e WHERE vec_id % 50 = 0 AND vec_id < 500),
 qlab AS (SELECT DISTINCT vec_id AS qid, label AS qlabel FROM embeddings
-         WHERE vec_id % 50 = 0),
+         WHERE vec_id % 50 = 0 AND vec_id < 500),
 dots AS (
   SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
          CAST(SUM(q.vm * c.vm) AS BIGINT) AS dot_m2
@@ -6266,14 +6266,16 @@ def llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     that actually move a bi-encoder, vs easy random ones. Similarity
     is the exact integer micros dot product (|Σ vm·vm| ≤ 64·2.8e11 «
     2^63 — no float accumulation, no sqrt needed for ranking), so the
-    top-2 cut is engine-exact with the vec_id tiebreak. Plan: the
-    query slice (2% of vectors) BROADCASTS to the exploded corpus
-    stream — the same broadcast-matmul shape as llm_eval_confusion
-    with queries in place of centroids; per-(query,cand) partial-sum
-    fold, label filter, then a rank window partitioned by query (k
-    small and bounded). At 100 TB mine per IVF cell (llm_cosine_
-    topk_ivf) to keep the candidate stream sublinear; the exact
-    verify stays this plan.
+    top-2 cut is engine-exact with the vec_id tiebreak. Plan: a
+    FIXED query batch (10 vectors — an absolute cap, not a corpus
+    percentage: a %-sized query set makes the pos-keyed join
+    quadratic, measured 160 s vs 2 s at the 10x smoke) BROADCASTS to
+    the exploded corpus stream — the same broadcast-matmul shape as
+    llm_eval_confusion with queries in place of centroids; per-
+    (query,cand) partial-sum fold, label filter, then a rank window
+    partitioned by query. At 100 TB mine query batches in rounds and
+    scope candidates per IVF cell (llm_cosine_topk_ivf) to keep the
+    candidate stream sublinear; the exact verify stays this plan.
     """
     emb = t(spark, sf_dir, "embeddings")
     e = emb.select(
@@ -6286,7 +6288,7 @@ def llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("vm"),
     )
-    q = e.filter(F.col("vec_id") % 50 == 0).select(
+    q = e.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 500)).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("qlabel"),
         "pos",
