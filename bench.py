@@ -103,6 +103,7 @@ def main() -> None:
         "stream_foreachbatch_multi_sink",
         "stream_corpus_ingest_dedup",
         "stream_left_outer_join",
+        "stream_full_outer_join",
     )}
     sql_pooled = sorted(n for n in qs if n in oracles)
     rows_pooled = sorted(n for n in qs if n not in oracles)

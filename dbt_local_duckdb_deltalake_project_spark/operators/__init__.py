@@ -145,6 +145,7 @@ _WINDOW_SECOND = [
     "join_interval_overlap", "dbt_semantic_metric", "mm_audio_chunk_plan",
     "llm_eval_ndcg", "llm_hard_negatives", "llm_eval_calibration",
     "udf_python_arrow",
+    "stream_full_outer_join", "agg_funnel_steps", "graph_kcore_peel",
     # --- end of never-checked block; greens rotate below ---
     "delta_time_travel", "delta_merge_upsert",
     "stream_tumbling", "stream_session", "win_range_frame", "fn_date",  # events/tz consumers

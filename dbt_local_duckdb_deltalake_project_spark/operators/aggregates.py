@@ -2032,3 +2032,90 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("cnt").desc(), "token")
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_funnel_steps — the batch behavioral funnel (view → click → purchase):
+# strictly-ordered step attainment per user, folded to step populations
+# and step-over-step conversion. The sequential dependency (each step's
+# first-touch must FOLLOW the previous step's) is three user-keyed
+# min-aggregations chained by joins — all on the same key, so at scale
+# one hash partitioning serves the whole chain (no window over the raw
+# event stream, no global sort). The 3-row summary assembles from
+# 1-row aggregates via broadcast crossJoins + stack, never an
+# unpartitioned window. Exact: timestamps compare exactly; conversion
+# is one division, 6-dp rounded.
+# ---------------------------------------------------------------------------
+
+_FUNNEL_STEPS_ORACLE = """
+WITH fv AS (
+  SELECT user_id, MIN(ts) AS fv FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+fc AS (
+  SELECT e.user_id, MIN(e.ts) AS fc FROM events e
+  JOIN fv ON e.user_id = fv.user_id
+  WHERE e.event_type = 'click' AND e.ts > fv.fv GROUP BY e.user_id
+),
+fp AS (
+  SELECT e.user_id, MIN(e.ts) AS fp FROM events e
+  JOIN fc ON e.user_id = fc.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > fc.fc GROUP BY e.user_id
+),
+n AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM fv) AS n1,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM fc) AS n2,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM fp) AS n3
+)
+SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name, n1 AS n_users,
+       CAST(NULL AS DOUBLE) AS conv_from_prev FROM n
+UNION ALL
+SELECT CAST(2 AS BIGINT), 'click_after_view', n2,
+       ROUND(CAST(n2 AS DOUBLE) / n1, 6) FROM n
+UNION ALL
+SELECT CAST(3 AS BIGINT), 'purchase_after_click', n3,
+       ROUND(CAST(n3 AS DOUBLE) / n2, 6) FROM n
+ORDER BY step
+"""
+
+
+@register("agg_funnel_steps", _FUNNEL_STEPS_ORACLE)
+def agg_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    fv = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fv"))
+    )
+    fc = (
+        e.filter(F.col("event_type") == "click")
+        .join(fv, "user_id")
+        .filter(F.col("ts") > F.col("fv"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fc"))
+    )
+    fp = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(fc, "user_id")
+        .filter(F.col("ts") > F.col("fc"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fp"))
+    )
+    n1 = fv.agg(F.count(F.lit(1)).alias("n1"))
+    n2 = fc.agg(F.count(F.lit(1)).alias("n2"))
+    n3 = fp.agg(F.count(F.lit(1)).alias("n3"))
+    n = n1.crossJoin(F.broadcast(n2)).crossJoin(F.broadcast(n3))
+    return (
+        n.select(
+            F.expr(
+                "stack(3,"
+                " 1L, 'view', n1, CAST(NULL AS DOUBLE),"
+                " 2L, 'click_after_view', n2,"
+                "   ROUND(CAST(n2 AS DOUBLE) / n1, 6),"
+                " 3L, 'purchase_after_click', n3,"
+                "   ROUND(CAST(n3 AS DOUBLE) / n2, 6)"
+                ") AS (step, step_name, n_users, conv_from_prev)"
+            )
+        )
+        .orderBy("step")
+    )

@@ -651,3 +651,102 @@ def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_nodes"))
         .orderBy("node_type", "degree")
     )
+
+
+_KCORE_ORACLE = """
+WITH pairs AS (
+  SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS c,
+                  's:' || CAST(l_suppkey AS VARCHAR) AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE (o_custkey + l_suppkey) % 7 = 0
+),
+e0 AS (
+  SELECT c AS src, s AS dst FROM pairs
+  UNION ALL
+  SELECT s AS src, c AS dst FROM pairs
+),
+k1 AS (
+  SELECT src AS node FROM e0 GROUP BY src HAVING COUNT(*) >= 3
+),
+e1 AS (
+  SELECT e.src, e.dst FROM e0 e
+  JOIN k1 a ON e.src = a.node JOIN k1 b ON e.dst = b.node
+),
+k2 AS (
+  SELECT src AS node FROM e1 GROUP BY src HAVING COUNT(*) >= 3
+),
+e2 AS (
+  SELECT e.src, e.dst FROM e1 e
+  JOIN k2 a ON e.src = a.node JOIN k2 b ON e.dst = b.node
+),
+k3 AS (
+  SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS residual_degree
+  FROM e2 GROUP BY src HAVING COUNT(*) >= 3
+)
+SELECT substring(node, 1, 1) AS node_type,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(SUM(residual_degree) AS BIGINT) AS sum_degree,
+       MIN(node) AS min_node
+FROM k3 GROUP BY substring(node, 1, 1) ORDER BY node_type
+"""
+
+
+@register("graph_kcore_peel", _KCORE_ORACLE)
+def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling (k=3, three peel rounds) over the sparsified
+    bipartite graph — the dense-subgraph extractor behind spam-ring /
+    collusion detection and graph sampling. Each round drops nodes of
+    degree < k and the edges touching them; three unrolled rounds are
+    the operator semantics (the LPA/fixed-budget argument — at scale
+    you re-run rounds until no node drops; each round is the same
+    plan). Round = one degree fold (map-side combine) + one semi-join
+    of edges against surviving nodes on EACH endpoint — all hash
+    equi-joins keyed by node, no nested loops; survivors only shrink,
+    so round cost is monotone non-increasing. Output folds the
+    surviving 3-core to per-side population / residual-degree rows.
+    """
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter((F.col("o_custkey") + F.col("l_suppkey")) % 7 == 0)
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias(
+                "c"
+            ),
+            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias(
+                "s"
+            ),
+        )
+        .distinct()
+    )
+    edges = (
+        pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+        .union(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(2):
+        keep = (
+            edges.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= 3)
+            .select(F.col("src").alias("node"))
+        )
+        edges = (
+            edges.join(keep, edges.src == keep.node, "left_semi")
+            .join(keep, edges.dst == keep.node, "left_semi")
+        )
+    core = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("residual_degree"))
+        .filter(F.col("residual_degree") >= 3)
+    )
+    return (
+        core.groupBy(F.substring("src", 1, 1).alias("node_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum("residual_degree").alias("sum_degree"),
+            F.min("src").alias("min_node"),
+        )
+        .orderBy("node_type")
+    )

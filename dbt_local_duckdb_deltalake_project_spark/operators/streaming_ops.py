@@ -1399,3 +1399,119 @@ def stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "lojoin", join_pairs, output_mode="append",
         partitions=4,
     ).orderBy("click_id", "purchase_id")
+
+
+_FULL_OUTER_JOIN_ORACLE = """
+WITH c AS (
+  SELECT event_id AS click_id, user_id, ts AS click_ts
+  FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+  FROM events WHERE event_type = 'purchase'
+),
+wm AS (
+  SELECT least((SELECT MAX(ts) FROM events WHERE event_type = 'click'),
+               (SELECT MAX(ts) FROM events WHERE event_type = 'purchase'))
+         - INTERVAL 10 MINUTE AS w
+),
+matched AS (
+  SELECT c.click_id, p.purchase_id, c.user_id, c.click_ts, p.purchase_ts
+  FROM c JOIN p
+    ON p.user_id = c.user_id
+   AND p.purchase_ts >= c.click_ts
+   AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
+),
+unmatched_c AS (
+  SELECT c.click_id, CAST(NULL AS BIGINT) AS purchase_id, c.user_id,
+         c.click_ts, CAST(NULL AS TIMESTAMP) AS purchase_ts
+  FROM c
+  WHERE NOT EXISTS (
+          SELECT 1 FROM p
+          WHERE p.user_id = c.user_id
+            AND p.purchase_ts >= c.click_ts
+            AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR)
+    AND c.click_ts + INTERVAL 1 HOUR < (SELECT w FROM wm)
+),
+unmatched_p AS (
+  SELECT CAST(NULL AS BIGINT) AS click_id, p.purchase_id, p.user_id,
+         CAST(NULL AS TIMESTAMP) AS click_ts, p.purchase_ts
+  FROM p
+  WHERE NOT EXISTS (
+          SELECT 1 FROM c
+          WHERE c.user_id = p.user_id
+            AND p.purchase_ts >= c.click_ts
+            AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR)
+    AND p.purchase_ts < (SELECT w FROM wm)
+)
+SELECT * FROM matched
+UNION ALL SELECT * FROM unmatched_c
+UNION ALL SELECT * FROM unmatched_p
+ORDER BY click_id, purchase_id
+"""
+
+
+@register("stream_full_outer_join", _FULL_OUTER_JOIN_ORACLE)
+def stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER join — completes the join-type matrix
+    (inner `stream_stream_join`, left `stream_left_outer_join`):
+    attribution that reports unconverted clicks AND orphan purchases
+    (the fraud/tracking-loss signal) in one query. Null-emission
+    deadlines are side-specific, both gated on the same global
+    watermark W = least(max ts per input) − delay (the measured-on-4.1
+    multiple-watermark rule): an unmatched CLICK emits once W passes
+    click_ts + 1h (no purchase inside its forward window can still
+    arrive); an unmatched PURCHASE emits once W passes purchase_ts
+    itself (its matching clicks lie at click_ts ≤ purchase_ts, so its
+    state is provably complete as soon as W clears its own event
+    time — an asymmetric deadline the oracle states in closed form).
+    Same one-shuffle user_id keying and watermark-bounded state as the
+    left variant; in-order availableNow replay + final no-data batch
+    flush make the result deterministic.
+    """
+
+    def join_pairs(stream: DataFrame) -> DataFrame:
+        clicks = (
+            stream.filter(F.col("event_type") == "click")
+            .select(
+                F.col("event_id").alias("click_id"),
+                F.col("user_id").alias("c_user"),
+                F.col("ts").alias("click_ts"),
+            )
+            .withWatermark("click_ts", "10 minutes")
+        )
+        purchases = (
+            stream.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("purchase_ts"),
+            )
+            .withWatermark("purchase_ts", "10 minutes")
+        )
+        return (
+            clicks.join(
+                purchases,
+                (F.col("p_user") == F.col("c_user"))
+                & (F.col("purchase_ts") >= F.col("click_ts"))
+                & (
+                    F.col("purchase_ts")
+                    <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")
+                ),
+                "full_outer",
+            )
+            .select(
+                "click_id",
+                "purchase_id",
+                F.coalesce(F.col("c_user"), F.col("p_user")).alias(
+                    "user_id"
+                ),
+                "click_ts",
+                "purchase_ts",
+            )
+        )
+
+    return run_stream_to_batch(
+        spark, sf_dir, "fojoin", join_pairs, output_mode="append",
+        partitions=4,
+    ).orderBy("click_id", "purchase_id")

@@ -146,3 +146,19 @@ def test_arrow_udf_plans_as_arrow_eval(spark, sf_dir):
     )
     assert "ArrowEvalPython" in p
     assert "BatchEvalPython" not in p
+
+
+def test_funnel_steps_user_keyed_chain(spark, sf_dir):
+    # three min-agg stages joined on the one user key; the 3-row
+    # summary must come from broadcast crossJoins of scalar aggregates
+    # (BroadcastNestedLoopJoin against 1-row frames), never a window.
+    n = nodes(spark, sf_dir, "agg_funnel_steps")
+    assert n["Window"] == 0
+    assert n["CartesianProduct"] == 0
+    assert n["BroadcastNestedLoopJoin"] >= 1
+
+
+def test_kcore_rounds_are_hash_joins(spark, sf_dir):
+    n = nodes(spark, sf_dir, "graph_kcore_peel")
+    assert n["partial_count"] >= 1
+    assert n["CartesianProduct"] == 0 and n["BroadcastNestedLoopJoin"] == 0
