@@ -146,6 +146,8 @@ _WINDOW_SECOND = [
     "llm_eval_ndcg", "llm_hard_negatives", "llm_eval_calibration",
     "udf_python_arrow",
     "stream_full_outer_join", "agg_funnel_steps", "graph_kcore_peel",
+    "agg_target_encode_loo", "llm_token_offsets", "delta_optimize_plan",
+    "dbt_model_contract",
     # --- end of never-checked block; greens rotate below ---
     "delta_time_travel", "delta_merge_upsert",
     "stream_tumbling", "stream_session", "win_range_frame", "fn_date",  # events/tz consumers

@@ -2119,3 +2119,57 @@ def agg_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("step")
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_target_encode_loo — leave-one-out mean target encoding (the ML
+# feature-engineering staple for high-cardinality categoricals): each
+# order's segment is encoded as the mean order total of its segment
+# EXCLUDING the order itself, killing the self-leakage that plain mean
+# encoding injects into training data. Exact integers end-to-end:
+# micros sums per segment fold once (map-side combine), broadcast back,
+# and the LOO value is (sum − own) div (n − 1) — truncating division on
+# non-negative operands, identical in both engines. One shuffle for the
+# fold, one broadcast join; linear at any scale, no window over the
+# fact stream.
+# ---------------------------------------------------------------------------
+
+_TARGET_ENCODE_ORACLE = """
+WITH j AS (
+  SELECT o.o_orderkey, c.c_mktsegment,
+         CAST(ROUND(o.o_totalprice * 1000000) AS BIGINT) AS t_m
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+seg AS (
+  SELECT c_mktsegment, CAST(SUM(t_m) AS BIGINT) AS sum_m,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM j GROUP BY c_mktsegment
+)
+SELECT j.o_orderkey, j.c_mktsegment,
+       (seg.sum_m - j.t_m) // (seg.n - 1) AS loo_enc_micros
+FROM j JOIN seg ON j.c_mktsegment = seg.c_mktsegment
+ORDER BY j.o_orderkey
+"""
+
+
+@register("agg_target_encode_loo", _TARGET_ENCODE_ORACLE)
+def agg_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    j = o.join(c, o.o_custkey == c.c_custkey).select(
+        "o_orderkey",
+        "c_mktsegment",
+        F.round(F.col("o_totalprice") * 1_000_000).cast("long").alias("t_m"),
+    )
+    seg = j.groupBy("c_mktsegment").agg(
+        F.sum("t_m").alias("sum_m"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        j.join(F.broadcast(seg), "c_mktsegment")
+        .select(
+            "o_orderkey",
+            "c_mktsegment",
+            F.expr("(sum_m - t_m) div (n - 1)").alias("loo_enc_micros"),
+        )
+        .orderBy("o_orderkey")
+    )

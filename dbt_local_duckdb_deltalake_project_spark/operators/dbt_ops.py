@@ -1267,3 +1267,94 @@ def dbt_semantic_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("metric", "order_month", "value_micros")
         .orderBy("metric", "order_month")
     )
+
+
+# -- model contracts ---------------------------------------------------------
+
+_CONTRACT_ORACLE = """
+WITH checks(col, expected_type, actual_type) AS (
+  VALUES ('o_orderkey',   'bigint',    'bigint'),
+         ('o_orderstatus','string',    'string'),
+         ('o_totalprice', 'decimal',   'double'),
+         ('order_month',  'timestamp', 'timestamp'),
+         ('discount_amt', 'double',    '<missing>')
+),
+nulls AS (
+  SELECT CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS status_nulls
+  FROM orders
+)
+SELECT 'orders_enriched' AS model, c.col AS column_name,
+       c.expected_type, c.actual_type,
+       (c.expected_type = c.actual_type) AS type_ok,
+       CASE WHEN c.col = 'o_orderstatus'
+            THEN (SELECT status_nulls FROM nulls) = 0
+            ELSE TRUE END AS notnull_ok,
+       ((c.expected_type = c.actual_type)
+        AND CASE WHEN c.col = 'o_orderstatus'
+                 THEN (SELECT status_nulls FROM nulls) = 0
+                 ELSE TRUE END) AS contract_pass
+FROM checks c ORDER BY column_name
+"""
+
+
+@register("dbt_model_contract", _CONTRACT_ORACLE)
+def dbt_model_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt model contracts (`contract: enforced: true`): the declared
+    (column, data_type, not_null) spec is checked against the
+    MATERIALIZED model's actual schema and data — the build gate that
+    turns silent schema drift into a failed `dbt run`. The contract
+    here carries two deliberate violations (a decimal/double type
+    drift and a column the model no longer produces), so the verdict
+    table is non-trivial: pass/fail per column with the actual type
+    read from the built DataFrame's schema (simpleString forms), and
+    not_null enforced by an exact null count on the enforced column.
+    Schema comparison is metadata-only; the null probe is one
+    algebraic fold — at 100 TB the contract check costs one column
+    scan, not a rebuild.
+    """
+    o = t(spark, sf_dir, "orders")
+    model = o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.date_trunc("month", "o_orderdate").alias("order_month"),
+    )
+    actual = {f.name: f.dataType.simpleString() for f in model.schema.fields}
+    contract = [
+        ("o_orderkey", "bigint", False),
+        ("o_orderstatus", "string", True),
+        ("o_totalprice", "decimal", False),  # drifted: model has double
+        ("order_month", "timestamp", False),
+        ("discount_amt", "double", False),  # dropped from the model
+    ]
+    status_nulls = (
+        model.agg(
+            F.sum(
+                F.when(F.col("o_orderstatus").isNull(), 1).otherwise(0)
+            ).alias("n")
+        ).first()["n"]
+        or 0
+    )
+    rows = []
+    for col, expected, not_null in contract:
+        actual_type = actual.get(col, "<missing>")
+        type_ok = expected == actual_type
+        notnull_ok = (status_nulls == 0) if not_null else True
+        rows.append(
+            (
+                "orders_enriched",
+                col,
+                expected,
+                actual_type,
+                type_ok,
+                notnull_ok,
+                type_ok and notnull_ok,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "model string, column_name string, expected_type string, "
+        "actual_type string, type_ok boolean, notnull_ok boolean, "
+        "contract_pass boolean",
+    ).orderBy("column_name")

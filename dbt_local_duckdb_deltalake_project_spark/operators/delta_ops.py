@@ -1611,3 +1611,60 @@ def delta_cdf_downstream_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     return down.read(spark).select("c_custkey", "acctbal").orderBy(
         "c_custkey"
     )
+
+
+_OPTIMIZE_PLAN_ORACLE = """
+SELECT o_orderstatus,
+       CAST(COUNT(DISTINCT o_orderkey % 3) AS BIGINT) AS n_files,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       (COUNT(DISTINCT o_orderkey % 3) >= 3) AS needs_compaction
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+@register("delta_optimize_plan", _OPTIMIZE_PLAN_ORACLE)
+def delta_optimize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE planning from log metadata only: per partition, how
+    many live files and rows, and whether the small-file count crosses
+    the compaction threshold — the table-maintenance dashboard every
+    lakehouse scheduler consults BEFORE paying for an OPTIMIZE
+    (delta_compact demonstrates the rewrite itself). Three append
+    batches into a status-partitioned table produce a known layout
+    (one file per partition per batch — each batch is coalesced to a
+    single writer partition), so the oracle states the expected plan
+    in closed form while the op must genuinely recover it from the
+    `_delta_log` add actions: `live_files()` partitionValues + stats
+    numRecords, no data file listed or opened. Metadata-sized work at
+    any scale — the log, not the data, bounds it.
+    """
+    import json as _json
+
+    tbl = DeltaLikeTable(workdir(sf_dir, "delta_optimize_plan"))
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    tbl.write(
+        o.filter(F.col("o_orderkey") % 3 == 0).repartition(1),
+        mode="overwrite",
+        partition_by=["o_orderstatus"],
+    )
+    for r in (1, 2):
+        tbl.write(
+            o.filter(F.col("o_orderkey") % 3 == r).repartition(1),
+            mode="append",
+            partition_by=["o_orderstatus"],
+        )
+    per_part: dict[str, list[int]] = {}
+    for a in tbl.live_files():
+        status = a["partitionValues"]["o_orderstatus"]
+        n = _json.loads(a["stats"])["numRecords"]
+        files, rows = per_part.get(status, [0, 0])
+        per_part[status] = [files + 1, rows + n]
+    return spark.createDataFrame(
+        [
+            (status, files, rows, files >= 3)
+            for status, (files, rows) in sorted(per_part.items())
+        ],
+        "o_orderstatus string, n_files long, n_rows long, "
+        "needs_compaction boolean",
+    ).orderBy("o_orderstatus")

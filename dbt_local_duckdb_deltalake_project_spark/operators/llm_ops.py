@@ -6452,3 +6452,66 @@ def llm_eval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# -- Token char-offset alignment ---------------------------------------------
+
+_TOKEN_OFFSETS_ORACLE = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+tok AS (
+  SELECT doc_id, a[i] AS w, CAST(i - 1 AS BIGINT) AS pos
+  FROM d, LATERAL (SELECT unnest(range(1, len(a) + 1)) AS i)
+),
+run AS (
+  SELECT doc_id, pos, w,
+         CAST(SUM(len(w)) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_len
+  FROM tok
+)
+SELECT doc_id, pos, w AS token,
+       cum_len - len(w) + pos AS start_off,
+       cum_len + pos AS end_off
+FROM run
+WHERE doc_id % 10 = 0
+ORDER BY doc_id, pos
+"""
+
+
+@register("llm_token_offsets", _TOKEN_OFFSETS_ORACLE)
+def llm_token_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-to-character offset alignment: every token with its
+    [start, end) char span in the original text — the map that lets
+    span annotations (PII hits, quality flags, corruption masks)
+    round-trip between token space and byte space, and what a
+    tokenizer's `return_offsets_mapping` produces. Offsets come from
+    an exact integer running sum of token lengths (+pos for the
+    single-space separators) over a per-doc window — partitioned by
+    doc, ordered by the posexplode ordinal, never a global sort. A
+    10% doc slice keeps the long-form output driver-sized; the plan
+    is identical at full fan-out. At 100 TB: one shuffle on doc_id
+    (or zero if tokenization and alignment fuse in one mapper, which
+    this plan's pipelined Window-after-explode already models).
+    """
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    tok = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "w")
+    ow = (
+        W.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    run = tok.select(
+        "doc_id",
+        "pos",
+        "w",
+        F.sum(F.length("w")).over(ow).alias("cum_len"),
+    )
+    return run.select(
+        "doc_id",
+        "pos",
+        F.col("w").alias("token"),
+        (F.col("cum_len") - F.length("w") + F.col("pos")).alias("start_off"),
+        (F.col("cum_len") + F.col("pos")).alias("end_off"),
+    ).orderBy("doc_id", "pos")

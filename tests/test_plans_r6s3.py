@@ -162,3 +162,20 @@ def test_kcore_rounds_are_hash_joins(spark, sf_dir):
     n = nodes(spark, sf_dir, "graph_kcore_peel")
     assert n["partial_count"] >= 1
     assert n["CartesianProduct"] == 0 and n["BroadcastNestedLoopJoin"] == 0
+
+
+def test_target_encode_broadcast_fold(spark, sf_dir):
+    # segment stats broadcast back over the fact stream; the fold
+    # partial-aggregates; LOO needs no window at all.
+    n = nodes(spark, sf_dir, "agg_target_encode_loo")
+    assert n["BroadcastHashJoin"] >= 1
+    assert n["partial_sum"] >= 1
+    assert n["Window"] == 0
+
+
+def test_token_offsets_doc_partitioned_window(spark, sf_dir):
+    # one running-sum window partitioned by doc_id — never a global sort
+    # over the token stream.
+    n = nodes(spark, sf_dir, "llm_token_offsets")
+    assert n["Window"] == 1
+    assert not any(k.endswith("Join") or k == "CartesianProduct" for k in n)
