@@ -2173,3 +2173,67 @@ def agg_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_seasonality_profile — hour-of-day seasonality per event type: each
+# (type, hour) cell's mean spend and its deviation from the type's
+# overall mean — the profile behind load forecasting, anomaly baselines
+# and send-time optimization. Two algebraic folds (cell and type), the
+# 5-row type table broadcast back; the deviation is a difference of two
+# single exact-integer divisions (identical IEEE chain both engines,
+# 6-dp rounded). Cell cardinality (types × 24) bounds the output at any
+# scale.
+# ---------------------------------------------------------------------------
+
+_SEASONALITY_ORACLE = """
+WITH v AS (
+  SELECT event_type, CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hr,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+cell AS (
+  SELECT event_type, hr, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(cents) AS BIGINT) AS s
+  FROM v GROUP BY event_type, hr
+),
+typ AS (
+  SELECT event_type, CAST(SUM(n) AS BIGINT) AS n_t,
+         CAST(SUM(s) AS BIGINT) AS s_t
+  FROM cell GROUP BY event_type
+)
+SELECT c.event_type, c.hr, c.n,
+       ROUND(CAST(c.s AS DOUBLE) / c.n, 6) AS mean_cents,
+       ROUND(CAST(c.s AS DOUBLE) / c.n
+             - CAST(t.s_t AS DOUBLE) / t.n_t, 6) AS dev_from_type_mean
+FROM cell c JOIN typ t ON c.event_type = t.event_type
+ORDER BY c.event_type, c.hr
+"""
+
+
+@register("agg_seasonality_profile", _SEASONALITY_ORACLE)
+def agg_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.hour("ts").cast("long").alias("hr"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    cell = v.groupBy("event_type", "hr").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s")
+    )
+    typ = cell.groupBy("event_type").agg(
+        F.sum("n").alias("n_t"), F.sum("s").alias("s_t")
+    )
+    mean_c = F.col("s").cast("double") / F.col("n")
+    mean_t = F.col("s_t").cast("double") / F.col("n_t")
+    return (
+        cell.join(F.broadcast(typ), "event_type")
+        .select(
+            "event_type",
+            "hr",
+            "n",
+            F.round(mean_c, 6).alias("mean_cents"),
+            F.round(mean_c - mean_t, 6).alias("dev_from_type_mean"),
+        )
+        .orderBy("event_type", "hr")
+    )

@@ -6515,3 +6515,91 @@ def llm_token_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cum_len") - F.length("w") + F.col("pos")).alias("start_off"),
         (F.col("cum_len") + F.col("pos")).alias("end_off"),
     ).orderBy("doc_id", "pos")
+
+
+# -- Fill-in-the-middle transform --------------------------------------------
+
+_FIM_ORACLE = """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS a,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+         CAST(('0x' || substr(md5('f1:' || CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 1000000 AS h1,
+         CAST(('0x' || substr(md5('f2:' || CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 1000000 AS h2
+  FROM documents
+),
+cut AS (
+  SELECT doc_id, a, n,
+         (n * LEAST(h1, h2)) // 1000000 AS c1,
+         (n * GREATEST(h1, h2)) // 1000000 AS c2
+  FROM d
+)
+SELECT doc_id, c1 AS n_prefix, c2 - c1 AS n_middle, n - c2 AS n_suffix,
+       md5('<fim_prefix>'
+           || COALESCE(array_to_string(list_slice(a, 1, c1), ' '), '')
+           || '<fim_suffix>'
+           || COALESCE(array_to_string(list_slice(a, c2 + 1, n), ' '), '')
+           || '<fim_middle>'
+           || COALESCE(array_to_string(list_slice(a, c1 + 1, c2), ' '), ''))
+         AS fim_md5
+FROM cut ORDER BY doc_id
+"""
+
+
+@register("llm_fim_transform", _FIM_ORACLE)
+def llm_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle transform (Bavarian et al. 2022, PSM order)
+    — the pretraining rewrite behind code-infilling models: each doc
+    splits at two deterministic points into prefix/middle/suffix and
+    re-serializes as <fim_prefix>P<fim_suffix>S<fim_middle>M. Split
+    points are md5-keyed ppm fractions (RNG-free, backfill-stable —
+    the llm_split_assign discipline), cut indices are exact integer
+    truncating division, and the transformed text is value-checked by
+    md5 so the oracle proves byte-identical serialization, not just
+    lengths. Pure map-side: slice + concat + hash per row, zero
+    shuffles; trivially linear at 100 TB.
+    """
+    d = t(spark, sf_dir, "documents")
+    a = F.split("text", " ")
+    n = F.size(a).cast("long")
+    cut = d.select(
+        "doc_id",
+        a.alias("a"),
+        n.alias("n"),
+        F.expr(
+            "(size(split(text, ' ')) * least("
+            "  conv(substring(md5(concat('f1:', cast(doc_id AS string))), 1, 8), 16, 10) % 1000000,"
+            "  conv(substring(md5(concat('f2:', cast(doc_id AS string))), 1, 8), 16, 10) % 1000000"
+            ")) div 1000000"
+        ).cast("long").alias("c1"),
+        F.expr(
+            "(size(split(text, ' ')) * greatest("
+            "  conv(substring(md5(concat('f1:', cast(doc_id AS string))), 1, 8), 16, 10) % 1000000,"
+            "  conv(substring(md5(concat('f2:', cast(doc_id AS string))), 1, 8), 16, 10) % 1000000"
+            ")) div 1000000"
+        ).cast("long").alias("c2"),
+    )
+    fim = F.md5(
+        F.concat(
+            F.lit("<fim_prefix>"),
+            F.array_join(F.expr("slice(a, 1, cast(c1 AS int))"), " "),
+            F.lit("<fim_suffix>"),
+            F.array_join(
+                F.expr("slice(a, cast(c2 + 1 AS int), cast(n - c2 AS int))"),
+                " ",
+            ),
+            F.lit("<fim_middle>"),
+            F.array_join(
+                F.expr("slice(a, cast(c1 + 1 AS int), cast(c2 - c1 AS int))"),
+                " ",
+            ),
+        )
+    )
+    return cut.select(
+        "doc_id",
+        F.col("c1").alias("n_prefix"),
+        (F.col("c2") - F.col("c1")).alias("n_middle"),
+        (F.col("n") - F.col("c2")).alias("n_suffix"),
+        fim.alias("fim_md5"),
+    ).orderBy("doc_id")

@@ -179,3 +179,17 @@ def test_token_offsets_doc_partitioned_window(spark, sf_dir):
     n = nodes(spark, sf_dir, "llm_token_offsets")
     assert n["Window"] == 1
     assert not any(k.endswith("Join") or k == "CartesianProduct" for k in n)
+
+
+def test_fim_transform_pure_mapside(spark, sf_dir):
+    n = nodes(spark, sf_dir, "llm_fim_transform")
+    assert n["Exchange hashpartitioning"] == 0
+    assert n["Window"] == 0
+    assert not any(k.endswith("Join") or k == "CartesianProduct" for k in n)
+
+
+def test_seasonality_two_folds_broadcast(spark, sf_dir):
+    n = nodes(spark, sf_dir, "agg_seasonality_profile")
+    assert n["BroadcastHashJoin"] >= 1
+    assert n["partial_sum"] >= 1
+    assert n["Window"] == 0
