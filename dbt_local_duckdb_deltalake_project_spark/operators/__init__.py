@@ -148,6 +148,7 @@ _WINDOW_SECOND = [
     "stream_full_outer_join", "agg_funnel_steps", "graph_kcore_peel",
     "agg_target_encode_loo", "llm_token_offsets", "delta_optimize_plan",
     "dbt_model_contract", "llm_fim_transform", "agg_seasonality_profile",
+    "llm_rrf_fusion", "llm_shard_balance", "scan_file_metadata",
     # --- end of never-checked block; greens rotate below ---
     "delta_time_travel", "delta_merge_upsert",
     "stream_tumbling", "stream_session", "win_range_frame", "fn_date",  # events/tz consumers

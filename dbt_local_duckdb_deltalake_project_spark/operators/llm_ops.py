@@ -6603,3 +6603,249 @@ def llm_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n") - F.col("c2")).alias("n_suffix"),
         fim.alias("fim_md5"),
     ).orderBy("doc_id")
+
+
+# -- Reciprocal-rank-fusion hybrid search ------------------------------------
+
+_RRF_ORACLE = """
+WITH queries(qid, t1, t2) AS (
+  VALUES (CAST(0 AS BIGINT), 'query', 'table'),
+         (CAST(1 AS BIGINT), 'merge', 'scan'),
+         (CAST(2 AS BIGINT), 'join', 'stream')
+),
+lex AS (
+  SELECT q.qid, d.doc_id,
+         CAST(len(list_filter(string_split(d.text, ' '),
+                              x -> x = q.t1 OR x = q.t2)) AS BIGINT) AS tf
+  FROM documents d CROSS JOIN queries q
+),
+lexrank AS (
+  SELECT qid, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY tf DESC, doc_id) AS r_lex
+  FROM lex
+),
+ev AS (
+  SELECT vec_id, i - 1 AS pos,
+         CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS vm
+  FROM embeddings, generate_series(1, 64) t(i)
+),
+dots AS (
+  SELECT q.qid, c.vec_id AS doc_id,
+         CAST(SUM(qv.vm * c.vm) AS BIGINT) AS dot
+  FROM queries q
+  JOIN ev qv ON qv.vec_id = q.qid
+  JOIN ev c ON c.pos = qv.pos
+  WHERE c.vec_id < (SELECT COUNT(*) FROM documents)
+  GROUP BY q.qid, c.vec_id
+),
+embrank AS (
+  SELECT qid, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY dot DESC, doc_id) AS r_emb
+  FROM dots
+),
+fused AS (
+  SELECT l.qid, l.doc_id, l.r_lex, e.r_emb,
+         (1000000 // (60 + l.r_lex)) + (1000000 // (60 + e.r_emb))
+           AS rrf_micros
+  FROM lexrank l JOIN embrank e
+    ON l.qid = e.qid AND l.doc_id = e.doc_id
+)
+SELECT qid, doc_id, CAST(r_lex AS BIGINT) AS r_lex,
+       CAST(r_emb AS BIGINT) AS r_emb,
+       CAST(rrf_micros AS BIGINT) AS rrf_micros
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                               ORDER BY rrf_micros DESC, doc_id) AS rk
+  FROM fused
+) WHERE rk <= 10
+ORDER BY qid, rrf_micros DESC, doc_id
+"""
+
+
+@register("llm_rrf_fusion", _RRF_ORACLE)
+def llm_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of a lexical and an embedding ranking
+    (Cormack et al. 2009) — the hybrid-search backbone: per query,
+    RRF(d) = Σ 1/(k + rank_i(d)) with k=60, here in exact integer
+    micros (1e6 div (60+rank), truncating on positives — both engines
+    identical), so the fused top-10 cut never drifts on float
+    addition order. Lexical rank = term-frequency scoring of a 3-query
+    batch (a CROSS JOIN against the tiny query table — broadcastable
+    at any corpus size); embedding rank = exact micros dot products
+    against the per-query anchor vector, the llm_hard_negatives
+    broadcast-matmul shape. Every rank window is PARTITIONED by qid —
+    per-query ranking shards at scale; swap TakeOrderedAndProject
+    top-k feeding the rank for web-scale candidate sets.
+    """
+    d = t(spark, sf_dir, "documents")
+    n_docs = d.count()  # scalar; bounds the vec slice to doc-linked ids
+    queries = spark.createDataFrame(
+        [(0, "query", "table"), (1, "merge", "scan"), (2, "join", "stream")],
+        "qid long, t1 string, t2 string",
+    )
+    # tf via ONE token explode + a 6-row broadcast term join (codegen)
+    # instead of per-row HOF lambdas (interpreted — CLAUDE.md perf
+    # facts); docs matching no term re-enter with tf=0 via the left
+    # join against the full doc×query frame.
+    qterms = queries.selectExpr("qid", "t1 AS w").unionByName(
+        queries.selectExpr("qid", "t2 AS w")
+    )
+    hits = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .join(F.broadcast(qterms), "w")
+        .groupBy("qid", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    lex = (
+        d.select("doc_id")
+        .crossJoin(F.broadcast(queries.select("qid")))
+        .join(hits, ["qid", "doc_id"], "left")
+        .select(
+            "qid",
+            "doc_id",
+            F.coalesce(F.col("tf"), F.lit(0)).cast("long").alias("tf"),
+        )
+    )
+    lexrank = lex.select(
+        "qid",
+        "doc_id",
+        F.row_number()
+        .over(W.partitionBy("qid").orderBy(F.col("tf").desc(), "doc_id"))
+        .cast("long")
+        .alias("r_lex"),
+    )
+    ev = (
+        t(spark, sf_dir, "embeddings")
+        .select("vec_id", F.posexplode("embedding").alias("pos", "v"))
+        .select(
+            "vec_id",
+            "pos",
+            F.round(F.col("v").cast("double") * 1_000_000)
+            .cast("long")
+            .alias("vm"),
+        )
+    )
+    qv = ev.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), "pos", F.col("vm").alias("qm")
+    )
+    dots = (
+        ev.filter(F.col("vec_id") < n_docs)
+        .join(F.broadcast(qv), "pos")
+        .groupBy("qid", F.col("vec_id").alias("doc_id"))
+        .agg(F.sum(F.col("qm") * F.col("vm")).alias("dot"))
+    )
+    embrank = dots.select(
+        "qid",
+        "doc_id",
+        F.row_number()
+        .over(W.partitionBy("qid").orderBy(F.col("dot").desc(), "doc_id"))
+        .cast("long")
+        .alias("r_emb"),
+    )
+    fused = lexrank.join(embrank, ["qid", "doc_id"]).select(
+        "qid",
+        "doc_id",
+        "r_lex",
+        "r_emb",
+        (
+            F.expr("1000000 div (60 + r_lex)")
+            + F.expr("1000000 div (60 + r_emb)")
+        ).alias("rrf_micros"),
+    )
+    rk = F.row_number().over(
+        W.partitionBy("qid").orderBy(F.col("rrf_micros").desc(), "doc_id")
+    )
+    return (
+        fused.withColumn("rk", rk)
+        .filter(F.col("rk") <= 10)
+        .drop("rk")
+        .orderBy("qid", F.col("rrf_micros").desc(), "doc_id")
+    )
+
+
+# -- Balanced shard export planning ------------------------------------------
+
+_SHARD_BALANCE_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, n_tok,
+         ROW_NUMBER() OVER (ORDER BY n_tok DESC, doc_id) - 1 AS rk
+  FROM d
+),
+assigned AS (
+  SELECT doc_id, n_tok,
+         CASE WHEN (rk // 8) % 2 = 0 THEN rk % 8
+              ELSE 7 - (rk % 8) END AS shard
+  FROM ranked
+)
+SELECT CAST(shard AS BIGINT) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+       MIN(doc_id) AS min_doc
+FROM assigned GROUP BY shard ORDER BY shard
+"""
+
+
+@register("llm_shard_balance", _SHARD_BALANCE_ORACLE)
+def llm_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-balanced shard export planning: assign documents to 8
+    output shards so per-shard token totals stay near-equal — the
+    "write N equal shards" problem every dataset export hits (equal
+    DOC counts give unequal TOKEN counts; training-step balance needs
+    the latter). Classic snake/boustrophedon assignment on the
+    token-count descending order: rank r → shard r%8, direction
+    alternating every pass, which provably bounds the spread by one
+    max-doc per shard. The global rank uses the win_pareto_analysis
+    two-pass shape: range-repartition by the sort key, rank locally
+    per partition, then add broadcast per-partition offsets — no
+    single-partition window at any scale. Assignment arithmetic is
+    pure integers; the shard fold is algebraic.
+    """
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tok")
+    )
+    parts = (
+        d.repartitionByRange(8, F.col("n_tok").desc(), F.col("doc_id").asc())
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    wl = W.partitionBy("pid").orderBy(F.col("n_tok").desc(), "doc_id")
+    local = parts.select(
+        "doc_id",
+        "n_tok",
+        "pid",
+        F.row_number().over(wl).cast("long").alias("lrk"),
+    )
+    pstats = parts.groupBy("pid").agg(F.count(F.lit(1)).alias("pcnt"))
+    offsets = (
+        pstats.alias("a")
+        .join(
+            pstats.alias("b"), F.col("b.pid") < F.col("a.pid"), "left"
+        )
+        .groupBy(F.col("a.pid").alias("pid"))
+        .agg(F.coalesce(F.sum("b.pcnt"), F.lit(0)).alias("off"))
+    )
+    ranked = local.join(F.broadcast(offsets), "pid").select(
+        "doc_id",
+        "n_tok",
+        (F.col("lrk") + F.col("off") - 1).alias("rk"),
+    )
+    shard = F.when(
+        F.expr("(rk div 8) % 2") == 0, F.col("rk") % 8
+    ).otherwise(7 - F.col("rk") % 8)
+    return (
+        ranked.select("doc_id", "n_tok", shard.cast("long").alias("shard"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("sum_tokens"),
+            F.min("doc_id").alias("min_doc"),
+        )
+        .orderBy("shard")
+    )

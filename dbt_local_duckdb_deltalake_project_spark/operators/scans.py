@@ -713,3 +713,58 @@ def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+_FILE_METADATA_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(0 AS BIGINT) AS min_row_index,
+       CAST(COUNT(*) - 1 AS BIGINT) AS max_row_index
+FROM orders GROUP BY o_orderkey % 4
+ORDER BY n_rows
+"""
+
+
+@register("scan_file_metadata", _FILE_METADATA_ORACLE)
+def scan_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark `_metadata` hidden file-source column: per input file,
+    row counts and `row_index` bounds recovered purely from metadata
+    columns during the scan — the provenance surface that lets a
+    pipeline attribute every row to its source file (and re-derive
+    stable per-file row ids) without path parsing. A 4-file parquet
+    dataset is staged by construction (one writer partition per
+    o_orderkey%4 slice), so per-file row counts are the closed-form
+    oracle; physical file NAMES are writer-generated and
+    non-reproducible, so files are reported as size-ordered count
+    rows — the deterministic projection of the layout. `_metadata.row_index`
+    must run 0..n-1 within each file (asserted by the min/max
+    columns). Scales as the scan does; the fold is algebraic.
+    """
+    import os as _os
+
+    from ..sources.workspace import workdir as _workdir
+
+    out = _workdir(sf_dir, "scan_file_metadata")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    for r in range(4):
+        (
+            o.filter(F.col("o_orderkey") % 4 == r)
+            .repartition(1)
+            .write.mode("append")
+            .parquet(_os.path.join(out, "data"))
+        )
+    scanned = spark.read.parquet(_os.path.join(out, "data")).select(
+        F.col("_metadata.file_name").alias("fname"),
+        F.col("_metadata.row_index").alias("ridx"),
+    )
+    per_file = scanned.groupBy("fname").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("ridx").alias("min_row_index"),
+        F.max("ridx").alias("max_row_index"),
+    )
+    # rank-free projection: file names are writer-generated (not
+    # reproducible in an oracle) and a global rank window would break
+    # the zero-unpartitioned-windows pin — sorted per-file counts ARE
+    # the deterministic view of the layout.
+    return per_file.select(
+        "n_rows", "min_row_index", "max_row_index"
+    ).orderBy("n_rows")

@@ -193,3 +193,32 @@ def test_seasonality_two_folds_broadcast(spark, sf_dir):
     assert n["BroadcastHashJoin"] >= 1
     assert n["partial_sum"] >= 1
     assert n["Window"] == 0
+
+
+def test_rrf_rank_windows_all_query_partitioned(spark, sf_dir):
+    # three rank windows, each partitioned by qid; term hits and the
+    # anchor vectors broadcast; no nested loop beyond the tiny
+    # doc×query frame builder.
+    n = nodes(spark, sf_dir, "llm_rrf_fusion")
+    assert n["Window"] == 3
+    assert n["BroadcastHashJoin"] >= 2
+    assert n["CartesianProduct"] == 0
+
+
+def test_shard_balance_no_global_window(spark, sf_dir):
+    # the global rank must come from the two-pass range-partition form:
+    # every Window is pid-partitioned, never a single-partition sort.
+    from dbt_local_duckdb_deltalake_project_spark.operators import QUERIES
+
+    df = QUERIES["llm_shard_balance"](spark, sf_dir)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in p
+    import re
+
+    for m in re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", p):
+        assert m.group(1).strip(), "unpartitioned Window in shard_balance"
+
+
+def test_file_metadata_no_window(spark, sf_dir):
+    n = nodes(spark, sf_dir, "scan_file_metadata")
+    assert n["Window"] == 0
