@@ -149,6 +149,11 @@ _WINDOW_SECOND = [
     "agg_target_encode_loo", "llm_token_offsets", "delta_optimize_plan",
     "dbt_model_contract", "llm_fim_transform", "agg_seasonality_profile",
     "llm_rrf_fusion", "llm_shard_balance", "scan_file_metadata",
+    # --- r6 session-4 operators (never checked; behind everything
+    # above — land in r8's window, keeping its count ≤ 50 so r8 still
+    # closes the verification sweep). ---
+    "agg_mann_whitney", "agg_ks_2sample", "agg_chisq_independence",
+    "agg_benford_law",
     # --- end of never-checked block; greens rotate below ---
     "delta_time_travel", "delta_merge_upsert",
     "stream_tumbling", "stream_session", "win_range_frame", "fn_date",  # events/tz consumers

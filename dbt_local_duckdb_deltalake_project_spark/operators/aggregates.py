@@ -2237,3 +2237,360 @@ def agg_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hr")
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_mann_whitney — nonparametric two-sample location test (the A/B
+# readout when the metric is skewed and a t-test is wrong). Parity
+# target: the reference's hypothesis-test battery alongside
+# agg_ab_ttest. Everything stays exact integer: average ranks over ties
+# are half-integers, so we carry DOUBLED ranks (2·rank + ties − 1) and
+# a doubled U statistic — no float accumulation at all.
+# At 100 TB: one rank window partitioned by the (low-cardinality)
+# cohort key, then an algebraic groupBy — the same single-shuffle shape
+# as agg_winsorized_mean; for a globally-skewed cohort the scale swap
+# is a pre-aggregated (cohort, cents)-count rank (counts per distinct
+# value), which this plan's oracle already mirrors implicitly.
+# ---------------------------------------------------------------------------
+
+_MANN_WHITNEY_ORACLE = """
+WITH v AS (
+  SELECT user_id % 8 AS cohort,
+         event_type = 'purchase' AS g1,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type IN ('purchase', 'click')
+),
+r AS (
+  SELECT cohort, g1,
+         2 * RANK() OVER (PARTITION BY cohort ORDER BY cents)
+           + COUNT(*) OVER (PARTITION BY cohort, cents) - 1 AS dr
+  FROM v
+),
+s AS (
+  SELECT cohort,
+         CAST(COUNT(*) FILTER (WHERE g1) AS BIGINT) AS n1,
+         CAST(COUNT(*) FILTER (WHERE NOT g1) AS BIGINT) AS n2,
+         CAST(SUM(dr) FILTER (WHERE g1) AS BIGINT) AS r1_doubled
+  FROM r GROUP BY cohort
+)
+SELECT cohort, n1, n2,
+       r1_doubled - n1 * (n1 + 1) AS u1_doubled,
+       LEAST(r1_doubled - n1 * (n1 + 1),
+             2 * n1 * n2 - (r1_doubled - n1 * (n1 + 1))) AS u_min_doubled
+FROM s
+ORDER BY cohort
+"""
+
+
+@register("agg_mann_whitney", _MANN_WHITNEY_ORACLE)
+def agg_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    v = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "click"))
+        .select(
+            (F.col("user_id") % 8).alias("cohort"),
+            (F.col("event_type") == "purchase").alias("g1"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    # doubled average rank: 2·rank + (#ties at this value) − 1 is always
+    # an integer — the half-integer tie-average never touches a double
+    dr = (
+        F.lit(2) * F.rank().over(W.partitionBy("cohort").orderBy("cents"))
+        + F.count(F.lit(1)).over(W.partitionBy("cohort", "cents"))
+        - F.lit(1)
+    )
+    s = (
+        v.select("cohort", "g1", dr.cast("long").alias("dr"))
+        .groupBy("cohort")
+        .agg(
+            F.count(F.when(F.col("g1"), 1)).alias("n1"),
+            F.count(F.when(~F.col("g1"), 1)).alias("n2"),
+            F.sum(F.when(F.col("g1"), F.col("dr"))).alias("r1_doubled"),
+        )
+    )
+    u1 = F.col("r1_doubled") - F.col("n1") * (F.col("n1") + 1)
+    return s.select(
+        "cohort",
+        "n1",
+        "n2",
+        u1.alias("u1_doubled"),
+        F.least(u1, F.lit(2) * F.col("n1") * F.col("n2") - u1).alias(
+            "u_min_doubled"
+        ),
+    ).orderBy("cohort")
+
+
+# ---------------------------------------------------------------------------
+# agg_ks_2sample — Kolmogorov–Smirnov two-sample distance per cohort,
+# the drift detector every feature-monitoring pipeline runs between a
+# reference and a live window. D = max |ECDF₁ − ECDF₂| is carried as the
+# exact integer numerator |c1·n2 − c2·n1| over denominator n1·n2, so
+# the statistic is engine-identical with no float compare; the reported
+# micros value uses integer floor division (Spark `div` ≡ DuckDB `//`
+# on the positive operands here).
+# At 100 TB: counts collapse to one row per DISTINCT (cohort, value)
+# BEFORE the cumulative window — the window input is bounded by value
+# cardinality, not event volume.
+# ---------------------------------------------------------------------------
+
+_KS_2SAMPLE_ORACLE = """
+WITH v AS (
+  SELECT user_id % 8 AS cohort,
+         event_type = 'purchase' AS g1,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type IN ('purchase', 'click')
+),
+pts AS (
+  SELECT cohort, cents,
+         CAST(COUNT(*) FILTER (WHERE g1) AS BIGINT) AS c1,
+         CAST(COUNT(*) FILTER (WHERE NOT g1) AS BIGINT) AS c2
+  FROM v GROUP BY cohort, cents
+),
+cum AS (
+  SELECT cohort,
+         SUM(c1) OVER (PARTITION BY cohort ORDER BY cents) AS a1,
+         SUM(c2) OVER (PARTITION BY cohort ORDER BY cents) AS a2
+  FROM pts
+),
+tot AS (
+  SELECT cohort, CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2
+  FROM pts GROUP BY cohort
+)
+SELECT c.cohort, t.n1, t.n2,
+       CAST(MAX(ABS(a1 * t.n2 - a2 * t.n1)) AS BIGINT) AS d_num,
+       CAST(MAX(ABS(a1 * t.n2 - a2 * t.n1)) * 1000000
+            // (t.n1 * t.n2) AS BIGINT) AS d_micros
+FROM cum c JOIN tot t ON c.cohort = t.cohort
+GROUP BY c.cohort, t.n1, t.n2
+ORDER BY c.cohort
+"""
+
+
+@register("agg_ks_2sample", _KS_2SAMPLE_ORACLE)
+def agg_ks_2sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    v = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "click"))
+        .select(
+            (F.col("user_id") % 8).alias("cohort"),
+            (F.col("event_type") == "purchase").alias("g1"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    pts = v.groupBy("cohort", "cents").agg(
+        F.count(F.when(F.col("g1"), 1)).alias("c1"),
+        F.count(F.when(~F.col("g1"), 1)).alias("c2"),
+    )
+    cw = W.partitionBy("cohort").orderBy("cents")
+    cum = pts.select(
+        "cohort",
+        F.sum("c1").over(cw).alias("a1"),
+        F.sum("c2").over(cw).alias("a2"),
+    )
+    tot = pts.groupBy("cohort").agg(
+        F.sum("c1").alias("n1"), F.sum("c2").alias("n2")
+    )
+    j = cum.join(F.broadcast(tot), "cohort")
+    dnum = F.max(
+        F.abs(F.col("a1") * F.col("n2") - F.col("a2") * F.col("n1"))
+    )
+    return (
+        j.groupBy("cohort", "n1", "n2")
+        .agg(
+            dnum.alias("d_num"),
+            F.expr(
+                "max(abs(a1 * n2 - a2 * n1)) * 1000000 div (n1 * n2)"
+            ).alias("d_micros"),
+        )
+        .orderBy("cohort")
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_chisq_independence — χ² test of independence on the
+# event_type × cohort contingency table (is behavior mix independent of
+# cohort?). Each cell's term (o·N − r·c)² / (N·r·c) is formed from
+# exact BIGINT products (numerator ≤ ~10¹⁶ ≪ 2⁶³ — squaring in double
+# would lose bits past 2⁵³), divided once (IEEE-exact, identical in
+# both engines), then 9-dp-rounded and micros-quantized so the final
+# sum is an exact long (the agg_entropy_by_group transcendental
+# discipline, though here even the division is exact).
+# At 100 TB: two map-side-combined groupBys to a k×m cell table (tiny),
+# then driver-scale arithmetic — scale-free.
+# ---------------------------------------------------------------------------
+
+_CHISQ_ORACLE = """
+WITH cell AS (
+  SELECT event_type, user_id % 4 AS cohort, CAST(COUNT(*) AS BIGINT) AS o
+  FROM events GROUP BY event_type, user_id % 4
+),
+m AS (
+  SELECT event_type, cohort, o,
+         CAST(SUM(o) OVER (PARTITION BY event_type) AS BIGINT) AS rt,
+         CAST(SUM(o) OVER (PARTITION BY cohort) AS BIGINT) AS ct,
+         CAST(SUM(o) OVER () AS BIGINT) AS n
+  FROM cell
+),
+terms AS (
+  SELECT n,
+         CAST(ROUND(ROUND(
+             CAST((o * n - rt * ct) * (o * n - rt * ct) AS DOUBLE)
+             / (n * rt * ct), 9) * 1000000) AS BIGINT) AS t_m
+  FROM m
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+       (SELECT CAST((COUNT(DISTINCT event_type) - 1)
+                    * (COUNT(DISTINCT cohort) - 1) AS BIGINT) FROM cell)
+         AS dof,
+       CAST(MIN(n) AS BIGINT) AS n_obs,
+       CAST(SUM(t_m) AS BIGINT) AS chi2_micros
+FROM terms
+"""
+
+
+@register("agg_chisq_independence", _CHISQ_ORACLE)
+def agg_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    cell = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type", (F.col("user_id") % 4).alias("cohort"))
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    m = cell.select(
+        "event_type",
+        "cohort",
+        "o",
+        F.sum("o").over(W.partitionBy("event_type")).alias("rt"),
+        F.sum("o").over(W.partitionBy("cohort")).alias("ct"),
+        F.sum("o").over(W.partitionBy()).alias("n"),
+    )
+    num = (F.col("o") * F.col("n") - F.col("rt") * F.col("ct"))
+    term = F.round(
+        F.round(
+            (num * num).cast("double")
+            / (F.col("n") * F.col("rt") * F.col("ct")),
+            9,
+        )
+        * 1_000_000
+    ).cast("long")
+    terms = m.select("n", term.alias("t_m"))
+    dof = cell.agg(
+        (
+            (F.count_distinct("event_type") - 1)
+            * (F.count_distinct("cohort") - 1)
+        ).alias("dof")
+    )
+    return (
+        terms.agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.min("n").alias("n_obs"),
+            F.sum("t_m").alias("chi2_micros"),
+        )
+        .crossJoin(F.broadcast(dof))
+        .select("n_cells", "dof", "n_obs", "chi2_micros")
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_benford_law — leading-digit distribution of order totals (in
+# cents) against Benford's expected log10(1+1/d), the classic
+# fabricated-data / ETL-corruption audit. Expected frequencies are
+# HARDCODED micros literals (no transcendental evaluated at runtime);
+# observed frequency uses integer floor division. A 9-row digit spine
+# left-join keeps the output shape fixed across scale factors.
+# At 100 TB: groupBy on a 9-value key — map-side combine makes it free.
+# ---------------------------------------------------------------------------
+
+_BENFORD_ORACLE = """
+WITH c AS (
+  SELECT CAST(SUBSTR(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM orders WHERE o_totalprice > 0
+),
+obs AS (
+  SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_orders FROM c GROUP BY digit
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM c),
+exp AS (
+  SELECT d.digit,
+         CASE d.digit WHEN 1 THEN 301030 WHEN 2 THEN 176091
+                      WHEN 3 THEN 124939 WHEN 4 THEN 96910
+                      WHEN 5 THEN 79181 WHEN 6 THEN 66947
+                      WHEN 7 THEN 57992 WHEN 8 THEN 51153
+                      ELSE 45757 END AS exp_micros
+  FROM (SELECT unnest(range(1, 10)) AS digit) d
+)
+SELECT e.digit,
+       COALESCE(o.n_orders, 0) AS n_orders,
+       COALESCE(o.n_orders, 0) * 1000000 // t.n AS freq_micros,
+       CAST(e.exp_micros AS BIGINT) AS exp_micros,
+       ABS(COALESCE(o.n_orders, 0) * 1000000 // t.n - e.exp_micros)
+         AS dev_micros
+FROM exp e LEFT JOIN obs o ON o.digit = e.digit CROSS JOIN tot t
+ORDER BY e.digit
+"""
+
+_BENFORD_MICROS = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+
+
+@register("agg_benford_law", _BENFORD_ORACLE)
+def agg_benford_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 0)
+        .select(
+            F.substring(
+                F.round(F.col("o_totalprice") * 100)
+                .cast("long")
+                .cast("string"),
+                1,
+                1,
+            )
+            .cast("long")
+            .alias("digit")
+        )
+    )
+    obs = c.groupBy("digit").agg(F.count(F.lit(1)).alias("n_orders"))
+    tot = c.agg(F.count(F.lit(1)).alias("n"))
+    exp = spark.range(1, 10).select(
+        F.col("id").alias("digit"),
+        F.element_at(
+            F.create_map(
+                *[
+                    F.lit(x)
+                    for kv in _BENFORD_MICROS.items()
+                    for x in kv
+                ]
+            ),
+            F.col("id").cast("int"),
+        )
+        .cast("long")
+        .alias("exp_micros"),
+    )
+    n_orders = F.coalesce(F.col("n_orders"), F.lit(0))
+    return (
+        exp.join(F.broadcast(obs), "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            n_orders.alias("n_orders"),
+            F.expr("coalesce(n_orders, 0) * 1000000 div n").alias(
+                "freq_micros"
+            ),
+            "exp_micros",
+            F.abs(
+                F.expr("coalesce(n_orders, 0) * 1000000 div n")
+                - F.col("exp_micros")
+            ).alias("dev_micros"),
+        )
+        .orderBy("digit")
+    )

@@ -1,0 +1,113 @@
+"""Independent-reference and invariant checks for the r6 session-4
+statistics battery (agg_mann_whitney / agg_ks_2sample /
+agg_chisq_independence / agg_benford_law) — a pandas/numpy third
+implementation per op plus the algebraic identities each statistic must
+satisfy, so agreement isn't just two engines sharing a bug.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from dbt_local_duckdb_deltalake_project_spark.catalog import t
+from dbt_local_duckdb_deltalake_project_spark.operators import QUERIES
+
+
+def _two_sample_frame(spark, sf_dir) -> pd.DataFrame:
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "click"))
+        .select("user_id", "event_type", "value")
+        .toPandas()
+    )
+    ev["cohort"] = ev["user_id"] % 8
+    ev["g1"] = ev["event_type"] == "purchase"
+    ev["cents"] = (ev["value"] * 100).round().astype("int64")
+    return ev
+
+
+def test_mann_whitney_matches_pandas_rank_reference(spark, sf_dir):
+    out = QUERIES["agg_mann_whitney"](spark, sf_dir).toPandas()
+    ev = _two_sample_frame(spark, sf_dir)
+    for _, row in out.iterrows():
+        g = ev[ev["cohort"] == row["cohort"]]
+        ranks = g["cents"].rank(method="average")
+        r1 = ranks[g["g1"]].sum()
+        n1 = int(g["g1"].sum())
+        u1 = r1 - n1 * (n1 + 1) / 2
+        assert row["n1"] == n1
+        assert row["n2"] == len(g) - n1
+        assert row["u1_doubled"] == 2 * u1
+
+
+def test_mann_whitney_u_conservation(spark, sf_dir):
+    # U1 + U2 = n1·n2, so u_min_doubled ≤ n1·n2 and both U are ≥ 0.
+    out = QUERIES["agg_mann_whitney"](spark, sf_dir).toPandas()
+    u2 = 2 * out["n1"] * out["n2"] - out["u1_doubled"]
+    assert (out["u1_doubled"] >= 0).all() and (u2 >= 0).all()
+    assert (out["u_min_doubled"] <= out["n1"] * out["n2"]).all()
+
+
+def test_ks_matches_numpy_ecdf_reference(spark, sf_dir):
+    out = QUERIES["agg_ks_2sample"](spark, sf_dir).toPandas()
+    ev = _two_sample_frame(spark, sf_dir)
+    for _, row in out.iterrows():
+        g = ev[ev["cohort"] == row["cohort"]]
+        x1 = np.sort(g.loc[g["g1"], "cents"].to_numpy())
+        x2 = np.sort(g.loc[~g["g1"], "cents"].to_numpy())
+        pts = np.unique(np.concatenate([x1, x2]))
+        c1 = np.searchsorted(x1, pts, side="right")
+        c2 = np.searchsorted(x2, pts, side="right")
+        d_num = np.abs(c1 * len(x2) - c2 * len(x1)).max()
+        assert row["d_num"] == d_num
+        assert row["d_micros"] == d_num * 1_000_000 // (len(x1) * len(x2))
+
+
+def test_chisq_matches_pandas_crosstab_reference(spark, sf_dir):
+    out = QUERIES["agg_chisq_independence"](spark, sf_dir).toPandas()
+    ev = (
+        t(spark, sf_dir, "events")
+        .select("event_type", (F.col("user_id") % 4).alias("cohort"))
+        .toPandas()
+    )
+    ct = pd.crosstab(ev["event_type"], ev["cohort"]).to_numpy().astype(float)
+    n = ct.sum()
+    e = np.outer(ct.sum(axis=1), ct.sum(axis=0)) / n
+    chi2 = ((ct - e) ** 2 / e).sum()
+    row = out.iloc[0]
+    assert row["n_obs"] == n
+    assert row["dof"] == (ct.shape[0] - 1) * (ct.shape[1] - 1)
+    assert row["n_cells"] == ct.size
+    # per-cell micros quantization bounds the drift at n_cells·0.5 micro
+    assert abs(row["chi2_micros"] / 1e6 - chi2) <= ct.size * 1e-6 + 1e-9
+
+
+def test_benford_spine_and_frequency_conservation(spark, sf_dir):
+    out = QUERIES["agg_benford_law"](spark, sf_dir).toPandas()
+    assert list(out["digit"]) == list(range(1, 10))
+    # expected micros are the exact rounded log10(1+1/d) table: sums to 1
+    assert out["exp_micros"].sum() == 1_000_000
+    n = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 0)
+        .count()
+    )
+    assert out["n_orders"].sum() == n
+    # floor-divided observed frequencies sum to 1e6 less at most 8 ulps
+    assert 1_000_000 - 8 <= out["freq_micros"].sum() <= 1_000_000
+    assert (
+        out["dev_micros"] == (out["freq_micros"] - out["exp_micros"]).abs()
+    ).all()
+
+
+def test_benford_matches_string_reference(spark, sf_dir):
+    out = QUERIES["agg_benford_law"](spark, sf_dir).toPandas()
+    tp = t(spark, sf_dir, "orders").select("o_totalprice").toPandas()
+    cents = (tp["o_totalprice"] * 100).round().astype("int64")
+    ref = (
+        cents[cents > 0].astype(str).str[0].astype(int).value_counts()
+    )
+    for _, row in out.iterrows():
+        assert row["n_orders"] == ref.get(row["digit"], 0)

@@ -1,0 +1,47 @@
+"""Plan assertions for the r6 session-4 statistics battery — same
+contract as test_plans_r6: pin the physical properties the docstrings
+claim (rank windows partitioned by the cohort key, pre-aggregation
+before cumulative windows, broadcast scalar/side tables, map-side
+partials) so plan regressions fail CI before they fail a cluster.
+"""
+
+from __future__ import annotations
+
+from .test_plans_r6 import nodes
+
+
+def test_mann_whitney_single_rank_pass_no_joins(spark, sf_dir):
+    # doubled-rank windows over the cohort shuffle, then one algebraic
+    # groupBy — no join anywhere in the plan.
+    n = nodes(spark, sf_dir, "agg_mann_whitney")
+    assert n["Window"] >= 1
+    assert not any(k.endswith("Join") or k == "CartesianProduct" for k in n)
+
+
+def test_ks_preaggregates_before_cumulative_window(spark, sf_dir):
+    # ECDF counts collapse to distinct (cohort, cents) rows map-side
+    # BEFORE the cumulative window, and the per-cohort totals broadcast.
+    n = nodes(spark, sf_dir, "agg_ks_2sample")
+    assert n["partial_count"] >= 1
+    assert n["BroadcastHashJoin"] >= 1
+    assert n["SortMergeJoin"] == 0 and n["ShuffledHashJoin"] == 0
+    assert n["CartesianProduct"] == 0 and n["BroadcastNestedLoopJoin"] == 0
+
+
+def test_chisq_contingency_is_mapside_then_tiny(spark, sf_dir):
+    # the only full-data pass is the map-side-combined cell count; the
+    # dof scalar rides a single broadcast nested-loop (1-row) join.
+    n = nodes(spark, sf_dir, "agg_chisq_independence")
+    assert n["partial_count"] >= 1
+    assert n["BroadcastNestedLoopJoin"] == 1
+    assert n["SortMergeJoin"] == 0 and n["ShuffledHashJoin"] == 0
+
+
+def test_benford_digit_spine_broadcasts(spark, sf_dir):
+    # 9-row spine joins the digit counts via broadcast hash; the 1-row
+    # total rides a broadcast nested-loop; map-side partial counts.
+    n = nodes(spark, sf_dir, "agg_benford_law")
+    assert n["partial_count"] >= 1
+    assert n["BroadcastHashJoin"] >= 1
+    assert n["BroadcastNestedLoopJoin"] == 1
+    assert n["SortMergeJoin"] == 0 and n["ShuffledHashJoin"] == 0
