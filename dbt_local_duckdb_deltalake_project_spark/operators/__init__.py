@@ -153,7 +153,8 @@ _WINDOW_SECOND = [
     # above — land in r8's window, keeping its count ≤ 50 so r8 still
     # closes the verification sweep). ---
     "agg_mann_whitney", "agg_ks_2sample", "agg_chisq_independence",
-    "agg_benford_law",
+    "agg_benford_law", "win_ohlc_resample",
+    "graph_clustering_coefficient", "llm_lsh_curve",
     # --- end of never-checked block; greens rotate below ---
     "delta_time_travel", "delta_merge_upsert",
     "stream_tumbling", "stream_session", "win_range_frame", "fn_date",  # events/tz consumers

@@ -750,3 +750,148 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("node_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# graph_clustering_coefficient — local clustering coefficient per node
+# on the same sparsified top-3 co-purchase supplier graph as
+# graph_triangle_count: cc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)). Each
+# a<b<c triangle is enumerated once (wedge join + closing join) and
+# credited to all three corners via a 3-way union; the coefficient is
+# exact integer floor-division micros. Same 100 TB discipline as the
+# sibling: per-entity degree capped by construction (≤ 12 pre-pair,
+# k = 3 post-sparsify), so every join is an equi-join on a bounded
+# neighborhood.
+# ---------------------------------------------------------------------------
+
+_CLUSTERING_ORACLE = """
+WITH cs0 AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+cs AS (
+  SELECT c, s FROM (
+    SELECT c, s, ROW_NUMBER() OVER (PARTITION BY c ORDER BY s ASC) AS rn
+    FROM cs0
+  ) WHERE rn <= 12
+),
+co AS (
+  SELECT a.s AS s1, b.s AS s2, COUNT(*) AS shared
+  FROM cs a JOIN cs b ON a.c = b.c AND a.s <> b.s
+  GROUP BY a.s, b.s
+),
+knn AS (
+  SELECT s1, s2 FROM (
+    SELECT s1, s2,
+           ROW_NUMBER() OVER (PARTITION BY s1
+                              ORDER BY shared DESC, s2 ASC) AS rk
+    FROM co
+  ) WHERE rk <= 3
+),
+und AS (
+  SELECT DISTINCT LEAST(s1, s2) AS a, GREATEST(s1, s2) AS b FROM knn
+),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+    SELECT a AS node FROM und UNION ALL SELECT b FROM und
+  ) GROUP BY node
+),
+tris AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+tric AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS tri FROM (
+    SELECT x AS node FROM tris UNION ALL
+    SELECT y FROM tris UNION ALL
+    SELECT z FROM tris
+  ) GROUP BY node
+)
+SELECT d.node, d.deg,
+       COALESCE(t.tri, 0) AS n_triangles,
+       CASE WHEN d.deg >= 2
+            THEN 2 * COALESCE(t.tri, 0) * 1000000 // (d.deg * (d.deg - 1))
+            ELSE 0 END AS cc_micros
+FROM deg d LEFT JOIN tric t ON t.node = d.node
+ORDER BY d.node
+"""
+
+
+@register("graph_clustering_coefficient", _CLUSTERING_ORACLE)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    cs0 = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    cs = (
+        cs0.withColumn(
+            "rn",
+            F.row_number().over(W.partitionBy("c").orderBy(F.col("s").asc())),
+        )
+        .filter(F.col("rn") <= 12)
+        .drop("rn")
+    )
+    a, b = cs.alias("a"), cs.alias("b")
+    co = (
+        a.join(b, (F.col("a.c") == F.col("b.c")) & (F.col("a.s") != F.col("b.s")))
+        .groupBy(F.col("a.s").alias("s1"), F.col("b.s").alias("s2"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    rk = F.row_number().over(
+        W.partitionBy("s1").orderBy(F.col("shared").desc(), F.col("s2").asc())
+    )
+    knn = co.select("s1", "s2", rk.alias("rk")).filter(F.col("rk") <= 3)
+    und = knn.select(
+        F.least("s1", "s2").alias("a"), F.greatest("s1", "s2").alias("b")
+    ).distinct()
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
+    tris = (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("x"),
+            F.col("e1.b").alias("y"),
+            F.col("e2.b").alias("z"),
+        )
+    )
+    tric = (
+        tris.select(F.col("x").alias("node"))
+        .unionAll(tris.select(F.col("y").alias("node")))
+        .unionAll(tris.select(F.col("z").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("tri"))
+    )
+    tri = F.coalesce(F.col("tri"), F.lit(0))
+    return (
+        deg.join(F.broadcast(tric), "node", "left")
+        .select(
+            "node",
+            "deg",
+            tri.alias("n_triangles"),
+            F.when(
+                F.col("deg") >= 2,
+                F.expr(
+                    "2 * coalesce(tri, 0) * 1000000"
+                    " div (deg * (deg - 1))"
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("cc_micros"),
+        )
+        .orderBy("node")
+    )

@@ -6849,3 +6849,126 @@ def llm_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# ---------------------------------------------------------------------------
+# llm_lsh_curve — the MinHash-LSH banding tuning table: for each
+# (bands b, rows r) config with b·r = 128 signature slots, the
+# collision probability at Jaccard similarity s is 1 − (1 − s^r)^b.
+# This is the table you read BEFORE running llm_dedup_minhash at 100 TB
+# to pick the band shape whose S-curve knee sits on your dedup
+# threshold. Determinism: r and b are powers of two, so both powers are
+# evaluated by REPEATED SQUARING — only IEEE multiply/subtract, which
+# are exactly rounded and bit-identical in Spark and DuckDB; no
+# transcendental (POWER/EXP/LN) is ever called. The 9-dp→micros
+# quantization is belt-and-suspenders on top.
+# Scale-free by construction (76-row domain), driver-side cost zero.
+# ---------------------------------------------------------------------------
+
+_LSH_CURVE_ORACLE = """
+WITH s AS (
+  SELECT CAST(d AS BIGINT) AS s_pct20, CAST(d AS DOUBLE) / 20.0 AS sv
+  FROM (SELECT unnest(range(1, 20)) AS d)
+),
+p AS (
+  SELECT s_pct20, sv,
+         sv * sv AS s2,
+         (sv * sv) * (sv * sv) AS s4
+  FROM s
+),
+p2 AS (
+  SELECT s_pct20, sv, s2, s4, s4 * s4 AS s8 FROM p
+),
+p3 AS (
+  SELECT s_pct20, sv, s2, s4, s8, s8 * s8 AS s16 FROM p2
+),
+q AS (
+  SELECT s_pct20,
+         1.0 - s2  AS q2,
+         1.0 - s4  AS q4,
+         1.0 - s8  AS q8,
+         1.0 - s16 AS q16
+  FROM p3
+),
+-- q^b by SEQUENTIAL squaring, one stage per CTE so the multiplication
+-- chain is step-for-step identical to the Spark side
+t1 AS (SELECT s_pct20, q2*q2 AS a, q4*q4 AS b, q8*q8 AS c, q16*q16 AS d
+       FROM q),
+t2 AS (SELECT s_pct20, a*a AS a, b*b AS b, c*c AS c, d*d AS d FROM t1),
+t3 AS (SELECT s_pct20, a*a AS a, b*b AS b, c*c AS c, d*d AS d FROM t2),
+t4 AS (SELECT s_pct20, a*a AS a, b*b AS b, c*c AS c FROM t3),
+t5 AS (SELECT s_pct20, a*a AS a, b*b AS b FROM t4),
+t6 AS (SELECT s_pct20, a*a AS a FROM t5),
+body AS (
+  SELECT s_pct20, 64 AS bands, 2 AS rows_per_band, a AS miss FROM t6
+  UNION ALL
+  SELECT s_pct20, 32, 4, b FROM t5
+  UNION ALL
+  SELECT s_pct20, 16, 8, c FROM t4
+  UNION ALL
+  SELECT s_pct20, 8, 16, d FROM t3
+)
+SELECT s_pct20, CAST(bands AS BIGINT) AS bands,
+       CAST(rows_per_band AS BIGINT) AS rows_per_band,
+       CAST(ROUND(ROUND(1.0 - miss, 9) * 1000000) AS BIGINT)
+         AS p_collide_micros
+FROM body
+ORDER BY s_pct20, bands
+"""
+
+
+@register("llm_lsh_curve", _LSH_CURVE_ORACLE)
+def llm_lsh_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = spark.range(1, 20).select(
+        F.col("id").alias("s_pct20"),
+        (F.col("id").cast("double") / F.lit(20.0)).alias("sv"),
+    )
+    s2 = F.col("sv") * F.col("sv")
+    p = s.select("s_pct20", "sv", s2.alias("s2"))
+    p = p.select("s_pct20", "sv", "s2", (F.col("s2") * F.col("s2")).alias("s4"))
+    p = p.select(
+        "s_pct20", "sv", "s2", "s4", (F.col("s4") * F.col("s4")).alias("s8")
+    )
+    p = p.select(
+        "s_pct20", "sv", "s2", "s4", "s8",
+        (F.col("s8") * F.col("s8")).alias("s16"),
+    )
+    q = p.select(
+        "s_pct20",
+        (F.lit(1.0) - F.col("s2")).alias("q2"),
+        (F.lit(1.0) - F.col("s4")).alias("q4"),
+        (F.lit(1.0) - F.col("s8")).alias("q8"),
+        (F.lit(1.0) - F.col("s16")).alias("q16"),
+    )
+
+    def _pow_sq(col, n_sq):
+        # x^(2^n_sq) by repeated squaring — same chain as the oracle
+        c = col
+        for _ in range(n_sq):
+            c = c * c
+        return c
+
+    rows = []
+    for bands, r_per, qc, n_sq in (
+        (64, 2, "q2", 6),
+        (32, 4, "q4", 5),
+        (16, 8, "q8", 4),
+        (8, 16, "q16", 3),
+    ):
+        rows.append(
+            q.select(
+                "s_pct20",
+                F.lit(bands).cast("long").alias("bands"),
+                F.lit(r_per).cast("long").alias("rows_per_band"),
+                _pow_sq(F.col(qc), n_sq).alias("miss"),
+            )
+        )
+    body = rows[0].unionAll(rows[1]).unionAll(rows[2]).unionAll(rows[3])
+    return body.select(
+        "s_pct20",
+        "bands",
+        "rows_per_band",
+        F.round(F.round(F.lit(1.0) - F.col("miss"), 9) * 1_000_000)
+        .cast("long")
+        .alias("p_collide_micros"),
+    ).orderBy("s_pct20", "bands")

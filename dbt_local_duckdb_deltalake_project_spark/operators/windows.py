@@ -1289,3 +1289,84 @@ def win_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# win_ohlc_resample — open/high/low/close candle per (user, day), the
+# canonical time-series downsample. Open/close are first/last by
+# (ts, event_id) — carried via two ROW_NUMBER passes over the SAME
+# partition keys (one ascending, one descending) so the whole op is two
+# co-partitioned window sorts + one algebraic groupBy; volume is an
+# exact long sum of cents.
+# At 100 TB: partition key (user, day) is the natural hypertable chunk
+# key — the window shuffle IS the rollup shuffle, nothing global.
+# ---------------------------------------------------------------------------
+
+_OHLC_ORACLE = """
+WITH v AS (
+  SELECT user_id,
+         CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         ts, event_id,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+r AS (
+  SELECT user_id, day, cents,
+         ROW_NUMBER() OVER (PARTITION BY user_id, day
+                            ORDER BY ts ASC, event_id ASC) AS rn_a,
+         ROW_NUMBER() OVER (PARTITION BY user_id, day
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM v
+)
+SELECT user_id, day,
+       CAST(MAX(CASE WHEN rn_a = 1 THEN cents END) AS BIGINT)
+         AS open_cents,
+       CAST(MAX(cents) AS BIGINT) AS high_cents,
+       CAST(MIN(cents) AS BIGINT) AS low_cents,
+       CAST(MAX(CASE WHEN rn_d = 1 THEN cents END) AS BIGINT)
+         AS close_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(cents) AS BIGINT) AS volume_cents
+FROM r
+GROUP BY user_id, day
+ORDER BY user_id, day
+"""
+
+
+@register("win_ohlc_resample", _OHLC_ORACLE)
+def win_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    pw = W.partitionBy("user_id", "day")
+    r = v.select(
+        "user_id",
+        "day",
+        "cents",
+        F.row_number()
+        .over(pw.orderBy(F.asc("ts"), F.asc("event_id")))
+        .alias("rn_a"),
+        F.row_number()
+        .over(pw.orderBy(F.desc("ts"), F.desc("event_id")))
+        .alias("rn_d"),
+    )
+    return (
+        r.groupBy("user_id", "day")
+        .agg(
+            F.max(F.when(F.col("rn_a") == 1, F.col("cents"))).alias(
+                "open_cents"
+            ),
+            F.max("cents").alias("high_cents"),
+            F.min("cents").alias("low_cents"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("cents"))).alias(
+                "close_cents"
+            ),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("volume_cents"),
+        )
+        .orderBy("user_id", "day")
+    )

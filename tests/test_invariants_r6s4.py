@@ -111,3 +111,65 @@ def test_benford_matches_string_reference(spark, sf_dir):
     )
     for _, row in out.iterrows():
         assert row["n_orders"] == ref.get(row["digit"], 0)
+
+
+def test_ohlc_band_and_conservation(spark, sf_dir):
+    out = QUERIES["win_ohlc_resample"](spark, sf_dir).toPandas()
+    assert (out["low_cents"] <= out["open_cents"]).all()
+    assert (out["low_cents"] <= out["close_cents"]).all()
+    assert (out["open_cents"] <= out["high_cents"]).all()
+    assert (out["close_cents"] <= out["high_cents"]).all()
+    ev = t(spark, sf_dir, "events").select("value").toPandas()
+    cents = (ev["value"] * 100).round().astype("int64")
+    assert out["n_events"].sum() == len(ev)
+    assert out["volume_cents"].sum() == cents.sum()
+
+
+def test_ohlc_matches_pandas_reference(spark, sf_dir):
+    out = QUERIES["win_ohlc_resample"](spark, sf_dir).toPandas()
+    ev = (
+        t(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "value")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    ev["cents"] = (ev["value"] * 100).round().astype("int64")
+    ev["day"] = ev["ts"].dt.floor("D")
+    ref = ev.groupby(["user_id", "day"])["cents"].agg(
+        open_cents="first",
+        high_cents="max",
+        low_cents="min",
+        close_cents="last",
+        n_events="size",
+        volume_cents="sum",
+    )
+    got = out.set_index(["user_id", "day"]).sort_index()
+    assert got.equals(ref.sort_index().astype("int64"))
+
+
+def test_clustering_coefficient_triangle_conservation(spark, sf_dir):
+    out = QUERIES["graph_clustering_coefficient"](spark, sf_dir).toPandas()
+    tri = QUERIES["graph_triangle_count"](spark, sf_dir).toPandas()
+    # every a<b<c triangle is credited to exactly its 3 corners
+    assert out["n_triangles"].sum() == 3 * tri["n_triangles"].iloc[0]
+    assert out["deg"].sum() == 2 * tri["n_edges"].iloc[0]
+    assert ((out["cc_micros"] >= 0) & (out["cc_micros"] <= 1_000_000)).all()
+    # a node's triangles can't exceed its wedge count
+    assert (
+        out["n_triangles"] <= out["deg"] * (out["deg"] - 1) // 2
+    ).all()
+
+
+def test_lsh_curve_matches_float_reference_and_is_monotone(spark, sf_dir):
+    out = (
+        QUERIES["llm_lsh_curve"](spark, sf_dir)
+        .toPandas()
+        .sort_values(["bands", "s_pct20"])
+    )
+    for _, row in out.iterrows():
+        s = row["s_pct20"] / 20.0
+        p = 1.0 - (1.0 - s ** row["rows_per_band"]) ** row["bands"]
+        assert abs(row["p_collide_micros"] / 1e6 - p) <= 2e-6
+    # collision probability is nondecreasing in similarity per config
+    for _, g in out.groupby("bands"):
+        assert g["p_collide_micros"].is_monotonic_increasing

@@ -45,3 +45,26 @@ def test_benford_digit_spine_broadcasts(spark, sf_dir):
     assert n["BroadcastHashJoin"] >= 1
     assert n["BroadcastNestedLoopJoin"] == 1
     assert n["SortMergeJoin"] == 0 and n["ShuffledHashJoin"] == 0
+
+
+def test_ohlc_two_copartitioned_windows_no_join(spark, sf_dir):
+    # both row-number passes and the groupBy share the (user, day) key:
+    # windows collapse onto one shuffle; no join anywhere.
+    n = nodes(spark, sf_dir, "win_ohlc_resample")
+    assert n["Window"] >= 1
+    assert not any(k.endswith("Join") or k == "CartesianProduct" for k in n)
+
+
+def test_clustering_coefficient_broadcasts_triangle_credits(spark, sf_dir):
+    # per-node triangle credits (bounded by the sparsified graph) must
+    # broadcast back onto the degree table; no cartesian anywhere.
+    n = nodes(spark, sf_dir, "graph_clustering_coefficient")
+    assert n["BroadcastHashJoin"] >= 1
+    assert n["CartesianProduct"] == 0 and n["BroadcastNestedLoopJoin"] == 0
+
+
+def test_lsh_curve_is_pure_compute(spark, sf_dir):
+    # a 76-row analytic table: no data scan, no hash shuffle, no join.
+    n = nodes(spark, sf_dir, "llm_lsh_curve")
+    assert n["Exchange hashpartitioning"] == 0
+    assert not any(k.endswith("Join") or k == "CartesianProduct" for k in n)
