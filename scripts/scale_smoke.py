@@ -23,6 +23,8 @@ sys.path.insert(0, _REPO)
 
 FACTOR = int(sys.argv[1]) if len(sys.argv) > 1 else 10
 BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+# restrict to named ops: scale_smoke.py [factor] [qid ...]
+ONLY = set(sys.argv[2:])
 
 # ops chosen to cover the risk classes: shuffle-heavy dedup, iterative
 # graph, banded LSH, blocked ANN, windowed agg, spatial bin join.
@@ -74,6 +76,16 @@ OPS = [
     "win_anomaly_mad",
     "join_interval_overlap",
     "agg_heavy_hitters",
+    # session-3 tail + session-4 adds: RRF rank fusion (two ranked
+    # lists over 10x docs), shard packing (global rank offsets), rank
+    # windows for the U/KS statistics over 10x events, per-(user, day)
+    # OHLC candles
+    "llm_rrf_fusion",
+    "llm_shard_balance",
+    "agg_mann_whitney",
+    "agg_ks_2sample",
+    "agg_chisq_independence",
+    "win_ohlc_resample",
 ]
 
 
@@ -119,7 +131,7 @@ def main() -> None:
     from dbt_local_duckdb_deltalake_project_spark.operators import QUERIES
 
     results: dict[str, dict] = {}
-    for qid in OPS:
+    for qid in [q for q in OPS if not ONLY or q in ONLY]:
         t0 = time.perf_counter()
         try:
             n = QUERIES[qid](spark, out).count()
