@@ -155,6 +155,8 @@ _WINDOW_SECOND = [
     "agg_mann_whitney", "agg_ks_2sample", "agg_chisq_independence",
     "agg_benford_law", "win_ohlc_resample",
     "graph_clustering_coefficient", "llm_lsh_curve",
+    "llm_weighted_sample", "llm_matryoshka_recall",
+    "win_cusum_alarm", "agg_power_analysis",
     # --- end of never-checked block; greens rotate below ---
     "delta_time_travel", "delta_merge_upsert",
     "stream_tumbling", "stream_session", "win_range_frame", "fn_date",  # events/tz consumers

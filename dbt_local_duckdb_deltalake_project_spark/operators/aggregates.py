@@ -2594,3 +2594,114 @@ def agg_benford_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_power_analysis — the experiment-design planner that pairs with
+# agg_ab_ttest: per event_type, the per-arm sample size needed to
+# detect a 5% lift at α=0.05 / power 0.80:
+# n = 2·(z₀.₉₇₅+z₀.₈₀)²·σ²/Δ². Variance uses the TWO-PASS deviation
+# form (deviations from the integer-floored mean) so every squared term
+# stays small enough for exact BIGINT sums at 10× the bench fixture
+# (the naive Σx² overflows long there; at larger factors the swap is
+# the DEC power-sum route of agg_stats). z constants are literals; the
+# final expression is one deterministic IEEE chain on quantized ints.
+# At 100 TB: two map-side-combined groupBys + a broadcast of the 5-row
+# means table — scale-free.
+# ---------------------------------------------------------------------------
+
+_POWER_ORACLE = """
+WITH v AS (
+  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+m AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(cents) AS BIGINT) AS s1,
+         CAST(SUM(cents) // COUNT(*) AS BIGINT) AS mean0
+  FROM v GROUP BY event_type
+),
+d AS (
+  SELECT v.event_type, m.n, m.s1,
+         CAST(SUM(v.cents - m.mean0) AS BIGINT) AS s1d,
+         CAST(SUM((v.cents - m.mean0) * (v.cents - m.mean0)) AS BIGINT)
+           AS s2d
+  FROM v JOIN m ON m.event_type = v.event_type
+  GROUP BY v.event_type, m.n, m.s1
+),
+x AS (
+  SELECT event_type, n,
+         s1 * 1000000 // n AS mean_micros,
+         CAST(ROUND(ROUND(
+             CAST(n * s2d - s1d * s1d AS DOUBLE) / (n * (n - 1)), 9)
+             * 1000000) AS BIGINT) AS var_cents2_micros,
+         (s1 * 1000000 // n) // 20 AS delta_micros
+  FROM d
+)
+SELECT event_type, n, mean_micros, var_cents2_micros, delta_micros,
+       CAST(CEIL(2.0 * 2.801585 * 2.801585
+                 * (CAST(var_cents2_micros AS DOUBLE) * 1000000.0)
+                 / (CAST(delta_micros AS DOUBLE)
+                    * CAST(delta_micros AS DOUBLE))) AS BIGINT)
+         AS n_per_arm
+FROM x
+ORDER BY event_type
+"""
+
+
+@register("agg_power_analysis", _POWER_ORACLE)
+def agg_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    m = v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s1"),
+        F.expr("sum(cents) div count(*)").alias("mean0"),
+    )
+    dev = F.col("cents") - F.col("mean0")
+    d = (
+        v.join(F.broadcast(m), "event_type")
+        .groupBy("event_type", "n", "s1")
+        .agg(
+            F.sum(dev).alias("s1d"),
+            F.sum(dev * dev).alias("s2d"),
+        )
+    )
+    x = d.select(
+        "event_type",
+        "n",
+        F.expr("s1 * 1000000 div n").alias("mean_micros"),
+        F.round(
+            F.round(
+                (F.col("n") * F.col("s2d") - F.col("s1d") * F.col("s1d"))
+                .cast("double")
+                / (F.col("n") * (F.col("n") - 1)),
+                9,
+            )
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("var_cents2_micros"),
+        F.expr("(s1 * 1000000 div n) div 20").alias("delta_micros"),
+    )
+    n_req = F.ceil(
+        F.lit(2.0)
+        * F.lit(2.801585)
+        * F.lit(2.801585)
+        * (F.col("var_cents2_micros").cast("double") * F.lit(1000000.0))
+        / (
+            F.col("delta_micros").cast("double")
+            * F.col("delta_micros").cast("double")
+        )
+    ).cast("long")
+    return x.select(
+        "event_type",
+        "n",
+        "mean_micros",
+        "var_cents2_micros",
+        "delta_micros",
+        n_req.alias("n_per_arm"),
+    ).orderBy("event_type")

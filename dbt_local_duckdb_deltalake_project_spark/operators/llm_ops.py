@@ -6972,3 +6972,260 @@ def llm_lsh_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("p_collide_micros"),
     ).orderBy("s_pct20", "bands")
+
+
+# ---------------------------------------------------------------------------
+# llm_weighted_sample — deterministic weighted sampling without
+# replacement (Efraimidis–Spirakis): key = u^(1/w) ⇔ rank by ln(u)/w,
+# u key-addressed from md5(doc_id) so re-runs pick identical docs.
+# The one transcendental (ln) is evaluated once per row on an exactly
+# identical double (integer-ratio u) and quantized to nanos (the
+# perplexity discipline); the sort key is then the single IEEE division
+# nanos/weight — bit-equal across engines, doc_id tiebreak for exact
+# rank stability. Top-100 is TakeOrderedAndProject: at 100 TB this is
+# the ONLY way to run a weighted draw in one pass with no RNG state —
+# per-partition top-k then a k-row driver merge.
+# ---------------------------------------------------------------------------
+
+_WEIGHTED_SAMPLE_ORACLE = """
+WITH k AS (
+  SELECT doc_id, n_chars,
+         CAST(('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) AS h32
+  FROM documents
+),
+u AS (
+  SELECT doc_id, n_chars,
+         CAST(ROUND(ROUND(LN((CAST(h32 AS DOUBLE) + 1.0) / 4294967297.0),
+                          9) * 1000000000) AS BIGINT) AS ln_u_nanos
+  FROM k
+)
+SELECT ROW_NUMBER() OVER (
+         ORDER BY CAST(ln_u_nanos AS DOUBLE) / n_chars DESC, doc_id ASC
+       ) AS draw_rank,
+       doc_id, n_chars, ln_u_nanos
+FROM u
+ORDER BY CAST(ln_u_nanos AS DOUBLE) / n_chars DESC, doc_id ASC
+LIMIT 100
+"""
+
+
+@register("llm_weighted_sample", _WEIGHTED_SAMPLE_ORACLE)
+def llm_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    h32 = F.conv(
+        F.substring(F.md5(F.concat(F.lit("ws:"), F.col("doc_id").cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    u = (h32.cast("double") + F.lit(1.0)) / F.lit(4294967297.0)
+    ln_u_nanos = (
+        F.round(F.round(F.log(u), 9) * 1_000_000_000).cast("long")
+    )
+    keyed = d.select(
+        "doc_id", "n_chars", ln_u_nanos.alias("ln_u_nanos")
+    )
+    key = F.col("ln_u_nanos").cast("double") / F.col("n_chars")
+    ranked = keyed.orderBy(key.desc(), F.col("doc_id").asc()).limit(100)
+    from pyspark.sql import Window as _W
+
+    return ranked.select(
+        F.row_number()
+        .over(_W.orderBy(key.desc(), F.col("doc_id").asc()))
+        .cast("long")
+        .alias("draw_rank"),
+        "doc_id",
+        "n_chars",
+        "ln_u_nanos",
+    )
+
+
+# ---------------------------------------------------------------------------
+# llm_matryoshka_recall — Matryoshka-embedding quality readout: how well
+# do PREFIX dimensions (8/16/32) of the 64-dim embedding preserve the
+# full-dim top-10 neighbor sets? The production question behind
+# truncating stored dims 8x to cut ANN memory. One position-exploded
+# pass computes ALL four dims' dot/norm sums as conditional decimal
+# aggregates (order-insensitive, bit-equal to the oracle); per
+# (query, dim) ranking uses the house 6-dp-rounded cosine with vec_id
+# tiebreak; recall = exact overlap count join vs the dim-64 list.
+# At 100 TB the query side stays a broadcast (sampled queries) and the
+# candidate side is the one big scan — same shape as llm_cosine_topk;
+# prefix-dim sums come free in the same pass (no 4x rescan).
+# ---------------------------------------------------------------------------
+
+_MATRYOSHKA_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qe FROM embeddings
+  WHERE vec_id % 100 = 0
+),
+pair AS (
+  -- one pass over the exploded positions computes every prefix dim's
+  -- dot and candidate-norm sums as overlapping conditional decimal
+  -- aggregates (no post-aggregation decimal arithmetic: Spark's
+  -- decimal addition drops a scale digit, DuckDB's does not)
+  SELECT q.qid, b.vec_id,
+         SUM(CASE WHEN t.i <= 8 THEN
+             CAST(CAST(b.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)
+                  AS DECIMAL(38,12)) END) AS dot8,
+         SUM(CASE WHEN t.i <= 16 THEN
+             CAST(CAST(b.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)
+                  AS DECIMAL(38,12)) END) AS dot16,
+         SUM(CASE WHEN t.i <= 32 THEN
+             CAST(CAST(b.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)
+                  AS DECIMAL(38,12)) END) AS dot32,
+         SUM(CAST(CAST(b.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)
+                  AS DECIMAL(38,12))) AS dot64,
+         SUM(CASE WHEN t.i <= 8 THEN
+             CAST(CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
+                  AS DECIMAL(38,12)) END) AS nb8,
+         SUM(CASE WHEN t.i <= 16 THEN
+             CAST(CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
+                  AS DECIMAL(38,12)) END) AS nb16,
+         SUM(CASE WHEN t.i <= 32 THEN
+             CAST(CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
+                  AS DECIMAL(38,12)) END) AS nb32,
+         SUM(CAST(CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
+                  AS DECIMAL(38,12))) AS nb64
+  FROM embeddings b CROSS JOIN q, generate_series(1, 64) t(i)
+  WHERE b.vec_id <> q.qid
+  GROUP BY q.qid, b.vec_id
+),
+qn AS (
+  SELECT qid,
+         SUM(CASE WHEN t.i <= 8 THEN
+             CAST(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)
+                  AS DECIMAL(38,12)) END) AS nq8,
+         SUM(CASE WHEN t.i <= 16 THEN
+             CAST(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)
+                  AS DECIMAL(38,12)) END) AS nq16,
+         SUM(CASE WHEN t.i <= 32 THEN
+             CAST(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)
+                  AS DECIMAL(38,12)) END) AS nq32,
+         SUM(CAST(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)
+                  AS DECIMAL(38,12))) AS nq64
+  FROM q, generate_series(1, 64) t(i)
+  GROUP BY qid
+),
+longp AS (
+  SELECT qid, vec_id, 8 AS dim, dot8 AS dot, nb8 AS nb FROM pair
+  UNION ALL SELECT qid, vec_id, 16, dot16, nb16 FROM pair
+  UNION ALL SELECT qid, vec_id, 32, dot32, nb32 FROM pair
+  UNION ALL SELECT qid, vec_id, 64, dot64, nb64 FROM pair
+),
+longq AS (
+  SELECT qid, 8 AS dim, nq8 AS nq FROM qn
+  UNION ALL SELECT qid, 16, nq16 FROM qn
+  UNION ALL SELECT qid, 32, nq32 FROM qn
+  UNION ALL SELECT qid, 64, nq64 FROM qn
+),
+cos AS (
+  SELECT l.qid, l.vec_id, l.dim,
+         ROUND(CAST(l.dot AS DOUBLE)
+               / (SQRT(CAST(l.nb AS DOUBLE)) * SQRT(CAST(m.nq AS DOUBLE))),
+               6) AS c
+  FROM longp l JOIN longq m ON m.qid = l.qid AND m.dim = l.dim
+),
+topk AS (
+  SELECT qid, vec_id, dim FROM (
+    SELECT qid, vec_id, dim,
+           ROW_NUMBER() OVER (PARTITION BY qid, dim
+                              ORDER BY c DESC, vec_id ASC) AS rk
+    FROM cos
+  ) WHERE rk <= 10
+),
+ov AS (
+  SELECT p.dim, CAST(COUNT(*) AS BIGINT) AS n_hits
+  FROM topk p JOIN topk b
+    ON b.dim = 64 AND b.qid = p.qid AND b.vec_id = p.vec_id
+  GROUP BY p.dim
+),
+nq2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_queries FROM q)
+SELECT CAST(o.dim AS BIGINT) AS prefix_dim, n.n_queries, o.n_hits,
+       o.n_hits * 1000000 // (10 * n.n_queries) AS recall_at10_micros
+FROM ov o CROSS JOIN nq2 n
+ORDER BY o.dim
+"""
+
+
+@register("llm_matryoshka_recall", _MATRYOSHKA_ORACLE)
+def llm_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.posexplode("embedding").alias("pos", "qv"),
+    )
+    b = e.select("vec_id", F.posexplode("embedding").alias("pos", "bv"))
+    bd, qd = F.col("bv").cast("double"), F.col("qv").cast("double")
+
+    def _prefix_sums(prod, stem):
+        # overlapping prefix sums (oracle is 1-based: i<=8 ≡ pos<8)
+        cols = []
+        for d in (8, 16, 32):
+            cols.append(
+                F.sum(
+                    F.when(F.col("pos") < d, prod.cast(DEC12))
+                ).alias(f"{stem}{d}")
+            )
+        cols.append(F.sum(prod.cast(DEC12)).alias(f"{stem}64"))
+        return cols
+
+    pair = (
+        b.join(F.broadcast(q), "pos")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg(*_prefix_sums(bd * qd, "dot"), *_prefix_sums(bd * bd, "nb"))
+    )
+    qn = q.groupBy("qid").agg(*_prefix_sums(qd * qd, "nq"))
+    longp = pair.select(
+        "qid",
+        "vec_id",
+        F.expr(
+            "stack(4, 8, dot8, nb8, 16, dot16, nb16,"
+            " 32, dot32, nb32, 64, dot64, nb64) as (dim, dot, nb)"
+        ),
+    )
+    longq = qn.select(
+        "qid",
+        F.expr(
+            "stack(4, 8, nq8, 16, nq16, 32, nq32, 64, nq64) as (dim, nq)"
+        ),
+    )
+    cos = longp.join(F.broadcast(longq), ["qid", "dim"]).select(
+        "qid",
+        "vec_id",
+        "dim",
+        F.round(
+            F.col("dot").cast("double")
+            / (
+                F.sqrt(F.col("nb").cast("double"))
+                * F.sqrt(F.col("nq").cast("double"))
+            ),
+            6,
+        ).alias("c"),
+    )
+    rk = F.row_number().over(
+        W.partitionBy("qid", "dim").orderBy(F.col("c").desc(), F.col("vec_id").asc())
+    )
+    topk = cos.select("qid", "vec_id", "dim", rk.alias("rk")).filter(
+        F.col("rk") <= 10
+    )
+    base = topk.filter(F.col("dim") == 64).select("qid", "vec_id")
+    ov = (
+        topk.join(F.broadcast(base), ["qid", "vec_id"])
+        .groupBy("dim")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    nq2 = q.select("qid").distinct().agg(F.count(F.lit(1)).alias("n_queries"))
+    return (
+        ov.crossJoin(F.broadcast(nq2))
+        .select(
+            F.col("dim").cast("long").alias("prefix_dim"),
+            "n_queries",
+            "n_hits",
+            F.expr("n_hits * 1000000 div (10 * n_queries)").alias(
+                "recall_at10_micros"
+            ),
+        )
+        .orderBy("prefix_dim")
+    )

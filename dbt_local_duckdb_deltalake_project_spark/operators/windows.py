@@ -1370,3 +1370,114 @@ def win_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "day")
     )
+
+
+# ---------------------------------------------------------------------------
+# win_cusum_alarm — one-sided CUSUM control chart per user: S_t =
+# max(0, S_{t−1} + (x_t − μ₀ᵤ)) alarms when S_t exceeds hᵤ. The
+# recursion is NOT window-expressible directly, but has the exact
+# closed form S_t = cum_t − min(0, min_{j≤t} cum_j) (running sum minus
+# its running floor) — two stacked window passes over ONE (user, time)
+# sort. Baselines are per-user: μ₀ᵤ = the user's mean, hᵤ = 4× the
+# user's mean absolute deviation, all exact integer floor divisions —
+# the entire chart is integer arithmetic, no float anywhere.
+# At 100 TB: the baseline groupBy, the join back and both windows all
+# key on user_id — ONE shuffle; alarm emission is a filter, output ∝
+# per-user drift rate.
+# ---------------------------------------------------------------------------
+
+_CUSUM_ORACLE = """
+WITH v AS (
+  SELECT user_id, event_id, ts,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+g1 AS (
+  SELECT user_id, CAST(SUM(cents) // COUNT(*) AS BIGINT) AS mu0
+  FROM v GROUP BY user_id
+),
+g2 AS (
+  SELECT v.user_id,
+         CAST(SUM(ABS(cents - mu0)) // COUNT(*) AS BIGINT) AS mad
+  FROM v JOIN g1 ON g1.user_id = v.user_id
+  GROUP BY v.user_id
+),
+c1 AS (
+  SELECT v.user_id, event_id, ts,
+         CAST(SUM(cents - mu0) OVER (
+           PARTITION BY v.user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS cum
+  FROM v JOIN g1 ON g1.user_id = v.user_id
+),
+c2 AS (
+  SELECT user_id, event_id, cum,
+         CAST(MIN(cum) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS runmin
+  FROM c1
+)
+SELECT c2.user_id, c2.event_id,
+       cum - LEAST(0, runmin) AS s_cents,
+       4 * g2.mad AS threshold_cents
+FROM c2 JOIN g2 ON g2.user_id = c2.user_id
+WHERE cum - LEAST(0, runmin) > 4 * g2.mad
+ORDER BY c2.user_id, c2.event_id
+"""
+
+
+@register("win_cusum_alarm", _CUSUM_ORACLE)
+def win_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    g1 = v.groupBy("user_id").agg(
+        F.expr("sum(cents) div count(*)").alias("mu0")
+    )
+    g2 = (
+        v.join(F.broadcast(g1), "user_id")
+        .groupBy("user_id")
+        .agg(F.expr("sum(abs(cents - mu0)) div count(*)").alias("mad"))
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    c1 = v.join(F.broadcast(g1), "user_id").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum(F.col("cents") - F.col("mu0")).over(w).alias("cum"),
+    )
+    # the running floor must traverse cum in the SAME time order it was
+    # accumulated — both window passes share the (ts, event_id) sort,
+    # so Catalyst reuses one shuffle+sort for both
+    w2 = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    c2 = c1.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "cum",
+        F.min("cum").over(w2).alias("runmin"),
+    )
+    s = F.col("cum") - F.least(F.lit(0), F.col("runmin"))
+    return (
+        c2.join(F.broadcast(g2), "user_id")
+        .filter(s > 4 * F.col("mad"))
+        .select(
+            "user_id",
+            "event_id",
+            s.alias("s_cents"),
+            (4 * F.col("mad")).alias("threshold_cents"),
+        )
+        .orderBy("user_id", "event_id")
+    )

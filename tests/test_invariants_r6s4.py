@@ -173,3 +173,134 @@ def test_lsh_curve_matches_float_reference_and_is_monotone(spark, sf_dir):
     # collision probability is nondecreasing in similarity per config
     for _, g in out.groupby("bands"):
         assert g["p_collide_micros"].is_monotonic_increasing
+
+
+def test_weighted_sample_matches_python_reference(spark, sf_dir):
+    import hashlib
+    import math
+
+    out = QUERIES["llm_weighted_sample"](spark, sf_dir).toPandas()
+    docs = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .toPandas()
+    )
+    keys = []
+    for doc_id, n_chars in docs.itertuples(index=False):
+        h32 = int(hashlib.md5(f"ws:{doc_id}".encode()).hexdigest()[:8], 16)
+        u = (h32 + 1) / 4294967297.0
+        ln_u_nanos = round(round(math.log(u), 9) * 1_000_000_000)
+        keys.append((ln_u_nanos / n_chars, doc_id, n_chars, ln_u_nanos))
+    keys.sort(key=lambda k: (-k[0], k[1]))
+    ref = keys[:100]
+    assert len(out) == 100
+    assert list(out["draw_rank"]) == list(range(1, 101))
+    for row, (_, doc_id, n_chars, nanos) in zip(out.itertuples(index=False), ref):
+        assert row.doc_id == doc_id
+        assert row.n_chars == n_chars
+        assert row.ln_u_nanos == nanos
+
+
+def test_weighted_sample_prefers_heavy_docs(spark, sf_dir):
+    # Efraimidis–Spirakis with weight = n_chars: the drawn docs must be
+    # char-heavier on average than the corpus
+    out = QUERIES["llm_weighted_sample"](spark, sf_dir).toPandas()
+    docs = t(spark, sf_dir, "documents").select("n_chars").toPandas()
+    assert out["n_chars"].mean() > docs["n_chars"].mean()
+
+
+def test_matryoshka_recall_bounds_and_full_dim_identity(spark, sf_dir):
+    out = (
+        QUERIES["llm_matryoshka_recall"](spark, sf_dir)
+        .toPandas()
+        .set_index("prefix_dim")
+    )
+    assert sorted(out.index) == [8, 16, 32, 64]
+    # full-dim list compared to itself is perfect recall by definition
+    assert out.loc[64, "recall_at10_micros"] == 1_000_000
+    assert (out["recall_at10_micros"] <= 1_000_000).all()
+    assert (out["n_hits"] <= 10 * out["n_queries"]).all()
+
+
+def test_matryoshka_matches_numpy_reference(spark, sf_dir):
+    import numpy as np
+
+    out = (
+        QUERIES["llm_matryoshka_recall"](spark, sf_dir)
+        .toPandas()
+        .set_index("prefix_dim")
+    )
+    emb = t(spark, sf_dir, "embeddings").toPandas()
+    mat = np.array([np.asarray(v, dtype=np.float64) for v in emb["embedding"]])
+    ids = emb["vec_id"].to_numpy()
+    qmask = ids % 100 == 0
+    for dim in (8, 16, 32, 64):
+        hits = 0
+        for qi in np.where(qmask)[0]:
+            others = ids != ids[qi]
+
+            def topk(d):
+                x = mat[:, :d]
+                qv = x[qi]
+                cos = (x @ qv) / (
+                    np.linalg.norm(x, axis=1) * np.linalg.norm(qv)
+                )
+                cand = sorted(
+                    zip(np.round(cos[others], 6), -ids[others]),
+                    key=lambda p: (-p[0], -p[1]),
+                )
+                return {int(-i) for _, i in cand[:10]}
+
+            hits += len(topk(dim) & topk(64))
+        # the op's decimal-exact cosine may resolve 6-dp ties slightly
+        # differently than float64 — allow a 2-hit band
+        assert abs(out.loc[dim, "n_hits"] - hits) <= 2
+
+
+def test_cusum_matches_pandas_recursion(spark, sf_dir):
+    out = QUERIES["win_cusum_alarm"](spark, sf_dir).toPandas()
+    ev = (
+        t(spark, sf_dir, "events")
+        .select("user_id", "event_id", "ts", "value")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    ev["cents"] = (ev["value"] * 100).round().astype("int64")
+    alarms = {}
+    for uid, g in ev.groupby("user_id"):
+        mu0 = int(g["cents"].sum()) // len(g)
+        mad = int((g["cents"] - mu0).abs().sum()) // len(g)
+        s = 0
+        for eid, c in zip(g["event_id"], g["cents"]):
+            s = max(0, s + (int(c) - mu0))
+            if s > 4 * mad:
+                alarms[(uid, eid)] = (s, 4 * mad)
+    got = {
+        (r.user_id, r.event_id): (r.s_cents, r.threshold_cents)
+        for r in out.itertuples(index=False)
+    }
+    assert got == alarms
+
+
+def test_power_analysis_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    out = QUERIES["agg_power_analysis"](spark, sf_dir).toPandas()
+    ev = t(spark, sf_dir, "events").select("event_type", "value").toPandas()
+    ev["cents"] = (ev["value"] * 100).round().astype("int64")
+    for _, row in out.iterrows():
+        g = ev.loc[ev["event_type"] == row["event_type"], "cents"].to_numpy()
+        assert row["n"] == len(g)
+        var = g.var(ddof=1)
+        assert abs(row["var_cents2_micros"] / 1e6 - var) / var < 1e-3
+        # n_per_arm must reproduce exactly from the op's own quantized
+        # columns — the formula is deterministic on those
+        import math
+
+        expect = math.ceil(
+            2.0 * 2.801585 * 2.801585
+            * (row["var_cents2_micros"] * 1e6)
+            / (float(row["delta_micros"]) * float(row["delta_micros"]))
+        )
+        assert row["n_per_arm"] == expect
+        assert row["n_per_arm"] > 0

@@ -68,3 +68,38 @@ def test_lsh_curve_is_pure_compute(spark, sf_dir):
     n = nodes(spark, sf_dir, "llm_lsh_curve")
     assert n["Exchange hashpartitioning"] == 0
     assert not any(k.endswith("Join") or k == "CartesianProduct" for k in n)
+
+
+def test_weighted_sample_is_take_ordered(spark, sf_dir):
+    # global weighted top-100 must be TakeOrderedAndProject (per-
+    # partition top-k + driver merge), never a full global sort
+    n = nodes(spark, sf_dir, "llm_weighted_sample")
+    assert n["TakeOrderedAndProject"] >= 1
+
+
+def test_matryoshka_single_pass_broadcast_queries(spark, sf_dir):
+    # query positions and per-(query,dim) norms broadcast; the one big
+    # aggregation is the pair table (map-side partials); the only
+    # nested-loop is the 1-row n_queries scalar
+    n = nodes(spark, sf_dir, "llm_matryoshka_recall")
+    assert n["BroadcastHashJoin"] >= 2
+    assert n["BroadcastNestedLoopJoin"] == 1
+    assert n["CartesianProduct"] == 0
+
+
+def test_cusum_single_user_shuffle(spark, sf_dir):
+    # baselines broadcast back; both window passes and the final join
+    # share the user_id sort — no sort-merge join anywhere
+    n = nodes(spark, sf_dir, "win_cusum_alarm")
+    assert n["Window"] >= 1
+    assert n["BroadcastHashJoin"] >= 2
+    assert n["SortMergeJoin"] == 0 and n["ShuffledHashJoin"] == 0
+
+
+def test_power_analysis_broadcasts_means(spark, sf_dir):
+    # the 5-row means table broadcasts back onto the deviation pass;
+    # both groupBys partial-aggregate map-side
+    n = nodes(spark, sf_dir, "agg_power_analysis")
+    assert n["BroadcastHashJoin"] >= 1
+    assert n["partial_count"] + n["partial_sum"] >= 1
+    assert n["SortMergeJoin"] == 0 and n["ShuffledHashJoin"] == 0
