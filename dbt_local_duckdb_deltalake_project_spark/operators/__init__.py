@@ -157,6 +157,7 @@ _WINDOW_SECOND = [
     "graph_clustering_coefficient", "llm_lsh_curve",
     "llm_weighted_sample", "llm_matryoshka_recall",
     "win_cusum_alarm", "agg_power_analysis",
+    "llm_bpe_learn", "mm_tile_plan",
     # --- end of never-checked block; greens rotate below ---
     "delta_time_travel", "delta_merge_upsert",
     "stream_tumbling", "stream_session", "win_range_frame", "fn_date",  # events/tz consumers

@@ -7060,71 +7060,66 @@ WITH q AS (
   WHERE vec_id % 100 = 0
 ),
 pair AS (
-  -- one pass over the exploded positions computes every prefix dim's
-  -- dot and candidate-norm sums as overlapping conditional decimal
-  -- aggregates (no post-aggregation decimal arithmetic: Spark's
-  -- decimal addition drops a scale digit, DuckDB's does not)
+  -- per (query, candidate): disjoint position-range dot partials; each
+  -- exploded term feeds exactly ONE decimal sum. Prefix dims are
+  -- BALANCED-tree decimal additions at DECIMAL(36,12): exact, and the
+  -- result precision never exceeds 38 so Spark keeps the scale.
   SELECT q.qid, b.vec_id,
-         SUM(CASE WHEN t.i <= 8 THEN
+         CAST(SUM(CASE WHEN t.i <= 8 THEN
              CAST(CAST(b.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)
-                  AS DECIMAL(38,12)) END) AS dot8,
-         SUM(CASE WHEN t.i <= 16 THEN
+                  AS DECIMAL(36,12)) END) AS DECIMAL(36,12)) AS d1,
+         CAST(SUM(CASE WHEN t.i > 8 AND t.i <= 16 THEN
              CAST(CAST(b.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)
-                  AS DECIMAL(38,12)) END) AS dot16,
-         SUM(CASE WHEN t.i <= 32 THEN
+                  AS DECIMAL(36,12)) END) AS DECIMAL(36,12)) AS d2,
+         CAST(SUM(CASE WHEN t.i > 16 AND t.i <= 32 THEN
              CAST(CAST(b.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)
-                  AS DECIMAL(38,12)) END) AS dot32,
-         SUM(CAST(CAST(b.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)
-                  AS DECIMAL(38,12))) AS dot64,
-         SUM(CASE WHEN t.i <= 8 THEN
-             CAST(CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
-                  AS DECIMAL(38,12)) END) AS nb8,
-         SUM(CASE WHEN t.i <= 16 THEN
-             CAST(CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
-                  AS DECIMAL(38,12)) END) AS nb16,
-         SUM(CASE WHEN t.i <= 32 THEN
-             CAST(CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
-                  AS DECIMAL(38,12)) END) AS nb32,
-         SUM(CAST(CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
-                  AS DECIMAL(38,12))) AS nb64
+                  AS DECIMAL(36,12)) END) AS DECIMAL(36,12)) AS d3,
+         CAST(SUM(CASE WHEN t.i > 32 THEN
+             CAST(CAST(b.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)
+                  AS DECIMAL(36,12)) END) AS DECIMAL(36,12)) AS d4
   FROM embeddings b CROSS JOIN q, generate_series(1, 64) t(i)
   WHERE b.vec_id <> q.qid
   GROUP BY q.qid, b.vec_id
 ),
-qn AS (
-  SELECT qid,
-         SUM(CASE WHEN t.i <= 8 THEN
-             CAST(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)
-                  AS DECIMAL(38,12)) END) AS nq8,
-         SUM(CASE WHEN t.i <= 16 THEN
-             CAST(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)
-                  AS DECIMAL(38,12)) END) AS nq16,
-         SUM(CASE WHEN t.i <= 32 THEN
-             CAST(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)
-                  AS DECIMAL(38,12)) END) AS nq32,
-         SUM(CAST(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)
-                  AS DECIMAL(38,12))) AS nq64
-  FROM q, generate_series(1, 64) t(i)
-  GROUP BY qid
-),
 longp AS (
-  SELECT qid, vec_id, 8 AS dim, dot8 AS dot, nb8 AS nb FROM pair
-  UNION ALL SELECT qid, vec_id, 16, dot16, nb16 FROM pair
-  UNION ALL SELECT qid, vec_id, 32, dot32, nb32 FROM pair
-  UNION ALL SELECT qid, vec_id, 64, dot64, nb64 FROM pair
+  SELECT qid, vec_id, 8 AS dim, d1 AS dot FROM pair
+  UNION ALL SELECT qid, vec_id, 16, d1 + d2 FROM pair
+  UNION ALL SELECT qid, vec_id, 32, (d1 + d2) + d3 FROM pair
+  UNION ALL SELECT qid, vec_id, 64, (d1 + d2) + (d3 + d4) FROM pair
 ),
-longq AS (
-  SELECT qid, 8 AS dim, nq8 AS nq FROM qn
-  UNION ALL SELECT qid, 16, nq16 FROM qn
-  UNION ALL SELECT qid, 32, nq32 FROM qn
-  UNION ALL SELECT qid, 64, nq64 FROM qn
+nv AS (
+  -- self-norm prefix partials are PER VECTOR, not per (query, vector):
+  -- 50x less decimal work than folding them into the pair table
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN t.i <= 8 THEN
+             CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+                  AS DECIMAL(36,12)) END) AS DECIMAL(36,12)) AS n1,
+         CAST(SUM(CASE WHEN t.i > 8 AND t.i <= 16 THEN
+             CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+                  AS DECIMAL(36,12)) END) AS DECIMAL(36,12)) AS n2,
+         CAST(SUM(CASE WHEN t.i > 16 AND t.i <= 32 THEN
+             CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+                  AS DECIMAL(36,12)) END) AS DECIMAL(36,12)) AS n3,
+         CAST(SUM(CASE WHEN t.i > 32 THEN
+             CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+                  AS DECIMAL(36,12)) END) AS DECIMAL(36,12)) AS n4
+  FROM embeddings, generate_series(1, 64) t(i)
+  GROUP BY vec_id
+),
+longn AS (
+  SELECT vec_id, 8 AS dim, n1 AS nn FROM nv
+  UNION ALL SELECT vec_id, 16, n1 + n2 FROM nv
+  UNION ALL SELECT vec_id, 32, (n1 + n2) + n3 FROM nv
+  UNION ALL SELECT vec_id, 64, (n1 + n2) + (n3 + n4) FROM nv
 ),
 cos AS (
   SELECT l.qid, l.vec_id, l.dim,
          ROUND(CAST(l.dot AS DOUBLE)
-               / (SQRT(CAST(l.nb AS DOUBLE)) * SQRT(CAST(m.nq AS DOUBLE))),
+               / (SQRT(CAST(nb.nn AS DOUBLE)) * SQRT(CAST(nq.nn AS DOUBLE))),
                6) AS c
-  FROM longp l JOIN longq m ON m.qid = l.qid AND m.dim = l.dim
+  FROM longp l
+  JOIN longn nb ON nb.vec_id = l.vec_id AND nb.dim = l.dim
+  JOIN longn nq ON nq.vec_id = l.qid AND nq.dim = l.dim
 ),
 topk AS (
   SELECT qid, vec_id, dim FROM (
@@ -7147,6 +7142,8 @@ FROM ov o CROSS JOIN nq2 n
 ORDER BY o.dim
 """
 
+DEC12N = "decimal(36,12)"
+
 
 @register("llm_matryoshka_recall", _MATRYOSHKA_ORACLE)
 def llm_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7158,51 +7155,82 @@ def llm_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = e.select("vec_id", F.posexplode("embedding").alias("pos", "bv"))
     bd, qd = F.col("bv").cast("double"), F.col("qv").cast("double")
 
-    def _prefix_sums(prod, stem):
-        # overlapping prefix sums (oracle is 1-based: i<=8 ≡ pos<8)
-        cols = []
-        for d in (8, 16, 32):
-            cols.append(
-                F.sum(
-                    F.when(F.col("pos") < d, prod.cast(DEC12))
-                ).alias(f"{stem}{d}")
-            )
-        cols.append(F.sum(prod.cast(DEC12)).alias(f"{stem}64"))
-        return cols
+    def _range_sums(prod, stem):
+        # disjoint 0-based ranges (oracle is 1-based: i<=8 ≡ pos<8):
+        # each row feeds exactly one partial decimal sum
+        conds = [
+            F.col("pos") < 8,
+            (F.col("pos") >= 8) & (F.col("pos") < 16),
+            (F.col("pos") >= 16) & (F.col("pos") < 32),
+            F.col("pos") >= 32,
+        ]
+        return [
+            F.sum(F.when(c, prod.cast(DEC12N)))
+            .cast(DEC12N)
+            .alias(f"{stem}{k}")
+            for k, c in enumerate(conds, 1)
+        ]
+
+    def _prefix_stack(p1, p2, p3, p4, out):
+        # balanced-tree decimal adds (exact; max precision 38, scale
+        # kept), then a uniform (38,12) cast so every stack slot types
+        # identically
+        d = "decimal(38,12)"
+        return F.expr(
+            f"stack(4, 8, cast({p1} as {d}),"
+            f" 16, cast({p1} + {p2} as {d}),"
+            f" 32, cast(({p1} + {p2}) + {p3} as {d}),"
+            f" 64, cast(({p1} + {p2}) + ({p3} + {p4}) as {d}))"
+            f" as (dim, {out})"
+        )
 
     pair = (
         b.join(F.broadcast(q), "pos")
         .filter(F.col("vec_id") != F.col("qid"))
         .groupBy("qid", "vec_id")
-        .agg(*_prefix_sums(bd * qd, "dot"), *_prefix_sums(bd * bd, "nb"))
+        .agg(*_range_sums(bd * qd, "d"))
     )
-    qn = q.groupBy("qid").agg(*_prefix_sums(qd * qd, "nq"))
     longp = pair.select(
-        "qid",
-        "vec_id",
-        F.expr(
-            "stack(4, 8, dot8, nb8, 16, dot16, nb16,"
-            " 32, dot32, nb32, 64, dot64, nb64) as (dim, dot, nb)"
-        ),
+        "qid", "vec_id", _prefix_stack("d1", "d2", "d3", "d4", "dot")
     )
-    longq = qn.select(
-        "qid",
-        F.expr(
-            "stack(4, 8, nq8, 16, nq16, 32, nq32, 64, nq64) as (dim, nq)"
-        ),
+    nv = b.groupBy("vec_id").agg(*_range_sums(bd * bd, "n"))
+    longn = nv.select(
+        "vec_id", _prefix_stack("n1", "n2", "n3", "n4", "nn")
     )
-    cos = longp.join(F.broadcast(longq), ["qid", "dim"]).select(
-        "qid",
-        "vec_id",
-        "dim",
-        F.round(
-            F.col("dot").cast("double")
-            / (
-                F.sqrt(F.col("nb").cast("double"))
-                * F.sqrt(F.col("nq").cast("double"))
-            ),
-            6,
-        ).alias("c"),
+    nb = longn.select(
+        F.col("vec_id").alias("bv_id"),
+        F.col("dim").alias("bdim"),
+        F.col("nn").alias("nb"),
+    )
+    nq = longn.select(
+        F.col("vec_id").alias("qv_id"),
+        F.col("dim").alias("qdim"),
+        F.col("nn").alias("nq"),
+    )
+    cos = (
+        longp.join(
+            F.broadcast(nb),
+            (F.col("vec_id") == F.col("bv_id"))
+            & (F.col("dim") == F.col("bdim")),
+        )
+        .join(
+            F.broadcast(nq),
+            (F.col("qid") == F.col("qv_id"))
+            & (F.col("dim") == F.col("qdim")),
+        )
+        .select(
+            "qid",
+            "vec_id",
+            "dim",
+            F.round(
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("nb").cast("double"))
+                    * F.sqrt(F.col("nq").cast("double"))
+                ),
+                6,
+            ).alias("c"),
+        )
     )
     rk = F.row_number().over(
         W.partitionBy("qid", "dim").orderBy(F.col("c").desc(), F.col("vec_id").asc())
@@ -7229,3 +7257,187 @@ def llm_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prefix_dim")
     )
+
+
+# ---------------------------------------------------------------------------
+# llm_bpe_learn — BPE merge LEARNING (Sennrich et al.), three rounds
+# unrolled: count adjacent pairs → adopt the most frequent (count desc,
+# lexicographic tiebreak) → apply it greedily left-to-right → recount.
+# The greedy scan is recursive, but has an exact relational form: a
+# candidate pair can only be adjacent to another candidate when
+# left == right (for (a,b), an overlap at p and p+1 forces a = b), so
+# within each island of consecutive candidates exactly the EVEN offsets
+# merge — gaps-islands + parity, no recursion. Sibling of llm_bpe_pairs
+# (which only counts): this one closes the loop and emits the learned
+# merge table, the artifact a tokenizer trainer ships.
+# At 100 TB: pair counting is a map-side-combined fold; the argmax is a
+# 1-row broadcast; the merge pass is one (doc, pos) window per round —
+# per-round cost is ~2 shuffles regardless of corpus size.
+# ---------------------------------------------------------------------------
+
+
+def _BPE_ROUND_SQL(i: int) -> str:
+    p, t_ = f"t{i - 1}", f"t{i}"
+    return f"""
+p{i} AS (
+  SELECT doc_id, pos, tok,
+         LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+  FROM {p}
+),
+pc{i} AS (
+  SELECT tok AS a, nxt AS b, CAST(COUNT(*) AS BIGINT) AS c
+  FROM p{i} WHERE nxt IS NOT NULL GROUP BY tok, nxt
+),
+top{i} AS (
+  SELECT a, b, c FROM pc{i} ORDER BY c DESC, a ASC, b ASC LIMIT 1
+),
+cn{i} AS (
+  SELECT p.doc_id, p.pos,
+         p.pos - ROW_NUMBER() OVER (PARTITION BY p.doc_id ORDER BY p.pos)
+           AS isl
+  FROM p{i} p CROSS JOIN top{i} s
+  WHERE p.tok = s.a AND p.nxt = s.b
+),
+mg{i} AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           (pos - MIN(pos) OVER (PARTITION BY doc_id, isl)) % 2 AS par
+    FROM cn{i}
+  ) WHERE par = 0
+),
+{t_} AS (
+  SELECT t.doc_id,
+         ROW_NUMBER() OVER (PARTITION BY t.doc_id ORDER BY t.pos) AS pos,
+         CASE WHEN m.pos IS NOT NULL THEN t.tok || s.b ELSE t.tok END
+           AS tok
+  FROM {p} t
+  CROSS JOIN top{i} s
+  LEFT JOIN mg{i} m  ON m.doc_id = t.doc_id AND m.pos = t.pos
+  LEFT JOIN mg{i} m2 ON m2.doc_id = t.doc_id AND m2.pos = t.pos - 1
+  WHERE m2.pos IS NULL
+),
+st{i} AS (
+  SELECT {i} AS round, s.a AS left_tok, s.b AS right_tok,
+         s.c AS pair_count,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM mg{i}) AS n_merges,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM {t_}) AS tokens_after
+  FROM top{i} s
+)"""
+
+
+_BPE_LEARN_ORACLE = (
+    """
+WITH t0 AS (
+  SELECT doc_id, i AS pos, substring(text, i, 1) AS tok
+  FROM documents, generate_series(1, 64) g(i)
+  WHERE doc_id % 10 = 0 AND i <= length(text)
+),"""
+    + ",".join(_BPE_ROUND_SQL(i) for i in (1, 2, 3))
+    + """
+SELECT CAST(round AS BIGINT) AS round, left_tok, right_tok, pair_count,
+       n_merges, tokens_after
+FROM (SELECT * FROM st1 UNION ALL SELECT * FROM st2
+      UNION ALL SELECT * FROM st3)
+ORDER BY round
+"""
+)
+
+
+@register("llm_bpe_learn", _BPE_LEARN_ORACLE)
+def llm_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    toks = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.least(F.lit(64), F.length("text")))
+            ).alias("pos"),
+            "text",
+        )
+        .select("doc_id", "pos", F.expr("substring(text, pos, 1)").alias("tok"))
+        # the learning corpus is a bounded SAMPLE by design (BPE merges
+        # are learned on a few thousand sequences even at 100 TB —
+        # the apply pass is the scale-out side, llm_bpe_pairs family);
+        # one partition + per-round checkpoint keeps the 3-round loop
+        # at driver-coordination cost, the standard iterative shape
+        .repartition(1)
+        .localCheckpoint(eager=True)
+    )
+
+    rows = []
+    for i in (1, 2, 3):
+        wd = W.partitionBy("doc_id").orderBy("pos")
+        p = toks.select(
+            "doc_id", "pos", "tok", F.lead("tok").over(wd).alias("nxt")
+        )
+        pc = (
+            p.filter(F.col("nxt").isNotNull())
+            .groupBy(F.col("tok").alias("a"), F.col("nxt").alias("b"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        top = pc.orderBy(
+            F.col("c").desc(), F.col("a").asc(), F.col("b").asc()
+        ).limit(1).collect()[0]  # bounded: limit(1) argmax
+        left, right, cnt = top["a"], top["b"], int(top["c"])
+        cand = (
+            p.filter((F.col("tok") == left) & (F.col("nxt") == right))
+            .select(
+                "doc_id",
+                "pos",
+                (F.col("pos") - F.row_number().over(wd)).alias("isl"),
+            )
+        )
+        mg = (
+            cand.select(
+                "doc_id",
+                "pos",
+                (
+                    (
+                        F.col("pos")
+                        - F.min("pos").over(W.partitionBy("doc_id", "isl"))
+                    )
+                    % 2
+                ).alias("par"),
+            )
+            .filter(F.col("par") == 0)
+            .select("doc_id", "pos")
+        )
+        m1 = mg.select(
+            F.col("doc_id").alias("mdoc"), F.col("pos").alias("mpos")
+        )
+        m2 = mg.select(
+            F.col("doc_id").alias("cdoc"), (F.col("pos") + 1).alias("cpos")
+        )
+        toks = (
+            toks.join(
+                F.broadcast(m1),
+                on=(F.col("doc_id") == F.col("mdoc"))
+                & (F.col("pos") == F.col("mpos")),
+                how="left",
+            )
+            .join(
+                F.broadcast(m2),
+                on=(F.col("doc_id") == F.col("cdoc"))
+                & (F.col("pos") == F.col("cpos")),
+                how="left",
+            )
+            .filter(F.col("cpos").isNull())
+            .select(
+                "doc_id",
+                F.row_number().over(wd).alias("pos"),
+                F.when(
+                    F.col("mpos").isNotNull(),
+                    F.concat(F.col("tok"), F.lit(right)),
+                )
+                .otherwise(F.col("tok"))
+                .alias("tok"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        rows.append((i, left, right, cnt, int(mg.count()), toks.count()))
+
+    return spark.createDataFrame(
+        rows,
+        "round long, left_tok string, right_tok string,"
+        " pair_count long, n_merges long, tokens_after long",
+    ).orderBy("round")

@@ -485,3 +485,77 @@ def mm_audio_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * sample_rate div 1000"
         ).alias("n_samples"),
     ).orderBy("media_id", "start_ms")
+
+
+# ---------------------------------------------------------------------------
+# mm_tile_plan — ViT-style tiling plan per image: how many 224×224
+# patches at stride 196 (28-px overlap) cover each image, plus the
+# padded canvas the last ragged tile implies. The plan every
+# vision-encoder ingest job computes BEFORE decoding a single byte —
+# metadata-only, so column pruning never touches payloads. Tile counts
+# are exact ceil-division integer math: n = (dim − 224 + 195) div 196
+# + 1 for dim > 224 else 1 (both engines' floor-div agree on the
+# positive operands). Map-only + a presentation sort: linear at 100 TB,
+# and (tiles_x · tiles_y) is exactly the fan-out factor the downstream
+# explode-to-patches stage will multiply the row count by.
+# ---------------------------------------------------------------------------
+
+_TILE_ORACLE = """
+WITH img AS (
+  SELECT doc_id AS media_id,
+         CAST(1 + (doc_id * 37) % 1920 AS BIGINT) AS w,
+         CAST(1 + (doc_id * 17) % 1080 AS BIGINT) AS h
+  FROM documents WHERE doc_id % 3 = 0
+),
+plan AS (
+  SELECT media_id, w, h,
+         CASE WHEN w > 224 THEN (w - 224 + 195) // 196 + 1 ELSE 1 END
+           AS tiles_x,
+         CASE WHEN h > 224 THEN (h - 224 + 195) // 196 + 1 ELSE 1 END
+           AS tiles_y
+  FROM img
+)
+SELECT media_id, w, h, tiles_x, tiles_y,
+       tiles_x * tiles_y AS n_tiles,
+       (tiles_x - 1) * 196 + 224 AS canvas_w,
+       (tiles_y - 1) * 196 + 224 AS canvas_h,
+       (tiles_x - 1) * 196 + 224 - w AS pad_x,
+       (tiles_y - 1) * 196 + 224 - h AS pad_y
+FROM plan
+ORDER BY media_id
+"""
+
+
+@register("mm_tile_plan", _TILE_ORACLE)
+def mm_tile_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    img = _payloads(spark, sf_dir).filter(F.col("media_type") == "image")
+    w = (1 + (F.col("media_id") * 37) % 1920).cast("long")
+    h = (1 + (F.col("media_id") * 17) % 1080).cast("long")
+    dims = img.select("media_id", w.alias("w"), h.alias("h"))
+
+    def tiles(c):
+        return (
+            F.when(F.col(c) > 224, F.expr(f"({c} - 224 + 195) div 196 + 1"))
+            .otherwise(F.lit(1))
+            .cast("long")
+        )
+
+    plan = dims.select(
+        "media_id",
+        "w",
+        "h",
+        tiles("w").alias("tiles_x"),
+        tiles("h").alias("tiles_y"),
+    )
+    return plan.select(
+        "media_id",
+        "w",
+        "h",
+        "tiles_x",
+        "tiles_y",
+        (F.col("tiles_x") * F.col("tiles_y")).alias("n_tiles"),
+        ((F.col("tiles_x") - 1) * 196 + 224).alias("canvas_w"),
+        ((F.col("tiles_y") - 1) * 196 + 224).alias("canvas_h"),
+        ((F.col("tiles_x") - 1) * 196 + 224 - F.col("w")).alias("pad_x"),
+        ((F.col("tiles_y") - 1) * 196 + 224 - F.col("h")).alias("pad_y"),
+    ).orderBy("media_id")

@@ -147,6 +147,8 @@ def test_no_unbounded_driver_collect_in_operators():
         ("llm_ops.py", "vec_id"),
         # llm_ops IVF: centroid table, nlist x dim rows — O(1) in corpus
         ("llm_ops.py", "bounded: nlist x dim"),
+        # llm_ops BPE learning: the per-round argmax is LIMIT 1
+        ("llm_ops.py", "bounded: limit(1) argmax"),
     }
     offenders = []
     for fname in sorted(os.listdir(opdir)):
