@@ -158,6 +158,9 @@ _WINDOW_SECOND = [
     "llm_weighted_sample", "llm_matryoshka_recall",
     "win_cusum_alarm", "agg_power_analysis",
     "llm_bpe_learn", "mm_tile_plan",
+    "agg_weighted_median", "agg_mann_kendall",
+    "graph_resource_allocation", "llm_kneser_ney",
+    "llm_calibration_isotonic", "llm_cdc_chunks", "mm_scene_split",
     # --- end of never-checked block; greens rotate below ---
     "delta_time_travel", "delta_merge_upsert",
     "stream_tumbling", "stream_session", "win_range_frame", "fn_date",  # events/tz consumers

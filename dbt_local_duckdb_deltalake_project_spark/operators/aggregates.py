@@ -2705,3 +2705,232 @@ def agg_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         "delta_micros",
         n_req.alias("n_per_arm"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# agg_weighted_median — quantity-weighted median price per return flag.
+# The weighted analogue of agg_mode_median: "the price at which half the
+# UNITS (not half the order lines) trade". Exact-integer rule: the lower
+# weighted median is the smallest value whose cumulative weight doubles
+# to >= total weight; the upper uses strict >. At 100 TB the plan is the
+# scale story: (key, value) pre-aggregation map-side combines the raw
+# rows down to distinct prices BEFORE the cumulative window, so window
+# input is value-cardinality-, not volume-, sized — the agg_ks_2sample
+# ECDF trick applied to a quantile.
+# ---------------------------------------------------------------------------
+
+_WMEDIAN_ORACLE = """
+WITH rows_ AS (
+  SELECT l_returnflag AS flag,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+         CAST(l_quantity AS BIGINT) AS wt
+  FROM lineitem
+),
+grp AS (
+  SELECT flag, cents, CAST(SUM(wt) AS BIGINT) AS w
+  FROM rows_ GROUP BY flag, cents
+),
+cum AS (
+  SELECT flag, cents, w,
+         CAST(SUM(w) OVER (PARTITION BY flag ORDER BY cents) AS BIGINT)
+           AS cw
+  FROM grp
+),
+tot AS (
+  SELECT flag, CAST(SUM(w) AS BIGINT) AS tw,
+         CAST(COUNT(*) AS BIGINT) AS n_prices
+  FROM grp GROUP BY flag
+)
+SELECT c.flag,
+       t.tw AS total_weight,
+       t.n_prices,
+       MIN(CASE WHEN 2 * c.cw >= t.tw THEN c.cents END) AS wmedian_lo,
+       MIN(CASE WHEN 2 * c.cw >  t.tw THEN c.cents END) AS wmedian_hi
+FROM cum c JOIN tot t ON c.flag = t.flag
+GROUP BY c.flag, t.tw, t.n_prices
+ORDER BY c.flag
+"""
+
+
+@register("agg_weighted_median", _WMEDIAN_ORACLE)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median (lower and upper) of line price, weighted by
+    quantity, per return flag. cents/weights are exact longs; the
+    selection rule (2·cumweight vs total) never divides, so the result
+    is engine-exact. Plan: one (flag, cents) map-side-combined fold,
+    one flag-partitioned cumulative window over distinct prices only,
+    a 3-row total broadcast back, and an algebraic conditional-min
+    fold — no sort of raw rows, no full-table window.
+    """
+    from pyspark.sql import Window as W
+
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.col("l_quantity").cast("long").alias("wt"),
+    )
+    grp = li.groupBy("flag", "cents").agg(F.sum("wt").alias("w"))
+    cum = grp.select(
+        "flag",
+        "cents",
+        F.sum("w")
+        .over(W.partitionBy("flag").orderBy("cents"))
+        .alias("cw"),
+    )
+    tot = grp.groupBy("flag").agg(
+        F.sum("w").alias("tw"), F.count(F.lit(1)).alias("n_prices")
+    )
+    return (
+        cum.join(F.broadcast(tot), "flag")
+        .groupBy("flag", "tw", "n_prices")
+        .agg(
+            F.min(
+                F.when(2 * F.col("cw") >= F.col("tw"), F.col("cents"))
+            ).alias("wmedian_lo"),
+            F.min(
+                F.when(2 * F.col("cw") > F.col("tw"), F.col("cents"))
+            ).alias("wmedian_hi"),
+        )
+        .select(
+            "flag",
+            F.col("tw").alias("total_weight"),
+            "n_prices",
+            "wmedian_lo",
+            "wmedian_hi",
+        )
+        .orderBy("flag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_mann_kendall — Mann–Kendall trend test per user's daily series.
+# The nonparametric "is this metric drifting?" readout (no linearity or
+# normality assumed) that pairs with win_cusum_alarm (changepoint) and
+# agg_seasonality_profile (cycle): S = sum of sign(x_j - x_i) over day
+# pairs, tie-corrected variance kept as the exact integer numerator
+# 18·Var = n(n-1)(2n+5) - sum_t t(t-1)(2t+5), z from one deterministic
+# IEEE chain on the exact integers (agg_power_analysis discipline).
+# The pairwise self-join is bounded per key: days-per-user, not events —
+# at 100 TB this is (#users x days^2/2) rows with days <= retention
+# window, while the daily pre-aggregation map-side combines the raw
+# volume away first.
+# ---------------------------------------------------------------------------
+
+_MANN_KENDALL_ORACLE = """
+WITH daily AS (
+  SELECT user_id, date_trunc('day', ts) AS d,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x
+  FROM events GROUP BY user_id, date_trunc('day', ts)
+),
+s AS (
+  SELECT a.user_id,
+         CAST(SUM(CASE WHEN b.x > a.x THEN 1
+                       WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS s
+  FROM daily a JOIN daily b
+    ON a.user_id = b.user_id AND a.d < b.d
+  GROUP BY a.user_id
+),
+nn AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM daily GROUP BY user_id
+),
+ties AS (
+  SELECT user_id,
+         CAST(COALESCE(SUM(tt * (tt - 1) * (2 * tt + 5)), 0) AS BIGINT)
+           AS tie_term
+  FROM (
+    SELECT user_id, x, CAST(COUNT(*) AS BIGINT) AS tt
+    FROM daily GROUP BY user_id, x
+  ) GROUP BY user_id
+)
+SELECT n.user_id, n.n AS n_days, s.s AS s_stat,
+       n.n * (n.n - 1) * (2 * n.n + 5) - t.tie_term AS var_num18,
+       CASE
+         WHEN n.n * (n.n - 1) * (2 * n.n + 5) - t.tie_term > 0 AND s.s <> 0
+         THEN CAST(FLOOR(
+           (CAST(s.s AS DOUBLE) - (CASE WHEN s.s > 0 THEN 1 ELSE -1 END))
+           * 1000000.0
+           / SQRT(CAST(n.n * (n.n - 1) * (2 * n.n + 5) - t.tie_term
+                       AS DOUBLE) / 18.0)) AS BIGINT)
+         ELSE 0
+       END AS z_micros
+FROM nn n JOIN s ON s.user_id = n.user_id
+JOIN ties t ON t.user_id = n.user_id
+ORDER BY n.user_id
+"""
+
+
+@register("agg_mann_kendall", _MANN_KENDALL_ORACLE)
+def agg_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall monotone-trend test per user over daily spend.
+    S and the tie-corrected 18·Var numerator are exact integers; z is
+    FLOOR of one identical IEEE chain (sub, mul, div, sqrt are all
+    correctly rounded, so both engines produce the same double). The
+    day-pair self-join, tie fold, and count all hang off one daily
+    pre-aggregation that map-side combines raw events first.
+    """
+    ev = t(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "user_id",
+            F.date_trunc("day", "ts").alias("d"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("user_id", "d")
+        .agg(F.sum("cents").alias("x"))
+    )
+    a = daily.select(
+        "user_id", F.col("d").alias("da"), F.col("x").alias("xa")
+    )
+    b = daily.select(
+        F.col("user_id").alias("ub"),
+        F.col("d").alias("db"),
+        F.col("x").alias("xb"),
+    )
+    s = (
+        a.join(b, (F.col("user_id") == F.col("ub")) & (F.col("da") < F.col("db")))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("xb") > F.col("xa"), 1)
+                .when(F.col("xb") < F.col("xa"), -1)
+                .otherwise(0)
+            ).alias("s_stat")
+        )
+    )
+    nn = daily.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_days"))
+    ties = (
+        daily.groupBy("user_id", "x")
+        .agg(F.count(F.lit(1)).alias("tt"))
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("tt") * (F.col("tt") - 1) * (2 * F.col("tt") + 5)
+                ),
+                F.lit(0),
+            ).alias("tie_term")
+        )
+    )
+    j = nn.join(s, "user_id").join(ties, "user_id")
+    var18 = (
+        F.col("n_days") * (F.col("n_days") - 1) * (2 * F.col("n_days") + 5)
+        - F.col("tie_term")
+    )
+    z = (
+        F.when(
+            (var18 > 0) & (F.col("s_stat") != 0),
+            F.floor(
+                (
+                    F.col("s_stat").cast("double")
+                    - F.when(F.col("s_stat") > 0, 1).otherwise(-1)
+                )
+                * 1_000_000.0
+                / F.sqrt(var18.cast("double") / 18.0)
+            ).cast("long"),
+        )
+        .otherwise(0)
+        .alias("z_micros")
+    )
+    return j.select(
+        "user_id", "n_days", "s_stat", var18.alias("var_num18"), z
+    ).orderBy("user_id")

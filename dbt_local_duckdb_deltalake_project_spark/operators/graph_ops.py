@@ -895,3 +895,91 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("node")
     )
+
+
+# ---------------------------------------------------------------------------
+# graph_resource_allocation — RA link-prediction index (Zhou, Lü &
+# Zhang 2009) over the bipartite purchase graph: suppliers s1, s2 score
+# sum over shared customers c of 1/deg(c) — a shared customer who buys
+# from few suppliers is stronger evidence than a promiscuous one. The
+# degree-weighted sibling of graph_common_neighbors' Jaccard (which
+# treats all shared neighbors equally); RA empirically beats both
+# common-neighbors and Adamic–Adar on dense graphs, and unlike
+# Adamic–Adar's 1/log(deg) it is EXACT integer math (1e6 // deg per
+# shared customer — no transcendentals, engine-identical). Same
+# 8-per-customer deterministic sparsification as the sibling: wedge
+# work is bounded at 28 pairs per customer regardless of corpus size,
+# and deg(c) <= 8 keeps every term's floor division exact on tiny
+# positive operands.
+# ---------------------------------------------------------------------------
+
+_RESOURCE_ALLOCATION_ORACLE = """
+WITH pairs AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+capped AS (
+  SELECT c, s FROM (
+    SELECT c, s, ROW_NUMBER() OVER (PARTITION BY c ORDER BY s) AS rn
+    FROM pairs
+  ) WHERE rn <= 8
+),
+cdeg AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS dc FROM capped GROUP BY c),
+wedge AS (
+  SELECT a.s AS s1, b.s AS s2,
+         CAST(COUNT(*) AS BIGINT) AS shared,
+         CAST(SUM(1000000 // d.dc) AS BIGINT) AS ra_ppm
+  FROM capped a
+  JOIN capped b ON a.c = b.c AND a.s < b.s
+  JOIN cdeg d ON d.c = a.c
+  GROUP BY a.s, b.s
+)
+SELECT s1, s2, shared, ra_ppm
+FROM wedge
+ORDER BY ra_ppm DESC, s1, s2
+LIMIT 20
+"""
+
+
+@register("graph_resource_allocation", _RESOURCE_ALLOCATION_ORACLE)
+def graph_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resource-allocation index on the capped customer→supplier
+    adjacency. Plan: distinct fold → one per-customer rank window →
+    broadcast of the per-customer degree (bounded ≤ 8) onto the wedge
+    self-join → map-side-combined integer fold → top-20 via
+    TakeOrderedAndProject. Every 1e6 // deg term has positive operands
+    so Spark's truncating div and DuckDB's flooring // agree.
+    """
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    capped = (
+        pairs.select(
+            "c",
+            "s",
+            F.row_number()
+            .over(W.partitionBy("c").orderBy("s"))
+            .alias("rn"),
+        )
+        .filter(F.col("rn") <= 8)
+        .select("c", "s")
+    )
+    cdeg = capped.groupBy("c").agg(F.count(F.lit(1)).alias("dc"))
+    a = capped.select(F.col("c"), F.col("s").alias("s1"))
+    b = capped.select(F.col("c").alias("cb"), F.col("s").alias("s2"))
+    wedge = (
+        a.join(b, (F.col("c") == F.col("cb")) & (F.col("s1") < F.col("s2")))
+        .join(F.broadcast(cdeg), "c")
+        .groupBy("s1", "s2")
+        .agg(
+            F.count(F.lit(1)).alias("shared"),
+            F.sum(F.expr("1000000 div dc")).alias("ra_ppm"),
+        )
+    )
+    return wedge.orderBy(
+        F.col("ra_ppm").desc(), F.col("s1").asc(), F.col("s2").asc()
+    ).limit(20)

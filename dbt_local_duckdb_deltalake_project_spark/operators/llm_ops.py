@@ -7441,3 +7441,380 @@ def llm_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
         "round long, left_tok string, right_tok string,"
         " pair_count long, n_merges long, tokens_after long",
     ).orderBy("round")
+
+
+# ---------------------------------------------------------------------------
+# llm_kneser_ney — interpolated Kneser–Ney bigram probabilities (Kneser
+# & Ney 1995; Chen & Goodman 1999), the standard n-gram LM smoothing,
+# computed EXACTLY: with discount d = 3/4, P_KN(w2|w1) =
+# (c−d)/c(w1) + d·N1+(w1,·)/c(w1) · N1+(·,w2)/T rearranges to the
+# integer rational [(4c−3)·T + 3·N1+(w1,·)·N1+(·,w2)] / [4·c(w1)·T]
+# (c ≥ 1 so the max(c−d, 0) clamp never binds) — numerator and
+# denominator are exact BIGINTs, no float accumulation anywhere. An
+# n-gram LM built this way is the classic cheap perplexity filter one
+# tier above llm_bigram_nll's MLE (which assigns zero mass to unseen
+# continuations; KN's continuation-count backoff is the fix).
+# At 100 TB: bigram counts fold with map-side combine; every derived
+# table (c1, the two N1+ marginals) is vocabulary-, not corpus-, sized;
+# T is a 1-row broadcast.
+# ---------------------------------------------------------------------------
+
+_KNESER_NEY_ORACLE = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+bg AS (
+  SELECT a[i] AS w1, a[i+1] AS w2
+  FROM d, LATERAL (SELECT unnest(range(1, greatest(len(a), 1))) AS i)
+),
+c2 AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY w1, w2
+),
+c1 AS (
+  SELECT w1, CAST(SUM(c) AS BIGINT) AS c1,
+         CAST(COUNT(*) AS BIGINT) AS n1p_left
+  FROM c2 GROUP BY w1
+),
+cr AS (
+  SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1p_right FROM c2 GROUP BY w2
+),
+tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_types FROM c2)
+SELECT c2.w1, c2.w2, c2.c, c1.c1, c1.n1p_left, cr.n1p_right, tt.n_types,
+       (1000000 * ((4 * c2.c - 3) * tt.n_types
+                   + 3 * c1.n1p_left * cr.n1p_right))
+         // (4 * c1.c1 * tt.n_types) AS pkn_ppm
+FROM c2
+JOIN c1 ON c1.w1 = c2.w1
+JOIN cr ON cr.w2 = c2.w2
+CROSS JOIN tt
+ORDER BY c2.c DESC, c2.w1, c2.w2
+LIMIT 50
+"""
+
+
+@register("llm_kneser_ney", _KNESER_NEY_ORACLE)
+def llm_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated Kneser–Ney bigram table (top-50 bigrams by
+    count). The bigram stream is the narrow slice/arrays_zip codegen
+    pipeline (llm_bigram_nll); the marginals broadcast; pkn_ppm's
+    single floor division has positive operands so Spark div == DuckDB
+    //. Invariant (tested): sum over w2 of P_KN(w2|w1) = 1 exactly in
+    rationals for every context w1.
+    """
+    d = t(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    n2 = F.greatest(F.size(w) - 1, F.lit(0))
+    z = F.arrays_zip(
+        F.slice(w, 1, n2).alias("w1"), F.slice(w, 2, n2).alias("w2")
+    )
+    bg = d.select(F.explode(z).alias("g")).select(
+        F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2")
+    )
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    c1 = c2.groupBy("w1").agg(
+        F.sum("c").alias("c1"), F.count(F.lit(1)).alias("n1p_left")
+    )
+    cr = c2.groupBy("w2").agg(F.count(F.lit(1)).alias("n1p_right"))
+    tt = c2.agg(F.count(F.lit(1)).alias("n_types"))
+    out = (
+        c2.join(F.broadcast(c1), "w1")
+        .join(F.broadcast(cr), "w2")
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "w1",
+            "w2",
+            "c",
+            "c1",
+            "n1p_left",
+            "n1p_right",
+            "n_types",
+            F.expr(
+                "(1000000 * ((4 * c - 3) * n_types"
+                " + 3 * n1p_left * n1p_right))"
+                " div (4 * c1 * n_types)"
+            ).alias("pkn_ppm"),
+        )
+    )
+    return out.orderBy(
+        F.col("c").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(50)
+
+
+# ---------------------------------------------------------------------------
+# llm_calibration_isotonic — isotonic (PAV) calibration of a score
+# against a binary outcome, computed EXACTLY via the minimax closed
+# form: fit(i) = max_{j<=i} min_{k>=i} avg(y over bins j..k)
+# (Barlow et al. 1972; the pool-adjacent-violators fixpoint). The
+# recursion-free form is O(B^3) in the BIN count — B = 20 here, 8000
+# triples, trivially parallel — while the data pass is one map-side
+# bin fold over raw rows. Rational averages are compared EXACTLY via
+# the order-embedding key (num·10^12) // den: two distinct rationals
+# with denominators <= 10^6 differ by >= 10^-12, so the integer keys
+# order identically to the true values (no float comparison anywhere);
+# at larger corpora widen the key to DECIMAL. This is the calibration
+# FIX that llm_eval_calibration's diagnostic motivates: monotone,
+# distribution-free keep-probabilities from raw classifier scores.
+# ---------------------------------------------------------------------------
+
+_ISOTONIC_ORACLE = """
+WITH ev AS (
+  SELECT CAST(ROUND(value * 100) AS BIGINT) AS cents,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+),
+b AS (
+  SELECT LEAST(cents // 2500, 19) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS s
+  FROM ev GROUP BY 1
+),
+pre AS (
+  SELECT bin, n, s,
+         ROW_NUMBER() OVER (ORDER BY bin) AS i,
+         CAST(SUM(n) OVER (ORDER BY bin) AS BIGINT) AS cn,
+         CAST(SUM(s) OVER (ORDER BY bin) AS BIGINT) AS cs
+  FROM b
+),
+seg AS (
+  SELECT j.i AS j, k.i AS k,
+         k.cs - j.cs + j.s AS num, k.cn - j.cn + j.n AS den,
+         ((k.cs - j.cs + j.s) * 1000000000000)
+           // (k.cn - j.cn + j.n) AS ord_key
+  FROM pre j JOIN pre k ON j.i <= k.i
+),
+mn AS (
+  SELECT i.i, s.j, s.num, s.den, s.ord_key,
+         ROW_NUMBER() OVER (PARTITION BY i.i, s.j
+                            ORDER BY s.ord_key ASC, s.k ASC) AS rk
+  FROM pre i JOIN seg s ON s.j <= i.i AND s.k >= i.i
+),
+fit AS (
+  SELECT i, num, den,
+         ROW_NUMBER() OVER (PARTITION BY i
+                            ORDER BY ord_key DESC, j ASC) AS rk2
+  FROM mn WHERE rk = 1
+)
+SELECT p.bin, p.n, p.s,
+       (1000000 * p.s) // p.n AS raw_ppm,
+       (1000000 * f.num) // f.den AS iso_ppm
+FROM fit f JOIN pre p ON p.i = f.i
+WHERE f.rk2 = 1
+ORDER BY p.bin
+"""
+
+
+@register("llm_calibration_isotonic", _ISOTONIC_ORACLE)
+def llm_calibration_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic regression of purchase rate on the event-value score
+    (20 fixed-width bins). One corpus pass (map-side bin fold); the
+    PAV minimax runs on the 20-row bin table with broadcast joins and
+    bounded windows; output per bin: raw and fitted rate (ppm), with
+    iso_ppm guaranteed nondecreasing in bin (tested).
+    """
+    ev = t(spark, sf_dir, "events").select(
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    b = (
+        ev.select(
+            F.least(F.expr("cents div 2500"), F.lit(19)).alias("bin"), "y"
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("s"))
+    )
+    wb = W.orderBy("bin")  # 20-row aggregated frame: global window is safe
+    pre = b.select(
+        "bin",
+        "n",
+        "s",
+        F.row_number().over(wb).alias("i"),
+        F.sum("n").over(wb).alias("cn"),
+        F.sum("s").over(wb).alias("cs"),
+    )
+    j = pre.select(
+        F.col("i").alias("j"),
+        F.col("n").alias("jn"),
+        F.col("s").alias("js"),
+        F.col("cn").alias("jcn"),
+        F.col("cs").alias("jcs"),
+    )
+    k = pre.select(
+        F.col("i").alias("k"),
+        F.col("cn").alias("kcn"),
+        F.col("cs").alias("kcs"),
+    )
+    seg = (
+        j.join(F.broadcast(k), F.col("j") <= F.col("k"))
+        .select(
+            "j",
+            "k",
+            (F.col("kcs") - F.col("jcs") + F.col("js")).alias("num"),
+            (F.col("kcn") - F.col("jcn") + F.col("jn")).alias("den"),
+        )
+        .select(
+            "j",
+            "k",
+            "num",
+            "den",
+            F.expr("(num * 1000000000000) div den").alias("ord_key"),
+        )
+    )
+    mn = (
+        pre.select(F.col("i"))
+        .join(
+            F.broadcast(seg),
+            (F.col("j") <= F.col("i")) & (F.col("k") >= F.col("i")),
+        )
+        .select(
+            "i",
+            "j",
+            "num",
+            "den",
+            "ord_key",
+            F.row_number()
+            .over(
+                W.partitionBy("i", "j").orderBy(
+                    F.col("ord_key").asc(), F.col("k").asc()
+                )
+            )
+            .alias("rk"),
+        )
+        .filter(F.col("rk") == 1)
+    )
+    fit = mn.select(
+        "i",
+        "num",
+        "den",
+        F.row_number()
+        .over(
+            W.partitionBy("i").orderBy(F.col("ord_key").desc(), F.col("j").asc())
+        )
+        .alias("rk2"),
+    ).filter(F.col("rk2") == 1)
+    return (
+        fit.join(F.broadcast(pre), "i")
+        .select(
+            "bin",
+            "n",
+            "s",
+            F.expr("(1000000 * s) div n").alias("raw_ppm"),
+            F.expr("(1000000 * num) div den").alias("iso_ppm"),
+        )
+        .orderBy("bin")
+    )
+
+
+# ---------------------------------------------------------------------------
+# llm_cdc_chunks — content-defined chunking (the rsync/LBFS/FastCDC
+# family): a chunk boundary falls wherever the rolling hash of the
+# trailing 8-char window hits 0 mod 64, so INSERTING text shifts at
+# most one chunk's boundaries instead of rippling through the rest of
+# the document (fixed-size blocks break on any insert — the whole
+# point of CDC). Chunk-level dedup stats per source then quantify
+# block-level redundancy that document-level dedup can't see (boiler-
+# plate headers, quoted replies, shared license blocks). Hashing is
+# the engine-portable md5-substring integer (winnow-sql discipline);
+# production CDC adds min/max chunk clamps (FastCDC) — same plan.
+# At 100 TB: per-position hashing is embarrassingly parallel map work;
+# the only shuffles are the per-doc boundary window (doc-bounded) and
+# the (source, chunk-hash) dedup folds (map-side combined).
+# ---------------------------------------------------------------------------
+
+_CDC_ORACLE = """
+WITH docs AS (
+  SELECT doc_id, source, substr(text, 1, 512) AS head,
+         LEAST(length(text), 512) AS L
+  FROM documents
+),
+bnd AS (
+  SELECT doc_id, source, head, i
+  FROM docs, LATERAL (SELECT unnest(range(8, L + 1)) AS i)
+  WHERE CAST(('0x' || substr(md5(substr(head, i - 7, 8)), 1, 8)) AS BIGINT)
+          % 64 = 0
+     OR i = L
+),
+chunk AS (
+  SELECT source,
+         i - COALESCE(LAG(i) OVER (PARTITION BY doc_id ORDER BY i), 0)
+           AS clen,
+         md5(substr(head,
+                    COALESCE(LAG(i) OVER (PARTITION BY doc_id ORDER BY i), 0)
+                      + 1,
+                    i - COALESCE(LAG(i) OVER (PARTITION BY doc_id ORDER BY i),
+                                 0))) AS h
+  FROM bnd
+),
+per_hash AS (
+  SELECT source, h, CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(MAX(clen) AS BIGINT) AS clen
+  FROM chunk GROUP BY source, h
+)
+SELECT source,
+       CAST(SUM(cnt) AS BIGINT) AS n_chunks,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       CAST(SUM(cnt * clen) AS BIGINT) AS total_bytes,
+       CAST(SUM((cnt - 1) * clen) AS BIGINT) AS dup_bytes,
+       (1000000 * CAST(SUM((cnt - 1) * clen) AS BIGINT))
+         // CAST(SUM(cnt * clen) AS BIGINT) AS dedup_ppm
+FROM per_hash
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("llm_cdc_chunks", _CDC_ORACLE)
+def llm_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking + per-source chunk-dedup accounting
+    over the first 512 chars of each document (bounded demo window;
+    the byte-stream version is the same plan over binary). Boundary
+    predicate, chunk slicing, and the two dedup folds are all codegen
+    expressions; the per-doc LAG window is doc_id-partitioned.
+    """
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.expr("substring(text, 1, 512)").alias("head"),
+        F.least(F.length("text"), F.lit(512)).alias("L"),
+    )
+    pos = d.filter(F.col("L") >= 8).select(
+        "doc_id",
+        "source",
+        "head",
+        F.explode(F.sequence(F.lit(8), F.col("L"))).alias("i"),
+        "L",
+    )
+    h = F.conv(
+        F.substring(F.md5(F.expr("substring(head, i - 7, 8)")), 1, 8), 16, 10
+    ).cast("long")
+    bnd = pos.filter((h % 64 == 0) | (F.col("i") == F.col("L")))
+    wd = W.partitionBy("doc_id").orderBy("i")
+    start = F.coalesce(F.lag("i").over(wd), F.lit(0)) + 1
+    chunk = bnd.select(
+        "source",
+        (F.col("i") - start + 1).alias("clen"),
+        F.md5(F.expr(
+            "substring(head,"
+            " coalesce(lag(i) over (partition by doc_id order by i), 0) + 1,"
+            " i - coalesce(lag(i) over (partition by doc_id order by i), 0))"
+        )).alias("h"),
+    )
+    per_hash = chunk.groupBy("source", "h").agg(
+        F.count(F.lit(1)).alias("cnt"), F.max("clen").alias("clen")
+    )
+    return (
+        per_hash.groupBy("source")
+        .agg(
+            F.sum("cnt").alias("n_chunks"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum(F.col("cnt") * F.col("clen")).alias("total_bytes"),
+            F.sum((F.col("cnt") - 1) * F.col("clen")).alias("dup_bytes"),
+        )
+        .select(
+            "source",
+            "n_chunks",
+            "n_distinct",
+            "total_bytes",
+            "dup_bytes",
+            F.expr("(1000000 * dup_bytes) div total_bytes").alias(
+                "dedup_ppm"
+            ),
+        )
+        .orderBy("source")
+    )

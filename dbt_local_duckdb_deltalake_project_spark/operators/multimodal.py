@@ -26,7 +26,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import t
@@ -559,3 +559,132 @@ def mm_tile_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("tiles_x") - 1) * 196 + 224 - F.col("w")).alias("pad_x"),
         ((F.col("tiles_y") - 1) * 196 + 224 - F.col("h")).alias("pad_y"),
     ).orderBy("media_id")
+
+
+# ---------------------------------------------------------------------------
+# mm_scene_split — shot/scene segmentation of video by frame-difference
+# thresholding: a scene boundary falls where the inter-frame feature
+# distance jumps (the classic histogram-difference shot detector every
+# video-curation pipeline runs before sampling clips for training).
+# The frame FEATURES here are a deterministic fake (no libav in this
+# container — same stub contract as mm_decode_features): what's real
+# and tested is the Spark shape — explode frames from metadata, one
+# media-partitioned LAG window, gaps-islands scene ids, per-scene and
+# per-video rollups. Swap the feature expression for a real decode
+# mapInPandas and nothing downstream changes.
+# At 100 TB: frame explode is map-side; both windows and both rollups
+# share the media_id key — one shuffle lineage end-to-end.
+# ---------------------------------------------------------------------------
+
+_SCENE_ORACLE = """
+WITH vid AS (
+  SELECT doc_id AS media_id, 16 + doc_id % 48 AS n_frames
+  FROM documents WHERE doc_id % 3 = 2
+),
+frames AS (
+  SELECT media_id, n_frames, f,
+         (media_id * 31 + f * f * 7 + f * 17) % 1000 AS feat
+  FROM vid, LATERAL (SELECT unnest(range(0, n_frames)) AS f)
+),
+flags AS (
+  SELECT media_id, n_frames, f,
+         CASE WHEN LAG(feat) OVER (PARTITION BY media_id ORDER BY f)
+                   IS NULL THEN 1
+              WHEN ABS(feat - LAG(feat) OVER (PARTITION BY media_id
+                                              ORDER BY f)) > 500 THEN 1
+              ELSE 0 END AS new_scene
+  FROM frames
+),
+scenes AS (
+  SELECT media_id, n_frames,
+         SUM(new_scene) OVER (PARTITION BY media_id ORDER BY f) AS scene_id
+  FROM flags
+),
+per_scene AS (
+  SELECT media_id, n_frames, scene_id,
+         CAST(COUNT(*) AS BIGINT) AS scene_len
+  FROM scenes GROUP BY media_id, n_frames, scene_id
+)
+SELECT media_id,
+       CAST(MAX(n_frames) AS BIGINT) AS n_frames,
+       CAST(COUNT(*) AS BIGINT) AS n_scenes,
+       CAST(MAX(scene_len) AS BIGINT) AS max_scene_len,
+       (1000000 * CAST(MAX(n_frames) AS BIGINT)) // COUNT(*)
+         AS avg_scene_len_ppm
+FROM per_scene
+GROUP BY media_id
+ORDER BY media_id
+"""
+
+
+@register("mm_scene_split", _SCENE_ORACLE)
+def mm_scene_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene segmentation per video: boundary where the deterministic
+    frame feature jumps by > 500, scenes via the running boundary sum
+    (gaps-islands), then per-video scene-count / longest-scene /
+    average-length stats. Integer math end-to-end; the single floor
+    division has positive operands.
+    """
+    vid = (
+        _payloads(spark, sf_dir)
+        .filter(F.col("media_type") == "video")
+        .select(
+            "media_id", (16 + F.col("media_id") % 48).alias("n_frames")
+        )
+    )
+    frames = vid.select(
+        "media_id",
+        "n_frames",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_frames") - 1)
+        ).alias("f"),
+    ).select(
+        "media_id",
+        "n_frames",
+        "f",
+        (
+            (
+                F.col("media_id") * 31
+                + F.col("f") * F.col("f") * 7
+                + F.col("f") * 17
+            )
+            % 1000
+        ).alias("feat"),
+    )
+    wm = W.partitionBy("media_id").orderBy("f")
+    prev = F.lag("feat").over(wm)
+    flags = frames.select(
+        "media_id",
+        "n_frames",
+        "f",
+        F.when(prev.isNull(), 1)
+        .when(F.abs(F.col("feat") - prev) > 500, 1)
+        .otherwise(0)
+        .alias("new_scene"),
+    )
+    scenes = flags.select(
+        "media_id",
+        "n_frames",
+        F.sum("new_scene").over(wm).alias("scene_id"),
+    )
+    per_scene = scenes.groupBy("media_id", "n_frames", "scene_id").agg(
+        F.count(F.lit(1)).alias("scene_len")
+    )
+    return (
+        per_scene.groupBy("media_id")
+        .agg(
+            F.max("n_frames").alias("n_frames"),
+            F.count(F.lit(1)).alias("n_scenes"),
+            F.max("scene_len").alias("max_scene_len"),
+        )
+        .select(
+            "media_id",
+            "n_frames",
+            "n_scenes",
+            "max_scene_len",
+            F.expr("(1000000 * n_frames) div n_scenes").alias(
+                "avg_scene_len_ppm"
+            ),
+        )
+        .orderBy("media_id")
+    )
