@@ -149,9 +149,10 @@ _WINDOW_SECOND = [
     "agg_target_encode_loo", "llm_token_offsets", "delta_optimize_plan",
     "dbt_model_contract", "llm_fim_transform", "agg_seasonality_profile",
     "llm_rrf_fusion", "llm_shard_balance", "scan_file_metadata",
-    # --- r6 session-4 operators (never checked; behind everything
-    # above — land in r8's window, keeping its count ≤ 50 so r8 still
-    # closes the verification sweep). ---
+    # --- r6 session-4/5 operators (never checked; behind everything
+    # above — land in r8's window; the 20 ids below bring the post-r6
+    # backlog to EXACTLY 100, so r8's 50-slot window closes the sweep
+    # with zero slack: add NO ops in r7). ---
     "agg_mann_whitney", "agg_ks_2sample", "agg_chisq_independence",
     "agg_benford_law", "win_ohlc_resample",
     "graph_clustering_coefficient", "llm_lsh_curve",

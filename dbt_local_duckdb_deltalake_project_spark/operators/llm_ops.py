@@ -7057,7 +7057,7 @@ def llm_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MATRYOSHKA_ORACLE = """
 WITH q AS (
   SELECT vec_id AS qid, embedding AS qe FROM embeddings
-  WHERE vec_id % 100 = 0
+  WHERE vec_id % 100 = 0 AND vec_id <= 2000
 ),
 pair AS (
   -- per (query, candidate): disjoint position-range dot partials; each
@@ -7148,7 +7148,12 @@ DEC12N = "decimal(36,12)"
 @register("llm_matryoshka_recall", _MATRYOSHKA_ORACLE)
 def llm_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") % 100 == 0).select(
+    # FIXED query sample (≤ 21 queries at any corpus size): recall is
+    # an ESTIMATE, so the query panel must not grow with the corpus —
+    # unbounded queries would make the brute-force pair stage quadratic
+    q = e.filter(
+        (F.col("vec_id") % 100 == 0) & (F.col("vec_id") <= 2000)
+    ).select(
         F.col("vec_id").alias("qid"),
         F.posexplode("embedding").alias("pos", "qv"),
     )

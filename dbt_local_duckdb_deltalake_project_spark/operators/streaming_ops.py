@@ -1328,9 +1328,9 @@ unmatched AS (
             AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR)
     AND c.click_ts + INTERVAL 1 HOUR < (SELECT w FROM wm)
 )
-SELECT * FROM matched
-UNION ALL
-SELECT * FROM unmatched
+SELECT click_id, purchase_id, user_id,
+       epoch_us(click_ts) AS click_us, epoch_us(purchase_ts) AS purchase_us
+FROM (SELECT * FROM matched UNION ALL SELECT * FROM unmatched)
 ORDER BY click_id, purchase_id
 """
 
@@ -1395,10 +1395,23 @@ def stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    return run_stream_to_batch(
-        spark, sf_dir, "lojoin", join_pairs, output_mode="append",
-        partitions=4,
-    ).orderBy("click_id", "purchase_id")
+    # nullable timestamps surface as unix_micros longs: a NULL BIGINT is
+    # the driver-hasher-proven null path (NULL TIMESTAMP would be the
+    # first of its kind through the pandas NaT conversion)
+    return (
+        run_stream_to_batch(
+            spark, sf_dir, "lojoin", join_pairs, output_mode="append",
+            partitions=4,
+        )
+        .select(
+            "click_id",
+            "purchase_id",
+            "user_id",
+            F.unix_micros("click_ts").alias("click_us"),
+            F.unix_micros("purchase_ts").alias("purchase_us"),
+        )
+        .orderBy("click_id", "purchase_id")
+    )
 
 
 _FULL_OUTER_JOIN_ORACLE = """
@@ -1444,9 +1457,11 @@ unmatched_p AS (
             AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR)
     AND p.purchase_ts < (SELECT w FROM wm)
 )
-SELECT * FROM matched
-UNION ALL SELECT * FROM unmatched_c
-UNION ALL SELECT * FROM unmatched_p
+SELECT click_id, purchase_id, user_id,
+       epoch_us(click_ts) AS click_us, epoch_us(purchase_ts) AS purchase_us
+FROM (SELECT * FROM matched
+      UNION ALL SELECT * FROM unmatched_c
+      UNION ALL SELECT * FROM unmatched_p)
 ORDER BY click_id, purchase_id
 """
 
@@ -1511,7 +1526,19 @@ def stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    return run_stream_to_batch(
-        spark, sf_dir, "fojoin", join_pairs, output_mode="append",
-        partitions=4,
-    ).orderBy("click_id", "purchase_id")
+    # unix_micros at the edge for the same driver-hasher reason as the
+    # left variant (NULL BIGINT is the proven null path)
+    return (
+        run_stream_to_batch(
+            spark, sf_dir, "fojoin", join_pairs, output_mode="append",
+            partitions=4,
+        )
+        .select(
+            "click_id",
+            "purchase_id",
+            "user_id",
+            F.unix_micros("click_ts").alias("click_us"),
+            F.unix_micros("purchase_ts").alias("purchase_us"),
+        )
+        .orderBy("click_id", "purchase_id")
+    )

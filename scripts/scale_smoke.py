@@ -86,6 +86,23 @@ OPS = [
     "agg_ks_2sample",
     "agg_chisq_independence",
     "win_ohlc_resample",
+    # session-4 tail + session-5 adds: fixed-panel prefix-dim recall
+    # (brute-force pair stage — the quadratic risk this smoke exists
+    # for), iterative BPE learning, per-position CDC hashing, corner
+    # triangle enumeration, wedge RA join, day-pair Mann-Kendall,
+    # distinct-value median window, frame-explode scene split, bigram
+    # marginal joins, CUSUM stacked windows over 10x events
+    "llm_matryoshka_recall",
+    "llm_bpe_learn",
+    "llm_cdc_chunks",
+    "graph_clustering_coefficient",
+    "graph_resource_allocation",
+    "agg_mann_kendall",
+    "agg_weighted_median",
+    "mm_scene_split",
+    "llm_kneser_ney",
+    "llm_calibration_isotonic",
+    "win_cusum_alarm",
 ]
 
 
