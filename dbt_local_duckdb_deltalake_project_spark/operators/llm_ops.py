@@ -7026,17 +7026,26 @@ def llm_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_chars", ln_u_nanos.alias("ln_u_nanos")
     )
     key = F.col("ln_u_nanos").cast("double") / F.col("n_chars")
-    ranked = keyed.orderBy(key.desc(), F.col("doc_id").asc()).limit(100)
-    from pyspark.sql import Window as _W
-
-    return ranked.select(
-        F.row_number()
-        .over(_W.orderBy(key.desc(), F.col("doc_id").asc()))
-        .cast("long")
-        .alias("draw_rank"),
-        "doc_id",
-        "n_chars",
-        "ln_u_nanos",
+    # the top-100 is TakeOrderedAndProject; draw_rank is then a
+    # triangular broadcast self-join over those 100 rows (rank = how
+    # many kept rows sort at-or-before me) — no unpartitioned window
+    # anywhere, keeping the registry-wide lint absolute
+    ranked = keyed.select(
+        "doc_id", "n_chars", "ln_u_nanos", key.alias("skey")
+    ).orderBy(F.col("skey").desc(), F.col("doc_id").asc()).limit(100)
+    other = ranked.select(
+        F.col("skey").alias("skey2"), F.col("doc_id").alias("doc_id2")
+    )
+    at_or_before = (F.col("skey2") > F.col("skey")) | (
+        (F.col("skey2") == F.col("skey"))
+        & (F.col("doc_id2") <= F.col("doc_id"))
+    )
+    return (
+        ranked.join(F.broadcast(other), at_or_before)
+        .groupBy("doc_id", "n_chars", "ln_u_nanos")
+        .agg(F.count(F.lit(1)).alias("draw_rank"))
+        .select("draw_rank", "doc_id", "n_chars", "ln_u_nanos")
+        .orderBy("draw_rank")
     )
 
 
@@ -7571,11 +7580,15 @@ b AS (
   FROM ev GROUP BY 1
 ),
 pre AS (
-  SELECT bin, n, s,
-         ROW_NUMBER() OVER (ORDER BY bin) AS i,
-         CAST(SUM(n) OVER (ORDER BY bin) AS BIGINT) AS cn,
-         CAST(SUM(s) OVER (ORDER BY bin) AS BIGINT) AS cs
-  FROM b
+  -- rank + prefix sums over the 20-row bin table via a broadcastable
+  -- triangular self-join (no unpartitioned window, lint-clean even
+  -- though the frame is tiny)
+  SELECT b.bin, b.n, b.s,
+         CAST(COUNT(*) AS BIGINT) AS i,
+         CAST(SUM(b2.n) AS BIGINT) AS cn,
+         CAST(SUM(b2.s) AS BIGINT) AS cs
+  FROM b JOIN b b2 ON b2.bin <= b.bin
+  GROUP BY b.bin, b.n, b.s
 ),
 seg AS (
   SELECT j.i AS j, k.i AS k,
@@ -7624,14 +7637,21 @@ def llm_calibration_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bin")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("s"))
     )
-    wb = W.orderBy("bin")  # 20-row aggregated frame: global window is safe
-    pre = b.select(
-        "bin",
-        "n",
-        "s",
-        F.row_number().over(wb).alias("i"),
-        F.sum("n").over(wb).alias("cn"),
-        F.sum("s").over(wb).alias("cs"),
+    b2 = b.select(
+        F.col("bin").alias("bin2"),
+        F.col("n").alias("n2"),
+        F.col("s").alias("s2"),
+    )
+    # rank + prefix sums via a broadcast triangular self-join on the
+    # 20-row bin table — no unpartitioned window anywhere in the plan
+    pre = (
+        b.join(F.broadcast(b2), F.col("bin2") <= F.col("bin"))
+        .groupBy("bin", "n", "s")
+        .agg(
+            F.count(F.lit(1)).alias("i"),
+            F.sum("n2").alias("cn"),
+            F.sum("s2").alias("cs"),
+        )
     )
     j = pre.select(
         F.col("i").alias("j"),
