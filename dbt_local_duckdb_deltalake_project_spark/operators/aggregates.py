@@ -2757,10 +2757,13 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted median (lower and upper) of line price, weighted by
     quantity, per return flag. cents/weights are exact longs; the
     selection rule (2·cumweight vs total) never divides, so the result
-    is engine-exact. Plan: one (flag, cents) map-side-combined fold,
-    one flag-partitioned cumulative window over distinct prices only,
-    a 3-row total broadcast back, and an algebraic conditional-min
-    fold — no sort of raw rows, no full-table window.
+    is engine-exact. Prices are NEAR-UNIQUE, so the (flag, cents) fold
+    alone doesn't bound the cumulative pass — and a flag-partitioned
+    window would serialize ~all rows through 3 tasks. The cumsum is
+    therefore the win_pareto two-pass range-partition form: local
+    cumsum within (pid, flag), per-(pid, flag) prefix offsets via a
+    P×P theta fold (O(1) in data), offsets + totals broadcast back —
+    every window group bounded by n/P at any scale.
     """
     from pyspark.sql import Window as W
 
@@ -2770,14 +2773,36 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").cast("long").alias("wt"),
     )
     grp = li.groupBy("flag", "cents").agg(F.sum("wt").alias("w"))
-    cum = grp.select(
+    parts = (
+        grp.repartitionByRange(16, F.col("flag").asc(), F.col("cents").asc())
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)  # pin the pid assignment
+    )
+    wl = W.partitionBy("pid", "flag").orderBy("cents")
+    local = parts.select(
         "flag",
         "cents",
+        "pid",
         F.sum("w")
-        .over(W.partitionBy("flag").orderBy("cents"))
-        .alias("cw"),
+        .over(wl.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("lcw"),
     )
-    tot = grp.groupBy("flag").agg(
+    pstats = parts.groupBy("pid", "flag").agg(F.sum("w").alias("psum"))
+    offsets = (
+        pstats.alias("a")
+        .join(
+            pstats.alias("b"),
+            (F.col("b.flag") == F.col("a.flag"))
+            & (F.col("b.pid") < F.col("a.pid")),
+            "left",
+        )
+        .groupBy(F.col("a.pid").alias("pid"), F.col("a.flag").alias("flag"))
+        .agg(F.coalesce(F.sum("b.psum"), F.lit(0)).cast("long").alias("off"))
+    )
+    cum = local.join(F.broadcast(offsets), ["pid", "flag"]).select(
+        "flag", "cents", (F.col("lcw") + F.col("off")).alias("cw")
+    )
+    tot = parts.groupBy("flag").agg(
         F.sum("w").alias("tw"), F.count(F.lit(1)).alias("n_prices")
     )
     return (
