@@ -1925,59 +1925,59 @@ def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     discrete rule spelled out identically on both sides: rank rows by
     (cents, event_id), cut at rank ceil(q*n) via pure integer math
     ((5n+99)//100 — Spark's `div` truncates, DuckDB's `//` floors,
-    positive operands so they agree). Plan: one window shuffle on
-    event_type to rank, an algebraic fold to the per-type bounds (one
-    tiny row per type), broadcast those back over the ranked rows, and
-    an exact long-sum mean. At 100 TB the rank-window partitions by a
-    low-cardinality key — the real-scale swap is approx_percentile cut
-    points (agg_percentile_approx pattern) feeding the same broadcast
-    clamp; the clamp+mean stage itself is already map-side and exact.
+    positive operands so they agree). The value at a cut RANK only
+    depends on the cents (ties share the value), so rows pre-collapse
+    to one per DISTINCT (event_type, cents) before the cumulative
+    window (the agg_ks_2sample ECDF trick): lo/hi = min cents whose
+    cumulative count reaches the cut rank, and the clamp+mean folds
+    count-weighted over the collapsed table. At 100 TB the window
+    input is value-cardinality-, not volume-, sized; the oracle keeps
+    the textbook per-row rank form (value-equal).
     """
     from pyspark.sql import Window as W
 
     v = t(spark, sf_dir, "events").select(
-        "event_id",
         "event_type",
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
-    pw = W.partitionBy("event_type")
-    ranked = v.select(
+    g = v.groupBy("event_type", "cents").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wt_ = W.partitionBy("event_type").orderBy("cents")
+    cum = g.select(
         "event_type",
         "cents",
-        F.row_number()
-        .over(pw.orderBy("cents", "event_id"))
-        .alias("rn"),
-        F.count(F.lit(1)).over(pw).alias("n"),
+        "c",
+        F.sum("c")
+        .over(wt_.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("cw"),
     )
-    bounds = ranked.groupBy("event_type").agg(
-        F.max(
-            F.when(
-                F.col("rn")
-                == F.greatest(F.lit(1), F.expr("(5 * n + 99) div 100")),
-                F.col("cents"),
-            )
-        ).alias("lo_cents"),
-        F.max(
-            F.when(
-                F.col("rn") == F.expr("(95 * n + 99) div 100"), F.col("cents")
-            )
-        ).alias("hi_cents"),
-        F.max("n").alias("n_rows"),
+    tot = g.groupBy("event_type").agg(F.sum("c").alias("n_rows"))
+    r_lo = F.greatest(F.lit(1), F.expr("(5 * n_rows + 99) div 100"))
+    r_hi = F.expr("(95 * n_rows + 99) div 100")
+    bounds = (
+        cum.join(F.broadcast(tot), "event_type")
+        .groupBy("event_type", "n_rows")
+        .agg(
+            F.min(F.when(F.col("cw") >= r_lo, F.col("cents"))).alias(
+                "lo_cents"
+            ),
+            F.min(F.when(F.col("cw") >= r_hi, F.col("cents"))).alias(
+                "hi_cents"
+            ),
+        )
     )
-    clamped = ranked.join(F.broadcast(bounds), "event_type").select(
-        "event_type",
-        "n_rows",
-        "lo_cents",
-        "hi_cents",
-        F.least(
-            F.greatest(F.col("cents"), F.col("lo_cents")), F.col("hi_cents")
-        ).alias("w_cents"),
+    w_cents = F.least(
+        F.greatest(F.col("cents"), F.col("lo_cents")), F.col("hi_cents")
     )
     return (
-        clamped.groupBy("event_type", "n_rows", "lo_cents", "hi_cents")
+        cum.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type", "n_rows", "lo_cents", "hi_cents")
         .agg(
             F.round(
-                F.sum("w_cents").cast("double") / F.col("n_rows"), 6
+                F.sum(w_cents * F.col("c")).cast("double")
+                / F.col("n_rows"),
+                6,
             ).alias("winsor_mean_cents")
         )
         .orderBy("event_type")
@@ -2246,11 +2246,12 @@ def agg_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # agg_ab_ttest. Everything stays exact integer: average ranks over ties
 # are half-integers, so we carry DOUBLED ranks (2·rank + ties − 1) and
 # a doubled U statistic — no float accumulation at all.
-# At 100 TB: one rank window partitioned by the (low-cardinality)
-# cohort key, then an algebraic groupBy — the same single-shuffle shape
-# as agg_winsorized_mean; for a globally-skewed cohort the scale swap
-# is a pre-aggregated (cohort, cents)-count rank (counts per distinct
-# value), which this plan's oracle already mirrors implicitly.
+# At 100 TB: rows pre-collapse to one per DISTINCT (cohort, cents)
+# BEFORE the cumulative window (the agg_ks_2sample ECDF trick — a raw
+# rank window would serialize all volume through 8 cohort tasks), so
+# the window input is bounded by value cardinality; the tie-group
+# algebra t1·(2·cum − t + 1) reconstructs the doubled-rank mass
+# exactly. Oracle keeps the textbook per-row rank form (value-equal).
 # ---------------------------------------------------------------------------
 
 _MANN_WHITNEY_ORACLE = """
@@ -2296,20 +2297,31 @@ def agg_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # doubled average rank: 2·rank + (#ties at this value) − 1 is always
-    # an integer — the half-integer tie-average never touches a double
-    dr = (
-        F.lit(2) * F.rank().over(W.partitionBy("cohort").orderBy("cents"))
-        + F.count(F.lit(1)).over(W.partitionBy("cohort", "cents"))
-        - F.lit(1)
+    # an integer — the half-integer tie-average never touches a double.
+    # Rows collapse to one per DISTINCT (cohort, cents) BEFORE the
+    # cumulative window (the KS ECDF trick): for the tie group at a
+    # value, rank = c_before + 1, so every member's doubled rank is
+    # 2·cum − t + 1 and the group's g1 mass contributes t1·(2·cum−t+1)
+    # — window input is value-cardinality-, not volume-, sized
+    g = v.groupBy("cohort", "cents").agg(
+        F.count(F.lit(1)).alias("tt"),
+        F.count(F.when(F.col("g1"), 1)).alias("t1"),
     )
-    s = (
-        v.select("cohort", "g1", dr.cast("long").alias("dr"))
-        .groupBy("cohort")
-        .agg(
-            F.count(F.when(F.col("g1"), 1)).alias("n1"),
-            F.count(F.when(~F.col("g1"), 1)).alias("n2"),
-            F.sum(F.when(F.col("g1"), F.col("dr"))).alias("r1_doubled"),
-        )
+    wc = W.partitionBy("cohort").orderBy("cents")
+    cum = g.select(
+        "cohort",
+        "tt",
+        "t1",
+        F.sum("tt")
+        .over(wc.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("cw"),
+    )
+    s = cum.groupBy("cohort").agg(
+        F.sum("t1").alias("n1"),
+        F.sum(F.col("tt") - F.col("t1")).alias("n2"),
+        F.sum(
+            F.col("t1") * (2 * F.col("cw") - F.col("tt") + 1)
+        ).alias("r1_doubled"),
     )
     u1 = F.col("r1_doubled") - F.col("n1") * (F.col("n1") + 1)
     return s.select(

@@ -66,10 +66,11 @@ def test_rolling_median_single_partitioned_window(spark, sf_dir):
 
 
 def test_winsorized_bounds_fold_and_broadcast(spark, sf_dir):
-    # cut points fold algebraically (partial max) to one row per type and
-    # broadcast back over the ranked rows — never a shuffle join.
+    # rows pre-collapse map-side to distinct (type, cents) counts before
+    # the cumulative window; per-type totals and cut bounds broadcast
+    # back — never a shuffle join, never a raw-row window.
     n = nodes(spark, sf_dir, "agg_winsorized_mean")
-    assert n["partial_max"] >= 1
+    assert n["partial_count"] + n["partial_sum"] >= 1
     assert n["BroadcastHashJoin"] >= 1
     assert n["SortMergeJoin"] == 0 and n["ShuffledHashJoin"] == 0
 
