@@ -7054,41 +7054,46 @@ def llm_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # do PREFIX dimensions (8/16/32) of the 64-dim embedding preserve the
 # full-dim top-10 neighbor sets? The production question behind
 # truncating stored dims 8x to cut ANN memory. One position-exploded
-# pass computes ALL four dims' dot/norm sums as conditional decimal
-# aggregates (order-insensitive, bit-equal to the oracle); per
-# (query, dim) ranking uses the house 6-dp-rounded cosine with vec_id
-# tiebreak; recall = exact overlap count join vs the dim-64 list.
+# pass computes ALL four dims' dot/norm partials as exact BIGINT sums
+# in the house ANN micros domain (order-insensitive, bit-equal to the
+# oracle, whole-stage-codegen long arithmetic — measured far faster
+# than the earlier DECIMAL(36,12) formulation); per (query, dim)
+# ranking uses the house 6-dp-rounded cosine with vec_id tiebreak;
+# recall = exact overlap count join vs the dim-64 list.
 # At 100 TB the query side stays a broadcast (sampled queries) and the
 # candidate side is the one big scan — same shape as llm_cosine_topk;
 # prefix-dim sums come free in the same pass (no 4x rescan).
 # ---------------------------------------------------------------------------
 
 _MATRYOSHKA_ORACLE = """
-WITH q AS (
-  SELECT vec_id AS qid, embedding AS qe FROM embeddings
+WITH e AS (
+  -- the house ANN-family domain: per-position integer micros; every
+  -- dot/norm partial below is then an EXACT BIGINT sum (|vm| <= 1e6,
+  -- 64-term products bounded by 6.4e13 — no decimal arithmetic at all)
+  SELECT vec_id, i,
+         CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
+           AS vm
+  FROM embeddings, generate_series(1, 64) t(i)
+),
+q AS (
+  SELECT vec_id AS qid, i, vm AS qm FROM e
   WHERE vec_id % 100 = 0 AND vec_id <= 2000
 ),
 pair AS (
   -- per (query, candidate): disjoint position-range dot partials; each
-  -- exploded term feeds exactly ONE decimal sum. Prefix dims are
-  -- BALANCED-tree decimal additions at DECIMAL(36,12): exact, and the
-  -- result precision never exceeds 38 so Spark keeps the scale.
-  SELECT q.qid, b.vec_id,
-         CAST(SUM(CASE WHEN t.i <= 8 THEN
-             CAST(CAST(b.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)
-                  AS DECIMAL(36,12)) END) AS DECIMAL(36,12)) AS d1,
-         CAST(SUM(CASE WHEN t.i > 8 AND t.i <= 16 THEN
-             CAST(CAST(b.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)
-                  AS DECIMAL(36,12)) END) AS DECIMAL(36,12)) AS d2,
-         CAST(SUM(CASE WHEN t.i > 16 AND t.i <= 32 THEN
-             CAST(CAST(b.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)
-                  AS DECIMAL(36,12)) END) AS DECIMAL(36,12)) AS d3,
-         CAST(SUM(CASE WHEN t.i > 32 THEN
-             CAST(CAST(b.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)
-                  AS DECIMAL(36,12)) END) AS DECIMAL(36,12)) AS d4
-  FROM embeddings b CROSS JOIN q, generate_series(1, 64) t(i)
-  WHERE b.vec_id <> q.qid
-  GROUP BY q.qid, b.vec_id
+  -- exploded term feeds exactly ONE sum, prefixes rebuilt by adds
+  SELECT q.qid, e.vec_id,
+         CAST(SUM(CASE WHEN e.i <= 8 THEN e.vm * q.qm END) AS BIGINT)
+           AS d1,
+         CAST(SUM(CASE WHEN e.i > 8 AND e.i <= 16 THEN e.vm * q.qm END)
+              AS BIGINT) AS d2,
+         CAST(SUM(CASE WHEN e.i > 16 AND e.i <= 32 THEN e.vm * q.qm END)
+              AS BIGINT) AS d3,
+         CAST(SUM(CASE WHEN e.i > 32 THEN e.vm * q.qm END) AS BIGINT)
+           AS d4
+  FROM e JOIN q ON q.i = e.i
+  WHERE e.vec_id <> q.qid
+  GROUP BY q.qid, e.vec_id
 ),
 longp AS (
   SELECT qid, vec_id, 8 AS dim, d1 AS dot FROM pair
@@ -7097,23 +7102,15 @@ longp AS (
   UNION ALL SELECT qid, vec_id, 64, (d1 + d2) + (d3 + d4) FROM pair
 ),
 nv AS (
-  -- self-norm prefix partials are PER VECTOR, not per (query, vector):
-  -- 50x less decimal work than folding them into the pair table
+  -- self-norm prefix partials are PER VECTOR, not per (query, vector)
   SELECT vec_id,
-         CAST(SUM(CASE WHEN t.i <= 8 THEN
-             CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
-                  AS DECIMAL(36,12)) END) AS DECIMAL(36,12)) AS n1,
-         CAST(SUM(CASE WHEN t.i > 8 AND t.i <= 16 THEN
-             CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
-                  AS DECIMAL(36,12)) END) AS DECIMAL(36,12)) AS n2,
-         CAST(SUM(CASE WHEN t.i > 16 AND t.i <= 32 THEN
-             CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
-                  AS DECIMAL(36,12)) END) AS DECIMAL(36,12)) AS n3,
-         CAST(SUM(CASE WHEN t.i > 32 THEN
-             CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
-                  AS DECIMAL(36,12)) END) AS DECIMAL(36,12)) AS n4
-  FROM embeddings, generate_series(1, 64) t(i)
-  GROUP BY vec_id
+         CAST(SUM(CASE WHEN i <= 8 THEN vm * vm END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN i > 8 AND i <= 16 THEN vm * vm END)
+              AS BIGINT) AS n2,
+         CAST(SUM(CASE WHEN i > 16 AND i <= 32 THEN vm * vm END)
+              AS BIGINT) AS n3,
+         CAST(SUM(CASE WHEN i > 32 THEN vm * vm END) AS BIGINT) AS n4
+  FROM e GROUP BY vec_id
 ),
 longn AS (
   SELECT vec_id, 8 AS dim, n1 AS nn FROM nv
@@ -7144,19 +7141,27 @@ ov AS (
     ON b.dim = 64 AND b.qid = p.qid AND b.vec_id = p.vec_id
   GROUP BY p.dim
 ),
-nq2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_queries FROM q)
+nq2 AS (SELECT CAST(COUNT(DISTINCT qid) AS BIGINT) AS n_queries FROM q)
 SELECT CAST(o.dim AS BIGINT) AS prefix_dim, n.n_queries, o.n_hits,
        o.n_hits * 1000000 // (10 * n.n_queries) AS recall_at10_micros
 FROM ov o CROSS JOIN nq2 n
 ORDER BY o.dim
 """
 
-DEC12N = "decimal(36,12)"
-
-
 @register("llm_matryoshka_recall", _MATRYOSHKA_ORACLE)
 def llm_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = t(spark, sf_dir, "embeddings")
+    emb = t(spark, sf_dir, "embeddings")
+    # the house ANN micros domain: all dot/norm partials are exact
+    # BIGINT sums — whole-stage-codegen long arithmetic, zero decimals
+    e = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "v")
+    ).select(
+        "vec_id",
+        "pos",
+        F.round(F.col("v").cast("double") * 1_000_000)
+        .cast("long")
+        .alias("vm"),
+    )
     # FIXED query sample (≤ 21 queries at any corpus size): recall is
     # an ESTIMATE, so the query panel must not grow with the corpus —
     # unbounded queries would make the brute-force pair stage quadratic
@@ -7164,14 +7169,13 @@ def llm_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") % 100 == 0) & (F.col("vec_id") <= 2000)
     ).select(
         F.col("vec_id").alias("qid"),
-        F.posexplode("embedding").alias("pos", "qv"),
+        F.col("pos").alias("qpos"),
+        F.col("vm").alias("qm"),
     )
-    b = e.select("vec_id", F.posexplode("embedding").alias("pos", "bv"))
-    bd, qd = F.col("bv").cast("double"), F.col("qv").cast("double")
 
     def _range_sums(prod, stem):
         # disjoint 0-based ranges (oracle is 1-based: i<=8 ≡ pos<8):
-        # each row feeds exactly one partial decimal sum
+        # each row feeds exactly one partial long sum
         conds = [
             F.col("pos") < 8,
             (F.col("pos") >= 8) & (F.col("pos") < 16),
@@ -7179,35 +7183,31 @@ def llm_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("pos") >= 32,
         ]
         return [
-            F.sum(F.when(c, prod.cast(DEC12N)))
-            .cast(DEC12N)
-            .alias(f"{stem}{k}")
+            F.sum(F.when(c, prod)).alias(f"{stem}{k}")
             for k, c in enumerate(conds, 1)
         ]
 
     def _prefix_stack(p1, p2, p3, p4, out):
-        # balanced-tree decimal adds (exact; max precision 38, scale
-        # kept), then a uniform (38,12) cast so every stack slot types
-        # identically
-        d = "decimal(38,12)"
         return F.expr(
-            f"stack(4, 8, cast({p1} as {d}),"
-            f" 16, cast({p1} + {p2} as {d}),"
-            f" 32, cast(({p1} + {p2}) + {p3} as {d}),"
-            f" 64, cast(({p1} + {p2}) + ({p3} + {p4}) as {d}))"
+            f"stack(4, 8, {p1},"
+            f" 16, {p1} + {p2},"
+            f" 32, ({p1} + {p2}) + {p3},"
+            f" 64, ({p1} + {p2}) + ({p3} + {p4}))"
             f" as (dim, {out})"
         )
 
     pair = (
-        b.join(F.broadcast(q), "pos")
+        e.join(F.broadcast(q), F.col("pos") == F.col("qpos"))
         .filter(F.col("vec_id") != F.col("qid"))
         .groupBy("qid", "vec_id")
-        .agg(*_range_sums(bd * qd, "d"))
+        .agg(*_range_sums(F.col("vm") * F.col("qm"), "d"))
     )
     longp = pair.select(
         "qid", "vec_id", _prefix_stack("d1", "d2", "d3", "d4", "dot")
     )
-    nv = b.groupBy("vec_id").agg(*_range_sums(bd * bd, "n"))
+    nv = e.groupBy("vec_id").agg(
+        *_range_sums(F.col("vm") * F.col("vm"), "n")
+    )
     longn = nv.select(
         "vec_id", _prefix_stack("n1", "n2", "n3", "n4", "nn")
     )
