@@ -2616,7 +2616,9 @@ def agg_benford_law(spark: SparkSession, sf_dir: str) -> DataFrame:
 # form (deviations from the integer-floored mean) so every squared term
 # stays small enough for exact BIGINT sums at 10× the bench fixture
 # (the naive Σx² overflows long there; at larger factors the swap is
-# the DEC power-sum route of agg_stats). z constants are literals; the
+# the DEC power-sum route of agg_stats); mean_micros likewise uses the
+# quotient-remainder split so the scaled product never wraps BIGINT
+# (r7, ADVICE r6). z constants are literals; the
 # final expression is one deterministic IEEE chain on quantized ints.
 # At 100 TB: two map-side-combined groupBys + a broadcast of the 5-row
 # means table — scale-free.
@@ -2643,12 +2645,17 @@ d AS (
   GROUP BY v.event_type, m.n, m.s1
 ),
 x AS (
+  -- mean_micros in quotient-remainder form: (s1//n)*1e6 + (s1%n)*1e6//n
+  -- equals s1*1e6//n exactly, but the largest intermediate is n*1e6
+  -- instead of s1*1e6 — no BIGINT wrap however large the sum grows
+  -- (r7 hardening, ADVICE r6)
   SELECT event_type, n,
-         s1 * 1000000 // n AS mean_micros,
+         (s1 // n) * 1000000 + ((s1 % n) * 1000000) // n AS mean_micros,
          CAST(ROUND(ROUND(
              CAST(n * s2d - s1d * s1d AS DOUBLE) / (n * (n - 1)), 9)
              * 1000000) AS BIGINT) AS var_cents2_micros,
-         (s1 * 1000000 // n) // 20 AS delta_micros
+         ((s1 // n) * 1000000 + ((s1 % n) * 1000000) // n) // 20
+           AS delta_micros
   FROM d
 )
 SELECT event_type, n, mean_micros, var_cents2_micros, delta_micros,
@@ -2685,7 +2692,9 @@ def agg_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = d.select(
         "event_type",
         "n",
-        F.expr("s1 * 1000000 div n").alias("mean_micros"),
+        F.expr(
+            "(s1 div n) * 1000000 + ((s1 % n) * 1000000) div n"
+        ).alias("mean_micros"),
         F.round(
             F.round(
                 (F.col("n") * F.col("s2d") - F.col("s1d") * F.col("s1d"))
@@ -2697,7 +2706,9 @@ def agg_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("var_cents2_micros"),
-        F.expr("(s1 * 1000000 div n) div 20").alias("delta_micros"),
+        F.expr(
+            "((s1 div n) * 1000000 + ((s1 % n) * 1000000) div n) div 20"
+        ).alias("delta_micros"),
     )
     n_req = F.ceil(
         F.lit(2.0)

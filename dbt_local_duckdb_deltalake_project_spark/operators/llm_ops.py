@@ -7562,8 +7562,11 @@ def llm_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bin fold over raw rows. Rational averages are compared EXACTLY via
 # the order-embedding key (num·10^12) // den: two distinct rationals
 # with denominators <= 10^6 differ by >= 10^-12, so the integer keys
-# order identically to the true values (no float comparison anywhere);
-# at larger corpora widen the key to DECIMAL. This is the calibration
+# order identically to the true values (no float comparison anywhere).
+# The product num·10^12 is computed in DECIMAL(38,0) (Spark) / HUGEINT
+# (DuckDB) so it cannot wrap BIGINT however large a segment's positive
+# count grows; the quotient is <= 10^12 and lands back in BIGINT
+# losslessly (r7 hardening, ADVICE r6). This is the calibration
 # FIX that llm_eval_calibration's diagnostic motivates: monotone,
 # distribution-free keep-probabilities from raw classifier scores.
 # ---------------------------------------------------------------------------
@@ -7593,7 +7596,7 @@ pre AS (
 seg AS (
   SELECT j.i AS j, k.i AS k,
          k.cs - j.cs + j.s AS num, k.cn - j.cn + j.n AS den,
-         ((k.cs - j.cs + j.s) * 1000000000000)
+         (CAST(k.cs - j.cs + j.s AS HUGEINT) * 1000000000000)
            // (k.cn - j.cn + j.n) AS ord_key
   FROM pre j JOIN pre k ON j.i <= k.i
 ),
@@ -7678,7 +7681,9 @@ def llm_calibration_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
             "k",
             "num",
             "den",
-            F.expr("(num * 1000000000000) div den").alias("ord_key"),
+            F.expr(
+                "(CAST(num AS DECIMAL(38,0)) * 1000000000000) div den"
+            ).alias("ord_key"),
         )
     )
     mn = (

@@ -103,6 +103,9 @@ OPS = [
     "llm_kneser_ney",
     "llm_calibration_isotonic",
     "win_cusum_alarm",
+    # r7 hardening: mean_micros quotient-remainder form (overflow risk
+    # class — the 10x sum of cents is the domain the split protects)
+    "agg_power_analysis",
 ]
 
 
