@@ -2474,14 +2474,17 @@ def agg_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", (F.col("user_id") % 4).alias("cohort"))
         .agg(F.count(F.lit(1)).alias("o"))
     )
+    # rt/ct via windows partitioned on the tiny cell table; the GLOBAL
+    # total comes from a 1-row broadcast crossJoin, not an unpartitioned
+    # window (which would route all cells through one task and was the
+    # last WindowExec warning in the bench stderr — found r7)
     m = cell.select(
         "event_type",
         "cohort",
         "o",
         F.sum("o").over(W.partitionBy("event_type")).alias("rt"),
         F.sum("o").over(W.partitionBy("cohort")).alias("ct"),
-        F.sum("o").over(W.partitionBy()).alias("n"),
-    )
+    ).crossJoin(F.broadcast(cell.agg(F.sum("o").alias("n"))))
     num = (F.col("o") * F.col("n") - F.col("rt") * F.col("ct"))
     term = F.round(
         F.round(

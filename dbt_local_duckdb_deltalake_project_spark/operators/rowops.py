@@ -163,6 +163,9 @@ def null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
             "clean_type"
         ),
         F.coalesce(F.col("value"), F.lit(0.0)).alias("value_or_zero"),
+        # the self-comparison IS the declared semantic (IS NOT DISTINCT
+        # FROM x = x is true even for NULL); PySpark logs a benign
+        # "trivially true equals predicate" warning for it at plan time
         F.col("value").eqNullSafe(F.col("value")).alias("self_eq"),
     )
 

@@ -114,8 +114,14 @@ def test_no_unpartitioned_windows_registry_wide(spark, sf_dir):
             s = ln.strip().lstrip("+-:* ")
             if s.startswith("Window "):
                 groups = re.split(r"\], \[", s)
-                if len(groups) == 2 and (
-                    " ASC" in groups[1] or " DESC" in groups[1]
+                # `Window [exprs], [part], [order]` — empty groups are
+                # omitted from toString, so 1 group = no partition at
+                # all (order-less global frame: SinglePartition
+                # exchange, found r7 in agg_chisq), and 2 groups whose
+                # second is an order spec = ordered but unpartitioned.
+                if len(groups) == 1 or (
+                    len(groups) == 2
+                    and (" ASC" in groups[1] or " DESC" in groups[1])
                 ):
                     bad.setdefault(qid, []).append(s[:120])
     assert not bad, f"unpartitioned Window in: {sorted(bad)}"
