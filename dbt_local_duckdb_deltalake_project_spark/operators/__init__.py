@@ -39,24 +39,20 @@ for _m in _MODULES:
 # the back. Within the window, cheaper queries come first in case the
 # window is time-budgeted. Rotate this list each round as rows come back.
 _WINDOW_FIRST = [
-    # --- r6 window head: ids whose implementation (or oracle) changed
-    # this round. The cosine variants got the ADVICE fixes (truncating
-    # centroid division matching DuckDB //, rounded-tie prefilter
-    # margin); stream_session_dynamic_gap's oracle gained the event_id
-    # tiebreak; llm_vocab_coverage's vocab top-30 moved off the
-    # unpartitioned rank window; win_pareto_analysis's cumsum is the
-    # two-pass range-partitioned rewrite; delta_merge_matched_delete
-    # consumes deltalike.merge's NULL-condition fix; delta_vacuum
-    # (green r5) consumes vacuum's per-commit timestamp fallback. ---
-    "llm_cosine_topk_ivf", "llm_cosine_topk_blocked",
-    "llm_cosine_topk_lsh", "stream_session_dynamic_gap",
-    "llm_vocab_coverage", "win_pareto_analysis",
-    "delta_merge_matched_delete", "delta_vacuum",
-    # grand-total moved off the empty-partition window late-r6
-    "win_ratio_to_report",
-    # --- the rest of the 50-slot window fills automatically: the
-    # remaining _FORCE_RECHECK stream ids, then the never-checked
-    # backlog in _WINDOW_SECOND order. ---
+    # --- r7 window head: the three backlog ids whose implementation
+    # changed this round (all were never-checked, so hoisting them
+    # only permutes which 50 backlog ids land in r7 vs r8 — the sweep
+    # still closes at r8). llm_calibration_isotonic's ord_key product
+    # widened to DECIMAL(38,0)/HUGEINT; agg_power_analysis's
+    # mean_micros moved to quotient-remainder form (both ADVICE r6);
+    # agg_chisq_independence's global total moved off the order-less
+    # unpartitioned window onto a 1-row broadcast crossJoin (the
+    # residual WindowExec bench warning, VERDICT r6 task 3). Each was
+    # re-simmed green individually in a fresh vanilla process. ---
+    "llm_calibration_isotonic", "agg_power_analysis",
+    "agg_chisq_independence",
+    # --- the rest of the 50-slot window fills automatically with the
+    # never-checked backlog in _WINDOW_SECOND order. ---
 ]
 
 # The round whose driver row SATISFIES a _WINDOW_FIRST entry: once an id
@@ -65,7 +61,7 @@ _WINDOW_FIRST = [
 # rotation) — the next round's 50 slots all go to the backlog without
 # waiting for a manual list edit. Bump when repopulating _WINDOW_FIRST
 # for a new round's changes.
-_WINDOW_FIRST_ROUND = 6
+_WINDOW_FIRST_ROUND = 7
 
 
 # Directly behind the window: first the regression breadth mix (one-plus
