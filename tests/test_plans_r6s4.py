@@ -30,10 +30,12 @@ def test_ks_preaggregates_before_cumulative_window(spark, sf_dir):
 
 def test_chisq_contingency_is_mapside_then_tiny(spark, sf_dir):
     # the only full-data pass is the map-side-combined cell count; the
-    # dof scalar rides a single broadcast nested-loop (1-row) join.
+    # dof scalar AND the global total each ride a 1-row broadcast
+    # nested-loop join (the total moved off the order-less
+    # unpartitioned window in r7 — the last WindowExec bench warning).
     n = nodes(spark, sf_dir, "agg_chisq_independence")
     assert n["partial_count"] >= 1
-    assert n["BroadcastNestedLoopJoin"] == 1
+    assert n["BroadcastNestedLoopJoin"] == 2
     assert n["SortMergeJoin"] == 0 and n["ShuffledHashJoin"] == 0
 
 
