@@ -164,6 +164,32 @@ def test_no_unbounded_driver_collect_in_operators():
     assert not offenders, f"unbounded driver collect(s): {offenders}"
 
 
+def test_no_empty_partitionby_in_operators():
+    # W.partitionBy() with no keys routes the whole input through ONE
+    # task (SinglePartition exchange) — the order-less variant prints
+    # as a single-bracket Window node the physical-plan lint in
+    # test_plans_r6.py historically missed, and plans built inside
+    # foreachBatch / streaming micro-batches never reach that lint at
+    # all. Source-level pin: no empty partitionBy anywhere in
+    # operators/ (r7: agg_chisq_independence's global total was the
+    # last one; it moved to a 1-row broadcast crossJoin).
+    import os
+    import re
+
+    import dbt_local_duckdb_deltalake_project_spark.operators as ops
+
+    opdir = os.path.dirname(ops.__file__)
+    offenders = []
+    for fname in sorted(os.listdir(opdir)):
+        if not fname.endswith(".py"):
+            continue
+        with open(os.path.join(opdir, fname)) as f:
+            for i, ln in enumerate(f, 1):
+                if re.search(r"partitionBy\(\s*\)", ln):
+                    offenders.append((fname, i, ln.strip()))
+    assert not offenders, f"empty partitionBy(): {offenders}"
+
+
 def test_hot_queries_have_no_python_eval(spark, sf_dir):
     # the relational core must never fall off the codegen path.
     for qid in [
