@@ -85,7 +85,7 @@ _WINDOW_SECOND = [
     "mm_dedup_phash", "llm_token_entropy",
     "dbt_snapshot_timestamp", "dbt_store_failures", "dbt_profile_table",
     "llm_ngram_novelty", "join_asof_tolerance", "agg_regression_trend",
-    "stream_change_data_feed", "delta_update", "join_null_safe_eq",
+    "stream_change_data_feed", "join_null_safe_eq",
     "scan_parquet_merge_schema", "delta_merge_schema_evolution",
     "delta_concurrent_writers", "agg_higher_moments", "scan_csv_gzip",
     "sink_json_lines", "fn_tz_convert", "llm_chunk_reassemble",
@@ -158,6 +158,13 @@ _WINDOW_SECOND = [
     "agg_weighted_median", "agg_mann_kendall",
     "graph_resource_allocation", "llm_kneser_ney",
     "llm_calibration_isotonic", "llm_cdc_chunks", "mm_scene_split",
+    # --- r7 _FORCE_RECHECK tail: both greens were fixed in r7 for the
+    # final-ROUND tie-divergence the sf0.1 differential surfaced
+    # (half-even vs half-away on an exact tie). Placed BEHIND the
+    # 100-id backlog so r8's 50-slot window still closes the sweep;
+    # their fresh rows land in r9's window head. Both re-simmed MATCH
+    # at sf0.01 AND sf0.1 post-fix. ---
+    "mm_decode_features", "delta_update",
     # --- end of never-checked block; greens rotate below ---
     "delta_time_travel", "delta_merge_upsert",
     "stream_tumbling", "stream_session", "win_range_frame", "fn_date",  # events/tz consumers
@@ -177,7 +184,7 @@ _WINDOW_SECOND = [
     "dbt_materialize_ephemeral",
     "dbt_test_unique", "dbt_test_not_null", "dbt_test_accepted_values",
     "dbt_test_relationships", "dbt_source_freshness", "dbt_seed",
-    "mm_metadata_extract", "mm_decode_features", "mm_resize_plan",
+    "mm_metadata_extract", "mm_resize_plan",
     "mm_frame_sample",
     "llm_split_assign", "llm_shuffle_deterministic", "llm_pii_redact",
     "llm_decontaminate", "llm_sequence_pack",
@@ -198,13 +205,19 @@ _WINDOW_SECOND = [
 # needed; stale entries whose fresh rows landed are harmless).
 _FORCE_RECHECK = {
     # r4 rows-mode records; all upgraded to sql-mode in r5 — only an
-    # r6-or-later record verifies the sql-mode code
+    # r6-or-later record verifies the sql-mode code (fresh rows landed
+    # r6; these entries are self-cleared and harmless)
     "llm_cosine_topk_blocked": 6,
     "llm_cosine_topk_lsh": 6,
     "llm_cosine_topk_ivf": 6,
     "stream_watermark_late": 6,
     "stream_session_streamed": 6,
     "stream_funnel_stateful": 6,
+    # r7 final-ROUND tie fixes (sf0.1 differential): output values
+    # changed, so the old green rows (r3/r6) no longer verify the
+    # current code — only an r8-or-later record counts
+    "mm_decode_features": 8,
+    "delta_update": 8,
 }
 
 

@@ -1118,15 +1118,23 @@ def delta_merge_full_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "delta_update",
     """
+    WITH c AS (
+      SELECT c_custkey, c_mktsegment, ROUND(c_acctbal, 2) AS acctbal,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+      FROM customer
+    )
     SELECT c_custkey,
            CASE WHEN c_mktsegment = 'BUILDING' AND c_custkey % 2 = 0
                 THEN 'BUILDING-PRIORITY' ELSE c_mktsegment
            END AS c_mktsegment,
            CASE WHEN c_mktsegment = 'BUILDING' AND c_custkey % 2 = 0
-                THEN ROUND(ROUND(c_acctbal, 2) * 1.1, 2)
-                ELSE ROUND(c_acctbal, 2)
+                THEN CAST(CASE WHEN cents < 0
+                               THEN -((-cents * 110 + 50) // 100)
+                               ELSE (cents * 110 + 50) // 100
+                          END AS DOUBLE) / 100
+                ELSE acctbal
            END AS acctbal
-    FROM customer
+    FROM c
     ORDER BY c_custkey
     """,
 )
@@ -1148,14 +1156,23 @@ def delta_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tbl.write(c, mode="overwrite")
     cond = (F.col("c_mktsegment") == "BUILDING") & (F.col("c_custkey") % 2 == 0)
+    # the 10% uplift runs in exact cents-integer arithmetic (half-away
+    # rounding spelled out in CASE) — ROUND(acctbal * 1.1, 2) on the
+    # double product tie-diverged between Spark's HALF_UP and DuckDB's
+    # rounding on one sf0.1 row (found r7); the final /100 division of
+    # identical longs is bit-identical in both engines
+    uplift = F.expr(
+        "CAST(CASE WHEN CAST(ROUND(acctbal * 100) AS BIGINT) < 0 "
+        "THEN -((-CAST(ROUND(acctbal * 100) AS BIGINT) * 110 + 50) div 100) "
+        "ELSE (CAST(ROUND(acctbal * 100) AS BIGINT) * 110 + 50) div 100 "
+        "END AS DOUBLE) / 100"
+    )
     updated = tbl.read(spark).select(
         "c_custkey",
         F.when(cond, F.lit("BUILDING-PRIORITY"))
         .otherwise(F.col("c_mktsegment"))
         .alias("c_mktsegment"),
-        F.when(cond, F.round(F.col("acctbal") * 1.1, 2))
-        .otherwise(F.col("acctbal"))
-        .alias("acctbal"),
+        F.when(cond, uplift).otherwise(F.col("acctbal")).alias("acctbal"),
     )
     tbl.write(updated, mode="overwrite", operation="UPDATE")
     return tbl.read(spark).select(

@@ -90,10 +90,10 @@ def mm_metadata_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT doc_id AS media_id,
            octet_length(encode(text)) AS n_bytes,
-           ROUND(CAST(list_sum(list_transform(
+           CAST(list_sum(list_transform(
                    range(1, octet_length(encode(text)) + 1),
                    i -> ascii(substring(text, i, 1)))) AS DOUBLE)
-                 / octet_length(encode(text)), 6) AS mean_byte
+                 / octet_length(encode(text)) AS mean_byte
     FROM documents
     WHERE doc_id % 5 = 0
     """,
@@ -119,7 +119,11 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         for pdf in batches:
             n = pdf.payload.map(len)
-            mean = pdf.payload.map(lambda b: sum(b) / len(b)).round(6)
+            # int_sum / int_len is ONE IEEE division — bit-identical in
+            # both engines, so no final round (a .round(6) here diverged
+            # from DuckDB on an exact 6dp tie at sf0.1: half-even vs
+            # half-away — found r7)
+            mean = pdf.payload.map(lambda b: sum(b) / len(b))
             yield pd.DataFrame(
                 {"media_id": pdf.media_id, "n_bytes": n, "mean_byte": mean}
             )
