@@ -106,6 +106,12 @@ OPS = [
     # r7 hardening: mean_micros quotient-remainder form (overflow risk
     # class — the 10x sum of cents is the domain the split protects)
     "agg_power_analysis",
+    # r7 hardening: global total via 1-row broadcast (ex-unpartitioned
+    # window), decode mapInPandas over 10x payloads, exact-cents uplift
+    # through a 10x copy-on-write commit
+    "agg_chisq_independence",
+    "mm_decode_features",
+    "delta_update",
 ]
 
 
