@@ -1120,7 +1120,11 @@ def delta_merge_full_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH c AS (
       SELECT c_custkey, c_mktsegment, ROUND(c_acctbal, 2) AS acctbal,
-             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+             -- cents derive from the SAME stored ROUND(.,2) value the
+             -- Spark side reads back (ADVICE r7): deriving from raw
+             -- c_acctbal is identical only while fixtures are exactly
+             -- 2dp — a >2dp source value would skew the two by 1 cent
+             CAST(ROUND(ROUND(c_acctbal, 2) * 100) AS BIGINT) AS cents
       FROM customer
     )
     SELECT c_custkey,

@@ -173,20 +173,41 @@ def test_no_empty_partitionby_in_operators():
     # all. Source-level pin: no empty partitionBy anywhere in
     # operators/ (r7: agg_chisq_independence's global total was the
     # last one; it moved to a 1-row broadcast crossJoin).
+    # Token-based (ADVICE r7): the old line-regex both false-positived
+    # on prose in comments/docstrings and missed a call whose closing
+    # paren sits on the next line — token matching spans physical lines
+    # for free, and prose never lexes as a NAME token (a docstring is
+    # one STRING token, so its content can't match; STRING tokens stay
+    # in the stream because they are real call arguments).
+    import io
     import os
-    import re
+    import tokenize
 
     import dbt_local_duckdb_deltalake_project_spark.operators as ops
 
     opdir = os.path.dirname(ops.__file__)
+    skip = {
+        tokenize.COMMENT, tokenize.NL, tokenize.NEWLINE,
+        tokenize.INDENT, tokenize.DEDENT,
+    }
     offenders = []
     for fname in sorted(os.listdir(opdir)):
         if not fname.endswith(".py"):
             continue
         with open(os.path.join(opdir, fname)) as f:
-            for i, ln in enumerate(f, 1):
-                if re.search(r"partitionBy\(\s*\)", ln):
-                    offenders.append((fname, i, ln.strip()))
+            toks = [
+                t
+                for t in tokenize.generate_tokens(io.StringIO(f.read()).readline)
+                if t.type not in skip
+            ]
+        for j in range(len(toks) - 2):
+            if (
+                toks[j].type == tokenize.NAME
+                and toks[j].string == "partitionBy"
+                and toks[j + 1].string == "("
+                and toks[j + 2].string == ")"
+            ):
+                offenders.append((fname, toks[j].start[0]))
     assert not offenders, f"empty partitionBy(): {offenders}"
 
 

@@ -33,9 +33,13 @@ def test_chisq_contingency_is_mapside_then_tiny(spark, sf_dir):
     # dof scalar AND the global total each ride a 1-row broadcast
     # nested-loop join (the total moved off the order-less
     # unpartitioned window in r7 — the last WindowExec bench warning).
+    # >= 2 rather than == 2 (ADVICE r7): the pinned property is
+    # "map-side partial, then tiny broadcast joins, never a
+    # single-partition window/shuffle" — an AQE change that collapses
+    # or adds a 1-row join must not flip the test while that holds.
     n = nodes(spark, sf_dir, "agg_chisq_independence")
     assert n["partial_count"] >= 1
-    assert n["BroadcastNestedLoopJoin"] == 2
+    assert n["BroadcastNestedLoopJoin"] >= 2
     assert n["SortMergeJoin"] == 0 and n["ShuffledHashJoin"] == 0
 
 
