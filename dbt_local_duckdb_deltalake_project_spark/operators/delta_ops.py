@@ -405,7 +405,9 @@ def delta_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(c_acctbal, 2) AS acctbal
     FROM customer WHERE c_custkey % 97 = 0
     UNION ALL
-    SELECT 'update_postimage', c_custkey, ROUND(c_acctbal + 1000, 2)
+    -- +1000 applies to the STORED ROUND(.,2) value, as the engine does
+    -- (raw-vs-stored derivations diverge on >2dp sources; ADVICE r7 class)
+    SELECT 'update_postimage', c_custkey, ROUND(ROUND(c_acctbal, 2) + 1000, 2)
     FROM customer WHERE c_custkey % 10 = 0
     UNION ALL
     SELECT 'update_preimage', c_custkey, ROUND(c_acctbal, 2)
@@ -1188,7 +1190,8 @@ def delta_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     "delta_merge_schema_evolution",
     """
     WITH src AS (
-      SELECT c_custkey, ROUND(c_acctbal + 500, 2) AS acctbal,
+      -- +500 applies to the STORED ROUND(.,2) value, mirroring the engine
+      SELECT c_custkey, ROUND(ROUND(c_acctbal, 2) + 500, 2) AS acctbal,
              'tier-' || CAST(c_custkey % 3 AS VARCHAR) AS loyalty_tier
       FROM customer WHERE c_custkey % 5 = 0
     )
@@ -1355,9 +1358,11 @@ def delta_merge_insert_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     "delta_replace_where",
     """
     WITH fresh AS (
+      -- cents derive from the STORED ROUND(.,2) price the engine reads
+      -- back, not raw o_totalprice (identical only on 2dp fixtures)
       SELECT o_orderkey, o_orderstatus,
-             CAST((CAST(ROUND(o_totalprice * 100) AS BIGINT) * 9) // 10
-                  AS DOUBLE) / 100 AS price
+             CAST((CAST(ROUND(ROUND(o_totalprice, 2) * 100) AS BIGINT) * 9)
+                  // 10 AS DOUBLE) / 100 AS price
       FROM orders WHERE o_orderstatus = 'F'
     )
     SELECT o_orderkey, o_orderstatus, price FROM fresh
