@@ -28,6 +28,20 @@ def test_query_matches_oracle(qid, spark, duck, sf_dir):
         if type(f.dataType).__name__ in ("ArrayType", "MapType", "StructType")
     ]
     assert not nested, f"{qid}: non-scalar sql-mode output columns {nested}"
+    # NULL temporal outputs are banned in sql-mode (CLAUDE.md r6/r8):
+    # duckdb fetchdf renders them as pandas NaT and no driver-green op
+    # has ever exercised that hasher path — emit unix_micros/epoch_us
+    # longs instead (the stream outer-join pattern). The r8 audit found
+    # zero at sf0.001 AND sf0.1; this pin keeps it that way for free
+    # (the result is already collected above).
+    nat_cols = [
+        f.name
+        for f in sdf.schema.fields
+        if type(f.dataType).__name__
+        in ("TimestampType", "TimestampNTZType", "DateType")
+        and spark_pdf[f.name].isna().any()
+    ]
+    assert not nat_cols, f"{qid}: NULL temporal output columns {nat_cols}"
     # Type widths must match exactly (spark int vs duck BIGINT can fail a
     # strict driver schema hash even when values agree — pandas hides the
     # width once NULLs coerce to float64, so compare declared types).
