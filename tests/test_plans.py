@@ -478,26 +478,58 @@ def test_pareto_cumsum_has_no_unpartitioned_window(spark, sf_dir):
 
 
 def test_registry_window_covers_unverified_ids():
-    # driver-window bookkeeping guard: every id with no CORRECTNESS row
-    # across all recorded rounds must sit inside the first 150 registry
-    # positions — three 50-slot windows (r5 = first 50; r6/r7 take the
-    # contiguous block behind it). A never-checked id drifting to the
-    # registry tail would silently never get verified.
+    # driver-window bookkeeping guard, repointed at r9 open (the r8
+    # sweep closed: every id now has a driver record, so the old
+    # "never-checked ids within 150 positions" bound retired itself by
+    # design). Surviving invariant: every id whose current code lacks a
+    # SATISFYING driver record — never-checked ids from new ops, plus
+    # `_FORCE_RECHECK` ids whose last record predates the required
+    # round — must sit inside the next 50-slot driver window, and the
+    # green remainder must be ordered stalest-first so re-verification
+    # coverage keeps rotating. A pending id drifting past position 50
+    # would silently wait an extra round for its fresh row.
     import glob
     import json
     import os
+    import re
 
-    from dbt_local_duckdb_deltalake_project_spark.operators import QUERIES as Q
+    from dbt_local_duckdb_deltalake_project_spark.operators import (
+        _FORCE_RECHECK,
+        _WINDOW_FIRST,
+        _WINDOW_FIRST_ROUND,
+        QUERIES as Q,
+    )
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    checked = set()
+    last = {}
     for f in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
-        checked.update(json.load(open(f)))
+        m = re.search(r"_r(\d+)\.json$", f)
+        rnd = int(m.group(1))
+        for qid in json.load(open(f)):
+            last[qid] = max(last.get(qid, 0), rnd)
     ids = list(Q)
-    never = [q for q in ids if q not in checked]
-    assert never, "all ids verified — retire this guard's bound"
-    worst = max(ids.index(q) for q in never)
-    assert worst < 150, (
-        f"never-checked id at registry position {worst}: "
-        f"{ids[worst]} — rotate it into the window blocks"
+    pending = {
+        q
+        for q in ids
+        if last.get(q, 0) < _FORCE_RECHECK.get(q, 1)
+    }
+    # an active _WINDOW_FIRST hoist (not yet satisfied by a row from
+    # _WINDOW_FIRST_ROUND) is also pending — it was hoisted because its
+    # code changed this round
+    pending.update(
+        q
+        for q in _WINDOW_FIRST
+        if q in Q and last.get(q, 0) < _WINDOW_FIRST_ROUND
+    )
+    if pending:
+        worst = max(ids.index(q) for q in pending)
+        assert worst < 50, (
+            f"pending id at registry position {worst}: {ids[worst]} — "
+            f"it misses the next driver window; fix the rotation lists"
+        )
+    greens = [(ids.index(q), last[q]) for q in ids if q not in pending]
+    greens.sort()
+    rounds = [r for _, r in greens]
+    assert rounds == sorted(rounds), (
+        "green ids not stalest-first — the recheck rotation is broken"
     )
