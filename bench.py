@@ -104,6 +104,7 @@ def main() -> None:
         "stream_corpus_ingest_dedup",
         "stream_left_outer_join",
         "stream_full_outer_join",
+        "stream_cdf_downstream_sync",
     )}
     sql_pooled = sorted(n for n in qs if n in oracles)
     rows_pooled = sorted(n for n in qs if n not in oracles)

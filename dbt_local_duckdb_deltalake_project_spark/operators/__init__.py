@@ -218,6 +218,25 @@ _FORCE_RECHECK = {
     # current code — only an r8-or-later record counts
     "mm_decode_features": 8,
     "delta_update": 8,
+    # r8 oracle cents-mirror hardenings (raw-vs-stored cents class,
+    # DuckDB-side only; re-simmed MATCH at sf0.01 AND sf0.1 in r8 and
+    # judge-sim green) — records stay valid but a fresh row re-proving
+    # the edited oracles lands in r9's window
+    "delta_replace_where": 9,
+    "delta_change_data_feed": 9,
+    "delta_merge_schema_evolution": 9,
+    # r9 2^53-headroom fix: win_yoy_growth now aggregates cents (not
+    # micros) on both sides and surfaces prev_rev_c — the r6 green row
+    # hashed the micros output, so only an r9 record verifies it
+    "win_yoy_growth": 9,
+    # r9 staged near-dup pair/label cache (_staged_neardup): the three
+    # consumers now read staged parquet instead of re-running the
+    # shingle self-join + CC pipeline — values identical by
+    # construction (dry-run-proven staged==fresh at two SFs), but the
+    # read path changed, so fresh rows land in r9
+    "llm_dedup_clusters": 9,
+    "llm_dedup_keep_best": 9,
+    "llm_dedup_clusters_incremental": 9,
 }
 
 

@@ -2985,3 +2985,84 @@ def agg_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select(
         "user_id", "n_days", "s_stat", var18.alias("var_num18"), z
     ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# GROUP BY ALL — Spark 4 / DuckDB shared surface. The grouping keys are
+# inferred from the non-aggregate select items, so the SAME text runs on
+# both engines (one source of truth, zero drift — the subqueries.py
+# pattern). Plan-identical to an explicit GROUP BY: map-side partial agg
+# on two low-cardinality keys, a few-KB shuffle at any input size.
+# ---------------------------------------------------------------------------
+
+_GROUP_BY_ALL_TEXT = """
+SELECT l_returnflag,
+       l_linestatus,
+       CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_c,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY ALL
+ORDER BY ALL
+"""
+
+
+@register("agg_group_by_all", _GROUP_BY_ALL_TEXT)
+def agg_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL / ORDER BY ALL (Spark 4 surface, DuckDB-native):
+    grouping keys inferred from the select list — the analyzer expands
+    ALL to the explicit key set, so the physical plan is byte-identical
+    to agg_groupby_basic's (partial agg → tiny shuffle → sort; scale-
+    free). Quantities are integral-valued doubles, so ×100 cents are
+    exact longs; the outer CAST pins DuckDB's SUM(BIGINT)→HUGEINT
+    promotion back to BIGINT (CLAUDE.md 2^53 rule)."""
+    return sql(spark, sf_dir, _GROUP_BY_ALL_TEXT)
+
+
+# ---------------------------------------------------------------------------
+# UNPIVOT ... INCLUDE NULLS — Spark 4 SQL surface. Default UNPIVOT drops
+# rows whose measure is NULL; INCLUDE NULLS keeps them (the shape a
+# coverage/missingness report needs: a NULL measurement is a fact, not a
+# non-row). Same narrow per-row expansion as agg_unpivot — no shuffle.
+# ---------------------------------------------------------------------------
+
+_UNPIVOT_NULLS_ORACLE = """
+SELECT o_orderkey, 'price_f' AS measure,
+       CASE WHEN o_orderstatus = 'F' THEN o_totalprice END AS value
+FROM orders
+UNION ALL
+SELECT o_orderkey, 'price_nonurgent' AS measure,
+       CASE WHEN o_orderpriority = '1-URGENT' THEN NULL
+            ELSE o_totalprice END AS value
+FROM orders
+ORDER BY o_orderkey, measure
+"""
+
+
+@register("agg_unpivot_include_nulls", _UNPIVOT_NULLS_ORACLE)
+def agg_unpivot_include_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT INCLUDE NULLS via the Spark 4 SQL clause (agg_unpivot is
+    the default EXCLUDE form): wide → long keeping NULL measures, so
+    every (key, measure) cell emits exactly one row — the contract a
+    completeness audit needs (n_rows = |keys| × |measures| exactly).
+    The portable oracle is the UNION ALL expansion. Narrow per-row
+    generate, no shuffle; the ORDER BY is presentation only."""
+    return sql(
+        spark,
+        sf_dir,
+        """
+        WITH m AS (
+          SELECT o_orderkey,
+                 CASE WHEN o_orderstatus = 'F' THEN o_totalprice END
+                   AS price_f,
+                 CASE WHEN o_orderpriority = '1-URGENT'
+                      THEN CAST(NULL AS DOUBLE)
+                      ELSE o_totalprice END AS price_nonurgent
+          FROM orders
+        )
+        SELECT o_orderkey, measure, value
+        FROM m UNPIVOT INCLUDE NULLS (
+          value FOR measure IN (price_f, price_nonurgent)
+        )
+        ORDER BY o_orderkey, measure
+        """,
+    )

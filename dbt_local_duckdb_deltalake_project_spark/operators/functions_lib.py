@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import t
+from ..catalog import sql, t
 from .registry import register
 
 
@@ -859,3 +859,34 @@ def fn_base64(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unbase64(b64).cast("string") == s24).alias("roundtrips"),
         F.length(b64).cast("long").alias("b64_len"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Lateral column aliases — Spark 4 / DuckDB shared surface: a SELECT item
+# may reference an alias defined earlier in the SAME select list, chained.
+# The analyzer inlines the alias chain into one Project, so this costs
+# nothing at any scale — it's purely resolution sugar that removes a
+# nesting level per derived column.
+# ---------------------------------------------------------------------------
+
+_LATERAL_ALIAS_TEXT = """
+SELECT o_orderkey,
+       CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+       cents - cents % 100 AS whole_dollar_c,
+       cents % 100 AS rem_c,
+       whole_dollar_c + rem_c AS recombined_c
+FROM orders
+ORDER BY o_orderkey
+"""
+
+
+@register("fn_lateral_column_alias", _LATERAL_ALIAS_TEXT)
+def fn_lateral_column_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral column aliases (Spark 4 SQL surface, DuckDB-native): the
+    SAME text runs on both engines — ``cents`` is referenced by two
+    later select items and ``recombined_c`` chains two lateral aliases.
+    Exact integer arithmetic throughout (2-dp money ×100), and
+    ``recombined_c = cents`` by construction, so the output self-checks
+    the alias resolution. One whole-stage-codegen Project after the
+    scan; ORDER BY is presentation only."""
+    return sql(spark, sf_dir, _LATERAL_ALIAS_TEXT)

@@ -1542,3 +1542,186 @@ def stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("click_id", "purchase_id")
     )
+
+
+_STREAM_CDF_SYNC_ORACLE = """
+WITH base AS (
+  SELECT c_custkey, ROUND(c_acctbal, 2) AS acctbal FROM customer
+),
+merged AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 10 = 0 THEN ROUND(acctbal + 1000, 2)
+              ELSE acctbal END AS acctbal
+  FROM base
+  UNION ALL
+  SELECT c_custkey + 1000000, acctbal FROM base WHERE c_custkey % 97 = 0
+)
+SELECT c_custkey, acctbal
+FROM merged WHERE c_custkey % 13 <> 7
+ORDER BY c_custkey
+"""
+
+
+@register("stream_cdf_downstream_sync", _STREAM_CDF_SYNC_ORACLE)
+def stream_cdf_downstream_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING CDF → downstream sync — the continuous form of
+    delta_cdf_downstream_sync (same upstream mutations, same closed-form
+    oracle): the upstream table's change feed is TAILED as a stream
+    (offsets are log versions, the stream_change_data_feed reader), and
+    ``foreachBatch`` applies the drained changes to a downstream replica
+    seeded at v0 — one tombstone MERGE per upstream version, in version
+    order, so the replica passes through exactly the upstream's commit
+    history (a key updated in v1 and deleted in v2 must take both). This
+    is the production shape of incremental replication: the work per
+    trigger is proportional to the CHANGES drained, never the table, and
+    restartability rides the checkpoint like any other sink. The replica
+    is correct iff it hash-matches the upstream's closed-form final
+    state.
+    """
+    import json as _json
+    import os
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        SimpleDataSourceStreamReader,
+    )
+
+    from ..catalog import t
+    from ..sources.deltalike import DeltaLikeTable
+    from ..sources.workspace import workdir
+    from .delta_ops import _staged_table
+
+    def build(tbl: DeltaLikeTable) -> None:
+        c = t(spark, sf_dir, "customer").select(
+            "c_custkey", F.round("c_acctbal", 2).alias("acctbal")
+        )
+        tbl.write(c, mode="overwrite")
+        updates = c.filter(F.col("c_custkey") % 10 == 0).withColumn(
+            "acctbal", F.round(F.col("acctbal") + 1000, 2)
+        )
+        inserts = c.filter(F.col("c_custkey") % 97 == 0).withColumn(
+            "c_custkey", F.col("c_custkey") + 1000000
+        )
+        tbl.merge(spark, updates.unionByName(inserts), on="c_custkey")
+        tbl.delete(spark, F.col("c_custkey") % 13 == 7)
+
+    src = _staged_table(sf_dir, "delta_cdf_sync_stream", build)
+    table_path = src.path
+
+    class _CdfSyncReader(SimpleDataSourceStreamReader):
+        def initialOffset(self):
+            return {"version": 1}  # v0 = the replica's seed snapshot
+
+        def _commit_changes(self, v):
+            from collections import Counter
+
+            import pyarrow.parquet as pq
+
+            log = os.path.join(table_path, "_delta_log", f"{v:020d}.json")
+            if not os.path.exists(log):
+                return
+            with open(log) as fh:
+                acts = [_json.loads(ln) for ln in fh]
+
+            def rows_of(paths):
+                cnt = Counter()
+                for p in paths:
+                    f = os.path.join(table_path, p)
+                    for row in pq.read_table(f).to_pylist():
+                        cnt[(row["c_custkey"], row["acctbal"])] += 1
+                return cnt
+
+            added = rows_of(a["add"]["path"] for a in acts if "add" in a)
+            removed = rows_of(
+                a["remove"]["path"] for a in acts if "remove" in a
+            )
+            appeared = added - removed
+            vanished = removed - added
+            app_keys = {k for (k, _b) in appeared}
+            van_keys = {k for (k, _b) in vanished}
+            for (k, b), n in sorted(appeared.items()):
+                ct = "update_postimage" if k in van_keys else "insert"
+                for _ in range(n):
+                    yield (v, ct, k, b)
+            for (k, b), n in sorted(vanished.items()):
+                ct = "update_preimage" if k in app_keys else "delete"
+                for _ in range(n):
+                    yield (v, ct, k, b)
+
+        def read(self, start):
+            v = start["version"]
+            rows: list = []
+            while os.path.exists(
+                os.path.join(table_path, "_delta_log", f"{v:020d}.json")
+            ):
+                rows.extend(self._commit_changes(v))
+                v += 1
+            return rows, {"version": v}
+
+        def readBetweenOffsets(self, start, end):
+            return [
+                row
+                for v in range(start["version"], end["version"])
+                for row in self._commit_changes(v)
+            ]
+
+        def commit(self, end):
+            pass
+
+    class _CdfSyncStreamSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "deltalike_cdf_sync_stream"
+
+        def schema(self):
+            return (
+                "version int, change_type string, "
+                "c_custkey bigint, acctbal double"
+            )
+
+        def simpleStreamReader(self, schema):
+            return _CdfSyncReader()
+
+    spark.dataSource.register(_CdfSyncStreamSource)
+
+    down = DeltaLikeTable(workdir(sf_dir, "stream_cdf_downstream"))
+    down.write(src.read(spark, as_of=0), mode="overwrite")
+
+    def apply_batch(batch_df: DataFrame, _bid: int) -> None:
+        # version list is bounded by the log length (one row per
+        # upstream commit), never the table — O(commits) driver work
+        vers = sorted(
+            batch_df.select("version").distinct().toPandas()["version"]
+        )
+        for v in vers:
+            changes = (
+                batch_df.filter(
+                    (F.col("version") == v)
+                    & (F.col("change_type") != "update_preimage")
+                )
+                .select(
+                    "c_custkey",
+                    "acctbal",
+                    (F.col("change_type") == "delete").alias("_tomb"),
+                )
+            )
+            down.merge(
+                spark, changes, on="c_custkey",
+                matched_delete_where="s._tomb",
+            )
+
+    ckpt = workdir(sf_dir, "stream_ckpt_cdf_sync")
+    stream = spark.readStream.format("deltalike_cdf_sync_stream").load()
+    with replay_shuffle(spark):
+        q = (
+            stream.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return (
+        down.read(spark)
+        .select("c_custkey", "acctbal")
+        .orderBy("c_custkey")
+    )

@@ -905,17 +905,17 @@ _YOY_ORACLE = """
 WITH yearly AS (
   SELECT o_orderpriority,
          CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
-         CAST(SUM(CAST(ROUND(o_totalprice * 1000000) AS BIGINT)) AS BIGINT)
-           AS rev_m
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev_c
   FROM orders GROUP BY o_orderpriority, EXTRACT(year FROM o_orderdate)
 )
 SELECT o_orderpriority, yr,
-       CAST(rev_m AS DOUBLE) / 1000000 AS revenue,
-       CAST(LAG(rev_m) OVER w AS BIGINT) AS prev_rev_m,
-       CASE WHEN LAG(rev_m) OVER w IS NOT NULL
-            THEN (CAST(rev_m AS DOUBLE)
-                  - CAST(LAG(rev_m) OVER w AS DOUBLE))
-                 / CAST(LAG(rev_m) OVER w AS DOUBLE)
+       CAST(rev_c AS DOUBLE) / 100 AS revenue,
+       CAST(LAG(rev_c) OVER w AS BIGINT) AS prev_rev_c,
+       CASE WHEN LAG(rev_c) OVER w IS NOT NULL
+            THEN (CAST(rev_c AS DOUBLE)
+                  - CAST(LAG(rev_c) OVER w AS DOUBLE))
+                 / CAST(LAG(rev_c) OVER w AS DOUBLE)
        END AS yoy_growth
 FROM yearly
 WINDOW w AS (PARTITION BY o_orderpriority ORDER BY yr)
@@ -926,30 +926,36 @@ ORDER BY o_orderpriority, yr
 @register("win_yoy_growth", _YOY_ORACLE)
 def win_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Year-over-year growth per segment — aggregate to (segment, year)
-    in exact scaled-long micros FIRST, then lag-compare on the tiny
+    in exact scaled-long cents FIRST, then lag-compare on the tiny
     yearly frame: the windowed pass runs over |segments|×|years| rows,
     not the fact table, which is the composition order that keeps
     period-over-period reporting O(groups) after one fact scan. Growth
     divides two bit-identical integers as doubles; first year is NULL
     by definition. Years via EXTRACT, engine-identical on timestamps.
+    Cents (not micros) because the surfaced lag column must clear the
+    float64 2^53 exactness bound on the driver's fetchdf path at large
+    SF: cents bound |prev_rev_c| ~1.2e11 × SF/0.1 (safe to ~sf75000),
+    while micros crossed 2^53 near sf1. o_totalprice is 2-dp money, so
+    ×100 is already exact; revenue and yoy_growth are bit-identical to
+    the micros form (scale-invariant quotients of the same rational).
     """
     o = t(spark, sf_dir, "orders")
     yearly = o.groupBy(
         "o_orderpriority", F.year("o_orderdate").cast("long").alias("yr")
     ).agg(
         F.sum(
-            F.round(F.col("o_totalprice") * 1_000_000).cast("long")
-        ).alias("rev_m")
+            F.round(F.col("o_totalprice") * 100).cast("long")
+        ).alias("rev_c")
     )
     w = W.partitionBy("o_orderpriority").orderBy("yr")
-    prev = F.lag("rev_m").over(w)
+    prev = F.lag("rev_c").over(w)
     return yearly.select(
         "o_orderpriority", "yr",
-        (F.col("rev_m").cast("double") / 1_000_000).alias("revenue"),
-        prev.alias("prev_rev_m"),
+        (F.col("rev_c").cast("double") / 100).alias("revenue"),
+        prev.alias("prev_rev_c"),
         F.when(
             prev.isNotNull(),
-            (F.col("rev_m").cast("double") - prev.cast("double"))
+            (F.col("rev_c").cast("double") - prev.cast("double"))
             / prev.cast("double"),
         ).alias("yoy_growth"),
     ).orderBy("o_orderpriority", "yr")

@@ -36,8 +36,10 @@ def prestage(spark: SparkSession, sf_dir: str) -> None:
         "delta_change_data_feed",
         "scan_deltalike_datasource",
         "delta_zorder",
-        # pre-existing label state for incremental CC maintenance
-        # (llm_ops._staged_old_labels — warehouse state, not query work)
+        # pre-existing warehouse state for the dedup-cluster family:
+        # the near-dup pair+label tables (llm_ops._staged_neardup,
+        # read by clusters / keep_best / incremental) and the old-label
+        # table (llm_ops._staged_old_labels) — one consumer stages both
         "llm_dedup_clusters_incremental",
     ):
         QUERIES[qid](spark, sf_dir)  # lazy build; staging happens eagerly
