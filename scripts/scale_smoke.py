@@ -112,6 +112,13 @@ OPS = [
     "agg_chisq_independence",
     "mm_decode_features",
     "delta_update",
+    # r9 adds: sorted-adjacency prefix dedup (global-sort risk class —
+    # first-char partitions carry 10x the rows), the cents-rescaled
+    # yoy lag (headroom check), and the staged neardup pair/label
+    # cache cold-built for the replicated fixture then consumed
+    "llm_dedup_prefix",
+    "win_yoy_growth",
+    "llm_dedup_clusters",
 ]
 
 
