@@ -7936,7 +7936,10 @@ def llm_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitions the global sort and broadcasts each partition's boundary
     row to its successor (one row per boundary — the same check, full
     cluster parallelism). Keep-policy: a doc survives iff its text is
-    not a proper prefix of another's and it is the min-id copy.
+    not a proper prefix of another's and it is the min-id copy. The
+    per-doc join-back is keyed on md5(text) (the house content-key
+    idiom), so only the distinct-text side ever shuffles full text —
+    the corpus side shuffles 32-byte digests, not documents.
     """
     d = t(spark, sf_dir, "documents")
     uniq = d.groupBy("text").agg(
@@ -7946,7 +7949,7 @@ def llm_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy(F.substring("text", 1, 1)).orderBy("text")
     nxt = F.lead("text").over(w)
     marked = uniq.select(
-        "text",
+        F.md5("text").alias("text_key"),
         "rep_id",
         "n_copies",
         F.coalesce(nxt.startswith(F.col("text")), F.lit(False)).alias(
@@ -7954,8 +7957,8 @@ def llm_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return (
-        d.select("doc_id", "text")
-        .join(marked, "text")
+        d.select("doc_id", F.md5("text").alias("text_key"))
+        .join(marked, "text_key")
         .select(
             "doc_id",
             "n_copies",

@@ -1688,11 +1688,10 @@ def stream_cdf_downstream_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     down.write(src.read(spark, as_of=0), mode="overwrite")
 
     def apply_batch(batch_df: DataFrame, _bid: int) -> None:
-        # version list is bounded by the log length (one row per
-        # upstream commit), never the table — O(commits) driver work
-        vers = sorted(
-            batch_df.select("version").distinct().toPandas()["version"]
-        )
+        vdf = batch_df.select(
+            "version"
+        ).distinct().toPandas()  # bounded: one row per upstream commit
+        vers = sorted(vdf["version"])
         for v in vers:
             changes = (
                 batch_df.filter(

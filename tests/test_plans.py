@@ -150,6 +150,11 @@ def test_no_unbounded_driver_collect_in_operators():
         # llm_ops BPE learning: the per-round argmax is LIMIT 1
         ("llm_ops.py", "bounded: limit(1) argmax"),
     }
+    allowed_topandas = {
+        # streaming_ops CDF sync: distinct-version frame, one row per
+        # upstream commit — O(log length), never O(table)
+        ("streaming_ops.py", "bounded: one row per upstream commit"),
+    }
     offenders = []
     for fname in sorted(os.listdir(opdir)):
         if not fname.endswith(".py"):
@@ -159,6 +164,14 @@ def test_no_unbounded_driver_collect_in_operators():
                 if re.search(r"\.collect\(", ln):
                     if not any(
                         fname == af and marker in ln for af, marker in allowed
+                    ):
+                        offenders.append((fname, ln.strip()))
+                # .toPandas() is the same driver-OOM risk as .collect()
+                # at 100 TB — same whitelist discipline
+                if re.search(r"\.toPandas\(", ln):
+                    if not any(
+                        fname == af and marker in ln
+                        for af, marker in allowed_topandas
                     ):
                         offenders.append((fname, ln.strip()))
     assert not offenders, f"unbounded driver collect(s): {offenders}"
