@@ -7970,3 +7970,120 @@ def llm_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# -- BPE merge application (the scale-out half of llm_bpe_learn) ------------
+
+_BPE_APPLY_ORACLE = """
+WITH s0 AS (
+  SELECT doc_id, text AS t0 FROM documents
+), s1 AS (
+  SELECT doc_id, t0, regexp_replace(t0, 'er', '1', 'g') AS t1 FROM s0
+), s2 AS (
+  SELECT doc_id, t0, t1, regexp_replace(t1, '1 ', '2', 'g') AS t2 FROM s1
+), s3 AS (
+  SELECT doc_id, t0, t1, t2, regexp_replace(t2, ' s', '3', 'g') AS t3
+  FROM s2
+)
+SELECT doc_id,
+       CAST(len(t0) AS BIGINT) AS len_chars,
+       CAST(len(t0) - len(t1) AS BIGINT) AS n_merge1,
+       CAST(len(t1) - len(t2) AS BIGINT) AS n_merge2,
+       CAST(len(t2) - len(t3) AS BIGINT) AS n_merge3,
+       CAST(len(t3) AS BIGINT) AS n_tokens
+FROM s3 ORDER BY doc_id
+"""
+
+
+@register("llm_bpe_apply", _BPE_APPLY_ORACLE)
+def llm_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY a learned BPE merge list to the full corpus — the scale-out
+    half whose learning side is llm_bpe_learn (merges are learned on a
+    bounded sample; applying them to every document is the pass that
+    actually runs at 100 TB). Merge application per rank is GREEDY
+    LEFTMOST NON-OVERLAPPING replacement over the evolving symbol
+    sequence — which is exactly what a global regexp_replace of the
+    literal pair performs (the scanner restarts after each match, so
+    'ttt' under (t,t) merges once, as BPE does) — so three chained
+    codegen regexp_replace calls ARE the tokenizer, no UDF, no explode.
+    Merged symbols are rewritten to single marker characters ('1','2',
+    '3' — the corpus alphabet is [a-z ], so markers cannot collide),
+    which lets merge rank 2 consume rank 1's output symbol ('1 ' → '2',
+    i.e. the hierarchical er+space token) exactly like a real merge
+    table. Per-merge application counts fall out as exact length
+    deltas; n_tokens = final sequence length because every surviving
+    symbol is one character. Embarrassingly parallel scan — one
+    projection, no shuffle (the ORDER BY is presentation only).
+    Sequential semantics note: each rank rewrites the PREVIOUS rank's
+    output, so the chain cannot be reordered — same contract as a real
+    BPE merge table.
+    """
+    d = t(spark, sf_dir, "documents")
+    t0 = F.col("text")
+    t1 = F.regexp_replace(t0, "er", "1")
+    t2 = F.regexp_replace(t1, "1 ", "2")
+    t3 = F.regexp_replace(t2, " s", "3")
+    return d.select(
+        "doc_id",
+        F.length(t0).cast("long").alias("len_chars"),
+        (F.length(t0) - F.length(t1)).cast("long").alias("n_merge1"),
+        (F.length(t1) - F.length(t2)).cast("long").alias("n_merge2"),
+        (F.length(t2) - F.length(t3)).cast("long").alias("n_merge3"),
+        F.length(t3).cast("long").alias("n_tokens"),
+    ).orderBy("doc_id")
+
+
+# -- k-anonymity audit (privacy governance over quasi-identifiers) ----------
+
+_KANON_ORACLE = """
+WITH q AS (
+  SELECT c_mktsegment,
+         CAST(c_nationkey AS BIGINT) AS nationkey,
+         CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band
+  FROM customer
+)
+SELECT c_mktsegment, nationkey, bal_band,
+       COUNT(*) AS group_size,
+       CAST(1000000 // COUNT(*) AS BIGINT) AS reident_risk_ppm,
+       (COUNT(*) >= 5) AS meets_k5
+FROM q
+GROUP BY c_mktsegment, nationkey, bal_band
+ORDER BY c_mktsegment, nationkey, bal_band
+"""
+
+
+@register("llm_kanonymity_audit", _KANON_ORACLE)
+def llm_kanonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-ANONYMITY audit over a quasi-identifier combination — the
+    governance check a training-data release needs beyond span-level
+    PII redaction (llm_pii_redact): even with direct identifiers
+    scrubbed, a rare (segment, nation, balance-band) combination
+    re-identifies its members by joining public attributes. Every
+    equivalence class is sized; classes below k=5 are flagged for
+    suppression or coarsening, and per-class re-identification risk is
+    surfaced as exact integer ppm (10⁶ // size — positive operands, so
+    Spark DIV == DuckDB //). One map-side-combined groupBy on the
+    quasi-identifier key: output cardinality is the product of the
+    attribute domains (bounded), never the corpus, so the audit is
+    scale-free at 100 TB; generalization ladders (wider bands, region
+    instead of nation) re-run the same plan with a coarser key.
+    """
+    c = t(spark, sf_dir, "customer")
+    q = c.select(
+        "c_mktsegment",
+        F.col("c_nationkey").cast("long").alias("nationkey"),
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_band"),
+    )
+    return (
+        q.groupBy("c_mktsegment", "nationkey", "bal_band")
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .select(
+            "c_mktsegment",
+            "nationkey",
+            "bal_band",
+            "group_size",
+            F.expr("1000000 DIV group_size").alias("reident_risk_ppm"),
+            (F.col("group_size") >= 5).alias("meets_k5"),
+        )
+        .orderBy("c_mktsegment", "nationkey", "bal_band")
+    )
