@@ -1608,6 +1608,11 @@ def stream_cdf_downstream_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _staged_table(sf_dir, "delta_cdf_sync_stream", build)
     table_path = src.path
 
+    # Deliberately self-contained rather than sharing
+    # stream_change_data_feed's reader: that op is driver-green with its
+    # own staged table (different delete predicate), and its closure
+    # captures its own table_path — extracting a shared reader would
+    # couple a verified op's code path to this one for ~60 saved lines.
     class _CdfSyncReader(SimpleDataSourceStreamReader):
         def initialOffset(self):
             return {"version": 1}  # v0 = the replica's seed snapshot
