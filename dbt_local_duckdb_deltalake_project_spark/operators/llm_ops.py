@@ -7400,8 +7400,15 @@ ORDER BY round
 )
 
 
-@register("llm_bpe_learn", _BPE_LEARN_ORACLE)
-def llm_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bpe_learn_rows(
+    spark: SparkSession, sf_dir: str
+) -> list[tuple[int, str, str, int, int, int]]:
+    """The 3-round BPE learn loop, shared by ``llm_bpe_learn`` (which
+    presents it fresh every call — it is the learning demo) and
+    ``_staged_bpe_merges`` (which stages the emitted merge table once
+    per fixture fingerprint for the apply side). Returns one tuple per
+    round: (round, left_tok, right_tok, pair_count, n_merges,
+    tokens_after)."""
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
     toks = (
         d.select(
@@ -7493,11 +7500,61 @@ def llm_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rows.append((i, left, right, cnt, int(mg.count()), toks.count()))
 
+    return rows
+
+
+@register("llm_bpe_learn", _BPE_LEARN_ORACLE)
+def llm_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
-        rows,
+        _bpe_learn_rows(spark, sf_dir),
         "round long, left_tok string, right_tok string,"
         " pair_count long, n_merges long, tokens_after long",
     ).orderBy("round")
+
+
+def _staged_bpe_merges(
+    spark: SparkSession, sf_dir: str
+) -> list[tuple[int, str, str]]:
+    """Stage ``llm_bpe_learn``'s emitted merge table (round, left_tok,
+    right_tok) once per fixture fingerprint — the learn→apply artifact
+    handoff a real tokenizer ships (merges are learned ONCE on a
+    sample, then applied everywhere; re-learning per apply call would
+    be the production bug). Same staging discipline as
+    ``_staged_neardup``: staging_lock, fingerprint BEFORE reading
+    sources, mark_staged. Returns the merge rows in rank order — the
+    merge table is vocabulary-growth sized (3 rows here, 10⁴–10⁵ in a
+    real tokenizer), never corpus-sized, so collecting it is the same
+    bounded-broadcast class as the IVF centroid tables."""
+    import os
+    import shutil
+
+    from ..sources.workspace import (
+        fixture_fingerprint,
+        mark_staged,
+        staging_current,
+        staging_lock,
+        workdir,
+    )
+
+    path = workdir(sf_dir, "bpe_merges", fresh=False)
+    data = os.path.join(path, "merges")
+    with staging_lock:
+        if not staging_current(path, sf_dir):
+            fp = fixture_fingerprint(sf_dir)  # BEFORE reading sources
+            shutil.rmtree(path)
+            path = workdir(sf_dir, "bpe_merges", fresh=False)
+            rows = _bpe_learn_rows(spark, sf_dir)
+            spark.createDataFrame(
+                [(r[0], r[1], r[2]) for r in rows],
+                "round long, left_tok string, right_tok string",
+            ).coalesce(1).write.mode("overwrite").parquet(data)
+            mark_staged(path, sf_dir, fp)
+    merges = (
+        spark.read.parquet(data)
+        .orderBy("round")
+        .collect()  # bounded: merge-table rows (vocab growth), never corpus
+    )
+    return [(int(r["round"]), r["left_tok"], r["right_tok"]) for r in merges]
 
 
 # ---------------------------------------------------------------------------
@@ -7974,55 +8031,98 @@ def llm_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- BPE merge application (the scale-out half of llm_bpe_learn) ------------
 
-_BPE_APPLY_ORACLE = """
-WITH s0 AS (
-  SELECT doc_id, text AS t0 FROM documents
+# The oracle LEARNS the same merges the Spark side consumes from the
+# staged merge table: it embeds llm_bpe_learn's round CTEs (the exact
+# _BPE_ROUND_SQL chain over the same doc_id % 10 sample), translates
+# each learned (left, right) token pair into the marker alphabet
+# ('1'/'2'/'3' — a merged token is always a single marker char, so every
+# pattern is exactly 2 chars and each replacement shortens the string by
+# one per application), and applies them as three chained literal
+# replace() calls — literal replace is leftmost non-overlapping, which
+# IS greedy BPE merge application.
+_BPE_APPLY_ORACLE = (
+    """
+WITH t0 AS (
+  SELECT doc_id, i AS pos, substring(text, i, 1) AS tok
+  FROM documents, generate_series(1, 64) g(i)
+  WHERE doc_id % 10 = 0 AND i <= length(text)
+),"""
+    + ",".join(_BPE_ROUND_SQL(i) for i in (1, 2, 3))
+    + """,
+pats AS (
+  SELECT t1.a || t1.b AS p1,
+         (CASE WHEN t2.a = t1.a || t1.b THEN '1' ELSE t2.a END)
+           || (CASE WHEN t2.b = t1.a || t1.b THEN '1' ELSE t2.b END)
+           AS p2,
+         (CASE WHEN t3.a = t2.a || t2.b THEN '2'
+               WHEN t3.a = t1.a || t1.b THEN '1' ELSE t3.a END)
+           || (CASE WHEN t3.b = t2.a || t2.b THEN '2'
+                    WHEN t3.b = t1.a || t1.b THEN '1' ELSE t3.b END)
+           AS p3
+  FROM top1 t1 CROSS JOIN top2 t2 CROSS JOIN top3 t3
+),
+s0 AS (
+  SELECT doc_id, text AS d0 FROM documents
 ), s1 AS (
-  SELECT doc_id, t0, regexp_replace(t0, 'er', '1', 'g') AS t1 FROM s0
+  SELECT doc_id, d0, replace(d0, p.p1, '1') AS d1 FROM s0 CROSS JOIN pats p
 ), s2 AS (
-  SELECT doc_id, t0, t1, regexp_replace(t1, '1 ', '2', 'g') AS t2 FROM s1
+  SELECT doc_id, d0, d1, replace(d1, p.p2, '2') AS d2
+  FROM s1 CROSS JOIN pats p
 ), s3 AS (
-  SELECT doc_id, t0, t1, t2, regexp_replace(t2, ' s', '3', 'g') AS t3
-  FROM s2
+  SELECT doc_id, d0, d1, d2, replace(d2, p.p3, '3') AS d3
+  FROM s2 CROSS JOIN pats p
 )
 SELECT doc_id,
-       CAST(len(t0) AS BIGINT) AS len_chars,
-       CAST(len(t0) - len(t1) AS BIGINT) AS n_merge1,
-       CAST(len(t1) - len(t2) AS BIGINT) AS n_merge2,
-       CAST(len(t2) - len(t3) AS BIGINT) AS n_merge3,
-       CAST(len(t3) AS BIGINT) AS n_tokens
+       CAST(len(d0) AS BIGINT) AS len_chars,
+       CAST(len(d0) - len(d1) AS BIGINT) AS n_merge1,
+       CAST(len(d1) - len(d2) AS BIGINT) AS n_merge2,
+       CAST(len(d2) - len(d3) AS BIGINT) AS n_merge3,
+       CAST(len(d3) AS BIGINT) AS n_tokens
 FROM s3 ORDER BY doc_id
 """
+)
 
 
 @register("llm_bpe_apply", _BPE_APPLY_ORACLE)
 def llm_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """APPLY a learned BPE merge list to the full corpus — the scale-out
-    half whose learning side is llm_bpe_learn (merges are learned on a
-    bounded sample; applying them to every document is the pass that
-    actually runs at 100 TB). Merge application per rank is GREEDY
-    LEFTMOST NON-OVERLAPPING replacement over the evolving symbol
-    sequence — which is exactly what a global regexp_replace of the
-    literal pair performs (the scanner restarts after each match, so
-    'ttt' under (t,t) merges once, as BPE does) — so three chained
-    codegen regexp_replace calls ARE the tokenizer, no UDF, no explode.
-    Merged symbols are rewritten to single marker characters ('1','2',
-    '3' — the corpus alphabet is [a-z ], so markers cannot collide),
-    which lets merge rank 2 consume rank 1's output symbol ('1 ' → '2',
-    i.e. the hierarchical er+space token) exactly like a real merge
-    table. Per-merge application counts fall out as exact length
-    deltas; n_tokens = final sequence length because every surviving
-    symbol is one character. Embarrassingly parallel scan — one
-    projection, no shuffle (the ORDER BY is presentation only).
-    Sequential semantics note: each rank rewrites the PREVIOUS rank's
-    output, so the chain cannot be reordered — same contract as a real
-    BPE merge table.
+    """APPLY the LEARNED BPE merge table to the full corpus — the
+    scale-out half whose learning side is llm_bpe_learn: merges are
+    learned once on a bounded sample and staged as the tokenizer's
+    shipped artifact (``_staged_bpe_merges``); applying them to every
+    document is the pass that actually runs at 100 TB. The handoff
+    flows real data: the replace chain below is DERIVED from the staged
+    (round, left_tok, right_tok) rows, not hardcoded.
+
+    Merge application per rank is GREEDY LEFTMOST NON-OVERLAPPING
+    replacement over the evolving symbol sequence — exactly what a
+    literal string replace performs (the scanner restarts after each
+    match, so 'ttt' under (t,t) merges once, as BPE does) — so three
+    chained codegen replace() calls ARE the tokenizer, no UDF, no
+    explode. Each learned token is rewritten to a single marker char
+    ('1','2','3' by rank — the corpus alphabet is [a-z ], so markers
+    cannot collide), and each rank's pattern is rendered IN THE MARKER
+    ALPHABET of the ranks before it (a BPE merge operand is either a
+    base character or an earlier merge's output token, so rendering is
+    one dict lookup per operand) — rank 2 consuming rank 1's output
+    symbol works exactly like a real merge table. Every pattern is
+    therefore 2 chars → per-merge application counts fall out as exact
+    length deltas, and n_tokens = final length. Embarrassingly parallel
+    scan — one projection, no shuffle (the ORDER BY is presentation
+    only). Sequential semantics note: each rank rewrites the PREVIOUS
+    rank's output, so the chain cannot be reordered — same contract as
+    a real BPE merge table.
     """
+    merges = _staged_bpe_merges(spark, sf_dir)
+    tok2marker: dict[str, str] = {}
+    pats: list[str] = []
+    for rank, (_rnd, lt, rt) in enumerate(merges, start=1):
+        pats.append(tok2marker.get(lt, lt) + tok2marker.get(rt, rt))
+        tok2marker[lt + rt] = str(rank)
     d = t(spark, sf_dir, "documents")
     t0 = F.col("text")
-    t1 = F.regexp_replace(t0, "er", "1")
-    t2 = F.regexp_replace(t1, "1 ", "2")
-    t3 = F.regexp_replace(t2, " s", "3")
+    t1 = F.replace(t0, F.lit(pats[0]), F.lit("1"))
+    t2 = F.replace(t1, F.lit(pats[1]), F.lit("2"))
+    t3 = F.replace(t2, F.lit(pats[2]), F.lit("3"))
     return d.select(
         "doc_id",
         F.length(t0).cast("long").alias("len_chars"),

@@ -41,5 +41,8 @@ def prestage(spark: SparkSession, sf_dir: str) -> None:
         # read by clusters / keep_best / incremental) and the old-label
         # table (llm_ops._staged_old_labels) — one consumer stages both
         "llm_dedup_clusters_incremental",
+        # the learned BPE merge table (llm_ops._staged_bpe_merges) —
+        # the learn→apply artifact the apply side consumes
+        "llm_bpe_apply",
     ):
         QUERIES[qid](spark, sf_dir)  # lazy build; staging happens eagerly
