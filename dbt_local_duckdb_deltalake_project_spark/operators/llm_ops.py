@@ -7959,7 +7959,7 @@ WITH uniq AS (
 ), marked AS (
   SELECT text, rep_id, n_copies,
          COALESCE(starts_with(
-           lead(text) OVER (PARTITION BY substr(text, 1, 1) ORDER BY text),
+           lead(text) OVER (ORDER BY text),
            text), FALSE) AS is_prefix_dup
   FROM uniq
 )
@@ -7987,25 +7987,52 @@ def llm_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     single LEAD comparison finds ALL prefix-contained docs, O(n log n)
     total, never O(n²) candidate pairs. Exact duplicates are collapsed
     first (groupBy text → min doc_id, count) so LEAD skips equal texts.
-    The sort window is partitioned by the first character — prefix pairs
-    share it by definition, so no cross-partition adjacency is lost.
-    Here that gives alphabet-bounded parallelism; the 100 TB form range-
-    partitions the global sort and broadcasts each partition's boundary
-    row to its successor (one row per boundary — the same check, full
-    cluster parallelism). Keep-policy: a doc survives iff its text is
-    not a proper prefix of another's and it is the min-id copy. The
-    per-doc join-back is keyed on md5(text) (the house content-key
-    idiom), so only the distinct-text side ever shuffles full text —
-    the corpus side shuffles 32-byte digests, not documents.
+
+    The global sort is the 100 TB RANGE-PARTITION form (the
+    agg_weighted_median two-pass house pattern, coded — not prose):
+    distinct texts are range-partitioned (every partition holds a
+    contiguous slice of the global order, bounded n/P rows), LEAD runs
+    per partition, and each partition's LAST row gets its true global
+    successor from the NEXT non-empty partition's first text — the
+    boundary handoff is a P-row min-per-partition fold joined through a
+    P×P theta fold (O(1) in corpus size) and broadcast back, so no
+    task ever sees more than its slice and parallelism is
+    cluster-bounded, not alphabet-bounded (the previous first-char
+    window skewed to 't'/'a' on real corpora and could not see the
+    empty string's successor; the range form handles '' exactly).
+    Keep-policy: a doc survives iff its text is not a proper prefix of
+    another's and it is the min-id copy. The per-doc join-back is keyed
+    on md5(text) (the house content-key idiom), so only the
+    distinct-text side ever shuffles full text — the corpus side
+    shuffles 32-byte digests, not documents.
     """
     d = t(spark, sf_dir, "documents")
     uniq = d.groupBy("text").agg(
         F.min("doc_id").alias("rep_id"),
         F.count(F.lit(1)).alias("n_copies"),
     )
-    w = W.partitionBy(F.substring("text", 1, 1)).orderBy("text")
-    nxt = F.lead("text").over(w)
-    marked = uniq.select(
+    parts = (
+        uniq.repartitionByRange(16, F.col("text").asc())
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)  # pin the pid assignment
+    )
+    # boundary handoff: first text per partition, then for each pid the
+    # first text of the NEXT non-empty partition (min_by over a P×P
+    # theta fold — P rows, O(1) in corpus size), broadcast back.
+    firsts = parts.groupBy("pid").agg(F.min("text").alias("first_text"))
+    nxt_first = (
+        firsts.alias("a")
+        .join(firsts.alias("b"), F.col("b.pid") > F.col("a.pid"), "left")
+        .groupBy(F.col("a.pid").alias("pid"))
+        .agg(
+            F.min_by(F.col("b.first_text"), F.col("b.pid")).alias(
+                "next_first"
+            )
+        )
+    )
+    wp = W.partitionBy("pid").orderBy("text")
+    nxt = F.coalesce(F.lead("text").over(wp), F.col("next_first"))
+    marked = parts.join(F.broadcast(nxt_first), "pid").select(
         F.md5("text").alias("text_key"),
         "rep_id",
         "n_copies",

@@ -152,9 +152,6 @@ def test_no_unbounded_driver_collect_in_operators():
         # llm_ops BPE apply: the staged learned merge table is
         # vocabulary-growth sized (3 rows here), never corpus-sized
         ("llm_ops.py", "bounded: merge-table rows"),
-        # llm_ops prefix dedup: one boundary row per range partition —
-        # O(cluster partitions), never corpus-sized
-        ("llm_ops.py", "bounded: one row per range partition"),
     }
     allowed_topandas = {
         # streaming_ops CDF sync: distinct-version frame, one row per

@@ -1,12 +1,16 @@
 """r9 operator edge-case differentials, on CRAFTED fixtures.
 
 The fixture-driven oracle diff (test_oracle.py) proves engine parity on
-the generated corpus; these tests aim the r9 sorted-adjacency
-prefix-dedup trick at the adversarial shapes the generator never emits
-— chains (a < ab < abc), exact-duplicate groups, bucket boundaries,
-and the empty string — and pin BOTH the engine/oracle agreement AND
-the hand-computed expected answer (a differential alone would bless a
-bug both sides share).
+the generated corpus; these tests aim the sorted-adjacency prefix-dedup
+trick at the adversarial shapes the generator never emits — chains
+(a < ab < abc), exact-duplicate groups, range-partition boundaries
+(with 16 range partitions over a handful of distinct texts nearly every
+adjacency crosses a partition boundary, so the r10 boundary-handoff
+path carries the whole answer), and the empty string (correctly flagged
+as a prefix of everything since the r10 range-partition form — the old
+first-char bucketing could not see its successor) — and pin BOTH the
+engine/oracle agreement AND the hand-computed expected answer (a
+differential alone would bless a bug both sides share).
 """
 
 from __future__ import annotations
@@ -28,21 +32,28 @@ _DOCS = [
     (3, "b"),          # chain head: prefix of "ba" → dup
     (4, "ba"),         # middle of sorted bucket: "bb" does NOT extend it
     (5, "bb"),         # nothing extends it → kept
-    (6, "zz"),         # alone in its first-char bucket → kept
-    (7, ""),           # empty text: its own substr-bucket on both
-                       # engines, so the differential must still agree
+    (6, "zz"),         # global maximum: its LEAD is the cross-boundary
+                       # null → boundary handoff must coalesce to kept
+    (7, ""),           # empty text: global minimum, proper prefix of
+                       # every other text → dup (via the boundary
+                       # handoff — "" is almost surely alone in range
+                       # partition 0, so its successor arrives from the
+                       # next partition's first row)
+    (8, "alphabet soup"),  # extends "alphabet" → doc 1 is a dup too,
+                           # through a cross-partition adjacency
 ]
 
 # expected: doc_id -> (n_copies, is_prefix_dup, keep)
 _EXPECTED = {
     0: (2, True, False),
-    1: (1, False, True),
+    1: (1, True, False),
     2: (2, True, False),
     3: (1, True, False),
     4: (1, False, True),
     5: (1, False, True),
     6: (1, False, True),
-    7: (1, False, True),
+    7: (1, True, False),
+    8: (1, False, True),
 }
 
 
@@ -86,10 +97,13 @@ def test_llm_dedup_prefix_adversarial_matches_oracle(spark, crafted_dir):
 
 
 def test_prefix_trick_adjacency_property(spark, crafted_dir):
-    # the load-bearing invariant: within a first-char bucket, a distinct
-    # text is a proper prefix of SOME other distinct text iff its
-    # immediate lexicographic successor extends it. Brute-force the
-    # crafted set (all pairs) and compare against the op's flags.
+    # the load-bearing invariant: a distinct text is a proper prefix of
+    # SOME other distinct text iff its immediate GLOBAL lexicographic
+    # successor extends it. Brute-force the crafted set (all pairs) and
+    # compare against the op's flags — including the empty string, which
+    # the r10 range-partition form handles (its successor arrives via
+    # the cross-partition boundary handoff; the old first-char bucketing
+    # could not see it).
     texts = sorted({t for _, t in _DOCS})
     brute = {
         s: any(u != s and u.startswith(s) for u in texts) for s in texts
@@ -99,11 +113,5 @@ def test_prefix_trick_adjacency_property(spark, crafted_dir):
     text_of = dict(_DOCS)
     for r in sdf.collect():
         by_text[text_of[r["doc_id"]]] = r["is_prefix_dup"]
-    # the empty string is the one shape the first-char bucketing cannot
-    # see (it buckets alone) — both engines agree by construction, and
-    # real corpora have n_chars >= 1; assert the known limitation
-    # explicitly rather than skipping it silently.
-    assert brute[""] is True and by_text[""] is False
     for s in texts:
-        if s:
-            assert by_text[s] == brute[s], f"flag mismatch for {s!r}"
+        assert by_text[s] == brute[s], f"flag mismatch for {s!r}"
