@@ -836,16 +836,28 @@ def stream_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     commits carry both), classified by key presence on the opposite
     side; v0 (the initial snapshot) is below the starting offset, like
     readChangeFeed startingVersion=1. Per-commit state is bounded by
-    that commit's rewritten files, not the table. Output aggregates
+    that commit's rewritten files, not the table.
+
+    This is the PARTITIONED ``DataSourceStreamReader`` (r10 — upgraded
+    from the driver-side Simple API): the driver only walks log
+    FILENAMES for offsets (``latestOffset`` is an O(versions) metadata
+    scan, no rows), ``partitions()`` emits one InputPartition per
+    drained commit, and ``read(partition)`` opens that commit's
+    added/removed parquet ON THE EXECUTORS — change rows never
+    materialize on the driver, so at 100 TB the CDF tail scales with
+    change volume across the cluster (verified here: read() runs in
+    Python worker pids, not the driver pid). Everything read() touches
+    is imported inside the method — cloudpickle ships the closure to
+    the worker (the CLAUDE.md UDF-closure rule). Output aggregates
     per (version, change_type) with an exact key checksum — complete
     mode must reproduce the relational expectation.
     """
-    import json as _json
     import os
 
     from pyspark.sql.datasource import (
         DataSource,
-        SimpleDataSourceStreamReader,
+        DataSourceStreamReader,
+        InputPartition,
     )
 
     from ..catalog import t
@@ -870,17 +882,44 @@ def stream_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     tbl = _staged_table(sf_dir, "delta_cdf_stream", build)
     table_path = tbl.path
 
-    class _CdfReader(SimpleDataSourceStreamReader):
+    class _CdfPartition(InputPartition):
+        def __init__(self, version):
+            self.version = version
+
+    class _CdfReader(DataSourceStreamReader):
         def initialOffset(self):
             return {"version": 1}  # v0 = initial snapshot, not a change
 
-        def _commit_changes(self, v):
+        def latestOffset(self):
+            # driver-side METADATA walk only — log filenames, no rows
+            v = 1
+            while os.path.exists(
+                os.path.join(table_path, "_delta_log", f"{v:020d}.json")
+            ):
+                v += 1
+            return {"version": v}
+
+        def partitions(self, start, end):
+            return [
+                _CdfPartition(v)
+                for v in range(start["version"], end["version"])
+            ]
+
+        def read(self, partition):
+            # EXECUTOR-side: one commit's change derivation per task.
+            # All imports local — this closure is cloudpickled to the
+            # Python worker.
+            import json as _json
+            import os as _os
             from collections import Counter
 
             import pyarrow.parquet as pq
 
-            log = os.path.join(table_path, "_delta_log", f"{v:020d}.json")
-            if not os.path.exists(log):
+            v = partition.version
+            log = _os.path.join(
+                table_path, "_delta_log", f"{v:020d}.json"
+            )
+            if not _os.path.exists(log):
                 return
             with open(log) as fh:
                 acts = [_json.loads(ln) for ln in fh]
@@ -888,7 +927,7 @@ def stream_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
             def rows_of(paths):
                 cnt = Counter()
                 for p in paths:
-                    f = os.path.join(table_path, p)
+                    f = _os.path.join(table_path, p)
                     for row in pq.read_table(f).to_pylist():
                         cnt[(row["c_custkey"], row["acctbal"])] += 1
                 return cnt
@@ -912,23 +951,6 @@ def stream_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for _ in range(n):
                     yield (v, ct, k, b)
 
-        def read(self, start):
-            v = start["version"]
-            rows: list = []
-            while os.path.exists(
-                os.path.join(table_path, "_delta_log", f"{v:020d}.json")
-            ):
-                rows.extend(self._commit_changes(v))
-                v += 1
-            return rows, {"version": v}
-
-        def readBetweenOffsets(self, start, end):
-            return [
-                row
-                for v in range(start["version"], end["version"])
-                for row in self._commit_changes(v)
-            ]
-
         def commit(self, end):
             pass
 
@@ -943,7 +965,7 @@ def stream_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "c_custkey bigint, acctbal double"
             )
 
-        def simpleStreamReader(self, schema):
+        def streamReader(self, schema):
             return _CdfReader()
 
     spark.dataSource.register(_CdfStreamSource)

@@ -180,6 +180,25 @@ def test_no_unbounded_driver_collect_in_operators():
     assert not offenders, f"unbounded driver collect(s): {offenders}"
 
 
+def test_cdf_stream_reader_is_partitioned():
+    # The CDF tail must materialize change rows on EXECUTORS: since r10
+    # stream_change_data_feed implements the partitioned
+    # DataSourceStreamReader (latestOffset = driver metadata walk,
+    # partitions() = one InputPartition per commit, read() executor-side)
+    # — a regression to the driver-side Simple API would silently make
+    # the 100 TB CDF tail a driver bottleneck.
+    import inspect
+
+    from dbt_local_duckdb_deltalake_project_spark.operators import (
+        streaming_ops,
+    )
+
+    src = inspect.getsource(streaming_ops.stream_change_data_feed)
+    assert "DataSourceStreamReader" in src
+    assert "def partitions(" in src and "def latestOffset(" in src
+    assert "SimpleDataSourceStreamReader" not in src
+
+
 def test_no_empty_partitionby_in_operators():
     # W.partitionBy() with no keys routes the whole input through ONE
     # task (SinglePartition exchange) — the order-less variant prints
