@@ -1386,48 +1386,66 @@ def dbt_microbatch_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-running a batch is a no-op by construction). Here the model is
     the daily per-type event rollup: days before the cutoff materialize
     in one historical run (dbt's initial full build), each of the last
-    five days runs as a separate microbatch that replaces only its
-    ``event_day`` slice (the replaceWhere verb — at 100 TB the table is
-    partitioned on event_day, so a batch touches one partition's
-    files), and one mid-window batch is deliberately run TWICE to prove
+    five days runs as a separate microbatch committed through
+    ``write_dynamic_partition_overwrite`` — the table IS partitioned on
+    the day key, so a batch stages only its own day's files and the
+    commit removes exactly the matching partition's old files (r10:
+    the physical write path now matches the slice claim; previously
+    the slice semantics were logical over full rewrites). One
+    mid-window batch is deliberately run TWICE to prove
     slice-idempotency — the final table must equal the direct full
     aggregate regardless. The batch loop is over the STATIC batch
     window (five days), never data-derived — O(window) commits, each
-    O(day slice) work. Sums via exact scaled-long micros
-    (functions/deterministic).
+    O(day slice) work — and a loud guard asserts the fixture's max
+    event day sits inside the window, so a regenerated fixture with a
+    later time range fails HERE with a clear message instead of
+    silently dropping days (the oracle aggregates everything). Sums
+    via exact scaled-long micros (functions/deterministic).
     """
     from ..sources.deltalike import DeltaLikeTable
 
     ev = t(spark, sf_dir, "events")
     # one fact scan total: the rolled-up frame is O(days × types) rows,
     # checkpointed so each microbatch filters it instead of re-reading
-    # events (dbt's engine likewise scans only each batch's slice)
+    # events (dbt's engine likewise scans only each batch's slice).
+    # day_key is the hive partition column (a clean yyyy-MM-dd string —
+    # timestamp dir names would round-trip through partition-type
+    # inference); event_day stays in the data files as the output col.
     daily = ev.groupBy(
         F.date_trunc("day", "ts").alias("event_day"),
         "event_type",
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
         dsum(F.col("value"), "value_sum"),
+    ).withColumn(
+        "day_key", F.date_format("event_day", "yyyy-MM-dd")
     ).localCheckpoint(eager=True)
     cutoff = "2024-01-26"
-    tbl = DeltaLikeTable(workdir(sf_dir, "dbt_microbatch"))
-    # initial full build: everything before the microbatch window
-    tbl.write(
-        daily.filter(F.col("event_day") < F.lit(cutoff).cast("timestamp")),
-        mode="overwrite",
-    )
     # five daily microbatches; 2024-01-28 re-runs to prove idempotency
     batch_days = [
         "2024-01-26", "2024-01-27", "2024-01-28", "2024-01-28",
         "2024-01-29", "2024-01-30",
     ]
+    n_late = daily.filter(
+        F.col("day_key") > max(batch_days)
+    ).limit(1).count()
+    if n_late:
+        raise ValueError(
+            "dbt_microbatch_incremental: fixture has event days past "
+            f"{max(batch_days)} — extend batch_days or the cutoff"
+        )
+    tbl = DeltaLikeTable(workdir(sf_dir, "dbt_microbatch"))
+    # initial full build: everything before the microbatch window,
+    # partitioned on day_key so later microbatches touch one partition
+    tbl.write(
+        daily.filter(F.col("event_day") < F.lit(cutoff).cast("timestamp")),
+        mode="overwrite",
+        partition_by=["day_key"],
+    )
     for d in batch_days:
-        day = F.lit(d).cast("timestamp")
-        fresh = daily.filter(F.col("event_day") == day)
-        kept = tbl.read(spark).filter(F.col("event_day") != day)
-        tbl.write(
-            kept.unionByName(fresh), mode="overwrite",
-            operation="REPLACE WHERE",
+        fresh = daily.filter(F.col("day_key") == d)
+        tbl.write_dynamic_partition_overwrite(
+            fresh, ["day_key"], operation="REPLACE WHERE",
         )
     return (
         tbl.read(spark)

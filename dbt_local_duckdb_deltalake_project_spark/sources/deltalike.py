@@ -904,6 +904,51 @@ class DeltaLikeTable:
             actions.append({"txn": txn})
         return self._commit(actions, operation=operation)
 
+    def write_dynamic_partition_overwrite(
+        self,
+        df: DataFrame,
+        partition_by: list[str],
+        operation: str = "DYNAMIC PARTITION OVERWRITE",
+    ) -> int:
+        """Replace ONLY the partitions ``df`` writes into, atomically —
+        Delta's ``partitionOverwriteMode=dynamic`` / replaceWhere-on-
+        partition-columns: stage ``df``'s files first, collect the
+        partitionValues they landed in, and remove exactly the active
+        files whose partitionValues match one of them. Untouched
+        partitions' files are not rewritten, re-added, or even listed
+        beyond the O(live add actions) log walk — at 100 TB a one-day
+        backfill commits O(that day's files), never O(table). The
+        remove+add pair is one commit, so readers never see a gap."""
+        df = self._apply_generated_columns(df)
+        self._enforce_schema(df, False)
+        if self.check_constraints():
+            self._enforce_constraints(df)
+        staged_df, schema_string = self._physicalize(df, "append")
+        adds = self._stage_data_files(staged_df, partition_by)
+        touched = {
+            tuple(sorted(a["add"]["partitionValues"].items())) for a in adds
+        }
+        now = int(time.time() * 1000)
+        actions: list[dict] = [
+            {
+                "remove": {
+                    "path": a["path"],
+                    "deletionTimestamp": now,
+                    "dataChange": True,
+                }
+            }
+            for a in self._active_files()
+            if tuple(sorted((a.get("partitionValues") or {}).items()))
+            in touched
+        ]
+        actions.extend(adds)
+        actions.append(
+            self._metadata_action(
+                df, partition_by, schema_string=schema_string
+            )
+        )
+        return self._commit(actions, operation=operation)
+
     def _physicalize(self, df: DataFrame, mode: str):
         """Under column mapping, writers receive LOGICAL names but files
         must carry PHYSICAL names (so old files and new files agree).

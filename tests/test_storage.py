@@ -921,3 +921,46 @@ def test_reader_refuses_higher_protocol_version(spark, tbl):
             "minReaderVersion": 3, "minWriterVersion": 7}}) + "\n")
     with pytest.raises(ValueError, match="minReaderVersion"):
         tbl.read(spark).count()
+
+
+def test_dynamic_partition_overwrite_touches_only_its_slice(spark, tbl):
+    import json
+    import os
+
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30), (4, "c", 40)],
+        "k int, p string, v int",
+    )
+    tbl.write(df, mode="overwrite", partition_by=["p"])
+    before = {a["path"] for a in tbl._active_files()}
+    fresh = spark.createDataFrame([(9, "b", 99)], "k int, p string, v int")
+    v = tbl.write_dynamic_partition_overwrite(fresh, ["p"])
+    # the commit's remove set is EXACTLY the replaced partition's files
+    log = os.path.join(tbl.path, "_delta_log", "%020d.json" % v)
+    with open(log) as f:
+        acts = [json.loads(ln) for ln in f]
+    removed = [a["remove"]["path"] for a in acts if "remove" in a]
+    added = [a["add"] for a in acts if "add" in a]
+    assert removed and all(r.startswith("p=b/") for r in removed)
+    assert added and all(a["partitionValues"] == {"p": "b"} for a in added)
+    # untouched partitions' files survive by identity (no rewrite)
+    after = {a["path"] for a in tbl._active_files()}
+    untouched = {p for p in before if not p.startswith("p=b/")}
+    assert untouched <= after
+    got = sorted(
+        (r["k"], r["p"], r["v"]) for r in tbl.read(spark).collect()
+    )
+    assert got == [(1, "a", 10), (2, "a", 20), (4, "c", 40), (9, "b", 99)]
+
+
+def test_dynamic_partition_overwrite_new_partition_is_pure_append(
+    spark, tbl
+):
+    df = spark.createDataFrame([(1, "a", 10)], "k int, p string, v int")
+    tbl.write(df, mode="overwrite", partition_by=["p"])
+    before = {a["path"] for a in tbl._active_files()}
+    fresh = spark.createDataFrame([(5, "z", 50)], "k int, p string, v int")
+    tbl.write_dynamic_partition_overwrite(fresh, ["p"])
+    after = {a["path"] for a in tbl._active_files()}
+    assert before <= after  # nothing removed
+    assert tbl.read(spark).count() == 2
