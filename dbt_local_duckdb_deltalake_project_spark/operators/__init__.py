@@ -39,20 +39,22 @@ for _m in _MODULES:
 # the back. Within the window, cheaper queries come first in case the
 # window is time-budgeted. Rotate this list each round as rows come back.
 _WINDOW_FIRST = [
-    # --- r7 window head: the three backlog ids whose implementation
-    # changed this round (all were never-checked, so hoisting them
-    # only permutes which 50 backlog ids land in r7 vs r8 — the sweep
-    # still closes at r8). llm_calibration_isotonic's ord_key product
-    # widened to DECIMAL(38,0)/HUGEINT; agg_power_analysis's
-    # mean_micros moved to quotient-remainder form (both ADVICE r6);
-    # agg_chisq_independence's global total moved off the order-less
-    # unpartitioned window onto a 1-row broadcast crossJoin (the
-    # residual WindowExec bench warning, VERDICT r6 task 3). Each was
-    # re-simmed green individually in a fresh vanilla process. ---
-    "llm_calibration_isotonic", "agg_power_analysis",
-    "agg_chisq_independence",
+    # --- r10 window head: the five ids whose implementation changed
+    # this round (VERDICT r9 tasks 1-3 + the ADVICE microbatch
+    # upgrade). llm_bpe_apply now derives its replace chain from the
+    # STAGED learned merge table (values changed — the hardcoded list
+    # is gone); llm_bpe_learn was factored into _bpe_learn_rows (same
+    # computation, shared with the staging helper); llm_dedup_prefix
+    # moved to the range-partition boundary-handoff form (oracle moved
+    # to the global-order LEAD); stream_change_data_feed's reader is
+    # now the partitioned DataSourceStreamReader (executor-side read);
+    # dbt_microbatch_incremental commits through the new
+    # write_dynamic_partition_overwrite (day_key-partitioned table).
+    # Each was re-simmed green in a fresh vanilla process at sf0.01. ---
+    "llm_bpe_apply", "llm_bpe_learn", "llm_dedup_prefix",
+    "stream_change_data_feed", "dbt_microbatch_incremental",
     # --- the rest of the 50-slot window fills automatically with the
-    # never-checked backlog in _WINDOW_SECOND order. ---
+    # stalest driver-green ids (the r2/r3 cohort). ---
 ]
 
 # The round whose driver row SATISFIES a _WINDOW_FIRST entry: once an id
@@ -61,7 +63,7 @@ _WINDOW_FIRST = [
 # rotation) — the next round's 50 slots all go to the backlog without
 # waiting for a manual list edit. Bump when repopulating _WINDOW_FIRST
 # for a new round's changes.
-_WINDOW_FIRST_ROUND = 7
+_WINDOW_FIRST_ROUND = 10
 
 
 # Directly behind the window: first the regression breadth mix (one-plus
@@ -237,6 +239,17 @@ _FORCE_RECHECK = {
     "llm_dedup_clusters": 9,
     "llm_dedup_keep_best": 9,
     "llm_dedup_clusters_incremental": 9,
+    # r10 changes (VERDICT r9 tasks + ADVICE): bpe_apply consumes the
+    # staged learned merge table (values changed), bpe_learn factored,
+    # dedup_prefix moved to the range-partition global-order form
+    # (oracle changed), the CDF stream reader is partitioned, the
+    # microbatch commits via dynamic partition overwrite — only an r10
+    # record verifies the current code
+    "llm_bpe_apply": 10,
+    "llm_bpe_learn": 10,
+    "llm_dedup_prefix": 10,
+    "stream_change_data_feed": 10,
+    "dbt_microbatch_incremental": 10,
 }
 
 

@@ -1635,6 +1635,14 @@ def stream_cdf_downstream_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     # own staged table (different delete predicate), and its closure
     # captures its own table_path — extracting a shared reader would
     # couple a verified op's code path to this one for ~60 saved lines.
+    # (stream_change_data_feed moved to the partitioned
+    # DataSourceStreamReader in r10; this one KEEPS the Simple API on
+    # purpose — foreachBatch must see every version in ONE batch to
+    # apply merges in order, which the drain-everything read() below
+    # guarantees. Correctness does NOT depend on the availableNow→
+    # single-batch fallback: even under true availableNow semantics,
+    # later read() calls return empty, so the first batch still carries
+    # all versions.)
     class _CdfSyncReader(SimpleDataSourceStreamReader):
         def initialOffset(self):
             return {"version": 1}  # v0 = the replica's seed snapshot
