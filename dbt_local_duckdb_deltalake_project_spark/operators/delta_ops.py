@@ -1416,6 +1416,63 @@ def delta_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "delta_dynamic_partition_overwrite",
+    """
+    WITH fresh AS (
+      -- cents derive from the STORED ROUND(.,2) price the engine reads
+      -- back (the delta_replace_where exact-integer uplift pattern)
+      SELECT o_orderkey, o_orderstatus,
+             CAST((CAST(ROUND(ROUND(o_totalprice, 2) * 100) AS BIGINT) * 11)
+                  // 10 AS DOUBLE) / 100 AS price
+      FROM orders WHERE o_orderstatus = 'O'
+    )
+    SELECT o_orderkey, o_orderstatus, price FROM fresh
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, ROUND(o_totalprice, 2) AS price
+    FROM orders WHERE o_orderstatus <> 'O'
+    ORDER BY o_orderkey
+    """,
+)
+def delta_dynamic_partition_overwrite(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``partitionOverwriteMode=dynamic`` — the partition-native sibling
+    of delta_replace_where: the table is hive-partitioned on the
+    overwrite key, the backfill df is written WITHOUT naming its slice,
+    and the commit replaces exactly the partitions the data landed in
+    (``write_dynamic_partition_overwrite``: staged adds' partitionValues
+    pick the remove set; untouched partitions' files survive by
+    identity — verified at the log level by the storage tests). This is
+    the verb a 100 TB day-partitioned backfill actually uses: O(that
+    slice's files) staged + removed, O(live add actions) driver
+    metadata, never a table rewrite — and unlike replaceWhere there is
+    no predicate to mis-declare; the slice is derived from the data.
+    Price uplift in exact integer cents ((c*11) DIV 10, positive
+    operands) — engine-identical, no double ROUND ties.
+    """
+    tbl = DeltaLikeTable(workdir(sf_dir, "dyn_part_overwrite"))
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("price"),
+    )
+    tbl.write(o, mode="overwrite", partition_by=["o_orderstatus"])
+    fresh = (
+        o.filter(F.col("o_orderstatus") == "O")
+        .withColumn(
+            "price", (F.round(F.col("price") * 100).cast("long") * 11)
+        )
+        .withColumn("price", F.expr("CAST(price DIV 10 AS DOUBLE) / 100"))
+    )
+    tbl.write_dynamic_partition_overwrite(fresh, ["o_orderstatus"])
+    return (
+        tbl.read(spark)
+        .select("o_orderkey", "o_orderstatus", "price")
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
     "delta_table_properties",
     """
     SELECT * FROM (VALUES

@@ -113,12 +113,22 @@ OPS = [
     "mm_decode_features",
     "delta_update",
     # r9 adds: sorted-adjacency prefix dedup (global-sort risk class —
-    # first-char partitions carry 10x the rows), the cents-rescaled
-    # yoy lag (headroom check), and the staged neardup pair/label
-    # cache cold-built for the replicated fixture then consumed
+    # since r10 the range-partition boundary-handoff form), the
+    # cents-rescaled yoy lag (headroom check), and the staged neardup
+    # pair/label cache cold-built for the replicated fixture then
+    # consumed
     "llm_dedup_prefix",
     "win_yoy_growth",
     "llm_dedup_clusters",
+    # r10 adds: BPE apply (cold-learns + stages the merge table on the
+    # replicated fixture, then the 3-replace codegen chain over 10x
+    # docs), k-anonymity (quasi-identifier group explosion over 10x
+    # customers — output stays domain-bounded), and the microbatch
+    # incremental (dynamic partition overwrite over 10x events — the
+    # per-batch commit must stay O(day slice))
+    "llm_bpe_apply",
+    "llm_kanonymity_audit",
+    "dbt_microbatch_incremental",
 ]
 
 
