@@ -7950,7 +7950,52 @@ def llm_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# -- sorted-adjacency prefix dedup ------------------------------------------
+# -- sorted-adjacency prefix / suffix dedup ---------------------------------
+
+
+def _adjacency_extends(uniq: DataFrame, key) -> DataFrame:
+    """The range-partitioned sorted-adjacency 'does my successor extend
+    me' flag over distinct texts — shared by llm_dedup_prefix (key =
+    text) and llm_dedup_suffix (key = reverse(text): A is a proper
+    suffix of B iff reverse(A) is a proper prefix of reverse(B)).
+
+    ``uniq`` must carry (text, rep_id, n_copies); ``key`` is the sort
+    expression. Two-pass range-partition form (the agg_weighted_median
+    house pattern): every partition holds a contiguous slice of the
+    global key order (bounded n/P rows), LEAD runs per partition, and
+    each partition's LAST row receives its true global successor from
+    the next non-empty partition's first key — a P-row
+    min-per-partition fold joined through a P×P theta fold (O(1) in
+    corpus size) and broadcast back. Returns (text_key = md5(text),
+    rep_id, n_copies, is_ext)."""
+    parts = (
+        uniq.withColumn("skey", key)
+        .repartitionByRange(16, F.col("skey").asc())
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)  # pin the pid assignment
+    )
+    firsts = parts.groupBy("pid").agg(F.min("skey").alias("first_key"))
+    nxt_first = (
+        firsts.alias("a")
+        .join(firsts.alias("b"), F.col("b.pid") > F.col("a.pid"), "left")
+        .groupBy(F.col("a.pid").alias("pid"))
+        .agg(
+            F.min_by(F.col("b.first_key"), F.col("b.pid")).alias(
+                "next_first"
+            )
+        )
+    )
+    wp = W.partitionBy("pid").orderBy("skey")
+    nxt = F.coalesce(F.lead("skey").over(wp), F.col("next_first"))
+    return parts.join(F.broadcast(nxt_first), "pid").select(
+        F.md5("text").alias("text_key"),
+        "rep_id",
+        "n_copies",
+        F.coalesce(nxt.startswith(F.col("skey")), F.lit(False)).alias(
+            "is_ext"
+        ),
+    )
+
 
 _PREFIX_DEDUP_ORACLE = """
 WITH uniq AS (
@@ -8011,34 +8056,8 @@ def llm_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("rep_id"),
         F.count(F.lit(1)).alias("n_copies"),
     )
-    parts = (
-        uniq.repartitionByRange(16, F.col("text").asc())
-        .withColumn("pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)  # pin the pid assignment
-    )
-    # boundary handoff: first text per partition, then for each pid the
-    # first text of the NEXT non-empty partition (min_by over a P×P
-    # theta fold — P rows, O(1) in corpus size), broadcast back.
-    firsts = parts.groupBy("pid").agg(F.min("text").alias("first_text"))
-    nxt_first = (
-        firsts.alias("a")
-        .join(firsts.alias("b"), F.col("b.pid") > F.col("a.pid"), "left")
-        .groupBy(F.col("a.pid").alias("pid"))
-        .agg(
-            F.min_by(F.col("b.first_text"), F.col("b.pid")).alias(
-                "next_first"
-            )
-        )
-    )
-    wp = W.partitionBy("pid").orderBy("text")
-    nxt = F.coalesce(F.lead("text").over(wp), F.col("next_first"))
-    marked = parts.join(F.broadcast(nxt_first), "pid").select(
-        F.md5("text").alias("text_key"),
-        "rep_id",
-        "n_copies",
-        F.coalesce(nxt.startswith(F.col("text")), F.lit(False)).alias(
-            "is_prefix_dup"
-        ),
+    marked = _adjacency_extends(uniq, F.col("text")).withColumnRenamed(
+        "is_ext", "is_prefix_dup"
     )
     return (
         d.select("doc_id", F.md5("text").alias("text_key"))
@@ -8049,6 +8068,68 @@ def llm_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_prefix_dup",
             (
                 (~F.col("is_prefix_dup"))
+                & (F.col("doc_id") == F.col("rep_id"))
+            ).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_SUFFIX_DEDUP_ORACLE = """
+WITH uniq AS (
+  SELECT text, MIN(doc_id) AS rep_id, COUNT(*) AS n_copies
+  FROM documents GROUP BY text
+), rev AS (
+  SELECT text, rep_id, n_copies, reverse(text) AS rtext FROM uniq
+), marked AS (
+  SELECT text, rep_id, n_copies,
+         COALESCE(starts_with(
+           lead(rtext) OVER (ORDER BY rtext),
+           rtext), FALSE) AS is_suffix_dup
+  FROM rev
+)
+SELECT d.doc_id, m.n_copies AS n_copies, m.is_suffix_dup AS is_suffix_dup,
+       (NOT m.is_suffix_dup AND d.doc_id = m.rep_id) AS keep
+FROM documents d JOIN marked m ON d.text = m.text
+ORDER BY d.doc_id
+"""
+
+
+@register("llm_dedup_suffix", _SUFFIX_DEDUP_ORACLE)
+def llm_dedup_suffix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUFFIX-duplicate detection — the mirror of llm_dedup_prefix for
+    the other truncated-crawl artifact: a doc whose full text is the
+    TAIL of another doc (a page re-scraped after its header/boilerplate
+    was stripped, or a chat log captured from mid-conversation). Exact
+    dedup misses it and shingle Jaccard under-scores it for the same
+    reason as prefixes.
+
+    Reduction, not new machinery: A is a proper suffix of B iff
+    reverse(A) is a proper prefix of reverse(B), so this is the SAME
+    sorted-adjacency check over reverse(text) — one range-partitioned
+    sort + LEAD via the shared ``_adjacency_extends`` (boundary-handoff
+    scale form, O(n log n), zero pairwise work; reverse() is a codegen
+    projection, so the only extra cost over prefix dedup is re-sorting
+    under the reversed key). Same keep-policy and md5(text) join-back
+    as the prefix op.
+    """
+    d = t(spark, sf_dir, "documents")
+    uniq = d.groupBy("text").agg(
+        F.min("doc_id").alias("rep_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+    marked = _adjacency_extends(
+        uniq, F.reverse(F.col("text"))
+    ).withColumnRenamed("is_ext", "is_suffix_dup")
+    return (
+        d.select("doc_id", F.md5("text").alias("text_key"))
+        .join(marked, "text_key")
+        .select(
+            "doc_id",
+            "n_copies",
+            "is_suffix_dup",
+            (
+                (~F.col("is_suffix_dup"))
                 & (F.col("doc_id") == F.col("rep_id"))
             ).alias("keep"),
         )

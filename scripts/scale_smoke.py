@@ -129,6 +129,9 @@ OPS = [
     "llm_bpe_apply",
     "llm_kanonymity_audit",
     "dbt_microbatch_incremental",
+    # suffix dedup re-sorts the 10x distinct texts under reverse(text)
+    # through the same shared range-partition adjacency helper
+    "llm_dedup_suffix",
 ]
 
 

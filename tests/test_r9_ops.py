@@ -41,6 +41,8 @@ _DOCS = [
                        # next partition's first row)
     (8, "alphabet soup"),  # extends "alphabet" → doc 1 is a dup too,
                            # through a cross-partition adjacency
+    (9, "soup"),           # not a prefix of anything, but a SUFFIX of
+                           # "alphabet soup" → suffix-dup, prefix-kept
 ]
 
 # expected: doc_id -> (n_copies, is_prefix_dup, keep)
@@ -54,6 +56,23 @@ _EXPECTED = {
     6: (1, False, True),
     7: (1, True, False),
     8: (1, False, True),
+    9: (1, False, True),
+}
+
+# expected: doc_id -> (n_copies, is_suffix_dup, keep). Hand-derived on
+# the reversed strings: "" is a suffix of everything, "b" of "bb",
+# "soup" of "alphabet soup"; nothing else is a tail of anything.
+_EXPECTED_SUFFIX = {
+    0: (2, False, True),
+    1: (1, False, True),
+    2: (2, False, False),
+    3: (1, True, False),
+    4: (1, False, True),
+    5: (1, False, True),
+    6: (1, False, True),
+    7: (1, True, False),
+    8: (1, False, True),
+    9: (1, True, False),
 }
 
 
@@ -94,6 +113,43 @@ def test_llm_dedup_prefix_adversarial_matches_oracle(spark, crafted_dir):
     con.close()
     assert got == oracle, "engine vs oracle diverge on crafted cases"
     assert got == _EXPECTED, "both engines agree on a WRONG answer"
+
+
+def test_llm_dedup_suffix_adversarial_matches_oracle(spark, crafted_dir):
+    sdf = QUERIES["llm_dedup_suffix"](spark, crafted_dir)
+    got = {
+        r["doc_id"]: (r["n_copies"], r["is_suffix_dup"], r["keep"])
+        for r in sdf.collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{crafted_dir}/documents.parquet/*.parquet')"
+    )
+    oracle = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(ORACLE["llm_dedup_suffix"]).fetchall()
+    }
+    con.close()
+    assert got == oracle, "engine vs oracle diverge on crafted cases"
+    assert got == _EXPECTED_SUFFIX, "both engines agree on a WRONG answer"
+
+
+def test_suffix_trick_brute_force_property(spark, crafted_dir):
+    # A is a proper suffix of SOME other distinct text iff
+    # reverse(A) is a proper prefix among reversed texts — brute-force
+    # all pairs and compare against the op's flags.
+    texts = sorted({t for _, t in _DOCS})
+    brute = {
+        s: any(u != s and u.endswith(s) for u in texts) for s in texts
+    }
+    sdf = QUERIES["llm_dedup_suffix"](spark, crafted_dir)
+    text_of = dict(_DOCS)
+    by_text = {}
+    for r in sdf.collect():
+        by_text[text_of[r["doc_id"]]] = r["is_suffix_dup"]
+    for s in texts:
+        assert by_text[s] == brute[s], f"suffix flag mismatch for {s!r}"
 
 
 def test_prefix_trick_adjacency_property(spark, crafted_dir):
