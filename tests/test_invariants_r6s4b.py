@@ -116,3 +116,69 @@ def test_tile_plan_reads_only_doc_id(spark, sf_dir):
         for k in ("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct")
         if k in plan
     )
+
+
+def _apply_chain_reference(text: str, merges) -> list[int]:
+    """Pure-Python marker-replace chain: sequential lengths
+    [len0, len1, len2, len3] after each learned merge is applied as a
+    literal leftmost-non-overlapping replace in the marker alphabet."""
+    tok2marker: dict[str, str] = {}
+    s = text
+    lens = [len(s)]
+    for rank, (lt, rt) in enumerate(merges, start=1):
+        pat = tok2marker.get(lt, lt) + tok2marker.get(rt, rt)
+        tok2marker[lt + rt] = str(rank)
+        s = s.replace(pat, str(rank))
+        lens.append(len(s))
+    return lens
+
+
+def test_bpe_apply_consumes_learned_merges_consistently(spark, sf_dir):
+    # the load-bearing r10 handoff: llm_bpe_apply's replace chain must
+    # equal GREEDY MERGE APPLICATION of llm_bpe_learn's emitted merge
+    # table. Cross-check three ways on the learn's own sample slice:
+    # (1) the merges the apply side consumed are the learn op's output;
+    # (2) per-doc counts from the op equal a pure-Python replay of the
+    #     marker chain over the full text;
+    # (3) summing the chain over the sampled 64-char prefixes reproduces
+    #     the learn op's tokens_after — i.e. literal-replace application
+    #     IS the learn loop's gaps-islands/parity merge, round for round.
+    learn = QUERIES["llm_bpe_learn"](spark, sf_dir).collect()
+    merges = [(r["left_tok"], r["right_tok"]) for r in learn]
+    got = {
+        r["doc_id"]: (
+            r["len_chars"],
+            r["n_merge1"],
+            r["n_merge2"],
+            r["n_merge3"],
+            r["n_tokens"],
+        )
+        for r in QUERIES["llm_bpe_apply"](spark, sf_dir).collect()
+    }
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in t(spark, sf_dir, "documents").collect()
+    }
+    assert set(got) == set(texts)
+    for doc_id, text in texts.items():
+        lens = _apply_chain_reference(text, merges)
+        want = (
+            lens[0],
+            lens[0] - lens[1],
+            lens[1] - lens[2],
+            lens[2] - lens[3],
+            lens[3],
+        )
+        assert got[doc_id] == want, f"doc {doc_id}"
+    # (3): on the sample slice the chain must land exactly on the learn
+    # op's round-3 tokens_after (and each round's merge total).
+    sampled = [s[:64] for d, s in texts.items() if d % 10 == 0]
+    per_round = [0, 0, 0]
+    total = 0
+    for s in sampled:
+        lens = _apply_chain_reference(s, merges)
+        for i in range(3):
+            per_round[i] += lens[i] - lens[i + 1]
+        total += lens[3]
+    assert total == learn[-1]["tokens_after"]
+    assert per_round == [r["n_merges"] for r in learn]

@@ -432,3 +432,45 @@ def test_storage_op_sequence_matches_model(spark, tmp_path_factory, ops):
             (r.k, r.v) for r in tbl.read(spark, as_of=v).collect()
         )
         assert got == want, f"diverged at version {v}: {got} != {want}"
+
+
+TEXTS = st.lists(
+    st.text(alphabet="ab ", min_size=0, max_size=6),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(texts=TEXTS)
+@_settings
+def test_adjacency_extends_matches_bruteforce(spark, texts):
+    # the r10 range-partition sorted-adjacency helper must agree with
+    # the O(n²) brute force for ANY text multiset: a distinct text is
+    # flagged iff it is a proper prefix of SOME other distinct text —
+    # including empty strings, duplicate groups, and chains, across
+    # range-partition boundaries (16 partitions over ≤20 tiny strings
+    # makes nearly every adjacency a boundary handoff).
+    from dbt_local_duckdb_deltalake_project_spark.operators.llm_ops import (
+        _adjacency_extends,
+    )
+
+    rows = [(i, s) for i, s in enumerate(texts)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    uniq = d.groupBy("text").agg(
+        F.min("doc_id").alias("rep_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+    got = {
+        r["text_key"]: r["is_ext"]
+        for r in _adjacency_extends(uniq, F.col("text")).collect()
+    }
+    keys = {
+        r["text"]: r["k"]
+        for r in uniq.select(
+            "text", F.md5("text").alias("k")
+        ).collect()
+    }
+    distinct = set(texts)
+    for s in distinct:
+        brute = any(u != s and u.startswith(s) for u in distinct)
+        assert got[keys[s]] == brute, f"mismatch for {s!r} in {texts!r}"
