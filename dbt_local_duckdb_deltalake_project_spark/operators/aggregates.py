@@ -2035,6 +2035,44 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# agg_approx_top_k — Spark 4.0's approx_top_k sketch surface, driven in
+# its EXACT regime: maxItemsTracked >= the column's distinct cardinality
+# means the Apache DataSketches frequent-items sketch never evicts, so
+# every reported count is exact and k >= cardinality returns the full
+# histogram — the same "sketch value + provable-exactness" pattern as
+# agg_percentile_approx / agg_hll_sketch_merge (tie-order at a top-k
+# boundary is engine-unspecified, so the driver-checkable form tracks
+# everything and re-sorts deterministically after exploding the struct
+# array). At 100 TB this is the one-pass re-aggregatable top-k over a
+# bounded key domain: partial sketches merge associatively map-side,
+# the final array is O(k), and the explode is presentation only.
+# ---------------------------------------------------------------------------
+
+_APPROX_TOP_K_ORACLE = """
+SELECT c_nationkey AS nationkey, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM customer
+GROUP BY c_nationkey
+ORDER BY cnt DESC, nationkey
+"""
+
+
+@register("agg_approx_top_k", _APPROX_TOP_K_ORACLE)
+def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    sk = c.agg(
+        F.expr("approx_top_k(c_nationkey, 25, 1000)").alias("tk")
+    )
+    return (
+        sk.select(F.explode("tk").alias("e"))
+        .select(
+            F.col("e.item").cast("long").alias("nationkey"),
+            F.col("e.count").cast("long").alias("cnt"),
+        )
+        .orderBy(F.col("cnt").desc(), "nationkey")
+    )
+
+
+# ---------------------------------------------------------------------------
 # agg_funnel_steps — the batch behavioral funnel (view → click → purchase):
 # strictly-ordered step attainment per user, folded to step populations
 # and step-over-step conversion. The sequential dependency (each step's

@@ -42,7 +42,12 @@ def main():
     qs, oracles = mod.queries(), mod.oracle_sql()
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+        # fixture tables are single files; staged/replicated ones (e.g.
+        # .work/<sf>/scale10) are Spark directory outputs — glob those
+        path = f"{SF}/{t}.parquet"
+        if __import__("os").path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     todo = qids or list(qs)
     fails = []
     for qid in todo:
