@@ -53,6 +53,11 @@ _WINDOW_FIRST = [
     # Each was re-simmed green in a fresh vanilla process at sf0.01. ---
     "llm_bpe_apply", "llm_bpe_learn", "llm_dedup_prefix",
     "stream_change_data_feed", "dbt_microbatch_incremental",
+    # agg_cuped_adjustment: theta moments widened to DECIMAL/HUGEINT +
+    # hi/lo-split double conversion after the r10 10x full differential
+    # caught a BIGINT overflow in n*Sxy (values at driver SFs identical;
+    # re-simmed green at sf0.01, sf0.1 AND 10x)
+    "agg_cuped_adjustment",
     # --- the rest of the 50-slot window fills automatically with the
     # stalest driver-green ids (the r2/r3 cohort). ---
 ]
@@ -250,6 +255,7 @@ _FORCE_RECHECK = {
     "llm_dedup_prefix": 10,
     "stream_change_data_feed": 10,
     "dbt_microbatch_incremental": 10,
+    "agg_cuped_adjustment": 10,
 }
 
 

@@ -1385,17 +1385,28 @@ WITH u AS (
                        ELSE 0 END) AS BIGINT) AS y
   FROM events GROUP BY user_id
 ), g AS (
+  -- cross moments in HUGEINT: x*y grows quadratically with events per
+  -- user and the n-scaled theta numerator overflows BIGINT ~10x sf0.1
   SELECT COUNT(*) AS n,
          CAST(SUM(x) AS BIGINT) AS sx,
          CAST(SUM(y) AS BIGINT) AS sy,
-         CAST(SUM(x * y) AS BIGINT) AS sxy,
-         CAST(SUM(x * x) AS BIGINT) AS sxx
+         SUM(CAST(x AS HUGEINT) * y) AS sxy,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx
   FROM u
-), th AS (
-  SELECT CAST(CAST(n * sxy - sx * sy AS BIGINT) AS DOUBLE)
-         / CAST(CAST(n * sxx - sx * sx AS BIGINT) AS DOUBLE) AS theta,
-         CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_x
+), w AS (
+  SELECT n, sx,
+         CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num,
+         CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS den
   FROM g
+), th AS (
+  -- exact wide-int → double via the hi/lo 2^32 split (one IEEE add;
+  -- DuckDB's direct HUGEINT→DOUBLE cast is not correctly rounded)
+  SELECT (CAST(num - (num % 4294967296) AS DOUBLE)
+          + CAST(num % 4294967296 AS DOUBLE))
+         / (CAST(den - (den % 4294967296) AS DOUBLE)
+            + CAST(den % 4294967296 AS DOUBLE)) AS theta,
+         CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_x
+  FROM w
 ), a AS (
   SELECT arm, COUNT(*) AS n_users,
          CAST(SUM(x) AS BIGINT) AS asx,
@@ -1422,11 +1433,18 @@ def agg_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
     between-user variance X explains (θ = cov(X,Y)/var X, the pooled
     OLS slope). Pipeline: one per-user aggregation (pre/post split on
     the period boundary, exact cents), then pooled moments and per-arm
-    sums — all exact BIGINTs, two rows per arm over the wire; θ and
-    the adjusted means are the usual identical IEEE chain from
-    bit-equal integers (numerator/denominator computed IN BIGINT, the
-    agg_regression_trend discipline). Composes with agg_ab_ttest:
-    same experiment frame, tighter confidence at the same sample size.
+    sums — two rows per arm over the wire. The cross-moment sums Σxy /
+    Σx² and the θ numerator n·Σxy − Σx·Σy accumulate as EXACT
+    DECIMAL(38,0) (the dsum_wide/agg_higher_moments rationale: per-user
+    x grows linearly with events-per-user, so x·y grows quadratically
+    and the n-scaled numerator overflows BIGINT around 10× the sf0.1
+    volume — caught by the r10 10× full differential, ARITHMETIC_
+    OVERFLOW); the wide values convert to double through the hi/lo
+    2³² split (one IEEE add — correctly rounded on both engines,
+    unlike DuckDB's direct HUGEINT→DOUBLE cast), then θ and the
+    adjusted means are the usual identical IEEE chain. Composes with
+    agg_ab_ttest: same experiment frame, tighter confidence at the
+    same sample size.
     """
     e = t(spark, sf_dir, "events")
     cents = F.round(F.col("value") * 100).cast("long")
@@ -1435,22 +1453,32 @@ def agg_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("ts") < boundary, cents).otherwise(0)).alias("x"),
         F.sum(F.when(F.col("ts") >= boundary, cents).otherwise(0)).alias("y"),
     ).select("user_id", (F.col("user_id") % 2).alias("arm"), "x", "y")
+    xd = F.col("x").cast("decimal(38,0)")
+    yd = F.col("y").cast("decimal(38,0)")
     g = u.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(xd * yd).alias("sxy"),
+        F.sum(xd * xd).alias("sxx"),
+    )
+    two32 = F.lit(4294967296).cast("decimal(38,0)")
+
+    def wide_to_double(col):
+        lo = F.pmod(col, two32)
+        return (col - lo).cast("double") + lo.cast("double")
+
+    dec = "decimal(38,0)"
+    num = (
+        F.col("n").cast(dec) * F.col("sxy")
+        - F.col("sx").cast(dec) * F.col("sy").cast(dec)
+    )
+    den = (
+        F.col("n").cast(dec) * F.col("sxx")
+        - F.col("sx").cast(dec) * F.col("sx").cast(dec)
     )
     th = g.select(
-        (
-            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
-            .cast("long")
-            .cast("double")
-            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
-            .cast("long")
-            .cast("double")
-        ).alias("theta"),
+        (wide_to_double(num) / wide_to_double(den)).alias("theta"),
         (F.col("sx").cast("double") / F.col("n").cast("double")).alias(
             "mean_x"
         ),
