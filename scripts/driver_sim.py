@@ -35,9 +35,13 @@ def canon(v):
 
 def main():
     qids = sys.argv[1:]
-    spark = (SparkSession.builder.master("local[8]")
-             .config("spark.sql.session.timeZone", "UTC")
-             .config("spark.ui.enabled", "false").getOrCreate())
+    mem = __import__("os").environ.get("SIM_DRIVER_MEM")  # e.g. "8g"
+    b = (SparkSession.builder.master("local[8]")
+         .config("spark.sql.session.timeZone", "UTC")
+         .config("spark.ui.enabled", "false"))
+    if mem:
+        b = b.config("spark.driver.memory", mem)
+    spark = b.getOrCreate()
     import __spark_entry__ as mod
     qs, oracles = mod.queries(), mod.oracle_sql()
     con = duckdb.connect()
