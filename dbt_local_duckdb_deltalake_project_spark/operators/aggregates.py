@@ -2077,7 +2077,8 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _APPROX_TOP_K_ORACLE = """
-SELECT c_nationkey AS nationkey, CAST(COUNT(*) AS BIGINT) AS cnt
+SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+       CAST(COUNT(*) AS BIGINT) AS cnt
 FROM customer
 GROUP BY c_nationkey
 ORDER BY cnt DESC, nationkey
