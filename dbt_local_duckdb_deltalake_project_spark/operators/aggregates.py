@@ -3133,3 +3133,144 @@ def agg_unpivot_include_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_orderkey, measure
         """,
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_ols_normal_equations — exact-rational multiple regression.
+
+_OLS_ORACLE = """
+WITH r AS (
+  SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y,
+         CAST(l_quantity AS BIGINT) AS x1,
+         CAST(ROUND(l_discount * 100) AS BIGINT) AS x2
+  FROM lineitem
+), m AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(x1) AS HUGEINT) AS s1,
+         CAST(SUM(x2) AS HUGEINT) AS s2,
+         CAST(SUM(y)  AS HUGEINT) AS sy,
+         CAST(SUM(x1 * x1) AS HUGEINT) AS s11,
+         CAST(SUM(x1 * x2) AS HUGEINT) AS s12,
+         CAST(SUM(x2 * x2) AS HUGEINT) AS s22,
+         CAST(SUM(x1 * y)  AS HUGEINT) AS s1y,
+         CAST(SUM(x2 * y)  AS HUGEINT) AS s2y
+  FROM r
+), d AS (
+  SELECT n,
+         n  * (s11 * s22 - s12 * s12)
+       - s1 * (s1  * s22 - s2  * s12)
+       + s2 * (s1  * s12 - s2  * s11) AS det,
+         sy  * (s11 * s22 - s12 * s12)
+       - s1y * (s1  * s22 - s2  * s12)
+       + s2y * (s1  * s12 - s2  * s11) AS n0,
+       - sy  * (s1 * s22 - s12 * s2)
+       + s1y * (n  * s22 - s2  * s2)
+       - s2y * (n  * s12 - s2  * s1) AS n1,
+         sy  * (s1 * s12 - s11 * s2)
+       - s1y * (n  * s12 - s1  * s2)
+       + s2y * (n  * s11 - s1  * s1) AS n2
+  FROM m
+), b AS (
+  SELECT CAST(n AS BIGINT) AS n,
+         CAST((n0 * 1000000 - ((n0 * 1000000 % det) + det) % det) // det
+              AS BIGINT) AS b0_micros,
+         CAST((n1 * 1000000 - ((n1 * 1000000 % det) + det) % det) // det
+              AS BIGINT) AS b1_micros,
+         CAST((n2 * 1000000 - ((n2 * 1000000 % det) + det) % det) // det
+              AS BIGINT) AS b2_micros
+  FROM d
+)
+SELECT n, b0_micros, b1_micros, b2_micros,
+       b0_micros + 25 * b1_micros + 5 * b2_micros AS yhat_q25_d5_micros
+FROM b
+"""
+
+
+@register("agg_ols_normal_equations", _OLS_ORACLE)
+def agg_ols_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-feature OLS (extendedprice ~ quantity + discount) solved
+    EXACTLY by normal equations + Cramer's rule in integer arithmetic —
+    the distributed closed-form regression that needs one pass of
+    map-side-combined moments (n, Σx, Σx², Σxy: nine scalars total)
+    instead of an iterative solver. Inputs quantize losslessly (cents /
+    units / discount points), moments are exact long sums (headroom to
+    ~sf300: max Σx1·y ≈ 3e15 at 10× sf0.1 vs 2^63), and the 3×3
+    determinants expand in DECIMAL(38,0)/HUGEINT (≤ ~1.1e31 at 10×
+    sf0.1; ×10^6 stays under 38 digits). Coefficients come out as
+    FLOOR-divided micro-unit integers via the engine-portable positive-
+    mod identity (num − ((num % den + den) % den)) / den — no doubles
+    anywhere, so the value hash is exact by construction rather than by
+    IEEE-chain discipline (complements agg_regression_trend's
+    single-feature double path and agg_cuped_adjustment's hi/lo-split
+    θ). The probe prediction recombines the floored betas in plain
+    BIGINT. Plan: one scan → one 9-cell partial aggregate → a 1-row
+    driver-free select; nothing here grows with data volume except the
+    scan itself.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    r = li.select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+        F.col("l_quantity").cast("long").alias("x1"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("x2"),
+    )
+    dec = "decimal(38,0)"
+    m = r.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("x1").cast(dec).alias("s1"),
+        F.sum("x2").cast(dec).alias("s2"),
+        F.sum("y").cast(dec).alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).cast(dec).alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).cast(dec).alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).cast(dec).alias("s22"),
+        F.sum(F.col("x1") * F.col("y")).cast(dec).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).cast(dec).alias("s2y"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    sy, s11, s12 = F.col("sy"), F.col("s11"), F.col("s12")
+    s22, s1y, s2y = F.col("s22"), F.col("s1y"), F.col("s2y")
+    det = (
+        n * (s11 * s22 - s12 * s12)
+        - s1 * (s1 * s22 - s2 * s12)
+        + s2 * (s1 * s12 - s2 * s11)
+    )
+    n0 = (
+        sy * (s11 * s22 - s12 * s12)
+        - s1y * (s1 * s22 - s2 * s12)
+        + s2y * (s1 * s12 - s2 * s11)
+    )
+    n1 = (
+        -sy * (s1 * s22 - s12 * s2)
+        + s1y * (n * s22 - s2 * s2)
+        - s2y * (n * s12 - s2 * s1)
+    )
+    n2 = (
+        sy * (s1 * s12 - s11 * s2)
+        - s1y * (n * s12 - s1 * s2)
+        + s2y * (n * s11 - s1 * s1)
+    )
+    d = m.select(
+        n.alias("n"), det.alias("det"),
+        n0.alias("n0"), n1.alias("n1"), n2.alias("n2"),
+    )
+    mic = F.lit(1000000).cast(dec)
+
+    def floor_div_micros(num, den, alias):
+        scaled = num * mic
+        return ((scaled - F.pmod(scaled, den)) / den).cast("long").alias(
+            alias
+        )
+
+    b = d.select(
+        F.col("n").cast("long").alias("n"),
+        floor_div_micros(F.col("n0"), F.col("det"), "b0_micros"),
+        floor_div_micros(F.col("n1"), F.col("det"), "b1_micros"),
+        floor_div_micros(F.col("n2"), F.col("det"), "b2_micros"),
+    )
+    return b.select(
+        "n", "b0_micros", "b1_micros", "b2_micros",
+        (
+            F.col("b0_micros")
+            + F.lit(25) * F.col("b1_micros")
+            + F.lit(5) * F.col("b2_micros")
+        ).alias("yhat_q25_d5_micros"),
+    )

@@ -444,6 +444,58 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SESSION_VARS_ORACLE = """
+SELECT l_returnflag,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 1000000)
+                     AS BIGINT)) AS DOUBLE) / 1000000 AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+  AND l_quantity >= 10
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("sql_session_variables", _SESSION_VARS_ORACLE)
+def sql_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL session variables (`DECLARE` / `SET VARIABLE`) plus the
+    `IDENTIFIER()` clause — the parameterized-query surface that replaces
+    string-pasting values and table names into SQL text (reference repos
+    expose this as dbt-style vars / prepared-statement params). Variables
+    resolve to LITERALS during analysis, so Catalyst sees constants: the
+    shipdate/quantity predicates constant-fold and PUSH DOWN to the
+    parquet scan exactly as if hand-inlined, and `IDENTIFIER(sv_table)`
+    binds the relation before optimization — zero runtime indirection at
+    any scale. `DECLARE OR REPLACE` keeps the op idempotent in a shared
+    session (bench pool reruns); the oracle is the same rollup with the
+    variable values inlined, through the scaled-long exact money path.
+    """
+    spark.sql(
+        "DECLARE OR REPLACE VARIABLE sv_ship_start TIMESTAMP"
+        " DEFAULT TIMESTAMP '1997-03-01'"
+    )
+    spark.sql("DECLARE OR REPLACE VARIABLE sv_min_qty INT DEFAULT 5")
+    spark.sql("SET VARIABLE sv_min_qty = 10")
+    spark.sql("DECLARE OR REPLACE VARIABLE sv_table STRING DEFAULT 'lineitem'")
+    return sql(
+        spark,
+        sf_dir,
+        """
+        SELECT l_returnflag,
+               COUNT(*) AS n_items,
+               CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+                                   * 1000000) AS BIGINT)) AS DOUBLE)
+                 / 1000000 AS revenue
+        FROM IDENTIFIER(sv_table)
+        WHERE l_shipdate >= sv_ship_start
+          AND l_quantity >= sv_min_qty
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+        """,
+    )
+
+
 _REUSE_ORACLE = """
 WITH spend AS (
   SELECT o_custkey, COUNT(*) AS n_orders,
