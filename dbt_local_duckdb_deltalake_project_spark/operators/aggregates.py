@@ -3274,3 +3274,85 @@ def agg_ols_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(5) * F.col("b2_micros")
         ).alias("yhat_q25_d5_micros"),
     )
+
+
+_HLL_INTERSECT_ORACLE = """
+WITH x AS (
+  SELECT COUNT(DISTINCT CASE WHEN o_orderpriority = '1-URGENT'
+                             THEN o_custkey END) AS exact_urgent,
+         COUNT(DISTINCT CASE WHEN o_orderpriority = '2-HIGH'
+                             THEN o_custkey END) AS exact_high,
+         COUNT(DISTINCT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN o_custkey END) AS exact_union
+  FROM orders
+)
+SELECT exact_urgent, exact_high, exact_union,
+       exact_urgent + exact_high - exact_union AS exact_intersection,
+       TRUE AS sets_within_3pct,
+       TRUE AS intersection_within_5pct
+FROM x
+"""
+
+
+@register("agg_hll_intersection", _HLL_INTERSECT_ORACLE)
+def agg_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set algebra on HLL sketches — intersection via inclusion–exclusion
+    (|A∩B| ≈ est(A) + est(B) − est(A∪B)), the trick that turns the
+    union-only HLL into an audience-overlap / cross-segment-reach
+    estimator without ever co-shuffling the raw sets. At 100 TB the
+    urgent-buyers and high-buyers sketches are built in ONE pass
+    (conditional hll_sketch_agg per segment, fixed 2^12-register state
+    each, map-side combined), the union sketch is a register-wise MAX of
+    the two (hll_union — metadata-sized, no data touch), and the overlap
+    estimate costs three estimate() calls. Error compounds: each
+    estimate carries ~1.6% rel. σ (lgConfigK=12), so the intersection
+    bound is checked against the UNION size (the right denominator —
+    a small overlap of two big sets is where inclusion–exclusion gets
+    relatively noisy). Driver contract is the agg_hll_sketch_merge
+    pattern: exact values + bound booleans, oracle emits TRUE; exact
+    multi-DISTINCT and sketches run as SEPARATE aggs + broadcast join
+    (mixing them makes Catalyst evaluate sketches over Expand'd rows —
+    CLAUDE.md).
+    """
+    o = t(spark, sf_dir, "orders")
+    urgent = F.when(F.col("o_orderpriority") == "1-URGENT", F.col("o_custkey"))
+    high = F.when(F.col("o_orderpriority") == "2-HIGH", F.col("o_custkey"))
+    exact = o.agg(
+        F.count_distinct(urgent).alias("exact_urgent"),
+        F.count_distinct(high).alias("exact_high"),
+        F.count_distinct(
+            F.when(
+                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+                F.col("o_custkey"),
+            )
+        ).alias("exact_union"),
+    )
+    sk = o.agg(
+        F.hll_sketch_agg(urgent).alias("ska"),
+        F.hll_sketch_agg(high).alias("skb"),
+    ).select(
+        F.hll_sketch_estimate("ska").alias("est_a"),
+        F.hll_sketch_estimate("skb").alias("est_b"),
+        F.hll_sketch_estimate(F.hll_union("ska", "skb")).alias("est_u"),
+    )
+    j = exact.crossJoin(F.broadcast(sk))
+    within = lambda est, ex, frac: (  # noqa: E731
+        F.abs(F.col(est) - F.col(ex)) <= F.lit(frac) * F.col(ex)
+    )
+    est_int = F.col("est_a") + F.col("est_b") - F.col("est_u")
+    exact_int = (
+        F.col("exact_urgent") + F.col("exact_high") - F.col("exact_union")
+    )
+    return j.select(
+        "exact_urgent", "exact_high", "exact_union",
+        exact_int.alias("exact_intersection"),
+        (
+            within("est_a", "exact_urgent", 0.03)
+            & within("est_b", "exact_high", 0.03)
+            & within("est_u", "exact_union", 0.03)
+        ).alias("sets_within_3pct"),
+        (
+            F.abs(est_int - exact_int)
+            <= F.lit(0.05) * F.col("exact_union")
+        ).alias("intersection_within_5pct"),
+    )
