@@ -8446,3 +8446,114 @@ def llm_classifier_train_lms(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s in snapshots[1:]:
         out = out.unionAll(s)
     return out.orderBy("step")
+
+
+# ---------------------------------------------------------------------------
+# pipeline_dedup_cascade — the production dedup funnel, cheapest-first.
+
+# The near-dup stage reuses the module's capped shingle-pair CTE chain,
+# re-rooted at the stage-2 survivor set (single occurrence of the FROM).
+_CASCADE_PAIR_CTES = _PAIR_CTES.replace("FROM documents", "FROM s2")
+
+_DEDUP_CASCADE_ORACLE = f"""
+WITH uniq AS (
+  SELECT text, MIN(doc_id) AS rep_id, COUNT(*) AS n_copies
+  FROM documents GROUP BY text
+), marked AS (
+  SELECT text, rep_id,
+         COALESCE(starts_with(lead(text) OVER (ORDER BY text), text),
+                  FALSE) AS is_ext
+  FROM uniq
+), s2 AS (
+  SELECT rep_id AS doc_id, text FROM marked WHERE NOT is_ext
+), {_CASCADE_PAIR_CTES}, rm3 AS (
+  SELECT DISTINCT doc_b AS doc_id FROM scored WHERE jaccard >= 0.5
+), c AS (
+  SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+         (SELECT COUNT(*) FROM uniq)      AS n_uniq,
+         (SELECT COUNT(*) FROM s2)        AS n_s2,
+         (SELECT COUNT(*) FROM rm3)       AS n_rm3
+)
+SELECT '1_exact' AS stage, n_docs AS docs_in,
+       n_docs - n_uniq AS removed, n_uniq AS survivors FROM c
+UNION ALL
+SELECT '2_prefix', n_uniq, n_uniq - n_s2, n_s2 FROM c
+UNION ALL
+SELECT '3_neardup', n_s2, n_rm3, n_s2 - n_rm3 FROM c
+ORDER BY stage
+"""
+
+
+@register("pipeline_dedup_cascade", _DEDUP_CASCADE_ORACLE)
+def pipeline_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production dedup CASCADE: exact → prefix-containment →
+    shingle near-dup, each stage running only over the previous stage's
+    survivors, emitting the per-stage funnel (docs_in / removed /
+    survivors). Ordering is the 100 TB cost argument: exact dedup is one
+    md5-keyed shuffle and removes the bulk for cents; the sorted-
+    adjacency prefix pass (shared ``_adjacency_extends`` range-partition
+    + boundary-handoff form) is O(n log n) on the already-shrunk
+    distinct set; the quadratic-ish shingle pair stage — even DF-capped
+    — runs LAST, over the smallest set. The near-dup rule is the greedy
+    keep-most-senior form (drop any doc with a lower-rep_id neighbor at
+    Jaccard ≥ 0.5) — deliberately transitivity-free so the stage stays
+    one join + one distinct; llm_dedup_clusters is the connected-
+    components upgrade when cluster consistency matters. Counts-only
+    output keeps the driver hash scalar; stage names sort the funnel.
+    Composes the exact semantics of llm_dedup_exact, llm_dedup_prefix,
+    and llm_dedup_near; the oracle re-roots the module's shared pair
+    CTE chain at the stage-2 survivor set.
+    """
+    d = t(spark, sf_dir, "documents")
+    uniq = d.groupBy("text").agg(
+        F.min("doc_id").alias("rep_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+    marked = _adjacency_extends(uniq, F.col("text"))
+    s2 = (
+        marked.filter(~F.col("is_ext"))
+        .select("text_key", "rep_id")
+        .join(
+            uniq.select(F.md5("text").alias("text_key"), "text"),
+            "text_key",
+        )
+        .select(F.col("rep_id").alias("doc_id"), "text")
+    )
+    rm3 = (
+        _neardup_pairs(s2)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    c_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    c_uniq = uniq.agg(F.count(F.lit(1)).alias("n_uniq"))
+    c_s2 = s2.agg(F.count(F.lit(1)).alias("n_s2"))
+    c_rm3 = rm3.agg(F.count(F.lit(1)).alias("n_rm3"))
+    c = (
+        c_docs.crossJoin(F.broadcast(c_uniq))
+        .crossJoin(F.broadcast(c_s2))
+        .crossJoin(F.broadcast(c_rm3))
+    )
+    rows = [
+        c.select(
+            F.lit("1_exact").alias("stage"),
+            F.col("n_docs").alias("docs_in"),
+            (F.col("n_docs") - F.col("n_uniq")).alias("removed"),
+            F.col("n_uniq").alias("survivors"),
+        ),
+        c.select(
+            F.lit("2_prefix").alias("stage"),
+            F.col("n_uniq").alias("docs_in"),
+            (F.col("n_uniq") - F.col("n_s2")).alias("removed"),
+            F.col("n_s2").alias("survivors"),
+        ),
+        c.select(
+            F.lit("3_neardup").alias("stage"),
+            F.col("n_s2").alias("docs_in"),
+            F.col("n_rm3").alias("removed"),
+            (F.col("n_s2") - F.col("n_rm3")).alias("survivors"),
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out.orderBy("stage")
