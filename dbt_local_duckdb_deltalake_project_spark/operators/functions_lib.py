@@ -890,3 +890,69 @@ def fn_lateral_column_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
     the alias resolution. One whole-stage-codegen Project after the
     scan; ORDER BY is presentation only."""
     return sql(spark, sf_dir, _LATERAL_ALIAS_TEXT)
+
+
+@register(
+    "fn_interval_arith",
+    """
+    SELECT o_orderkey,
+           epoch_us(o_orderdate + INTERVAL 1 MONTH) AS plus_1mo_us,
+           epoch_us(o_orderdate + INTERVAL 14 MONTH) AS plus_1y2mo_us,
+           epoch_us(o_orderdate + INTERVAL 2 DAY + INTERVAL 3 HOUR
+                    + INTERVAL 4 MINUTE + INTERVAL 5 SECOND) AS plus_dt_us,
+           CAST(extract('day' FROM (TIMESTAMP '1998-12-01 00:00:00'
+                                    - o_orderdate)) AS BIGINT) AS days_left,
+           CAST(date_part('month', age(TIMESTAMP '1998-12-01 00:00:00',
+                                       o_orderdate))
+                + 12 * date_part('year', age(TIMESTAMP '1998-12-01 00:00:00',
+                                             o_orderdate)) AS BIGINT)
+             AS whole_months_left
+    FROM orders
+    WHERE date_part('day', o_orderdate) >= 28
+    """,
+)
+def fn_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI interval arithmetic parity — the calendar semantics that
+    differ subtly across engines and silently corrupt date math in
+    ports: month addition CLAMPS to month-end (Jan 31 + 1 month =
+    Feb 28/29 — the filter keeps the dom ≥ 28 rows where clamping
+    actually fires), year-month literals (`INTERVAL '1-2' YEAR TO
+    MONTH`) vs plain 14-month addition, day-time interval composition,
+    timestamp subtraction producing a day-time interval (EXTRACT DAY),
+    and COMPLETE-month distance (`timestampdiff(MONTH, ...)`, which
+    matches DuckDB's age() calendar decomposition, NOT its
+    boundary-crossing date_diff). Outputs are epoch-micro longs (the
+    unix_micros/epoch_us twin from the stream outer-join pattern) so the
+    hash never touches engine timestamp rendering. Pure per-row codegen
+    projection; the dom filter pushes to the scan.
+    """
+    o = t(spark, sf_dir, "orders")
+    # parquet TIMESTAMP can surface as NTZ in a vanilla session;
+    # unix_micros requires TIMESTAMP — the cast is value-preserving
+    # under the catalog's UTC session pin (CLAUDE.md r3 note).
+    d = F.col("o_orderdate").cast("timestamp")
+    end = "TIMESTAMP '1998-12-01 00:00:00'"
+    return o.filter(F.dayofmonth(d) >= 28).select(
+        "o_orderkey",
+        F.unix_micros(d + F.expr("INTERVAL 1 MONTH")).alias("plus_1mo_us"),
+        F.unix_micros(
+            d + F.expr("INTERVAL '1-2' YEAR TO MONTH")
+        ).alias("plus_1y2mo_us"),
+        F.unix_micros(
+            d
+            + F.expr(
+                "INTERVAL 2 DAY + INTERVAL 3 HOUR + INTERVAL 4 MINUTE"
+                " + INTERVAL 5 SECOND"
+            )
+        ).alias("plus_dt_us"),
+        F.expr(
+            f"extract(DAY FROM ({end} - CAST(o_orderdate AS TIMESTAMP)))"
+        )
+        .cast("long")
+        .alias("days_left"),
+        F.expr(
+            f"timestampdiff(MONTH, CAST(o_orderdate AS TIMESTAMP), {end})"
+        )
+        .cast("long")
+        .alias("whole_months_left"),
+    )
