@@ -445,3 +445,55 @@ def udf_python_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         account_class("c_acctbal", "c_mktsegment").alias("account_class"),
     )
+
+
+@register(
+    "udf_pandas_window_agg",
+    """
+    SELECT o_orderkey,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER w3
+                AS DOUBLE) / (100 * COUNT(*) OVER w3) AS roll3_avg,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER wrun
+                AS DOUBLE) / (100 * COUNT(*) OVER wrun) AS run_avg
+    FROM orders
+    WINDOW w3 AS (PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+           wrun AS (PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY o_orderkey
+    """,
+)
+def udf_pandas_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas UDAF evaluated OVER WINDOW FRAMES — the Arrow surface the
+    grouped-agg demo doesn't cover: the same GROUPED_AGG pandas_udf,
+    bound to bounded (3-row rolling) and growing (running) frames.
+    Spark ships each frame's slice to the Python worker as an Arrow
+    batch per partition; the frame bounds are enforced JVM-side, so the
+    UDAF body sees exactly the SQL-defined window. Determinism is the
+    house rule inside Python: cents as exact int64, one float division
+    written token-for-token like the oracle's (SUM cents AS DOUBLE) /
+    (100 * COUNT) — bit-identical IEEE ops on bit-identical integers.
+    The (o_orderdate, o_orderkey) ordering makes every frame unique, and
+    the window partitions by o_custkey (bounded frames over a hash
+    partition — scales like any win_* op; the Python hop costs one
+    Arrow round-trip per partition, not per row).
+    """
+
+    @F.pandas_udf(T.DoubleType())
+    def cents_mean(v: pd.Series) -> float:
+        cents = (v * 100).round().astype("int64")
+        return float(int(cents.sum())) / (100 * len(cents))
+
+    o = t(spark, sf_dir, "orders")
+    from pyspark.sql import Window as W
+
+    base = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w3 = base.rowsBetween(-2, W.currentRow)
+    wrun = base.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return o.select(
+        "o_orderkey",
+        cents_mean(F.col("o_totalprice")).over(w3).alias("roll3_avg"),
+        cents_mean(F.col("o_totalprice")).over(wrun).alias("run_avg"),
+    ).orderBy("o_orderkey")
