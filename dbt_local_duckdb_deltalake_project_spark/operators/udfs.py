@@ -497,3 +497,79 @@ def udf_pandas_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents_mean(F.col("o_totalprice")).over(w3).alias("roll3_avg"),
         cents_mean(F.col("o_totalprice")).over(wrun).alias("run_avg"),
     ).orderBy("o_orderkey")
+
+
+_MAP_IN_ARROW_ORACLE = """
+SELECT l_returnflag,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 1000000)
+                     AS BIGINT)) AS BIGINT) AS revenue_micros,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("udf_map_in_arrow", _MAP_IN_ARROW_ORACLE)
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`mapInArrow` — the zero-copy tier below mapInPandas: the Python
+    worker receives raw `pyarrow.RecordBatch`es (no pandas conversion,
+    no index materialization, nulls stay bitmaps) and yields batches
+    back. The body demonstrates the 100 TB idiom for Python-side
+    aggregation: a PER-BATCH PARTIAL AGGREGATE (pyarrow group_by inside
+    the worker — the map-side combine Catalyst can't inject across the
+    Python boundary), so what crosses back to the JVM is
+    O(groups·batches), not O(rows); the final groupBy then reduces
+    partials. Revenue goes through the deterministic.py contract
+    (round(x·1e6) is the same integer under ANY rounding mode because
+    the true value is ≤6-dp; integer sums are exact both sides), so the
+    Arrow path hash-matches the relational oracle bit-for-bit. Imports
+    live INSIDE the closure (cloudpickle ships no repo globals —
+    CLAUDE.md).
+    """
+
+    def partial(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for b in batches:
+            cents = pc.cast(
+                pc.round(
+                    pc.multiply(
+                        pc.multiply(
+                            b.column("l_extendedprice"),
+                            pc.subtract(
+                                pa.scalar(1.0), b.column("l_discount")
+                            ),
+                        ),
+                        pa.scalar(1_000_000.0),
+                    )
+                ),
+                pa.int64(),
+            )
+            tbl = pa.table(
+                {"l_returnflag": b.column("l_returnflag"), "micros": cents}
+            )
+            part = tbl.group_by("l_returnflag").aggregate(
+                [("micros", "sum"), ("micros", "count")]
+            )
+            part = part.rename_columns(
+                ["l_returnflag", "part_micros", "part_rows"]
+            )
+            for out in part.to_batches():
+                yield out
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_discount"
+    )
+    partials = li.mapInArrow(
+        partial, "l_returnflag string, part_micros long, part_rows long"
+    )
+    return (
+        partials.groupBy("l_returnflag")
+        .agg(
+            F.sum("part_micros").alias("revenue_micros"),
+            F.sum("part_rows").alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )

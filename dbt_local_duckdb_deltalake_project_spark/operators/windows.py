@@ -1487,3 +1487,111 @@ def win_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+_ROLLING_CORR_ORACLE = """
+WITH v AS (
+  SELECT event_id, user_id, ts,
+         CAST(ROUND(value * 100) AS BIGINT) AS x,
+         epoch_us(ts) // 1000000 - 1704000000 AS y
+  FROM events
+),
+w AS (
+  SELECT event_id, user_id,
+         COUNT(*)       OVER win AS n,
+         SUM(x)         OVER win AS sx,
+         SUM(y)         OVER win AS sy,
+         SUM(x * x)     OVER win AS sxx,
+         SUM(y * y)     OVER win AS syy,
+         SUM(x * y)     OVER win AS sxy
+  FROM v
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 11 PRECEDING AND CURRENT ROW)
+),
+m AS (
+  SELECT event_id, user_id, n,
+         n * sxy - sx * sy AS num,
+         n * sxx - sx * sx AS dxx,
+         n * syy - sy * sy AS dyy
+  FROM w
+)
+SELECT event_id, user_id, CAST(n AS BIGINT) AS n_window,
+       CASE WHEN n >= 6 THEN num END AS trend_cov_num,
+       CASE WHEN n >= 6 AND dxx > 0 AND dyy > 0
+            THEN CAST(sign(num) AS BIGINT)
+                 * CAST((CAST(num AS HUGEINT) * num * 1000000)
+                        // (CAST(dxx AS HUGEINT) * dyy) AS BIGINT)
+       END AS trend_r2_signed_micros
+FROM m
+ORDER BY user_id, event_id
+"""
+
+
+@register("win_rolling_corr", _ROLLING_CORR_ORACLE)
+def win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling trend correlation — each event scored for how strongly its
+    user's trailing 12 readings drift with TIME (the metric-drift
+    detector behind "is this sensor/user trending up"). Pearson r needs
+    a sqrt, which is engine-divergent at the last ulp — so the emitted
+    statistic is SIGNED r² = sign(cov)·cov²/(dxx·dyy), a pure RATIONAL
+    of exact integer window moments: x is 2-dp cents, y is whole seconds
+    rebased to the fixture epoch (bounds: |Σxy| ≤ 12·3.3e4·2.6e6 ≈ 1e12,
+    num² ≈ 1e26 — the cross products go through DECIMAL(38,0)/HUGEINT,
+    the agg_cuped_adjustment widening), quantized by integer floor-div
+    to micros. Six moments ride ONE frame over ONE user_id shuffle
+    (Catalyst folds them into a single window node); n<6 or degenerate
+    variance emits NULL. At 100 TB this is the bucket-by-entity sorted
+    scan — state per row is six longs, frame is ROWS-bounded, so the
+    plan is memory-flat regardless of partition length.
+    """
+    v = t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("x"),
+        (F.expr("unix_micros(ts) div 1000000") - F.lit(1_704_000_000))
+        .cast("long")
+        .alias("y"),
+    )
+    win = (
+        W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-11, 0)
+    )
+    w = v.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(win).alias("n"),
+        F.sum("x").over(win).alias("sx"),
+        F.sum("y").over(win).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(win).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(win).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).over(win).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    dxx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dyy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    m = w.select(
+        "event_id",
+        "user_id",
+        "n",
+        num.alias("num"),
+        dxx.alias("dxx"),
+        dyy.alias("dyy"),
+    )
+    dec = "decimal(38,0)"
+    scaled = (
+        F.col("num").cast(dec) * F.col("num").cast(dec) * F.lit(1_000_000)
+    )
+    den = F.col("dxx").cast(dec) * F.col("dyy").cast(dec)
+    r2 = (
+        F.signum("num").cast("long")
+        * ((scaled - F.pmod(scaled, den)) / den).cast("long")
+    )
+    return m.select(
+        "event_id",
+        "user_id",
+        F.col("n").alias("n_window"),
+        F.when(F.col("n") >= 6, F.col("num")).alias("trend_cov_num"),
+        F.when(
+            (F.col("n") >= 6) & (F.col("dxx") > 0) & (F.col("dyy") > 0), r2
+        ).alias("trend_r2_signed_micros"),
+    ).orderBy("user_id", "event_id")
