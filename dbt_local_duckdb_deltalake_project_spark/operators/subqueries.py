@@ -599,3 +599,71 @@ _shared(
 # EXISTS columns carry the real membership answer both ways. Catalyst
 # rewrites NOT IN to a null-aware anti join (the expensive form — the
 # reason style guides say NOT EXISTS) and NOT EXISTS to a plain anti.
+
+
+_EXEC_IMMEDIATE_ORACLE = """
+SELECT c_mktsegment,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 1000000) AS BIGINT)) AS BIGINT)
+         AS total_micros
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND c_mktsegment IN ('BUILDING', 'MACHINERY')
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+@register("sql_execute_immediate", _EXEC_IMMEDIATE_ORACLE)
+def sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 `EXECUTE IMMEDIATE ... USING` plus `spark.sql(args=...)`
+    named parameter markers — the two dynamic-SQL surfaces that replace
+    f-string query pasting (and its injection/caching hazards). Both
+    bind parameters during ANALYSIS, so Catalyst sees literal
+    predicates: the date bound constant-folds and pushes to the orders
+    scan, the two-segment IN-list prunes before the join, and the plan
+    is byte-identical to the hand-inlined query — parameterization is
+    free at any scale. The op stages the query TEXT in a session
+    variable (the prepared-statement idiom), EXECUTE IMMEDIATE binds
+    one positional marker from another variable, and the final result
+    re-runs the same text through `spark.sql` named args — asserting
+    the two binding paths agree by returning the second. Exact money
+    via the scaled-long path.
+    """
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    qtext = """
+        SELECT c_mktsegment,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice * 1000000) AS BIGINT))
+                    AS BIGINT) AS total_micros
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE o_orderdate >= :cutoff
+          AND c_mktsegment IN ('BUILDING', 'MACHINERY')
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """
+    spark.sql(
+        "DECLARE OR REPLACE VARIABLE sv_exec_query STRING DEFAULT ''"
+    )
+    spark.sql(
+        "SET VARIABLE sv_exec_query = ?",
+        args=[qtext.replace(":cutoff", "?")],
+    )
+    spark.sql(
+        "DECLARE OR REPLACE VARIABLE sv_cutoff TIMESTAMP"
+        " DEFAULT TIMESTAMP '1996-01-01'"
+    )
+    prepared = spark.sql(
+        "EXECUTE IMMEDIATE sv_exec_query USING sv_cutoff"
+    ).collect()  # bounded: one row per segment (2-row IN-list)
+    import datetime
+
+    named = spark.sql(
+        qtext, args={"cutoff": datetime.datetime(1996, 1, 1)}
+    )
+    assert [tuple(r) for r in prepared] == [
+        tuple(r) for r in named.collect()  # bounded: one row per segment
+    ], "EXECUTE IMMEDIATE and named-arg binding diverged"
+    return named

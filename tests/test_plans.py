@@ -152,6 +152,9 @@ def test_no_unbounded_driver_collect_in_operators():
         # llm_ops BPE apply: the staged learned merge table is
         # vocabulary-growth sized (3 rows here), never corpus-sized
         ("llm_ops.py", "bounded: merge-table rows"),
+        # subqueries EXECUTE IMMEDIATE demo: both collects are one row
+        # per IN-listed segment (2), asserting two binding paths agree
+        ("subqueries.py", "bounded: one row per segment"),
     }
     allowed_topandas = {
         # streaming_ops CDF sync: distinct-version frame, one row per
