@@ -3356,3 +3356,77 @@ def agg_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.lit(0.05) * F.col("exact_union")
         ).alias("intersection_within_5pct"),
     )
+
+
+_HIST_LOG2_ORACLE = """
+WITH v AS (
+  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+  WHERE CAST(ROUND(value * 100) AS BIGINT) > 0
+),
+b AS (
+  SELECT event_type,
+         length(bin(cents)) - 1 AS bucket_pow2,
+         cents
+  FROM v
+),
+g AS (
+  SELECT event_type, bucket_pow2,
+         COUNT(*) AS n,
+         CAST(SUM(cents) AS BIGINT) AS sum_cents
+  FROM b GROUP BY event_type, bucket_pow2
+),
+tot AS (SELECT event_type, SUM(n) AS t FROM g GROUP BY event_type)
+SELECT g.event_type,
+       CAST(g.bucket_pow2 AS BIGINT) AS bucket_pow2,
+       CAST((1::BIGINT << g.bucket_pow2) AS BIGINT) AS bucket_lo_cents,
+       CAST((1::BIGINT << (g.bucket_pow2 + 1)) - 1 AS BIGINT)
+         AS bucket_hi_cents,
+       g.n, g.sum_cents,
+       CAST((g.n * 1000000) // tot.t AS BIGINT) AS share_ppm
+FROM g JOIN tot ON g.event_type = tot.event_type
+ORDER BY g.event_type, g.bucket_pow2
+"""
+
+
+@register("agg_histogram_log2", _HIST_LOG2_ORACLE)
+def agg_histogram_log2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two (HdrHistogram-style) histogram — the latency/size
+    profile every at-scale telemetry pipeline keeps: log2 buckets give
+    constant relative resolution with a FIXED ~64-bucket state per
+    group, so the aggregation state is O(1) no matter how skewed the
+    distribution (equi-width agg_histogram's complement). The bucket
+    index is EXACT integer math — floor(log2(x)) = length(bin(x)) − 1,
+    no transcendental, no boundary ulp hazard (log2(4096) landing at
+    11.9999... is the classic float-bucket bug this avoids). One
+    map-side-combined groupBy on (type, bucket); the per-type share is
+    an exact integer ppm floor-div via a broadcast of the per-type
+    totals (5 rows). Scale-free: output cardinality is types × ≤64.
+    """
+    v = t(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    ).filter(F.col("cents") > 0)
+    b = v.select(
+        "event_type",
+        (F.length(F.bin("cents")) - 1).cast("int").alias("bucket_pow2"),
+        "cents",
+    )
+    g = b.groupBy("event_type", "bucket_pow2").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("sum_cents")
+    )
+    tot = g.groupBy("event_type").agg(F.sum("n").alias("t"))
+    return (
+        g.join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type",
+            F.col("bucket_pow2").cast("long").alias("bucket_pow2"),
+            F.expr("shiftleft(1L, bucket_pow2)").alias("bucket_lo_cents"),
+            F.expr("shiftleft(1L, bucket_pow2 + 1) - 1L").alias(
+                "bucket_hi_cents"
+            ),
+            "n",
+            "sum_cents",
+            F.expr("(n * 1000000) div t").alias("share_ppm"),
+        )
+        .orderBy("event_type", "bucket_pow2")
+    )

@@ -956,3 +956,58 @@ def fn_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("whole_months_left"),
     )
+
+
+_AES_ORACLE = """
+SELECT c_custkey, c_name,
+       16 * (length(c_name) // 16 + 1) AS cipher_len_ecb,
+       TRUE AS roundtrip_ok,
+       TRUE AS wrong_key_yields_null,
+       TRUE AS gcm_roundtrip_ok
+FROM customer
+ORDER BY c_custkey
+"""
+
+
+@register("fn_aes_roundtrip", _AES_ORACLE)
+def fn_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level encryption surface — `aes_encrypt` / `aes_decrypt` /
+    `try_aes_decrypt`, the at-rest PII protection the governance layer
+    applies before landing raw tables. ECB mode is deterministic
+    (asserted via exact PKCS-padded ciphertext LENGTH — a closed-form
+    the oracle computes: 16·⌈(n+1)/16⌉ — plus a decrypt round trip);
+    GCM mode is nondeterministic BY DESIGN (random 12-byte IV per call)
+    so only its round trip is asserted, never its bytes — the reason
+    sql-mode emits booleans with a TRUE oracle (the sketch-op driver
+    pattern). `try_aes_decrypt` under the wrong key must yield NULL,
+    not raise — the ANSI try_* contract (fn_try_ops family). All four
+    checks are per-row codegen expressions over one scan: no shuffle,
+    no UDF, scale-free at 100 TB.
+    """
+    key = F.lit("0123456789abcdef")  # 16-byte AES-128 key
+    wrong = F.lit("fedcba9876543210")
+    name_b = F.col("c_name").cast("binary")
+    ecb = F.aes_encrypt(name_b, key, F.lit("ECB"), F.lit("PKCS"))
+    gcm = F.aes_encrypt(name_b, key, F.lit("GCM"))
+    return (
+        t(spark, sf_dir, "customer")
+        .select(
+            "c_custkey",
+            "c_name",
+            F.length(ecb).cast("long").alias("cipher_len_ecb"),
+            (
+                F.aes_decrypt(ecb, key, F.lit("ECB"), F.lit("PKCS")).cast(
+                    "string"
+                )
+                == F.col("c_name")
+            ).alias("roundtrip_ok"),
+            F.try_aes_decrypt(
+                ecb, wrong, F.lit("ECB"), F.lit("PKCS")
+            ).isNull().alias("wrong_key_yields_null"),
+            (
+                F.aes_decrypt(gcm, key, F.lit("GCM")).cast("string")
+                == F.col("c_name")
+            ).alias("gcm_roundtrip_ok"),
+        )
+        .orderBy("c_custkey")
+    )
