@@ -3430,3 +3430,208 @@ def agg_histogram_log2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bucket_pow2")
     )
+
+
+_PSI_ORACLE = """
+WITH v AS (
+  SELECT CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 'a' ELSE 'b' END
+           AS period,
+         LEAST(CAST(ROUND(value * 100) AS BIGINT) // 2000, 16) AS bucket
+  FROM events
+),
+g AS (
+  SELECT bucket,
+         COUNT(*) FILTER (period = 'a') AS na,
+         COUNT(*) FILTER (period = 'b') AS nb
+  FROM v GROUP BY bucket
+),
+tq AS (
+  SELECT CAST(SUM(na) AS BIGINT) AS ta, CAST(SUM(nb) AS BIGINT) AS tb,
+         CAST(COUNT(*) AS BIGINT) AS nbuckets
+  FROM g
+),
+terms AS (
+  SELECT g.bucket, CAST(g.na AS BIGINT) AS na, CAST(g.nb AS BIGINT) AS nb,
+         CAST(ROUND(
+           (CAST(g.na + 1 AS DOUBLE) / (tq.ta + tq.nbuckets)
+            - CAST(g.nb + 1 AS DOUBLE) / (tq.tb + tq.nbuckets))
+           * ROUND(ln((CAST(g.na + 1 AS DOUBLE) / (tq.ta + tq.nbuckets))
+                      / (CAST(g.nb + 1 AS DOUBLE)
+                         / (tq.tb + tq.nbuckets))), 9)
+           * 1000000000) AS BIGINT) AS psi_term_nanos
+  FROM g CROSS JOIN tq
+)
+SELECT bucket, na, nb, psi_term_nanos,
+       CAST(SUM(psi_term_nanos) OVER () AS BIGINT) AS psi_total_nanos
+FROM terms
+ORDER BY bucket
+"""
+
+
+@register("agg_psi_drift", _PSI_ORACLE)
+def agg_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index — the drift monitor every production
+    scoring pipeline runs between a reference window and live traffic:
+    PSI = Σ_b (p_b − q_b)·ln(p_b/q_b) over a FIXED bucket grid (2000-
+    cent-wide, capped at 16 — constant state like agg_histogram_log2,
+    immune to tail skew), Laplace-smoothed (+1 per bucket) so empty
+    cells never hit ln(0). Determinism: counts are exact integers; p, q
+    are single IEEE divisions of those integers (bit-identical both
+    engines); ln goes through the 9-dp-round fn_math discipline; the
+    term product is one further IEEE op, quantized to integer NANOS
+    (PSI terms are ~1e-4 — micros would flatten them) and the total is
+    an integer sum. Plan: one map-side-combined groupBy over the
+    period-tagged scan, a 1-row totals broadcast, zero UDFs. The OVER ()
+    total is over ≤17 bucket rows — bounded, not a corpus-wide global
+    window.
+    """
+    v = t(spark, sf_dir, "events").select(
+        F.when(F.col("ts") < F.lit("2024-01-16").cast("timestamp"), "a")
+        .otherwise("b")
+        .alias("period"),
+        F.least(
+            F.expr("CAST(ROUND(value * 100) AS BIGINT) div 2000"), F.lit(16)
+        ).alias("bucket"),
+    )
+    g = v.groupBy("bucket").agg(
+        F.count(F.when(F.col("period") == "a", 1)).alias("na"),
+        F.count(F.when(F.col("period") == "b", 1)).alias("nb"),
+    )
+    tq = g.agg(
+        F.sum("na").alias("ta"),
+        F.sum("nb").alias("tb"),
+        F.count(F.lit(1)).alias("nbuckets"),
+    )
+    j = g.crossJoin(F.broadcast(tq))
+    p = (F.col("na") + 1).cast("double") / (F.col("ta") + F.col("nbuckets"))
+    q = (F.col("nb") + 1).cast("double") / (F.col("tb") + F.col("nbuckets"))
+    term = (
+        F.round((p - q) * F.round(F.log(p / q), 9) * 1_000_000_000)
+        .cast("long")
+        .alias("psi_term_nanos")
+    )
+    terms = j.select("bucket", "na", "nb", term)
+    total = terms.agg(F.sum("psi_term_nanos").alias("psi_total_nanos"))
+    return terms.crossJoin(F.broadcast(total)).orderBy("bucket")
+
+
+_KM_ORACLE = """
+WITH u AS (
+  SELECT user_id % 4 AS cohort,
+         date_diff('day', MIN(ts), MAX(ts)) AS dur,
+         MAX(ts) < TIMESTAMP '2024-01-28' AS observed
+  FROM events GROUP BY user_id
+),
+steps AS (
+  SELECT cohort, dur,
+         COUNT(*) FILTER (observed) AS d,
+         COUNT(*) FILTER (NOT observed) AS c
+  FROM u GROUP BY cohort, dur
+),
+risk AS (
+  SELECT cohort, dur, d, c,
+         CAST(SUM(d + c) OVER (PARTITION BY cohort ORDER BY dur
+                               ROWS BETWEEN CURRENT ROW
+                               AND UNBOUNDED FOLLOWING) AS BIGINT) AS n
+  FROM steps
+),
+terms AS (
+  SELECT cohort, dur, CAST(d AS BIGINT) AS d, CAST(c AS BIGINT) AS c, n,
+         CASE WHEN d > 0 AND d < n
+              THEN CAST(ROUND(ROUND(ln(CAST(n - d AS DOUBLE) / n), 9)
+                              * 1000000000) AS BIGINT)
+              WHEN d = 0 THEN 0 END AS term_nanos,
+         d >= n AS zero_factor
+  FROM risk
+)
+SELECT cohort, CAST(dur AS BIGINT) AS dur, d, c, n,
+       CAST(SUM(term_nanos) OVER w AS BIGINT) AS log_surv_nanos,
+       CAST(MAX(CASE WHEN zero_factor THEN 1 ELSE 0 END) OVER w AS BIGINT)
+         AS surv_hit_zero
+FROM terms
+WINDOW w AS (PARTITION BY cohort ORDER BY dur
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY cohort, dur
+"""
+
+
+@register("agg_survival_km", _KM_ORACLE)
+def agg_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival estimator with right-censoring — the
+    retention curve computed the way clinical statisticians (and churn
+    teams) define it: users still active at the observation cutoff are
+    CENSORED (leave the risk set without counting as churn), S(t) =
+    Π_{u≤t} (1 − d_u/n_u). The product becomes a SUM in log space:
+    each factor ln((n−d)/n) is a rational-argument ln through the
+    9-dp-round discipline, quantized to integer nanos, and the running
+    Σ is exact integer addition — engine-identical. The risk set n_t is
+    a REVERSED-frame running sum (CURRENT ROW..UNBOUNDED FOLLOWING) —
+    no self-join, one window pass. If a step consumes the whole risk
+    set (d=n, S hits exactly 0, log undefined) the term is NULL and the
+    cumulative `surv_hit_zero` flag marks the curve dead from there —
+    both engines skip window NULLs identically. All windows partition
+    by cohort; per-cohort step count is bounded by the 30-day fixture
+    span, and at 100 TB by the duration domain, never by user count.
+    """
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        (F.col("user_id") % 4).alias("cohort"),
+        F.date_diff(F.max("ts"), F.min("ts")).alias("dur"),
+        (F.max("ts") < F.lit("2024-01-28").cast("timestamp")).alias(
+            "observed"
+        ),
+    )
+    steps = u.groupBy("cohort", "dur").agg(
+        F.count(F.when(F.col("observed"), 1)).alias("d"),
+        F.count(F.when(~F.col("observed"), 1)).alias("c"),
+    )
+    wrev = (
+        W.partitionBy("cohort")
+        .orderBy("dur")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    risk = steps.select(
+        "cohort",
+        "dur",
+        "d",
+        "c",
+        F.sum(F.col("d") + F.col("c")).over(wrev).alias("n"),
+    )
+    term = F.when(
+        (F.col("d") > 0) & (F.col("d") < F.col("n")),
+        F.round(
+            F.round(
+                F.log((F.col("n") - F.col("d")).cast("double") / F.col("n")),
+                9,
+            )
+            * 1_000_000_000
+        ).cast("long"),
+    ).when(F.col("d") == 0, F.lit(0))
+    terms = risk.select(
+        "cohort",
+        "dur",
+        "d",
+        "c",
+        "n",
+        term.alias("term_nanos"),
+        (F.col("d") >= F.col("n")).alias("zero_factor"),
+    )
+    wcum = (
+        W.partitionBy("cohort")
+        .orderBy("dur")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return terms.select(
+        "cohort",
+        F.col("dur").cast("long").alias("dur"),
+        "d",
+        "c",
+        "n",
+        F.sum("term_nanos").over(wcum).alias("log_surv_nanos"),
+        F.max(F.when(F.col("zero_factor"), 1).otherwise(0))
+        .over(wcum)
+        .cast("long")
+        .alias("surv_hit_zero"),
+    ).orderBy("cohort", "dur")
