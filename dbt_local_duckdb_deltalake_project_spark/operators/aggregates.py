@@ -3635,3 +3635,108 @@ def agg_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("surv_hit_zero"),
     ).orderBy("cohort", "dur")
+
+
+_SPRT_ORACLE = """
+WITH d AS (
+  SELECT user_id % 2 AS arm,
+         date_diff('day', DATE '2024-01-01',
+                   CAST(date_trunc('day', ts) AS DATE)) AS day,
+         COUNT(*) AS n,
+         COUNT(*) FILTER (event_type = 'purchase') AS x
+  FROM events
+  GROUP BY user_id % 2,
+           date_diff('day', DATE '2024-01-01',
+                     CAST(date_trunc('day', ts) AS DATE))
+),
+llr AS (
+  SELECT arm, CAST(day AS BIGINT) AS day,
+         CAST(x AS BIGINT) AS x, CAST(n AS BIGINT) AS n,
+         x * 223143551 + (n - x) * (-182321557) AS llr_day_nanos
+  FROM d
+),
+c AS (
+  SELECT arm, day, x, n,
+         CAST(SUM(llr_day_nanos) OVER (
+           PARTITION BY arm ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS llr_nanos
+  FROM llr
+)
+SELECT arm, day, x, n, llr_nanos,
+       CASE WHEN llr_nanos >= 2944438979 THEN 'accept_h1'
+            WHEN llr_nanos <= -2944438979 THEN 'accept_h0'
+            ELSE 'continue' END AS decision
+FROM c
+ORDER BY arm, day
+"""
+
+
+@register("agg_sprt_sequential", _SPRT_ORACLE)
+def agg_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's Sequential Probability Ratio Test — the always-valid
+    alternative to fixed-horizon A/B tests: the experiment STOPS the
+    day the cumulative log-likelihood ratio crosses a boundary, so
+    peeking daily costs nothing. Testing Bernoulli purchase-rate
+    H0:p=0.40 vs H1:p=0.50 at α=β=0.05, the per-observation LLR
+    contributions ln(p1/p0) and ln((1−p1)/(1−p0)) are CONSTANTS —
+    pre-rounded to integer nanos at authoring time (223143551 /
+    −182321557; the house constants-pre-rounded rule), so the whole
+    statistic is exact integer arithmetic: llr_day = x·K1 + (n−x)·K2,
+    cumulated by an arm-partitioned ordered window against Wald's
+    boundaries ±ln((1−β)/α) = ±2944438979 nanos. Plan: one
+    map-side-combined (arm, day) groupBy — daily cells, never raw rows,
+    cross the shuffle — then a bounded window over ≤30 day rows per
+    arm. Scale-free at 100 TB: state is days × arms.
+    """
+    from pyspark.sql import Window as W
+
+    K1, K2, BOUND = 223143551, -182321557, 2944438979
+    d = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            (F.col("user_id") % 2).alias("arm"),
+            F.date_diff(
+                F.date_trunc("day", "ts").cast("date"),
+                F.lit("2024-01-01").cast("date"),
+            ).cast("long").alias("day"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias(
+                "x"
+            ),
+        )
+    )
+    llr = d.select(
+        "arm",
+        "day",
+        "x",
+        "n",
+        (F.col("x") * K1 + (F.col("n") - F.col("x")) * K2).alias(
+            "llr_day_nanos"
+        ),
+    )
+    w = (
+        W.partitionBy("arm")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    c = llr.select(
+        "arm",
+        "day",
+        "x",
+        "n",
+        F.sum("llr_day_nanos").over(w).alias("llr_nanos"),
+    )
+    return c.select(
+        "arm",
+        "day",
+        "x",
+        "n",
+        "llr_nanos",
+        F.when(F.col("llr_nanos") >= BOUND, "accept_h1")
+        .when(F.col("llr_nanos") <= -BOUND, "accept_h0")
+        .otherwise("continue")
+        .alias("decision"),
+    ).orderBy("arm", "day")
