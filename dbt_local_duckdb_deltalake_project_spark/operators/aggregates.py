@@ -3740,3 +3740,65 @@ def agg_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("continue")
         .alias("decision"),
     ).orderBy("arm", "day")
+
+
+_EB_SHRINK_ORACLE = """
+WITH u AS (
+  SELECT user_id,
+         COUNT(*) AS n,
+         COUNT(*) FILTER (event_type = 'purchase') AS x
+  FROM events GROUP BY user_id
+),
+g AS (SELECT CAST(SUM(x) AS BIGINT) AS gx, CAST(SUM(n) AS BIGINT) AS gn
+      FROM u)
+SELECT u.user_id, CAST(u.x AS BIGINT) AS x, CAST(u.n AS BIGINT) AS n,
+       CAST(u.x * 1000000 // u.n AS BIGINT) AS raw_rate_micros,
+       CAST((u.x * g.gn + 20 * g.gx) * 1000000
+            // (g.gn * (u.n + 20)) AS BIGINT) AS shrunk_rate_micros,
+       CAST(u.n * 1000000 // (u.n + 20) AS BIGINT) AS self_weight_ppm
+FROM u CROSS JOIN g
+ORDER BY u.user_id
+"""
+
+
+@register("agg_empirical_bayes_rate", _EB_SHRINK_ORACLE)
+def agg_empirical_bayes_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes rate shrinkage — the beta-binomial smoothing every
+    ranking/CTR pipeline applies so a 1-for-1 user doesn't outrank a
+    970-for-1000 one: shrunk = (x + s·m)/(n + s) with the prior mean m
+    taken from the GLOBAL pooled rate (the empirical part) and fixed
+    prior strength s=20. Substituting m = X/N makes the estimate one
+    exact integer rational — (x·N + s·X)/(N·(n+s)) — so no float prior
+    ever exists to diverge: floor-div to micros, positive operands
+    (Spark truncating div == DuckDB flooring //). Plan: one
+    map-side-combined per-user groupBy, a 1-row pooled-totals
+    broadcast, codegen arithmetic — two passes total, both linear. At
+    100 TB the magnitude check matters: x·N ≤ 3e2·1.5e8·1e6 ≈ 4.5e16
+    at sf1000 — still under 2^63; the decimal widening is one cast if
+    a deployment exceeds it.
+    """
+    u = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias(
+                "x"
+            ),
+        )
+    )
+    g = u.agg(F.sum("x").alias("gx"), F.sum("n").alias("gn"))
+    return (
+        u.crossJoin(F.broadcast(g))
+        .select(
+            "user_id",
+            "x",
+            "n",
+            F.expr("x * 1000000 div n").alias("raw_rate_micros"),
+            F.expr(
+                "(x * gn + 20 * gx) * 1000000 div (gn * (n + 20))"
+            ).alias("shrunk_rate_micros"),
+            F.expr("n * 1000000 div (n + 20)").alias("self_weight_ppm"),
+        )
+        .orderBy("user_id")
+    )
