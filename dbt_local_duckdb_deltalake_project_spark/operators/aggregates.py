@@ -3802,3 +3802,92 @@ def agg_empirical_bayes_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+_DID_ORACLE = """
+WITH cells AS (
+  SELECT user_id % 2 = 0 AS treated,
+         ts >= TIMESTAMP '2024-01-16' AS post,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS s
+  FROM events
+  GROUP BY user_id % 2 = 0, ts >= TIMESTAMP '2024-01-16'
+),
+m AS (
+  SELECT
+    MAX(CASE WHEN treated AND NOT post THEN s * 10000 // n END)
+      AS pre_t_micros,
+    MAX(CASE WHEN treated AND post THEN s * 10000 // n END)
+      AS post_t_micros,
+    MAX(CASE WHEN NOT treated AND NOT post THEN s * 10000 // n END)
+      AS pre_c_micros,
+    MAX(CASE WHEN NOT treated AND post THEN s * 10000 // n END)
+      AS post_c_micros,
+    CAST(SUM(n) AS BIGINT) AS n_total
+  FROM cells
+)
+SELECT CAST(pre_t_micros AS BIGINT) AS pre_t_micros,
+       CAST(post_t_micros AS BIGINT) AS post_t_micros,
+       CAST(pre_c_micros AS BIGINT) AS pre_c_micros,
+       CAST(post_c_micros AS BIGINT) AS post_c_micros,
+       CAST((post_t_micros - pre_t_micros)
+            - (post_c_micros - pre_c_micros) AS BIGINT) AS did_micros,
+       n_total
+FROM m
+"""
+
+
+@register("agg_diff_in_diff", _DID_ORACLE)
+def agg_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences — the quasi-experimental estimator for
+    launches without randomization: effect = (post−pre) gap of the
+    treated group MINUS the same gap for controls, removing both group
+    level and common time trend. The 2×2 cell means are exact-integer
+    floor-div micros (cents·10⁴/n — positive sums, so truncating div
+    equals flooring //), and the DiD is integer subtraction of those
+    quantized means (bias ≤ 4 µ-units, deterministic, documented —
+    the exact-rational alternative needs n₁n₂n₃n₄ denominators that
+    overflow 2^63). Plan: ONE map-side-combined groupBy over the
+    (treated, post) tags — four cells cross the shuffle regardless of
+    input size — then a conditional-MAX pivot to one row. The CUPED op
+    (agg_cuped_adjustment) is the variance-reduction complement; this
+    is the identification-strategy one. Scale-free at 100 TB.
+    """
+    cells = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            (F.col("user_id") % 2 == 0).alias("treated"),
+            (
+                F.col("ts") >= F.lit("2024-01-16").cast("timestamp")
+            ).alias("post"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("s"),
+        )
+    )
+
+    def cell(tr, po, alias):
+        cond = (F.col("treated") == tr) & (F.col("post") == po)
+        return F.max(
+            F.when(cond, F.expr("s * 10000 div n"))
+        ).alias(alias)
+
+    m = cells.agg(
+        cell(True, False, "pre_t_micros"),
+        cell(True, True, "post_t_micros"),
+        cell(False, False, "pre_c_micros"),
+        cell(False, True, "post_c_micros"),
+        F.sum("n").alias("n_total"),
+    )
+    return m.select(
+        "pre_t_micros",
+        "post_t_micros",
+        "pre_c_micros",
+        "post_c_micros",
+        (
+            (F.col("post_t_micros") - F.col("pre_t_micros"))
+            - (F.col("post_c_micros") - F.col("pre_c_micros"))
+        ).alias("did_micros"),
+        "n_total",
+    )
