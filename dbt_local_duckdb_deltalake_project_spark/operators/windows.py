@@ -1516,7 +1516,7 @@ m AS (
   FROM w
 )
 SELECT event_id, user_id, CAST(n AS BIGINT) AS n_window,
-       CASE WHEN n >= 6 THEN num END AS trend_cov_num,
+       CASE WHEN n >= 6 THEN CAST(num AS BIGINT) END AS trend_cov_num,
        CASE WHEN n >= 6 AND dxx > 0 AND dyy > 0
             THEN CAST(sign(num) AS BIGINT)
                  * CAST((CAST(num AS HUGEINT) * num * 1000000)
