@@ -179,3 +179,193 @@ def test_session_variables_fold_and_push_down(spark, sf_dir):
     pushed = [ln for ln in p.splitlines() if "PushedFilters" in ln]
     # variable references must have folded to literals and reached the scan
     assert pushed and "l_shipdate" in pushed[0] and "l_quantity" in pushed[0]
+
+
+# --- r10 late-session additions: independent replications ---------------
+
+
+def _events_rows(sf_dir):
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT event_id, ts, user_id, event_type, value FROM "
+        f"read_parquet('{table_path(sf_dir, 'events')}') ORDER BY user_id, ts, event_id"
+    ).fetchall()
+    con.close()
+    return rows
+
+
+def test_rolling_corr_matches_python_fractions(spark, sf_dir):
+    got = {
+        (r.user_id, r.event_id): (
+            r.n_window,
+            r.trend_cov_num,
+            r.trend_r2_signed_micros,
+        )
+        for r in QUERIES["win_rolling_corr"](spark, sf_dir).collect()
+    }
+    series = {}
+    for eid, ts, uid, _et, val in _events_rows(sf_dir):
+        x = int(round(val * 100))
+        y = int(ts.timestamp() * 1_000_000) // 1_000_000 - 1_704_000_000
+        series.setdefault(uid, []).append((eid, x, y))
+    n_checked = 0
+    for uid, rows in series.items():
+        for i, (eid, _x, _y) in enumerate(rows):
+            frame = rows[max(0, i - 11) : i + 1]
+            n = len(frame)
+            sx = sum(x for _, x, _ in frame)
+            sy = sum(y for _, _, y in frame)
+            sxx = sum(x * x for _, x, _ in frame)
+            syy = sum(y * y for _, _, y in frame)
+            sxy = sum(x * y for _, x, y in frame)
+            num = n * sxy - sx * sy
+            dxx = n * sxx - sx * sx
+            dyy = n * syy - sy * sy
+            exp_num = num if n >= 6 else None
+            if n >= 6 and dxx > 0 and dyy > 0:
+                sign = (num > 0) - (num < 0)
+                exp_r2 = sign * ((num * num * 1_000_000) // (dxx * dyy))
+            else:
+                exp_r2 = None
+            gn, gnum, gr2 = got[(uid, eid)]
+            assert gn == n and gnum == exp_num and gr2 == exp_r2, (
+                uid,
+                eid,
+                (gn, gnum, gr2),
+                (n, exp_num, exp_r2),
+            )
+            n_checked += 1
+    assert n_checked == len(got)
+
+
+def test_survival_km_matches_python_product(spark, sf_dir):
+    import datetime
+    import math
+
+    rows = QUERIES["agg_survival_km"](spark, sf_dir).collect()
+    users = {}
+    for _eid, ts, uid, _et, _val in _events_rows(sf_dir):
+        lo, hi = users.get(uid, (ts, ts))
+        users[uid] = (min(lo, ts), max(hi, ts))
+    cutoff = datetime.datetime(2024, 1, 28)
+    steps = {}
+    for uid, (lo, hi) in users.items():
+        cohort = uid % 4
+        dur = (hi.date() - lo.date()).days
+        observed = hi < cutoff
+        d, c = steps.get((cohort, dur), (0, 0))
+        steps[(cohort, dur)] = (d + (1 if observed else 0),
+                                c + (0 if observed else 1))
+    by_cohort = {}
+    for (cohort, dur), (d, c) in sorted(steps.items()):
+        by_cohort.setdefault(cohort, []).append((dur, d, c))
+    expected = {}
+    for cohort, lst in by_cohort.items():
+        total = sum(d + c for _, d, c in lst)
+        log_nanos, hit_zero = 0, 0
+        n = total
+        for dur, d, c in lst:
+            if d >= n:
+                hit_zero = 1
+            elif d > 0:
+                log_nanos += int(
+                    round(round(math.log((n - d) / n), 9) * 1_000_000_000)
+                )
+            expected[(cohort, dur)] = (d, c, n, log_nanos, hit_zero)
+            n -= d + c
+    assert len(rows) == len(expected)
+    for r in rows:
+        exp = expected[(r.cohort, r.dur)]
+        assert (r.d, r.c, r.n, r.log_surv_nanos, r.surv_hit_zero) == exp, (
+            r,
+            exp,
+        )
+
+
+def test_sprt_matches_python_cumsum(spark, sf_dir):
+    rows = QUERIES["agg_sprt_sequential"](spark, sf_dir).collect()
+    daily = {}
+    for _eid, ts, uid, et, _val in _events_rows(sf_dir):
+        key = (uid % 2, (ts.date() - __import__("datetime").date(2024, 1, 1)).days)
+        n, x = daily.get(key, (0, 0))
+        daily[key] = (n + 1, x + (1 if et == "purchase" else 0))
+    cum = {}
+    for (arm, day), (n, x) in sorted(daily.items()):
+        # walk back over possible gap days to the previous cumulative
+        k = day - 1
+        while k >= 0 and (arm, k) not in cum:
+            k -= 1
+        prev = cum.get((arm, k), 0) if k >= 0 else 0
+        cum[(arm, day)] = prev + x * 223143551 + (n - x) * (-182321557)
+    for r in rows:
+        n, x = daily[(r.arm, r.day)]
+        llr = cum[(r.arm, r.day)]
+        dec = (
+            "accept_h1"
+            if llr >= 2944438979
+            else "accept_h0" if llr <= -2944438979 else "continue"
+        )
+        assert (r.x, r.n, r.llr_nanos, r.decision) == (x, n, llr, dec), r
+
+
+def test_empirical_bayes_matches_fractions(spark, sf_dir):
+    from fractions import Fraction
+
+    rows = QUERIES["agg_empirical_bayes_rate"](spark, sf_dir).collect()
+    per_user = {}
+    for _eid, _ts, uid, et, _val in _events_rows(sf_dir):
+        n, x = per_user.get(uid, (0, 0))
+        per_user[uid] = (n + 1, x + (1 if et == "purchase" else 0))
+    gx = sum(x for _, x in per_user.values())
+    gn = sum(n for n, _ in per_user.values())
+    assert len(rows) == len(per_user)
+    for r in rows:
+        n, x = per_user[r.user_id]
+        shrunk = Fraction(x * gn + 20 * gx, gn * (n + 20))
+        assert r.raw_rate_micros == (x * 1_000_000) // n
+        assert r.shrunk_rate_micros == (
+            shrunk.numerator * 1_000_000 // shrunk.denominator
+        )
+        # shrinkage pulls toward the pooled rate, never past it
+        pooled_micros = gx * 1_000_000 // gn
+        lo, hi = sorted((r.raw_rate_micros, pooled_micros))
+        assert lo - 1 <= r.shrunk_rate_micros <= hi + 1
+
+
+def test_modularity_partition_identities(spark, sf_dir):
+    rows = QUERIES["graph_modularity"](spark, sf_dir).collect()
+    q_den = rows[0].q_den
+    m = int(round((q_den / 4) ** 0.5))
+    assert 4 * m * m == q_den
+    # handshake: community degree totals partition 2m
+    assert sum(r.tot_degree for r in rows) == 2 * m
+    # intra-community edges can never exceed m
+    assert 0 <= sum(r.in_edges for r in rows) <= m
+    # global Q within Newman bounds
+    q = sum(r.q_num for r in rows) / q_den
+    assert -0.5 <= q <= 1.0
+    # every q_num consistent with its row's parts
+    for r in rows:
+        assert r.q_num == 4 * m * r.in_edges - r.tot_degree**2
+
+
+def test_histogram_log2_matches_python(spark, sf_dir):
+    rows = QUERIES["agg_histogram_log2"](spark, sf_dir).collect()
+    agg = {}
+    for _eid, _ts, _uid, et, val in _events_rows(sf_dir):
+        cents = int(round(val * 100))
+        if cents <= 0:
+            continue
+        b = cents.bit_length() - 1
+        n, s = agg.get((et, b), (0, 0))
+        agg[(et, b)] = (n + 1, s + cents)
+    tot = {}
+    for (et, _b), (n, _s) in agg.items():
+        tot[et] = tot.get(et, 0) + n
+    assert len(rows) == len(agg)
+    for r in rows:
+        n, s = agg[(r.event_type, r.bucket_pow2)]
+        assert (r.n, r.sum_cents) == (n, s), r
+        assert r.bucket_lo_cents == 1 << r.bucket_pow2
+        assert r.bucket_hi_cents == (1 << (r.bucket_pow2 + 1)) - 1
+        assert r.share_ppm == n * 1_000_000 // tot[r.event_type]
