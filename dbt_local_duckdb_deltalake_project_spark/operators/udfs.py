@@ -456,6 +456,7 @@ def udf_python_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER wrun
                 AS DOUBLE) / (100 * COUNT(*) OVER wrun) AS run_avg
     FROM orders
+    WHERE o_custkey % 100 = 0
     WINDOW w3 AS (PARTITION BY o_custkey
                   ORDER BY o_orderdate, o_orderkey
                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
@@ -476,9 +477,15 @@ def udf_pandas_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     written token-for-token like the oracle's (SUM cents AS DOUBLE) /
     (100 * COUNT) — bit-identical IEEE ops on bit-identical integers.
     The (o_orderdate, o_orderkey) ordering makes every frame unique, and
-    the window partitions by o_custkey (bounded frames over a hash
-    partition — scales like any win_* op; the Python hop costs one
-    Arrow round-trip per partition, not per row).
+    the window partitions by o_custkey. COST MODEL (measured sf0.1):
+    unlike codegen window aggregates, a pandas UDAF over a frame costs
+    one Python invocation PER ROW PER WINDOW (~0.5 ms each — 140 s over
+    150k rows), because every frame slice is materialized and shipped;
+    that is the API's contract, not a plan defect. The demo therefore
+    bounds its input to a deterministic 1% customer slice (the
+    surface is the point; win_* ops own the scale path), and the
+    100 TB guidance in SURVEY.md §2.11 stands: keep pandas UDAFs on
+    grouped aggregations, use built-in window functions for frames.
     """
 
     @F.pandas_udf(T.DoubleType())
@@ -486,7 +493,7 @@ def udf_pandas_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents = (v * 100).round().astype("int64")
         return float(int(cents.sum())) / (100 * len(cents))
 
-    o = t(spark, sf_dir, "orders")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_custkey") % 100 == 0)
     from pyspark.sql import Window as W
 
     base = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
