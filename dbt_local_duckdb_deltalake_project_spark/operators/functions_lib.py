@@ -1011,3 +1011,84 @@ def fn_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+_SOUNDEX_ORACLE = """
+WITH tok AS (
+  SELECT DISTINCT t.w
+  FROM part, UNNEST(string_split(p_name, ' ')) AS t(w)
+  WHERE regexp_full_match(t.w, '[a-z]+')
+),
+coded AS (
+  SELECT w,
+         substr(upper(w), 1, 1) AS head,
+         translate(substr(upper(w), 1, 1)
+                     || translate(substr(upper(w), 2), 'HW', ''),
+                   'BFPVCGJKQSXZDTLMNRAEIOUY',
+                   '111122222222334556000000') AS codes
+  FROM tok
+),
+collapse1 AS (
+  SELECT w, head,
+         replace(replace(replace(replace(replace(replace(replace(codes,
+           '00','0'),'11','1'),'22','2'),'33','3'),'44','4'),'55','5'),
+           '66','6') AS codes
+  FROM coded
+),
+collapse2 AS (
+  SELECT w, head,
+         replace(replace(replace(replace(replace(replace(replace(codes,
+           '00','0'),'11','1'),'22','2'),'33','3'),'44','4'),'55','5'),
+           '66','6') AS codes
+  FROM collapse1
+),
+collapse3 AS (
+  SELECT w, head,
+         replace(replace(replace(replace(replace(replace(replace(codes,
+           '00','0'),'11','1'),'22','2'),'33','3'),'44','4'),'55','5'),
+           '66','6') AS codes
+  FROM collapse2
+),
+collapse4 AS (
+  SELECT w, head,
+         replace(replace(replace(replace(replace(replace(replace(codes,
+           '00','0'),'11','1'),'22','2'),'33','3'),'44','4'),'55','5'),
+           '66','6') AS codes
+  FROM collapse3
+),
+sx AS (
+  SELECT w,
+         head || substr(replace(substr(codes, 2), '0', '') || '000', 1, 3)
+           AS soundex_code
+  FROM collapse4
+)
+SELECT w AS token, soundex_code FROM sx ORDER BY token
+"""
+
+
+@register("fn_phonetic_soundex", _SOUNDEX_ORACLE)
+def fn_phonetic_soundex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phonetic encoding (American Soundex) — the blocking key for
+    name/entity matching: misspellings that SOUND alike land in one
+    bucket, turning fuzzy-match from O(n²) into an equi-join on the
+    code (the same blocking discipline llm_dedup_editdistance uses).
+    Spark's side is the built-in codegen `F.soundex`; the oracle
+    REIMPLEMENTS the full algorithm in set-based SQL — H/W removed
+    from the tail (codes separated by H/W collapse), letters→digit
+    classes with vowels as separators, adjacent-duplicate collapse by
+    replace-to-fixpoint (4 halving passes cover runs ≤16, token max
+    length here), first-letter code participates in the collapse then
+    drops, zeros strip, right-pad to 4 — a true third implementation,
+    verified on the classic pathologics (PFISTER→P236, ASHCRAFT→A261,
+    TYMCZAK→T522, HONEYMAN→H555). Per-row expression over a distinct
+    token set: no shuffle beyond the DISTINCT, scale-free.
+    """
+    tok = (
+        t(spark, sf_dir, "part")
+        .select(F.explode(F.split("p_name", " ")).alias("token"))
+        .filter(F.col("token").rlike("^[a-z]+$"))
+        .distinct()
+    )
+    return tok.select(
+        "token", F.soundex("token").alias("soundex_code")
+    ).orderBy("token")

@@ -8557,3 +8557,145 @@ def pipeline_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionAll(r)
     return out.orderBy("stage")
+
+
+_ZIPF_ORACLE = """
+WITH tok AS (
+  SELECT t.w
+  FROM documents, UNNEST(string_split(text, ' ')) AS t(w)
+  WHERE t.w <> ''
+),
+vocab AS (SELECT w, COUNT(*) AS freq FROM tok GROUP BY w),
+ranked AS (
+  SELECT w, freq,
+         ROW_NUMBER() OVER (ORDER BY freq DESC, w) AS rnk
+  FROM vocab
+),
+head AS (
+  SELECT CAST(ROUND(ROUND(ln(CAST(rnk AS DOUBLE)), 9) * 1000000)
+              AS BIGINT) AS x,
+         CAST(ROUND(ROUND(ln(CAST(freq AS DOUBLE)), 9) * 1000000)
+              AS BIGINT) AS y
+  FROM ranked WHERE rnk <= 1024
+),
+m AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+         CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+         CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+         CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+         CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+  FROM head
+),
+fit AS (
+  SELECT n,
+         n * sxy - sx * sy AS num,
+         n * sxx - sx * sx AS dxx,
+         n * syy - sy * sy AS dyy,
+         sy * sxx - sx * sxy AS bnum
+  FROM m
+)
+SELECT CAST(n AS BIGINT) AS n_tokens,
+       CAST(CASE WHEN num < 0 THEN -1 WHEN num > 0 THEN 1 ELSE 0 END
+            * ((abs(num) * 1000000) // dxx) AS BIGINT) AS slope_micros,
+       CAST(CASE WHEN bnum < 0 THEN -1 WHEN bnum > 0 THEN 1 ELSE 0 END
+            * ((abs(bnum) * 1000000) // (dxx * n)) AS BIGINT)
+         AS intercept_micros,
+       CAST(CASE WHEN num < 0 THEN -1 WHEN num > 0 THEN 1 ELSE 0 END
+            * ((num * num * 1000000) // (dxx * dyy)) AS BIGINT)
+         AS r2_signed_micros
+FROM fit
+"""
+
+
+@register("agg_zipf_fit", _ZIPF_ORACLE)
+def agg_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit over the corpus token distribution — the vocabulary
+    health check (a natural corpus fits ln f = C + s·ln r with slope
+    s ≈ −1; template/boilerplate floods flatten it, OCR noise steepens
+    the tail): least-squares on the top-1024 (ln rank, ln freq) pairs.
+    The GLOBAL frequency rank uses the agg_weighted_median two-pass
+    range-partition form — local row_number within
+    repartitionByRange(freq desc, token) partitions, P×P offset fold,
+    no global window — so ranking scales at corpus vocabularies.
+    Determinism: both logs through the 9-dp-round micros discipline;
+    the five moments are exact integer sums widened to DECIMAL(38,0)
+    (Σxx ≈ 1024·(1.2e7)² ≈ 1.5e17 — BIGINT-safe, but the cross terms
+    n·Σxy hit 1e20); slope/intercept/r² are sign·(|num|·1e6 // den)
+    TRUNCATED rationals (measured: DuckDB's // truncates toward zero
+    on negatives exactly like Spark's div — both sides take the
+    magnitude route anyway). Output is one row of longs.
+    """
+    from pyspark.sql import Window as W
+
+    d = t(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    parts = (
+        vocab.repartitionByRange(16, F.col("freq").desc(), F.col("w").asc())
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)  # pin pid assignment
+    )
+    wl = W.partitionBy("pid").orderBy(F.col("freq").desc(), F.col("w").asc())
+    local = parts.select(
+        "w", "freq", "pid", F.row_number().over(wl).alias("lrn")
+    )
+    pstats = parts.groupBy("pid").agg(F.count(F.lit(1)).alias("pcnt"))
+    offsets = (
+        pstats.alias("a")
+        .join(pstats.alias("b"), F.col("b.pid") < F.col("a.pid"), "left")
+        .groupBy(F.col("a.pid").alias("pid"))
+        .agg(F.coalesce(F.sum("b.pcnt"), F.lit(0)).alias("off"))
+    )
+    ranked = local.join(F.broadcast(offsets), "pid").select(
+        "w", "freq", (F.col("lrn") + F.col("off")).alias("rnk")
+    )
+    mic = lambda c: (  # noqa: E731 — 9-dp-round micros quantization
+        F.round(F.round(F.log(c.cast("double")), 9) * 1_000_000).cast(
+            "long"
+        )
+    )
+    head = ranked.filter(F.col("rnk") <= 1024).select(
+        mic(F.col("rnk")).alias("x"), mic(F.col("freq")).alias("y")
+    )
+    dec = "decimal(38,0)"
+    m = head.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("x").cast(dec).alias("sx"),
+        F.sum("y").cast(dec).alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast(dec) * F.col("y")).alias("syy"),
+        F.sum(F.col("x").cast(dec) * F.col("y")).alias("sxy"),
+    )
+    fit = m.select(
+        "n",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("dxx"),
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).alias("dyy"),
+        (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")).alias(
+            "bnum"
+        ),
+    )
+
+    def tdiv(num, den, alias):
+        # sign·(|num|·1e6 // den): truncated rational, both engines
+        a = F.abs(num) * F.lit(1_000_000).cast("decimal(38,0)")
+        return (
+            F.signum(num).cast("long")
+            * ((a - F.pmod(a, den)) / den).cast("long")
+        ).alias(alias)
+
+    return fit.select(
+        F.col("n").cast("long").alias("n_tokens"),
+        tdiv(F.col("num"), F.col("dxx"), "slope_micros"),
+        tdiv(F.col("bnum"), F.col("dxx") * F.col("n"), "intercept_micros"),
+        tdiv(
+            F.col("num") * F.col("num") * F.signum(F.col("num")).cast(dec),
+            F.col("dxx") * F.col("dyy"),
+            "r2_signed_micros",
+        ),
+    )
