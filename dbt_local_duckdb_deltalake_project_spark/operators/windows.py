@@ -1595,3 +1595,82 @@ def win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n") >= 6) & (F.col("dxx") > 0) & (F.col("dyy") > 0), r2
         ).alias("trend_r2_signed_micros"),
     ).orderBy("user_id", "event_id")
+
+
+_THEIL_SEN_ORACLE = """
+WITH daily AS (
+  SELECT user_id,
+         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY user_id, date_diff('day', DATE '2024-01-01',
+                                          CAST(ts AS DATE))
+),
+pairs AS (
+  SELECT a.user_id,
+         CAST(b.cents - a.cents AS DOUBLE) / (b.day - a.day) AS slope
+  FROM daily a JOIN daily b
+    ON a.user_id = b.user_id AND a.day < b.day
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       median(slope) AS theil_sen_slope
+FROM pairs
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@register("win_theil_sen", _THEIL_SEN_ORACLE)
+def win_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen estimator — the robust trend line: the MEDIAN of all
+    pairwise slopes shrugs off the outliers that wreck least squares
+    (win_rolling_corr's complement: that one detects drift, this one
+    measures it robustly; breakdown point 29%). The quadratic pair
+    blowup is tamed the 100 TB way BEFORE pairing: events first fold
+    to (user, day) cells — one map-side-combined groupBy — so the
+    per-user self-join is over ≤ span-days points (≤435 pairs/user
+    here), key-partitioned on user_id and co-located, never a
+    cartesian. Each slope is ONE IEEE division of exact integers
+    (bit-identical both engines); the per-user median sorts doubles
+    and averages the middle two — same two values, same single
+    add-and-halve on both sides, so no epsilon. Spark's F.median and
+    DuckDB's median share the interpolating even-count convention.
+    """
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            "user_id",
+            F.date_diff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            ).alias("day"),
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+        )
+    )
+    a = daily.select(
+        F.col("user_id"),
+        F.col("day").alias("day_a"),
+        F.col("cents").alias("cents_a"),
+    )
+    b = daily.select(
+        F.col("user_id"),
+        F.col("day").alias("day_b"),
+        F.col("cents").alias("cents_b"),
+    )
+    pairs = a.join(b, "user_id").filter(F.col("day_a") < F.col("day_b"))
+    slopes = pairs.select(
+        "user_id",
+        (
+            (F.col("cents_b") - F.col("cents_a")).cast("double")
+            / (F.col("day_b") - F.col("day_a"))
+        ).alias("slope"),
+    )
+    return (
+        slopes.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.median("slope").alias("theil_sen_slope"),
+        )
+        .orderBy("user_id")
+    )
