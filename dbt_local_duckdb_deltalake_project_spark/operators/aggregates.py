@@ -3891,3 +3891,112 @@ def agg_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("did_micros"),
         "n_total",
     )
+
+
+_ACF_ORACLE = """
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY event_type, date_diff('day', DATE '2024-01-01',
+                                             CAST(ts AS DATE))
+),
+lagged AS (
+  SELECT d.event_type, l.lag, d.day, d.cents AS x, p.cents AS y
+  FROM daily d
+  CROSS JOIN (SELECT UNNEST([1, 2, 3, 7]) AS lag) l
+  JOIN daily p ON p.event_type = d.event_type AND p.day = d.day - l.lag
+),
+m AS (
+  SELECT event_type, lag,
+         COUNT(*) AS n,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+  FROM lagged
+  GROUP BY event_type, lag
+)
+SELECT event_type, CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n,
+       CAST(n * sxy - sx * sy AS BIGINT) AS acf_num,
+       CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+            THEN CAST(CASE WHEN n * sxy - sx * sy < 0 THEN -1
+                           WHEN n * sxy - sx * sy > 0 THEN 1 ELSE 0 END
+                 * ((CAST(n * sxy - sx * sy AS HUGEINT)
+                     * (n * sxy - sx * sy) * 1000000)
+                    // (CAST(n * sxx - sx * sx AS HUGEINT)
+                        * (n * syy - sy * sy))) AS BIGINT)
+       END AS acf_r2_signed_micros
+FROM m
+ORDER BY event_type, lag
+"""
+
+
+@register("agg_autocorr_lags", _ACF_ORACLE)
+def agg_autocorr_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function at lags {1,2,3,7} of the per-type daily
+    revenue series — the seasonality detector (a strong lag-7 says
+    weekly cycle; lag-1 says momentum): Pearson correlation between
+    the series and its lag-shifted self, in the win_rolling_corr
+    signed-r² exact-rational form (no sqrt — sign·cov²/(dxx·dyy) by
+    truncated integer division, products through HUGEINT/long-safe
+    magnitudes). Plan: events fold to (type, day) cells FIRST
+    (map-side combine — day cells, not raw rows, cross the shuffle),
+    a 4-row lag spine cross-joins (broadcast, output ×4), and the
+    lag pairing is a CALENDAR-day equi-join back to the same cell
+    table (day−lag) — gap days pair with nothing rather than silently
+    sliding to the previous row, the correct ACF for a daily series —
+    then the moments collapse per (type, lag). Scale-free: state is
+    types × lags × days at any corpus size.
+    """
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.date_diff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            ).alias("day"),
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+        )
+    )
+    spine = spark.range(1).select(
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3), F.lit(7))).alias(
+            "lag"
+        )
+    )
+    lg = daily.crossJoin(F.broadcast(spine))
+    prev = daily.select(
+        F.col("event_type").alias("p_type"),
+        F.col("day").alias("p_day"),
+        F.col("cents").alias("y"),
+    )
+    lagged = lg.join(
+        prev,
+        (F.col("p_type") == F.col("event_type"))
+        & (F.col("p_day") == F.col("day") - F.col("lag")),
+    ).select("event_type", "lag", F.col("cents").alias("x"), "y")
+    m = lagged.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    dxx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dyy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    dec = "decimal(38,0)"
+    scaled = F.abs(num).cast(dec) * F.abs(num).cast(dec) * F.lit(1_000_000)
+    den = dxx.cast(dec) * dyy.cast(dec)
+    r2 = (
+        F.signum(num).cast("long")
+        * ((scaled - F.pmod(scaled, den)) / den).cast("long")
+    )
+    return m.select(
+        "event_type",
+        F.col("lag").cast("long").alias("lag"),
+        "n",
+        num.alias("acf_num"),
+        F.when((dxx > 0) & (dyy > 0), r2).alias("acf_r2_signed_micros"),
+    ).orderBy("event_type", "lag")
