@@ -4000,3 +4000,76 @@ def agg_autocorr_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
         num.alias("acf_num"),
         F.when((dxx > 0) & (dyy > 0), r2).alias("acf_r2_signed_micros"),
     ).orderBy("event_type", "lag")
+
+
+_SKYLINE_ORACLE = """
+WITH cust AS (
+  SELECT c.c_custkey, c.c_mktsegment,
+         CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS spend_cents,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey, c.c_mktsegment
+)
+SELECT a.c_mktsegment, a.c_custkey, a.spend_cents, a.n_orders
+FROM cust a
+WHERE NOT EXISTS (
+  SELECT 1 FROM cust b
+  WHERE b.c_mktsegment = a.c_mktsegment
+    AND b.spend_cents >= a.spend_cents
+    AND b.n_orders >= a.n_orders
+    AND (b.spend_cents > a.spend_cents OR b.n_orders > a.n_orders)
+)
+ORDER BY a.c_mktsegment, a.c_custkey
+"""
+
+
+@register("agg_skyline_pareto", _SKYLINE_ORACLE)
+def agg_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto-front) query — the classic multi-criteria
+    operator SQL never standardized: per market segment, the customers
+    no one else BOTH out-spends AND out-orders (strict in at least one
+    dimension). The dominance test is an ANTI-JOIN keyed on segment
+    with the dominance predicate as join condition — key-partitioned
+    and co-located, NOT a cartesian (Catalyst plans a segment-hash
+    join; per-segment candidate sets bound the pair work). The 100 TB
+    refinement documented by the skyline literature (Börzsönyi et al.
+    2001): pre-prune with per-segment grid maxima before pairing —
+    any point dominated by a grid-cell max dies map-side; at fixture
+    scale the direct per-segment test IS the bounded form (~300
+    candidates/segment). Exact integer dimensions (cents, counts), so
+    dominance has no float edge; ties on both dims survive together
+    (neither strictly dominates — the WHERE's strictness clause).
+    """
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "spend_cents"
+            ),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    dom = cust.select(
+        F.col("c_mktsegment").alias("d_seg"),
+        F.col("spend_cents").alias("d_spend"),
+        F.col("n_orders").alias("d_orders"),
+    )
+    return (
+        cust.join(
+            dom,
+            (F.col("d_seg") == F.col("c_mktsegment"))
+            & (F.col("d_spend") >= F.col("spend_cents"))
+            & (F.col("d_orders") >= F.col("n_orders"))
+            & (
+                (F.col("d_spend") > F.col("spend_cents"))
+                | (F.col("d_orders") > F.col("n_orders"))
+            ),
+            "left_anti",
+        )
+        .select("c_mktsegment", "c_custkey", "spend_cents", "n_orders")
+        .orderBy("c_mktsegment", "c_custkey")
+    )
