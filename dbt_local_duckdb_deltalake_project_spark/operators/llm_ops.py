@@ -8699,3 +8699,85 @@ def agg_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "r2_signed_micros",
         ),
     )
+
+
+_BOILERPLATE_ORACLE = """
+WITH split AS (
+  SELECT doc_id, string_split(text, ' ') AS parts FROM documents
+),
+tok0 AS (
+  SELECT doc_id, unnest(parts) AS w,
+         unnest(range(1, len(parts) + 1)) AS pos
+  FROM split
+),
+tok AS (SELECT doc_id, w, pos FROM tok0 WHERE w <> ''),
+grams AS (
+  SELECT a.doc_id,
+         a.w || ' ' || b.w || ' ' || c.w || ' ' || d.w || ' ' || e.w
+           AS gram
+  FROM tok a
+  JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  JOIN tok c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+  JOIN tok d ON d.doc_id = a.doc_id AND d.pos = a.pos + 3
+  JOIN tok e ON e.doc_id = a.doc_id AND e.pos = a.pos + 4
+),
+df AS (
+  SELECT gram, COUNT(DISTINCT doc_id) AS doc_freq, COUNT(*) AS total_freq
+  FROM grams GROUP BY gram
+)
+SELECT gram, CAST(doc_freq AS BIGINT) AS doc_freq,
+       CAST(total_freq AS BIGINT) AS total_freq
+FROM df
+ORDER BY doc_freq DESC, total_freq DESC, gram
+LIMIT 20
+"""
+
+
+@register("llm_boilerplate_phrases", _BOILERPLATE_ORACLE)
+def llm_boilerplate_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide boilerplate mining — the top repeated 5-grams by
+    DOCUMENT frequency (cookie banners, license headers, nav chrome:
+    phrases that appear across many documents are template residue,
+    the thing C4/RefinedWeb strip before training). Spark side builds
+    5-grams POSITIONALLY with zero self-joins: posexplode gives
+    (pos, token), four LEADs over the doc-partitioned position order
+    assemble the window — one shuffle on doc_id, codegen end to end
+    (the oracle's 5-way positional self-join is the same relation,
+    stated relationally). DISTINCT doc_id counting is the standard
+    2-phase distinct aggregate; the global top-20 is orderBy+LIMIT
+    (TakeOrdered — per-partition heaps, no global sort materialized,
+    no window). Deterministic total order via the (doc_freq,
+    total_freq, gram) tiebreak. Linear passes at 100 TB.
+    """
+    from pyspark.sql import Window as W
+
+    tok = (
+        t(spark, sf_dir, "documents")
+        .select(
+            "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+        )
+        .filter(F.col("w") != "")
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    grams = tok.select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            "w",
+            F.lead("w", 1).over(w),
+            F.lead("w", 2).over(w),
+            F.lead("w", 3).over(w),
+            F.lead("w", 4).over(w),
+        ).alias("gram"),
+        F.lead("w", 4).over(w).alias("last_tok"),
+    ).filter(F.col("last_tok").isNotNull())
+    df = grams.groupBy("gram").agg(
+        F.count_distinct("doc_id").alias("doc_freq"),
+        F.count(F.lit(1)).alias("total_freq"),
+    )
+    return (
+        df.orderBy(
+            F.col("doc_freq").desc(), F.col("total_freq").desc(), "gram"
+        )
+        .limit(20)
+    )
