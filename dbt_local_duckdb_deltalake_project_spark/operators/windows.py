@@ -1674,3 +1674,131 @@ def win_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+_SEASONAL_ORACLE = """
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY event_type, date_diff('day', DATE '2024-01-01',
+                                             CAST(ts AS DATE))
+),
+tr AS (
+  SELECT event_type, day, cents,
+         SUM(cents) OVER w AS s7, COUNT(*) OVER w AS n7
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+det AS (
+  SELECT event_type, day, cents,
+         CASE WHEN n7 = 7 THEN CAST(s7 * 1000000 AS BIGINT) // 7 END
+           AS trend_micros,
+         CASE WHEN n7 = 7
+              THEN cents * 1000000 - CAST(s7 * 1000000 AS BIGINT) // 7 END
+           AS detrended_micros
+  FROM tr
+),
+seas AS (
+  SELECT event_type, day % 7 AS dow,
+         CAST(SUM(detrended_micros) AS BIGINT) AS sd,
+         COUNT(detrended_micros) AS nd
+  FROM det GROUP BY event_type, day % 7
+)
+SELECT d.event_type, CAST(d.day AS BIGINT) AS day, d.cents,
+       d.trend_micros,
+       CASE WHEN s.nd > 0
+            THEN CAST(CASE WHEN s.sd < 0 THEN -1
+                           WHEN s.sd > 0 THEN 1 ELSE 0 END
+                      * (abs(s.sd) // s.nd) AS BIGINT) END
+         AS seasonal_micros,
+       d.detrended_micros
+         - CASE WHEN s.nd > 0
+                THEN CAST(CASE WHEN s.sd < 0 THEN -1
+                               WHEN s.sd > 0 THEN 1 ELSE 0 END
+                          * (abs(s.sd) // s.nd) AS BIGINT) END
+         AS residual_micros
+FROM det d JOIN seas s
+  ON s.event_type = d.event_type AND s.dow = d.day % 7
+ORDER BY d.event_type, d.day
+"""
+
+
+@register("win_seasonal_decompose", _SEASONAL_ORACLE)
+def win_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition (trend + day-of-week
+    seasonal + residual) of the per-type daily revenue series — the
+    moving-average method every monitoring stack runs before alerting
+    on "is today actually anomalous or just a Sunday". Trend is a
+    CENTERED 7-day moving average (emitted only where the full window
+    exists — edges are NULL, the statsmodels convention); seasonal is
+    the mean detrended value per weekday; residual is what's left.
+    Exact arithmetic: cents are integers, the MA is s7·1e6 // 7
+    (positive), the seasonal mean is sign·(|Σ| // n) — TRUNCATED
+    division, matching DuckDB's // and Spark's div on negatives —
+    and the residual is integer subtraction. NULL BIGINT outputs are
+    driver-proven (join_left precedent). Plan: day-cell fold first,
+    one type-partitioned 7-row frame, one (type, dow) groupBy joined
+    back broadcast — state is types × days, scale-free.
+    """
+    from pyspark.sql import Window as W
+
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.date_diff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            ).alias("day"),
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+        )
+    )
+    w = W.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+    tr = daily.select(
+        "event_type",
+        "day",
+        "cents",
+        F.sum("cents").over(w).alias("s7"),
+        F.count(F.lit(1)).over(w).alias("n7"),
+    )
+    det = tr.select(
+        "event_type",
+        "day",
+        "cents",
+        F.when(F.col("n7") == 7, F.expr("s7 * 1000000 div 7")).alias(
+            "trend_micros"
+        ),
+        F.when(
+            F.col("n7") == 7,
+            F.col("cents") * 1_000_000 - F.expr("s7 * 1000000 div 7"),
+        ).alias("detrended_micros"),
+    )
+    seas = det.groupBy(
+        F.col("event_type").alias("s_type"), (F.col("day") % 7).alias("dow")
+    ).agg(
+        F.sum("detrended_micros").alias("sd"),
+        F.count("detrended_micros").alias("nd"),
+    )
+    seasonal = F.when(
+        F.col("nd") > 0,
+        F.signum("sd").cast("long") * F.expr("abs(sd) div nd"),
+    )
+    return (
+        det.join(
+            F.broadcast(seas),
+            (F.col("s_type") == F.col("event_type"))
+            & (F.col("dow") == F.col("day") % 7),
+        )
+        .select(
+            "event_type",
+            F.col("day").cast("long").alias("day"),
+            "cents",
+            "trend_micros",
+            seasonal.alias("seasonal_micros"),
+            (F.col("detrended_micros") - seasonal).alias("residual_micros"),
+        )
+        .orderBy("event_type", "day")
+    )
