@@ -4073,3 +4073,84 @@ def agg_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_mktsegment", "c_custkey", "spend_cents", "n_orders")
         .orderBy("c_mktsegment", "c_custkey")
     )
+
+
+# Benjamini–Hochberg: ONE SQL text, valid verbatim in BOTH dialects —
+# the strongest determinism guarantee available (identical op chains by
+# construction). Normal CDF via the Abramowitz–Stegun 26.2.17
+# polynomial (both engines lack erf); z is pure IEEE arithmetic on
+# exact integer counts (sqrt is correctly rounded per IEEE-754, so the
+# chain is bit-identical); p-values land as 9-dp-round micros ints.
+_BH_TEXT = """
+WITH c AS (
+  SELECT user_id % 8 AS cohort, m.metric,
+         COUNT(*) FILTER (WHERE ts < TIMESTAMP '2024-01-16') AS n1,
+         COUNT(*) FILTER (WHERE ts < TIMESTAMP '2024-01-16'
+                            AND event_type = m.metric) AS x1,
+         COUNT(*) FILTER (WHERE ts >= TIMESTAMP '2024-01-16') AS n2,
+         COUNT(*) FILTER (WHERE ts >= TIMESTAMP '2024-01-16'
+                            AND event_type = m.metric) AS x2
+  FROM events CROSS JOIN (SELECT 'purchase' AS metric
+                          UNION ALL SELECT 'click') m
+  GROUP BY user_id % 8, m.metric
+),
+z AS (
+  SELECT metric, cohort, n1, x1, n2, x2,
+         (CAST(x1 AS DOUBLE) / n1 - CAST(x2 AS DOUBLE) / n2)
+           / sqrt((CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+                  * (1 - CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+                  * (1.0 / n1 + 1.0 / n2)) AS zval
+  FROM c
+  WHERE n1 > 0 AND n2 > 0 AND x1 + x2 > 0 AND x1 + x2 < n1 + n2
+),
+tt AS (
+  SELECT metric, cohort,
+         1 / (1 + 0.2316419 * abs(zval)) AS t,
+         0.3989422804014327 * exp(-(zval * zval) / 2) AS phi
+  FROM z
+),
+p AS (
+  SELECT metric, cohort,
+         CAST(ROUND(ROUND(
+           2 * phi * (t * (0.319381530 + t * (-0.356563782
+             + t * (1.781477937 + t * (-1.821255978
+             + t * 1.330274429))))), 9) * 1000000) AS BIGINT) AS p_micros
+  FROM tt
+),
+r AS (
+  SELECT metric, cohort, p_micros,
+         ROW_NUMBER() OVER (PARTITION BY metric
+                            ORDER BY p_micros, cohort) AS rnk,
+         COUNT(*) OVER (PARTITION BY metric) AS m_tests
+  FROM p
+),
+k AS (
+  SELECT metric,
+         MAX(CASE WHEN p_micros * m_tests <= rnk * 50000
+                  THEN rnk ELSE 0 END) AS maxk
+  FROM r GROUP BY metric
+)
+SELECT r.metric, r.cohort, r.p_micros, CAST(r.rnk AS BIGINT) AS rnk,
+       r.p_micros <= 50000 AS reject_raw,
+       r.rnk <= k.maxk AS reject_bh
+FROM r JOIN k ON k.metric = r.metric
+ORDER BY r.metric, r.rnk
+"""
+
+
+@register("agg_benjamini_hochberg", _BH_TEXT)
+def agg_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini–Hochberg FDR correction over a battery of two-proportion
+    z-tests — the multiple-comparisons machinery any metrics platform
+    needs once it runs 16 tests a day (raw α=0.05 expects ~1 false
+    positive per battery; BH's step-up rule — reject all ranks ≤ max{k:
+    p₍ₖ₎ ≤ k·α/m} — bounds the false-discovery RATE instead). Two
+    families (purchase / click share shift across the month halves) ×
+    8 cohorts. The BH comparison is exact integer arithmetic
+    (p_micros·m ≤ rank·50000); per-metric rank windows are partitioned
+    (8 rows each); maxk folds via groupBy + join-back. The SAME SQL
+    text runs on both engines (dialect-parity determinism: identical
+    literals, identical op order — see _BH_TEXT header). Counts fold
+    map-side; everything after the first groupBy is O(tests).
+    """
+    return sql(spark, sf_dir, _BH_TEXT)
