@@ -29,6 +29,11 @@ ONLY = set(sys.argv[2:])
 # ops chosen to cover the risk classes: shuffle-heavy dedup, iterative
 # graph, banded LSH, blocked ANN, windowed agg, spatial bin join.
 OPS = [
+    # late-r10 additions: pairwise-slope self-join, range-partition
+    # global rank + DECIMAL moments, positional 5-gram assembly
+    "win_theil_sen",
+    "agg_zipf_fit",
+    "llm_boilerplate_phrases",
     "llm_dedup_exact",
     "llm_dedup_near",
     "llm_minhash_signature_sql",
