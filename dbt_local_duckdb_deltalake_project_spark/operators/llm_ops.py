@@ -8781,3 +8781,67 @@ def llm_boilerplate_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(20)
     )
+
+
+_PREFIX_CACHE_ORACLE = """
+WITH p AS (
+  SELECT doc_id,
+         array_to_string(string_split(text, ' ')[1:8], ' ') AS prefix8,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+),
+g AS (
+  SELECT prefix8,
+         COUNT(*) AS n_prompts,
+         CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         MIN(doc_id) AS exemplar_doc
+  FROM p GROUP BY prefix8
+)
+SELECT prefix8, CAST(n_prompts AS BIGINT) AS n_prompts, total_tokens,
+       exemplar_doc,
+       CAST((n_prompts - 1) * 8 AS BIGINT) AS cached_tokens_saved
+FROM g
+WHERE n_prompts > 1
+ORDER BY n_prompts DESC, prefix8
+"""
+
+
+@register("llm_prefix_cache_plan", _PREFIX_CACHE_ORACLE)
+def llm_prefix_cache_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-cache (shared-KV) planning — the serving-cost analysis
+    behind vLLM-style automatic prefix caching: prompts that share a
+    leading token run recompute nothing past it, so the scheduler
+    wants the duplicate-prefix histogram BEFORE batch assembly. Here
+    the 8-token prefix is the cache key (the bucket form of a radix
+    tree's top levels — the relational scale shape: one slice + one
+    map-side-combined groupBy, no pairwise prefix comparison, in
+    contrast to llm_dedup_prefix's full sorted-adjacency); savings =
+    (n−1)·8 tokens per shared bucket. Spark's slice(split) mirrors
+    DuckDB's list slicing exactly — both 1-based-inclusive on the
+    first 8 elements, shorter lists pass through whole. Exact integer
+    outputs; deterministic (n_prompts desc, prefix) order.
+    """
+    d = t(spark, sf_dir, "documents")
+    p = d.select(
+        "doc_id",
+        F.array_join(
+            F.slice(F.split("text", " "), 1, 8), " "
+        ).alias("prefix8"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    g = p.groupBy("prefix8").agg(
+        F.count(F.lit(1)).alias("n_prompts"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("doc_id").alias("exemplar_doc"),
+    )
+    return (
+        g.filter(F.col("n_prompts") > 1)
+        .select(
+            "prefix8",
+            "n_prompts",
+            "total_tokens",
+            "exemplar_doc",
+            ((F.col("n_prompts") - 1) * 8).alias("cached_tokens_saved"),
+        )
+        .orderBy(F.col("n_prompts").desc(), "prefix8")
+    )
