@@ -8845,3 +8845,79 @@ def llm_prefix_cache_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("n_prompts").desc(), "prefix8")
     )
+
+
+_SFT_PACK_ORACLE = """
+WITH pair AS (
+  SELECT u.doc_id AS turn_id, u.text AS user_text, a.text AS asst_text
+  FROM documents u JOIN documents a ON a.doc_id = u.doc_id + 1
+  WHERE u.doc_id % 2 = 0
+),
+fmt AS (
+  SELECT turn_id,
+         '<|user|>' || user_text || '<|assistant|>' || asst_text
+           || '<|end|>' AS rendered,
+         8 + length(user_text) AS asst_tag_start,
+         8 + length(user_text) + 13 AS loss_start,
+         8 + length(user_text) + 13 + length(asst_text) + 7 AS loss_end
+  FROM pair
+)
+SELECT turn_id, length(rendered) AS n_chars,
+       CAST(loss_start AS BIGINT) AS loss_start,
+       CAST(loss_end AS BIGINT) AS loss_end,
+       substr(rendered, loss_start + 1, 24) AS loss_head,
+       md5(rendered) AS render_md5
+FROM fmt
+ORDER BY turn_id
+"""
+
+
+@register("llm_chat_sft_pack", _SFT_PACK_ORACLE)
+def llm_chat_sft_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT chat-template rendering with LOSS-MASK SPANS — the
+    instruction-tuning data-prep step the pretraining ops (FIM, span
+    corruption) don't cover: each (user, assistant) exchange renders
+    through a fixed template and the trainer must know the EXACT char
+    span where loss applies (assistant turn + end tag only — user
+    tokens are context, not targets). Adjacent fixture docs pair as
+    synthetic turns (even=user, odd=assistant — a self-join on
+    doc_id+1, key-partitioned); offsets are pure integer arithmetic
+    over template-constant widths ('<|user|>'=8, '<|assistant|>'=13,
+    '<|end|>'=7), verified in-row by emitting the substring AT the
+    mask start (both engines substr 1-based) and the render md5 (the
+    key-addressed determinism the corpus ops use). One join + one
+    projection: scale-free.
+    """
+    d = t(spark, sf_dir, "documents")
+    u = d.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("turn_id"), F.col("text").alias("user_text")
+    )
+    a = d.select(
+        (F.col("doc_id") - 1).alias("turn_id"),
+        F.col("text").alias("asst_text"),
+    )
+    pair = u.join(a, "turn_id")
+    rendered = F.concat(
+        F.lit("<|user|>"),
+        F.col("user_text"),
+        F.lit("<|assistant|>"),
+        F.col("asst_text"),
+        F.lit("<|end|>"),
+    )
+    loss_start = (F.lit(8) + F.length("user_text") + 13).cast("long")
+    loss_end = (
+        F.lit(8) + F.length("user_text") + 13 + F.length("asst_text") + 7
+    ).cast("long")
+    return (
+        pair.select(
+            "turn_id",
+            F.length(rendered).alias("n_chars"),
+            loss_start.alias("loss_start"),
+            loss_end.alias("loss_end"),
+            F.substring(rendered, loss_start + 1, F.lit(24)).alias(
+                "loss_head"
+            ),
+            F.md5(rendered).alias("render_md5"),
+        )
+        .orderBy("turn_id")
+    )
