@@ -8921,3 +8921,74 @@ def llm_chat_sft_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("turn_id")
     )
+
+
+_GRPO_ORACLE = """
+WITH comp AS (
+  SELECT doc_id, doc_id // 8 AS prompt_group,
+         CAST(n_chars AS BIGINT) AS reward
+  FROM documents
+),
+g AS (
+  SELECT prompt_group, COUNT(*) AS n,
+         CAST(SUM(reward) AS BIGINT) AS s,
+         CAST(SUM(reward * reward) AS BIGINT) AS ss
+  FROM comp GROUP BY prompt_group
+)
+SELECT c.doc_id, c.prompt_group, c.reward,
+       CAST(g.n AS BIGINT) AS group_n,
+       c.reward * g.n - g.s AS adv_num,
+       CAST(CASE WHEN c.reward * g.n - g.s < 0 THEN -1
+                 WHEN c.reward * g.n - g.s > 0 THEN 1 ELSE 0 END
+            * ((abs(c.reward * g.n - g.s) * 1000000) // g.n) AS BIGINT)
+         AS adv_micros,
+       g.n * g.ss - g.s * g.s AS var_num
+FROM comp c JOIN g ON g.prompt_group = c.prompt_group
+ORDER BY c.doc_id
+"""
+
+
+@register("llm_grpo_group_advantage", _GRPO_ORACLE)
+def llm_grpo_group_advantage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRPO-style group-relative advantage — the RL-from-rewards data
+    prep that replaced per-sample value baselines: completions of the
+    SAME prompt form a group, and each completion's advantage is its
+    reward relative to the group mean (the group IS the baseline —
+    no critic network). Fixture docs bucket 8-per-prompt-group; the
+    deterministic stand-in reward is n_chars (the container ships no
+    reward model — multimodal-decode stubbing contract). Emitted
+    exactly: adv_num = r·n − Σr (integer), its truncated micros
+    scaling sign·(|·|·1e6 // n), and the variance numerator
+    n·Σr² − (Σr)² for the trainer's own std division (σ needs a sqrt
+    — left to the consumer, the agg_sprt constants-discipline).
+    Plan: one map-side-combined groupBy over prompt_group + a
+    broadcast join back — two linear passes, group state is three
+    longs. Completes the preference/RL family (llm_dpo_pair_builder,
+    llm_label_centroid).
+    """
+    comp = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr("doc_id div 8").alias("prompt_group"),
+        F.col("n_chars").cast("long").alias("reward"),
+    )
+    g = comp.groupBy("prompt_group").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("reward").alias("s"),
+        F.sum(F.col("reward") * F.col("reward")).alias("ss"),
+    )
+    j = comp.join(F.broadcast(g), "prompt_group")
+    adv = F.col("reward") * F.col("n") - F.col("s")
+    return j.select(
+        "doc_id",
+        "prompt_group",
+        "reward",
+        F.col("n").alias("group_n"),
+        adv.alias("adv_num"),
+        (
+            F.signum(adv).cast("long")
+            * F.expr("abs(reward * n - s) * 1000000 div n")
+        ).alias("adv_micros"),
+        (F.col("n") * F.col("ss") - F.col("s") * F.col("s")).alias(
+            "var_num"
+        ),
+    ).orderBy("doc_id")
