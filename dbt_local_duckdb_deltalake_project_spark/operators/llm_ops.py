@@ -8911,7 +8911,7 @@ def llm_chat_sft_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pair.select(
             "turn_id",
-            F.length(rendered).alias("n_chars"),
+            F.length(rendered).cast("long").alias("n_chars"),
             loss_start.alias("loss_start"),
             loss_end.alias("loss_end"),
             F.substring(rendered, loss_start + 1, F.lit(24)).alias(
