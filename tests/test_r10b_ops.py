@@ -369,3 +369,314 @@ def test_histogram_log2_matches_python(spark, sf_dir):
         assert r.bucket_lo_cents == 1 << r.bucket_pow2
         assert r.bucket_hi_cents == (1 << (r.bucket_pow2 + 1)) - 1
         assert r.share_ppm == n * 1_000_000 // tot[r.event_type]
+
+
+# --- closing-batch replications: every late-r10 op gets a third impl ---
+
+
+def _docs_rows(sf_dir):
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT doc_id, text, n_chars FROM "
+        f"read_parquet('{table_path(sf_dir, 'documents')}') ORDER BY doc_id"
+    ).fetchall()
+    con.close()
+    return rows
+
+
+def _py_soundex(word: str) -> str:
+    up = word.upper()
+    head, tail = up[0], up[1:]
+    full = head + "".join(ch for ch in tail if ch not in "HW")
+    table = {}
+    for digits, letters in [
+        ("1", "BFPV"), ("2", "CGJKQSXZ"), ("3", "DT"),
+        ("4", "L"), ("5", "MN"), ("6", "R"), ("0", "AEIOUY"),
+    ]:
+        for ch in letters:
+            table[ch] = digits
+    codes = "".join(table.get(ch, ch) for ch in full)
+    out = [codes[0]]
+    for ch in codes[1:]:
+        if ch != out[-1]:
+            out.append(ch)
+    body = "".join(out)[1:].replace("0", "")
+    return head + (body + "000")[:3]
+
+
+def test_soundex_matches_pure_python(spark, sf_dir):
+    import re
+
+    rows = QUERIES["fn_phonetic_soundex"](spark, sf_dir).collect()
+    assert rows, "no alpha tokens in part names?"
+    for r in rows:
+        assert re.fullmatch(r"[a-z]+", r.token)
+        assert r.soundex_code == _py_soundex(r.token), r
+
+
+def test_theil_sen_matches_python_median(spark, sf_dir):
+    import statistics
+
+    rows = QUERIES["win_theil_sen"](spark, sf_dir).collect()
+    daily = {}
+    for _eid, ts, uid, _et, val in _events_rows(sf_dir):
+        key = (uid, (ts.date() - __import__("datetime").date(2024, 1, 1)).days)
+        daily[key] = daily.get(key, 0) + int(round(val * 100))
+    per_user = {}
+    for (uid, day), cents in daily.items():
+        per_user.setdefault(uid, []).append((day, cents))
+    expected = {}
+    for uid, pts in per_user.items():
+        pts.sort()
+        slopes = [
+            (c2 - c1) / (d2 - d1)
+            for i, (d1, c1) in enumerate(pts)
+            for (d2, c2) in pts[i + 1 :]
+        ]
+        if slopes:
+            expected[uid] = (len(slopes), statistics.median(slopes))
+    assert len(rows) == len(expected)
+    for r in rows:
+        n, med = expected[r.user_id]
+        assert r.n_pairs == n and r.theil_sen_slope == med, (r, med)
+
+
+def test_skyline_matches_bruteforce(spark, sf_dir):
+    rows = QUERIES["agg_skyline_pareto"](spark, sf_dir).collect()
+    con = duckdb.connect()
+    cust = con.execute(
+        "SELECT c.c_mktsegment, c.c_custkey, "
+        "CAST(SUM(ROUND(o.o_totalprice * 100)) AS BIGINT), COUNT(*) "
+        f"FROM read_parquet('{table_path(sf_dir, 'customer')}') c "
+        f"JOIN read_parquet('{table_path(sf_dir, 'orders')}') o "
+        "ON o.o_custkey = c.c_custkey "
+        "GROUP BY c.c_mktsegment, c.c_custkey"
+    ).fetchall()
+    con.close()
+    by_seg = {}
+    for seg, key, spend, n in cust:
+        by_seg.setdefault(seg, []).append((key, int(spend), int(n)))
+    expected = set()
+    for seg, pts in by_seg.items():
+        for key, sp, n in pts:
+            dominated = any(
+                sp2 >= sp and n2 >= n and (sp2 > sp or n2 > n)
+                for _k2, sp2, n2 in pts
+            )
+            if not dominated:
+                expected.add((seg, key, sp, n))
+    got = {
+        (r.c_mktsegment, r.c_custkey, r.spend_cents, r.n_orders)
+        for r in rows
+    }
+    assert got == expected
+
+
+def test_boilerplate_matches_python_counts(spark, sf_dir):
+    rows = QUERIES["llm_boilerplate_phrases"](spark, sf_dir).collect()
+    df, tf = {}, {}
+    for doc_id, text, _nc in _docs_rows(sf_dir):
+        toks = [w for w in text.split(" ") if w]
+        grams = {
+            " ".join(toks[i : i + 5]) for i in range(len(toks) - 4)
+        }
+        for g in grams:
+            df[g] = df.get(g, 0) + 1
+        for i in range(len(toks) - 4):
+            g = " ".join(toks[i : i + 5])
+            tf[g] = tf.get(g, 0) + 1
+    top = sorted(df, key=lambda g: (-df[g], -tf[g], g))[:20]
+    assert [r.gram for r in rows] == top
+    for r in rows:
+        assert (r.doc_freq, r.total_freq) == (df[r.gram], tf[r.gram])
+
+
+def test_autocorr_matches_python_moments(spark, sf_dir):
+    rows = QUERIES["agg_autocorr_lags"](spark, sf_dir).collect()
+    daily = {}
+    for _eid, ts, _uid, et, val in _events_rows(sf_dir):
+        key = (et, (ts.date() - __import__("datetime").date(2024, 1, 1)).days)
+        daily[key] = daily.get(key, 0) + int(round(val * 100))
+    expected = {}
+    for (et, day), x in daily.items():
+        for lag in (1, 2, 3, 7):
+            y = daily.get((et, day - lag))
+            if y is None:
+                continue
+            k = (et, lag)
+            n, sx, sy, sxx, syy, sxy = expected.get(k, (0, 0, 0, 0, 0, 0))
+            expected[k] = (
+                n + 1, sx + x, sy + y, sxx + x * x, syy + y * y,
+                sxy + x * y,
+            )
+    assert len(rows) == len(expected)
+    for r in rows:
+        n, sx, sy, sxx, syy, sxy = expected[(r.event_type, r.lag)]
+        num = n * sxy - sx * sy
+        dxx, dyy = n * sxx - sx * sx, n * syy - sy * sy
+        assert r.n == n and r.acf_num == num
+        if dxx > 0 and dyy > 0:
+            sign = (num > 0) - (num < 0)
+            assert r.acf_r2_signed_micros == sign * (
+                num * num * 1_000_000 // (dxx * dyy)
+            )
+        else:
+            assert r.acf_r2_signed_micros is None
+
+
+def _tdiv(num: int, den: int) -> int:
+    sign = (num > 0) - (num < 0)
+    return sign * (abs(num) // den)
+
+
+def test_seasonal_decompose_matches_python(spark, sf_dir):
+    rows = QUERIES["win_seasonal_decompose"](spark, sf_dir).collect()
+    daily = {}
+    for _eid, ts, _uid, et, val in _events_rows(sf_dir):
+        key = (et, (ts.date() - __import__("datetime").date(2024, 1, 1)).days)
+        daily[key] = daily.get(key, 0) + int(round(val * 100))
+    series = {}
+    for (et, day), cents in sorted(daily.items()):
+        series.setdefault(et, []).append((day, cents))
+    expected = {}
+    seas_acc = {}
+    det = {}
+    for et, pts in series.items():
+        days = [d for d, _ in pts]
+        cents = {d: c for d, c in pts}
+        for i, (d, c) in enumerate(pts):
+            frame = pts[max(0, i - 3) : i + 4]
+            if len(frame) == 7:
+                s7 = sum(c2 for _, c2 in frame)
+                trend = s7 * 1_000_000 // 7
+                detr = c * 1_000_000 - trend
+            else:
+                trend, detr = None, None
+            det[(et, d)] = (c, trend, detr)
+            if detr is not None:
+                k = (et, d % 7)
+                sd, nd = seas_acc.get(k, (0, 0))
+                seas_acc[k] = (sd + detr, nd + 1)
+    for (et, d), (c, trend, detr) in det.items():
+        sd, nd = seas_acc.get((et, d % 7), (0, 0))
+        seasonal = _tdiv(sd, nd) if nd > 0 else None
+        resid = (
+            detr - seasonal
+            if detr is not None and seasonal is not None
+            else None
+        )
+        expected[(et, d)] = (c, trend, seasonal, resid)
+    assert len(rows) == len(expected)
+    for r in rows:
+        exp = expected[(r.event_type, r.day)]
+        got = (r.cents, r.trend_micros, r.seasonal_micros,
+               r.residual_micros)
+        assert got == exp, (r.event_type, r.day, got, exp)
+
+
+def test_benjamini_hochberg_matches_python(spark, sf_dir):
+    import datetime
+    import math
+
+    rows = QUERIES["agg_benjamini_hochberg"](spark, sf_dir).collect()
+    cutoff = datetime.datetime(2024, 1, 16)
+    cells = {}
+    for _eid, ts, uid, et, _val in _events_rows(sf_dir):
+        for metric in ("purchase", "click"):
+            k = (metric, uid % 8)
+            n1, x1, n2, x2 = cells.get(k, (0, 0, 0, 0))
+            if ts < cutoff:
+                n1 += 1
+                x1 += 1 if et == metric else 0
+            else:
+                n2 += 1
+                x2 += 1 if et == metric else 0
+            cells[k] = (n1, x1, n2, x2)
+    pvals = {}
+    for (metric, cohort), (n1, x1, n2, x2) in cells.items():
+        if not (n1 > 0 and n2 > 0 and 0 < x1 + x2 < n1 + n2):
+            continue
+        pp = (x1 + x2) / (n1 + n2)
+        z = (x1 / n1 - x2 / n2) / math.sqrt(
+            pp * (1 - pp) * (1.0 / n1 + 1.0 / n2)
+        )
+        t_ = 1 / (1 + 0.2316419 * abs(z))
+        phi = 0.3989422804014327 * math.exp(-(z * z) / 2)
+        p = 2 * phi * (
+            t_ * (0.319381530 + t_ * (-0.356563782 + t_ * (1.781477937
+                + t_ * (-1.821255978 + t_ * 1.330274429))))
+        )
+        pvals[(metric, cohort)] = int(round(round(p, 9) * 1_000_000))
+    for metric in ("purchase", "click"):
+        fam = sorted(
+            (p, c) for (m, c), p in pvals.items() if m == metric
+        )
+        m_tests = len(fam)
+        maxk = max(
+            (k for k, (p, _c) in enumerate(fam, 1)
+             if p * m_tests <= k * 50000),
+            default=0,
+        )
+        got = [r for r in rows if r.metric == metric]
+        assert len(got) == m_tests
+        for r in got:
+            p, c = fam[r.rnk - 1]
+            assert (r.cohort, r.p_micros) == (c, p)
+            assert r.reject_raw == (p <= 50000)
+            assert r.reject_bh == (r.rnk <= maxk)
+
+
+def test_prefix_cache_matches_python(spark, sf_dir):
+    rows = QUERIES["llm_prefix_cache_plan"](spark, sf_dir).collect()
+    agg = {}
+    for doc_id, text, _nc in _docs_rows(sf_dir):
+        toks = text.split(" ")
+        pref = " ".join(toks[:8])
+        n, tot, ex = agg.get(pref, (0, 0, None))
+        agg[pref] = (
+            n + 1, tot + len(toks),
+            doc_id if ex is None else min(ex, doc_id),
+        )
+    exp = {p: v for p, v in agg.items() if v[0] > 1}
+    assert len(rows) == len(exp)
+    for r in rows:
+        n, tot, ex = exp[r.prefix8]
+        assert (r.n_prompts, r.total_tokens, r.exemplar_doc) == (n, tot, ex)
+        assert r.cached_tokens_saved == (n - 1) * 8
+
+
+def test_sft_pack_matches_python_render(spark, sf_dir):
+    import hashlib
+
+    rows = QUERIES["llm_chat_sft_pack"](spark, sf_dir).collect()
+    docs = {d: t for d, t, _ in _docs_rows(sf_dir)}
+    n_expected = sum(1 for d in docs if d % 2 == 0 and d + 1 in docs)
+    assert len(rows) == n_expected
+    for r in rows:
+        user, asst = docs[r.turn_id], docs[r.turn_id + 1]
+        rendered = f"<|user|>{user}<|assistant|>{asst}<|end|>"
+        assert r.n_chars == len(rendered)
+        assert r.loss_start == 8 + len(user) + 13
+        assert r.loss_end == r.loss_start + len(asst) + 7
+        assert r.loss_head == rendered[r.loss_start : r.loss_start + 24]
+        assert r.render_md5 == hashlib.md5(
+            rendered.encode()
+        ).hexdigest()
+
+
+def test_grpo_matches_python_ints(spark, sf_dir):
+    rows = QUERIES["llm_grpo_group_advantage"](spark, sf_dir).collect()
+    groups = {}
+    for doc_id, _t, n_chars in _docs_rows(sf_dir):
+        g = doc_id // 8
+        n, s, ss = groups.get(g, (0, 0, 0))
+        groups[g] = (n + 1, s + n_chars, ss + n_chars * n_chars)
+    docs = {d: nc for d, _t, nc in _docs_rows(sf_dir)}
+    assert len(rows) == len(docs)
+    for r in rows:
+        n, s, ss = groups[r.prompt_group]
+        reward = docs[r.doc_id]
+        adv = reward * n - s
+        assert (r.reward, r.group_n, r.adv_num) == (reward, n, adv)
+        assert r.adv_micros == _tdiv(adv * 1_000_000, n)
+        assert r.var_num == n * ss - s * s
