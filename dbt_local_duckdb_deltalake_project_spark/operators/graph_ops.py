@@ -1124,3 +1124,112 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("community")
     )
+
+
+_ASSORT_ORACLE = """
+WITH pairs AS (
+  SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS c,
+                  's:' || CAST(l_suppkey AS VARCHAR) AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+edges AS (
+  SELECT c AS src, s AS dst FROM pairs
+  UNION ALL
+  SELECT s AS src, c AS dst FROM pairs
+),
+deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+        FROM edges GROUP BY src),
+ed AS (
+  SELECT ds.d AS x, dd.d AS y
+  FROM edges e
+  JOIN deg ds ON ds.node = e.src
+  JOIN deg dd ON dd.node = e.dst
+),
+m AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+         CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+         CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+         CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+         CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+  FROM ed
+)
+SELECT CAST(n AS BIGINT) AS n_directed_edges,
+       CAST(n * sxy - sx * sy AS BIGINT) AS assort_num,
+       CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+            THEN CAST(CASE WHEN n * sxy - sx * sy < 0 THEN -1
+                           WHEN n * sxy - sx * sy > 0 THEN 1 ELSE 0 END
+                 * (((n * sxy - sx * sy) * (n * sxy - sx * sy) * 1000000)
+                    // ((n * sxx - sx * sx) * (n * syy - sy * sy)))
+                 AS BIGINT)
+       END AS assort_r2_signed_micros
+FROM m
+"""
+
+
+@register("graph_assortativity", _ASSORT_ORACLE)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman 2002) — do hubs attach to hubs?
+    Positive in social graphs, NEGATIVE in bipartite commerce graphs
+    like this one (many small customers hang off few big suppliers) —
+    the one-number structural fingerprint used to sanity-check graph
+    ETL output. It is exactly the Pearson correlation of (deg(src),
+    deg(dst)) over the DIRECTED edge list (each undirected edge twice,
+    once per orientation — the doubling makes r symmetric), so the
+    win_rolling_corr signed-r² exact-rational machinery applies
+    verbatim: integer degree moments, HUGEINT/DECIMAL(38) cross
+    products (n·Σxy ≈ 3e18 at 10x — past long headroom, hence the
+    widening), truncated micros. Plan: degree table once (one groupBy),
+    TWO key-partitioned joins pin degrees onto edge endpoints, one
+    global six-moment fold with map-side combine. All linear at 100 TB.
+    """
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias(
+                "c"
+            ),
+            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias(
+                "s"
+            ),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("c").alias("src"), F.col("s").alias("dst")
+    ).unionAll(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    ds = deg.select(F.col("src").alias("sn"), F.col("d").alias("x"))
+    dd = deg.select(F.col("src").alias("dn"), F.col("d").alias("y"))
+    ed = (
+        edges.join(ds, edges.src == ds.sn)
+        .join(dd, edges.dst == dd.dn)
+        .select("x", "y")
+    )
+    dec = "decimal(38,0)"
+    m = ed.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("x").cast(dec).alias("sx"),
+        F.sum("y").cast(dec).alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast(dec) * F.col("y")).alias("syy"),
+        F.sum(F.col("x").cast(dec) * F.col("y")).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    dxx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dyy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    scaled = F.abs(num) * F.abs(num) * F.lit(1_000_000).cast(dec)
+    den = dxx * dyy
+    r2 = (
+        F.signum(num).cast("long")
+        * ((scaled - F.pmod(scaled, den)) / den).cast("long")
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n_directed_edges"),
+        num.cast("long").alias("assort_num"),
+        F.when((dxx > 0) & (dyy > 0), r2).alias(
+            "assort_r2_signed_micros"
+        ),
+    )
