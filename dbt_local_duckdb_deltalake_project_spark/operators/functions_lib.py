@@ -1092,3 +1092,76 @@ def fn_phonetic_soundex(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tok.select(
         "token", F.soundex("token").alias("soundex_code")
     ).orderBy("token")
+
+
+_IPCIDR_ORACLE = """
+WITH ip AS (
+  SELECT user_id,
+         167772160 + (user_id % 4096) * 4096
+           + (user_id * 2654435761) % 4096 AS ip_int
+  FROM (SELECT DISTINCT user_id FROM events)
+)
+SELECT user_id, ip_int,
+       CAST((ip_int >> 24) & 255 AS VARCHAR) || '.'
+         || CAST((ip_int >> 16) & 255 AS VARCHAR) || '.'
+         || CAST((ip_int >> 8) & 255 AS VARCHAR) || '.'
+         || CAST(ip_int & 255 AS VARCHAR) AS ip_str,
+       (ip_int >> 24) = 10 AS in_10_slash8,
+       CAST((ip_int >> 24) & 255 AS VARCHAR) || '.'
+         || CAST((ip_int >> 16) & 255 AS VARCHAR) || '.0.0/16'
+         AS subnet16,
+       (ip_int >> 12) = (167772160 >> 12) AS in_first_slash20,
+       CAST((ip_int >> 12) & 15 AS BIGINT) AS slash20_index
+FROM ip
+ORDER BY user_id
+"""
+
+
+@register("fn_ipcidr", _IPCIDR_ORACLE)
+def fn_ipcidr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPv4 / CIDR arithmetic — the network-governance function family
+    (geo joins, allowlist screens, per-subnet rate rollups) done the
+    scale-right way: an address is a 32-bit INTEGER and a /k block
+    test is ONE shift-compare (`ip >> (32−k) == prefix >> (32−k)`),
+    never a string prefix match — which is also what makes CIDR joins
+    equi-joins on the shifted key at 100 TB. Addresses are synthesized
+    deterministically inside 10.0.0.0/8 (fixtures carry no PII-like
+    IPs; host bits from a Knuth multiplicative mix — pure integer
+    math, since xxhash64 and DuckDB's hash() do NOT agree), then: dotted-quad rendering from octet shifts,
+    membership in /8 and /20 blocks, and the /16 + /20-index rollup
+    keys. Pure codegen bit math on one distinct-user scan; every
+    output column exact.
+    """
+    ip = (
+        t(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            (
+                F.lit(167772160)
+                + (F.col("user_id") % 4096) * 4096
+                + (F.col("user_id") * 2654435761) % 4096
+            ).alias("ip_int"),
+        )
+    )
+    oct_ = lambda sh: F.expr(  # noqa: E731
+        f"CAST((ip_int >> {sh}) & 255 AS STRING)"
+    )
+    return ip.select(
+        "user_id",
+        "ip_int",
+        F.concat_ws(
+            ".", oct_(24), oct_(16), oct_(8), oct_(0)
+        ).alias("ip_str"),
+        F.expr("(ip_int >> 24) = 10").alias("in_10_slash8"),
+        F.concat(
+            oct_(24), F.lit("."), oct_(16), F.lit(".0.0/16")
+        ).alias("subnet16"),
+        F.expr("(ip_int >> 12) = (167772160 >> 12)").alias(
+            "in_first_slash20"
+        ),
+        F.expr("CAST((ip_int >> 12) & 15 AS BIGINT)").alias(
+            "slash20_index"
+        ),
+    ).orderBy("user_id")
