@@ -1159,8 +1159,10 @@ SELECT CAST(n AS BIGINT) AS n_directed_edges,
        CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
             THEN CAST(CASE WHEN n * sxy - sx * sy < 0 THEN -1
                            WHEN n * sxy - sx * sy > 0 THEN 1 ELSE 0 END
-                 * (((n * sxy - sx * sy) * (n * sxy - sx * sy) * 1000000)
-                    // ((n * sxx - sx * sx) * (n * syy - sy * sy)))
+                 * (((abs(n * sxy - sx * sy) * 1000000)
+                     // (n * sxx - sx * sx))
+                    * abs(n * sxy - sx * sy)
+                    // (n * syy - sy * sy))
                  AS BIGINT)
        END AS assort_r2_signed_micros
 FROM m
@@ -1177,9 +1179,11 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg(dst)) over the DIRECTED edge list (each undirected edge twice,
     once per orientation — the doubling makes r symmetric), so the
     win_rolling_corr signed-r² exact-rational machinery applies
-    verbatim: integer degree moments, HUGEINT/DECIMAL(38) cross
-    products (n·Σxy ≈ 3e18 at 10x — past long headroom, hence the
-    widening), truncated micros. Plan: degree table once (one groupBy),
+    verbatim — with one headroom twist: num²·1e6 needs ~41 digits at
+    sf0.1, past DECIMAL(38), so the r² quantization is TWO-STAGE
+    ((|num|·1e6 // dxx)·|num| // dyy — peak ~1e27, mirrored exactly in
+    the oracle; differs from the one-shot floor by ≤1 micro and both
+    engines compute the identical staging). Plan: degree table once (one groupBy),
     TWO key-partitioned joins pin degrees onto edge endpoints, one
     global six-moment fold with map-side combine. All linear at 100 TB.
     """
@@ -1220,11 +1224,12 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
     dxx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     dyy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
-    scaled = F.abs(num) * F.abs(num) * F.lit(1_000_000).cast(dec)
-    den = dxx * dyy
+    a1 = F.abs(num) * F.lit(1_000_000).cast(dec)
+    step1 = (a1 - F.pmod(a1, dxx)) / dxx
+    a2 = step1 * F.abs(num)
     r2 = (
         F.signum(num).cast("long")
-        * ((scaled - F.pmod(scaled, den)) / den).cast("long")
+        * ((a2 - F.pmod(a2, dyy)) / dyy).cast("long")
     )
     return m.select(
         F.col("n").cast("long").alias("n_directed_edges"),
