@@ -680,3 +680,48 @@ def test_grpo_matches_python_ints(spark, sf_dir):
         assert (r.reward, r.group_n, r.adv_num) == (reward, n, adv)
         assert r.adv_micros == _tdiv(adv * 1_000_000, n)
         assert r.var_num == n * ss - s * s
+
+
+def test_assortativity_matches_python_fractions(spark, sf_dir):
+    row = QUERIES["graph_assortativity"](spark, sf_dir).collect()[0]
+    con = duckdb.connect()
+    pairs = con.execute(
+        "SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR), "
+        "'s:' || CAST(l_suppkey AS VARCHAR) FROM "
+        f"read_parquet('{table_path(sf_dir, 'lineitem')}') l JOIN "
+        f"read_parquet('{table_path(sf_dir, 'orders')}') o "
+        "ON l.l_orderkey = o.o_orderkey"
+    ).fetchall()
+    con.close()
+    edges = [(c, s) for c, s in pairs] + [(s, c) for c, s in pairs]
+    deg = {}
+    for src, _dst in edges:
+        deg[src] = deg.get(src, 0) + 1
+    n = sx = sy = sxx = syy = sxy = 0
+    for src, dst in edges:
+        x, y = deg[src], deg[dst]
+        n += 1
+        sx += x; sy += y; sxx += x * x; syy += y * y; sxy += x * y
+    num = n * sxy - sx * sy
+    dxx, dyy = n * sxx - sx * sx, n * syy - sy * sy
+    assert row.n_directed_edges == n and row.assort_num == num
+    sign = (num > 0) - (num < 0)
+    step1 = abs(num) * 1_000_000 // dxx
+    assert row.assort_r2_signed_micros == sign * (step1 * abs(num) // dyy)
+    # bipartite commerce graphs are disassortative
+    assert num < 0
+
+
+def test_ipcidr_matches_python_bitmath(spark, sf_dir):
+    rows = QUERIES["fn_ipcidr"](spark, sf_dir).collect()
+    users = sorted({r[2] for r in _events_rows(sf_dir)})
+    assert len(rows) == len(users)
+    for r, uid in zip(rows, users):
+        ip = 167772160 + (uid % 4096) * 4096 + (uid * 2654435761) % 4096
+        assert r.user_id == uid and r.ip_int == ip
+        octs = [(ip >> s) & 255 for s in (24, 16, 8, 0)]
+        assert r.ip_str == ".".join(str(o) for o in octs)
+        assert r.in_10_slash8 == (octs[0] == 10)
+        assert r.subnet16 == f"{octs[0]}.{octs[1]}.0.0/16"
+        assert r.in_first_slash20 == ((ip >> 12) == (167772160 >> 12))
+        assert r.slash20_index == (ip >> 12) & 15
