@@ -39,27 +39,24 @@ for _m in _MODULES:
 # the back. Within the window, cheaper queries come first in case the
 # window is time-budgeted. Rotate this list each round as rows come back.
 _WINDOW_FIRST = [
-    # --- r10 window head: the five ids whose implementation changed
-    # this round (VERDICT r9 tasks 1-3 + the ADVICE microbatch
-    # upgrade). llm_bpe_apply now derives its replace chain from the
-    # STAGED learned merge table (values changed — the hardcoded list
-    # is gone); llm_bpe_learn was factored into _bpe_learn_rows (same
-    # computation, shared with the staging helper); llm_dedup_prefix
-    # moved to the range-partition boundary-handoff form (oracle moved
-    # to the global-order LEAD); stream_change_data_feed's reader is
-    # now the partitioned DataSourceStreamReader (executor-side read);
-    # dbt_microbatch_incremental commits through the new
-    # write_dynamic_partition_overwrite (day_key-partitioned table).
-    # Each was re-simmed green in a fresh vanilla process at sf0.01. ---
-    "llm_bpe_apply", "llm_bpe_learn", "llm_dedup_prefix",
-    "stream_change_data_feed", "dbt_microbatch_incremental",
-    # agg_cuped_adjustment: theta moments widened to DECIMAL/HUGEINT +
-    # hi/lo-split double conversion after the r10 10x full differential
-    # caught a BIGINT overflow in n*Sxy (values at driver SFs identical;
-    # re-simmed green at sf0.01, sf0.1 AND 10x)
-    "agg_cuped_adjustment",
-    # --- the rest of the 50-slot window fills automatically with the
-    # stalest driver-green ids (the r2/r3 cohort). ---
+    # --- r11 window head: the four ids the r10 ADVICE flagged, all
+    # changed this round. agg_zipf_fit: r² quantization moved to the
+    # graph_assortativity TWO-STAGE form on both sides (one-shot
+    # num²·1e6 overflows DECIMAL(38)/HUGEINT at realistic vocabulary;
+    # staged floor may differ by ≤1 micro, so values can change);
+    # agg_autocorr_lags: moments/cross-products widened to
+    # DECIMAL(38,0) Spark-side + r² two-stage in BOTH engines (the
+    # cuped BIGINT-wrap class); llm_boilerplate_phrases: oracle now
+    # re-numbers token positions after the empty filter (ROW_NUMBER
+    # over pos) so positional joins match LEAD-after-filter adjacency
+    # on irregular whitespace; fn_aes_roundtrip: wrong-key check is
+    # padding-independent (NULL-or-not-the-plaintext — wrong-key
+    # ECB/PKCS passes padding ~1/256 per row). ---
+    "agg_zipf_fit", "agg_autocorr_lags", "llm_boilerplate_phrases",
+    "fn_aes_roundtrip",
+    # --- the rest of the 50-slot window fills automatically:
+    # never-checked r11 ops first, then the stalest driver-green ids
+    # (the 4 r1 set_* ops + the r2 cohort). ---
 ]
 
 # The round whose driver row SATISFIES a _WINDOW_FIRST entry: once an id
@@ -68,7 +65,7 @@ _WINDOW_FIRST = [
 # rotation) — the next round's 50 slots all go to the backlog without
 # waiting for a manual list edit. Bump when repopulating _WINDOW_FIRST
 # for a new round's changes.
-_WINDOW_FIRST_ROUND = 10
+_WINDOW_FIRST_ROUND = 11
 
 
 # Directly behind the window: first the regression breadth mix (one-plus

@@ -3920,10 +3920,10 @@ SELECT event_type, CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n,
        CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
             THEN CAST(CASE WHEN n * sxy - sx * sy < 0 THEN -1
                            WHEN n * sxy - sx * sy > 0 THEN 1 ELSE 0 END
-                 * ((CAST(n * sxy - sx * sy AS HUGEINT)
-                     * (n * sxy - sx * sy) * 1000000)
-                    // (CAST(n * sxx - sx * sx AS HUGEINT)
-                        * (n * syy - sy * sy))) AS BIGINT)
+                 * (((abs(n * sxy - sx * sy) * 1000000)
+                     // (n * sxx - sx * sx))
+                    * abs(n * sxy - sx * sy)
+                    // (n * syy - sy * sy)) AS BIGINT)
        END AS acf_r2_signed_micros
 FROM m
 ORDER BY event_type, lag
@@ -3937,8 +3937,9 @@ def agg_autocorr_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
     weekly cycle; lag-1 says momentum): Pearson correlation between
     the series and its lag-shifted self, in the win_rolling_corr
     signed-r² exact-rational form (no sqrt — sign·cov²/(dxx·dyy) by
-    truncated integer division, products through HUGEINT/long-safe
-    magnitudes). Plan: events fold to (type, day) cells FIRST
+    truncated integer division; moments and cross-products widened to
+    DECIMAL(38,0) Spark-side / HUGEINT in the oracle, r² two-stage
+    staged). Plan: events fold to (type, day) cells FIRST
     (map-side combine — day cells, not raw rows, cross the shuffle),
     a 4-row lag spine cross-joins (broadcast, output ×4), and the
     lag pairing is a CALENDAR-day equi-join back to the same cell
@@ -3975,29 +3976,38 @@ def agg_autocorr_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_type") == F.col("event_type"))
         & (F.col("p_day") == F.col("day") - F.col("lag")),
     ).select("event_type", "lag", F.col("cents").alias("x"), "y")
+    dec = "decimal(38,0)"
     m = lagged.groupBy("event_type", "lag").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("x").cast(dec).alias("sx"),
+        F.sum("y").cast(dec).alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast(dec) * F.col("y")).alias("syy"),
+        F.sum(F.col("x").cast(dec) * F.col("y")).alias("sxy"),
     )
+    # cross-products stay in DECIMAL(38,0) end to end (the oracle's
+    # HUGEINT path): |n·Σxy| measured 9.4e17 at scale10 — one more 10×
+    # in daily cents would silently wrap a BIGINT n*sxy while the
+    # oracle errors (the agg_cuped_adjustment defect class, r10).
     num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
     dxx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     dyy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
-    dec = "decimal(38,0)"
-    scaled = F.abs(num).cast(dec) * F.abs(num).cast(dec) * F.lit(1_000_000)
-    den = dxx.cast(dec) * dyy.cast(dec)
+    # r² is the graph_assortativity TWO-STAGE staging
+    # ((|num|·1e6 // dxx)·|num| // dyy): the one-shot num²·1e6 needs
+    # ~2·digits(num)+6 — past DECIMAL(38)/HUGEINT once num clears
+    # ~1e16 — while the staged peak is digits(num)+~10.
+    a1 = F.abs(num) * F.lit(1_000_000)
+    step1 = (a1 - F.pmod(a1, dxx)) / dxx
+    a2 = step1 * F.abs(num)
     r2 = (
         F.signum(num).cast("long")
-        * ((scaled - F.pmod(scaled, den)) / den).cast("long")
+        * ((a2 - F.pmod(a2, dyy)) / dyy).cast("long")
     )
     return m.select(
         "event_type",
         F.col("lag").cast("long").alias("lag"),
-        "n",
-        num.alias("acf_num"),
+        F.col("n").cast("long").alias("n"),
+        num.cast("long").alias("acf_num"),
         F.when((dxx > 0) & (dyy > 0), r2).alias("acf_r2_signed_micros"),
     ).orderBy("event_type", "lag")
 

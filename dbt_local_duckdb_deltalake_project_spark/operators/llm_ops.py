@@ -8602,7 +8602,7 @@ SELECT CAST(n AS BIGINT) AS n_tokens,
             * ((abs(bnum) * 1000000) // (dxx * n)) AS BIGINT)
          AS intercept_micros,
        CAST(CASE WHEN num < 0 THEN -1 WHEN num > 0 THEN 1 ELSE 0 END
-            * ((num * num * 1000000) // (dxx * dyy)) AS BIGINT)
+            * (((abs(num) * 1000000) // dxx) * abs(num) // dyy) AS BIGINT)
          AS r2_signed_micros
 FROM fit
 """
@@ -8621,10 +8621,14 @@ def agg_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: both logs through the 9-dp-round micros discipline;
     the five moments are exact integer sums widened to DECIMAL(38,0)
     (Σxx ≈ 1024·(1.2e7)² ≈ 1.5e17 — BIGINT-safe, but the cross terms
-    n·Σxy hit 1e20); slope/intercept/r² are sign·(|num|·1e6 // den)
+    n·Σxy hit 1e20); slope/intercept are sign·(|num|·1e6 // den)
     TRUNCATED rationals (measured: DuckDB's // truncates toward zero
     on negatives exactly like Spark's div — both sides take the
-    magnitude route anyway). Output is one row of longs.
+    magnitude route anyway). r² is the graph_assortativity TWO-STAGE
+    form ((|num|·1e6 // dxx)·|num| // dyy): with a true 1024-rank
+    head num ~ 1e18, so the one-shot num²·1e6 ~ 1e42 would overflow
+    both HUGEINT and DECIMAL(38); staged peaks ~1e27 and both engines
+    compute the identical staging. Output is one row of longs.
     """
     from pyspark.sql import Window as W
 
@@ -8689,15 +8693,18 @@ def agg_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             * ((a - F.pmod(a, den)) / den).cast("long")
         ).alias(alias)
 
+    a1 = F.abs(F.col("num")) * F.lit(1_000_000).cast(dec)
+    step1 = (a1 - F.pmod(a1, F.col("dxx"))) / F.col("dxx")
+    a2 = step1 * F.abs(F.col("num"))
+    r2 = (
+        F.signum(F.col("num")).cast("long")
+        * ((a2 - F.pmod(a2, F.col("dyy"))) / F.col("dyy")).cast("long")
+    ).alias("r2_signed_micros")
     return fit.select(
         F.col("n").cast("long").alias("n_tokens"),
         tdiv(F.col("num"), F.col("dxx"), "slope_micros"),
         tdiv(F.col("bnum"), F.col("dxx") * F.col("n"), "intercept_micros"),
-        tdiv(
-            F.col("num") * F.col("num") * F.signum(F.col("num")).cast(dec),
-            F.col("dxx") * F.col("dyy"),
-            "r2_signed_micros",
-        ),
+        r2,
     )
 
 
@@ -8710,7 +8717,14 @@ tok0 AS (
          unnest(range(1, len(parts) + 1)) AS pos
   FROM split
 ),
-tok AS (SELECT doc_id, w, pos FROM tok0 WHERE w <> ''),
+tok AS (
+  -- re-number AFTER the empty filter so positional joins see the same
+  -- adjacency as Spark's LEAD-after-filter (consecutive separators
+  -- collapse; grams bridge whitespace gaps identically in both engines)
+  SELECT doc_id, w,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS pos
+  FROM tok0 WHERE w <> ''
+),
 grams AS (
   SELECT a.doc_id,
          a.w || ' ' || b.w || ' ' || c.w || ' ' || d.w || ' ' || e.w
