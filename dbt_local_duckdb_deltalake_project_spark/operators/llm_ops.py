@@ -9006,3 +9006,174 @@ def llm_grpo_group_advantage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "var_num"
         ),
     ).orderBy("doc_id")
+
+
+_SPAN_REMOVAL_ORACLE = """
+WITH lst AS (
+  SELECT doc_id, string_split(text, ' ') AS parts FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(parts) AS w,
+         generate_subscripts(parts, 1) AS pos
+  FROM lst
+),
+grams AS (
+  SELECT l.doc_id, i.pos AS pos,
+         md5(array_to_string(l.parts[i.pos:i.pos+7], ' ')) AS gk
+  FROM lst l, UNNEST(range(1, len(l.parts) - 6)) AS i(pos)
+),
+owners AS (SELECT gk, MIN(doc_id) AS owner FROM grams GROUP BY gk),
+kills AS (
+  SELECT g.doc_id, g.pos AS s, g.pos + 7 AS e
+  FROM grams g JOIN owners o ON o.gk = g.gk
+  WHERE g.doc_id <> o.owner
+),
+flagged AS (
+  SELECT doc_id, s, e,
+         CASE WHEN s > COALESCE(MAX(e) OVER (
+                PARTITION BY doc_id ORDER BY s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS new_grp
+  FROM kills
+),
+grouped AS (
+  SELECT doc_id, s, e,
+         SUM(new_grp) OVER (PARTITION BY doc_id ORDER BY s
+                            ROWS UNBOUNDED PRECEDING) AS grp
+  FROM flagged
+),
+merged AS (
+  SELECT doc_id, grp, MIN(s) AS ms, MAX(e) AS me
+  FROM grouped GROUP BY doc_id, grp
+),
+stats AS (
+  SELECT doc_id, COUNT(*) AS n_spans, SUM(me - ms + 1) AS n_rm
+  FROM merged GROUP BY doc_id
+),
+killed AS (
+  SELECT m.doc_id, p.pos
+  FROM merged m, UNNEST(range(m.ms, m.me + 1)) AS p(pos)
+),
+kept AS (
+  SELECT t.doc_id, t.pos, t.w
+  FROM tok t
+  ANTI JOIN killed k ON k.doc_id = t.doc_id AND k.pos = t.pos
+),
+rebuilt AS (
+  SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(s.n_spans, 0) AS BIGINT) AS n_spans_removed,
+       CAST(COALESCE(s.n_rm, 0) AS BIGINT) AS n_tokens_removed,
+       md5(COALESCE(r.clean_text, '')) AS clean_md5
+FROM documents d
+LEFT JOIN stats s ON s.doc_id = d.doc_id
+LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+@register("llm_dedup_span_removal", _SPAN_REMOVAL_ORACLE)
+def llm_dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-substring REMOVAL — the Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better") output
+    a corpus builder actually ships: not a flag, the CLEANED TEXT with
+    cross-document repeated >=8-token spans excised. First occurrence
+    keeps the span (owner = MIN(doc_id) over each gram group — the
+    llm_ngram_novelty join shape); every other doc's occurrence becomes
+    a kill interval [pos, pos+7]; per-doc kill intervals are UNION-ed
+    by the win_interval_merge two-window form (running MAX of preceding
+    ends flags group starts, running SUM numbers groups — one per-doc
+    sort, no self-join); surviving tokens reassemble via the
+    llm_chunk_reassemble sort_array(collect_list(struct)) idiom and the
+    cleaned text is emitted as md5 (scalar-safe; a fully-killed doc
+    hashes the empty string identically in both engines). Plan at
+    100 TB: one doc-keyed shuffle builds grams with LEAD (no
+    self-join), one gk-keyed shuffle finds owners, kill intervals and
+    the merge are doc-partition-bounded windows, coverage expands to
+    killed POSITIONS (bounded by corpus tokens) for an equi anti-join
+    — every stage linear, no pairwise doc comparison anywhere.
+    Positions are 0-based Spark-side and 1-based in the oracle; they
+    never cross engines (only gram TEXT and final hashes do).
+    """
+    K = 8
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    )
+    wd = W.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("w")] + [F.lead("w", i).over(wd) for i in range(1, K)]
+    grams = (
+        tok.select(
+            "doc_id",
+            "pos",
+            F.md5(F.concat_ws(" ", *parts)).alias("gk"),
+            F.lead("w", K - 1).over(wd).alias("tail_tok"),
+        )
+        .filter(F.col("tail_tok").isNotNull())
+        .drop("tail_tok")
+    )
+    owners = grams.groupBy("gk").agg(F.min("doc_id").alias("owner"))
+    kills = (
+        grams.join(owners, "gk")
+        .filter(F.col("doc_id") != F.col("owner"))
+        .select("doc_id", F.col("pos").alias("s"), (F.col("pos") + K - 1).alias("e"))
+    )
+    order = W.partitionBy("doc_id").orderBy("s")
+    prev_max_end = F.max("e").over(order.rowsBetween(W.unboundedPreceding, -1))
+    flagged = kills.select(
+        "doc_id", "s", "e",
+        F.when(F.col("s") > F.coalesce(prev_max_end, F.lit(-1)), 1)
+        .otherwise(0)
+        .alias("new_grp"),
+    )
+    grouped = flagged.select(
+        "doc_id", "s", "e",
+        F.sum("new_grp")
+        .over(order.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("grp"),
+    )
+    merged = grouped.groupBy("doc_id", "grp").agg(
+        F.min("s").alias("ms"), F.max("e").alias("me")
+    )
+    stats = merged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("me") - F.col("ms") + 1).alias("n_rm"),
+    )
+    killed = merged.select(
+        "doc_id", F.explode(F.sequence("ms", "me")).alias("pos")
+    )
+    kept = tok.join(killed, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                lambda s: s["w"],
+            ),
+            " ",
+        ).alias("clean_text")
+    )
+    return (
+        d.select(
+            "doc_id",
+            F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        )
+        .join(stats, "doc_id", "left")
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias(
+                "n_spans_removed"
+            ),
+            F.coalesce(F.col("n_rm"), F.lit(0)).cast("long").alias(
+                "n_tokens_removed"
+            ),
+            F.md5(F.coalesce(F.col("clean_text"), F.lit(""))).alias(
+                "clean_md5"
+            ),
+        )
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,130 @@
+"""r11 operator edge-case differentials, on CRAFTED fixtures.
+
+llm_dedup_span_removal is pinned on hand-built documents covering every
+branch of the excision semantics: an owner doc that keeps everything, a
+partial-overlap doc cleaned in the middle, an exact duplicate killed in
+full (empty cleaned text), a sub-k doc with no grams, a doc with two
+DISJOINT kill spans (interval merge must NOT fuse them), and a doc with
+two OVERLAPPING kill spans (interval merge MUST fuse them). The expected
+cleaned strings are hand-computed, and a pure-Python brute-force
+replication of the whole pipeline (grams -> min-doc owners -> kill
+intervals -> coverage union -> reassembly) cross-checks both engines —
+a differential alone would bless a bug both sides share.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import duckdb
+import pytest
+
+from dbt_local_duckdb_deltalake_project_spark.catalog import TABLES
+from dbt_local_duckdb_deltalake_project_spark.operators import ORACLE, QUERIES
+
+K = 8
+
+# (doc_id, text)
+_DOCS = [
+    (0, "a b c d e f g h x y"),  # owner of every shared gram: untouched
+    (1, "p q a b c d e f g h r s"),  # one interior kill span [2,9]
+    (2, "a b c d e f g h x y"),  # exact duplicate: killed IN FULL
+    (3, "hello world"),  # < K tokens: no grams, pass-through
+    (4, "a b c d e f g h z1 z2 z3 a b c d e f g h w1 w2"),  # 2 DISJOINT
+    (5, "m a b c d e f g h x n"),  # 2 OVERLAPPING kills -> 1 merged span
+]
+
+# doc_id -> (n_tokens, n_spans_removed, n_tokens_removed, cleaned text)
+_EXPECTED = {
+    0: (10, 0, 0, "a b c d e f g h x y"),
+    1: (12, 1, 8, "p q r s"),
+    2: (10, 1, 10, ""),
+    3: (2, 0, 0, "hello world"),
+    4: (21, 2, 16, "z1 z2 z3 w1 w2"),
+    5: (11, 1, 9, "m n"),
+}
+
+
+def _brute_force(docs):
+    """Pure-Python replication: k-gram owners, kill-interval coverage
+    union, first-occurrence-keeps reassembly."""
+    toks = {i: t.split(" ") for i, t in docs}
+    owner: dict[tuple, int] = {}
+    for i in sorted(toks):
+        for p in range(len(toks[i]) - K + 1):
+            g = tuple(toks[i][p : p + K])
+            owner.setdefault(g, i)
+    out = {}
+    for i in sorted(toks):
+        killed = set()
+        spans = []
+        for p in range(len(toks[i]) - K + 1):
+            if owner[tuple(toks[i][p : p + K])] != i:
+                spans.append((p, p + K - 1))
+                killed.update(range(p, p + K))
+        # union the spans for the merged-span count
+        merged = 0
+        prev_end = -1
+        for s, e in spans:
+            if s > prev_end:
+                merged += 1
+            prev_end = max(prev_end, e)
+        clean = " ".join(
+            w for p, w in enumerate(toks[i]) if p not in killed
+        )
+        out[i] = (len(toks[i]), merged, len(killed), clean)
+    return out
+
+
+def test_expected_table_matches_brute_force():
+    # the hand table and the reference algorithm must agree before
+    # either engine is consulted
+    assert _brute_force(_DOCS) == _EXPECTED
+
+
+@pytest.fixture(scope="module")
+def crafted_dir(tmp_path_factory, sf_dir, spark):
+    d = tmp_path_factory.mktemp("crafted_spans")
+    for name in TABLES:
+        if name != "documents":
+            os.symlink(f"{sf_dir}/{name}.parquet", d / f"{name}.parquet")
+    rows = [
+        (doc_id, text, "en", "crafted", len(text)) for doc_id, text in _DOCS
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+        "n_chars long"
+    ).coalesce(1).write.parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_span_removal_adversarial_matches_oracle_and_hand(
+    spark, crafted_dir
+):
+    sdf = QUERIES["llm_dedup_span_removal"](spark, crafted_dir)
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["n_spans_removed"],
+            r["n_tokens_removed"],
+            r["clean_md5"],
+        )
+        for r in sdf.collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{crafted_dir}/documents.parquet/*.parquet')"
+    )
+    oracle = {
+        r[0]: (r[1], r[2], r[3], r[4])
+        for r in con.execute(ORACLE["llm_dedup_span_removal"]).fetchall()
+    }
+    con.close()
+    assert got == oracle, "engine vs oracle diverge on crafted cases"
+    want = {
+        i: (n, s, r, hashlib.md5(clean.encode()).hexdigest())
+        for i, (n, s, r, clean) in _EXPECTED.items()
+    }
+    assert got == want, "both engines agree on a WRONG answer"
