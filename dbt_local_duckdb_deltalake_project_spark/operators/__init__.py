@@ -54,6 +54,13 @@ _WINDOW_FIRST = [
     # ECB/PKCS passes padding ~1/256 per row). ---
     "agg_zipf_fit", "agg_autocorr_lags", "llm_boilerplate_phrases",
     "fn_aes_roundtrip",
+    # llm_bpe_learn parameterized to _BPE_N = 8 merges (values changed:
+    # 8 output rows; one count action per round via the token-delta);
+    # llm_bpe_apply consumes the 8-row staged merge table (new n_merge4
+    # ..n_merge8 columns, oracle CTEs MATERIALIZED to stop DuckDB's
+    # exponential inline expansion of the 8-round chain). Both simmed
+    # green at sf0.01 + sf0.1; STAGING_VERSION bumped 3 -> 4.
+    "llm_bpe_learn", "llm_bpe_apply",
     # --- the rest of the 50-slot window fills automatically:
     # never-checked r11 ops first, then the stalest driver-green ids
     # (the 4 r1 set_* ops + the r2 cohort). ---

@@ -7317,8 +7317,9 @@ def llm_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# llm_bpe_learn — BPE merge LEARNING (Sennrich et al.), three rounds
-# unrolled: count adjacent pairs → adopt the most frequent (count desc,
+# llm_bpe_learn — BPE merge LEARNING (Sennrich et al.), _BPE_N rounds
+# (8 since r11; was 3 unrolled rounds through r10): count adjacent
+# pairs → adopt the most frequent (count desc,
 # lexicographic tiebreak) → apply it greedily left-to-right → recount.
 # The greedy scan is recursive, but has an exact relational form: a
 # candidate pair can only be adjacent to another candidate when
@@ -7333,36 +7334,45 @@ def llm_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+_BPE_N = 8  # learned merge ranks; the staged merge table has _BPE_N rows
+
+
 def _BPE_ROUND_SQL(i: int) -> str:
+    # MATERIALIZED everywhere: each round references the previous
+    # round's CTEs several times, so DuckDB's default CTE inlining
+    # expands the 8-round chain EXPONENTIALLY (measured: the 8-round
+    # inline form exhausts file descriptors re-opening the fixture
+    # ~4^8 times). Materialization makes the oracle evaluate each
+    # round once, like the Spark side's per-round localCheckpoint.
     p, t_ = f"t{i - 1}", f"t{i}"
     return f"""
-p{i} AS (
+p{i} AS MATERIALIZED (
   SELECT doc_id, pos, tok,
          LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
   FROM {p}
 ),
-pc{i} AS (
+pc{i} AS MATERIALIZED (
   SELECT tok AS a, nxt AS b, CAST(COUNT(*) AS BIGINT) AS c
   FROM p{i} WHERE nxt IS NOT NULL GROUP BY tok, nxt
 ),
-top{i} AS (
+top{i} AS MATERIALIZED (
   SELECT a, b, c FROM pc{i} ORDER BY c DESC, a ASC, b ASC LIMIT 1
 ),
-cn{i} AS (
+cn{i} AS MATERIALIZED (
   SELECT p.doc_id, p.pos,
          p.pos - ROW_NUMBER() OVER (PARTITION BY p.doc_id ORDER BY p.pos)
            AS isl
   FROM p{i} p CROSS JOIN top{i} s
   WHERE p.tok = s.a AND p.nxt = s.b
 ),
-mg{i} AS (
+mg{i} AS MATERIALIZED (
   SELECT doc_id, pos FROM (
     SELECT doc_id, pos,
            (pos - MIN(pos) OVER (PARTITION BY doc_id, isl)) % 2 AS par
     FROM cn{i}
   ) WHERE par = 0
 ),
-{t_} AS (
+{t_} AS MATERIALIZED (
   SELECT t.doc_id,
          ROW_NUMBER() OVER (PARTITION BY t.doc_id ORDER BY t.pos) AS pos,
          CASE WHEN m.pos IS NOT NULL THEN t.tok || s.b ELSE t.tok END
@@ -7384,31 +7394,41 @@ st{i} AS (
 
 _BPE_LEARN_ORACLE = (
     """
-WITH t0 AS (
+WITH t0 AS MATERIALIZED (
   SELECT doc_id, i AS pos, substring(text, i, 1) AS tok
   FROM documents, generate_series(1, 64) g(i)
   WHERE doc_id % 10 = 0 AND i <= length(text)
 ),"""
-    + ",".join(_BPE_ROUND_SQL(i) for i in (1, 2, 3))
+    + ",".join(_BPE_ROUND_SQL(i) for i in range(1, _BPE_N + 1))
     + """
 SELECT CAST(round AS BIGINT) AS round, left_tok, right_tok, pair_count,
        n_merges, tokens_after
-FROM (SELECT * FROM st1 UNION ALL SELECT * FROM st2
-      UNION ALL SELECT * FROM st3)
+FROM ("""
+    + " UNION ALL ".join(f"SELECT * FROM st{i}" for i in range(1, _BPE_N + 1))
+    + """)
 ORDER BY round
 """
 )
 
 
 def _bpe_learn_rows(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession,
+    sf_dir: str,
+    n_rounds: int = _BPE_N,
+    round_plans: list[str] | None = None,
 ) -> list[tuple[int, str, str, int, int, int]]:
-    """The 3-round BPE learn loop, shared by ``llm_bpe_learn`` (which
-    presents it fresh every call — it is the learning demo) and
-    ``_staged_bpe_merges`` (which stages the emitted merge table once
-    per fixture fingerprint for the apply side). Returns one tuple per
-    round: (round, left_tok, right_tok, pair_count, n_merges,
-    tokens_after)."""
+    """The N-round BPE learn loop (N = _BPE_N = 8 since r11), shared by
+    ``llm_bpe_learn`` (which presents it fresh every call — it is the
+    learning demo) and ``_staged_bpe_merges`` (which stages the emitted
+    merge table once per fixture fingerprint for the apply side).
+    Returns one tuple per round: (round, left_tok, right_tok,
+    pair_count, n_merges, tokens_after). n_merges falls out of the
+    per-round token-count delta (each merged pair removes exactly one
+    token by construction — the m2 filter drops the consumed right
+    operand), so the loop runs ONE count action per round, flat in N.
+    When ``round_plans`` is given, each round's pre-checkpoint physical
+    plan string is appended — the flat-shuffle-per-round plan test
+    hooks in here."""
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
     toks = (
         d.select(
@@ -7429,7 +7449,8 @@ def _bpe_learn_rows(
     )
 
     rows = []
-    for i in (1, 2, 3):
+    prev_n = toks.count()
+    for i in range(1, n_rounds + 1):
         wd = W.partitionBy("doc_id").orderBy("pos")
         p = toks.select(
             "doc_id", "pos", "tok", F.lead("tok").over(wd).alias("nxt")
@@ -7472,7 +7493,7 @@ def _bpe_learn_rows(
         m2 = mg.select(
             F.col("doc_id").alias("cdoc"), (F.col("pos") + 1).alias("cpos")
         )
-        toks = (
+        nxt_toks = (
             toks.join(
                 F.broadcast(m1),
                 on=(F.col("doc_id") == F.col("mdoc"))
@@ -7496,9 +7517,15 @@ def _bpe_learn_rows(
                 .otherwise(F.col("tok"))
                 .alias("tok"),
             )
-            .localCheckpoint(eager=True)
         )
-        rows.append((i, left, right, cnt, int(mg.count()), toks.count()))
+        if round_plans is not None:
+            round_plans.append(
+                nxt_toks._jdf.queryExecution().executedPlan().toString()
+            )
+        toks = nxt_toks.localCheckpoint(eager=True)
+        cur_n = toks.count()
+        rows.append((i, left, right, cnt, prev_n - cur_n, cur_n))
+        prev_n = cur_n
 
     return rows
 
@@ -7522,9 +7549,9 @@ def _staged_bpe_merges(
     be the production bug). Same staging discipline as
     ``_staged_neardup``: staging_lock, fingerprint BEFORE reading
     sources, mark_staged. Returns the merge rows in rank order — the
-    merge table is vocabulary-growth sized (3 rows here, 10⁴–10⁵ in a
-    real tokenizer), never corpus-sized, so collecting it is the same
-    bounded-broadcast class as the IVF centroid tables."""
+    merge table is vocabulary-growth sized (_BPE_N = 8 rows here,
+    10⁴–10⁵ in a real tokenizer), never corpus-sized, so collecting it
+    is the same bounded-broadcast class as the IVF centroid tables."""
     import os
     import shutil
 
@@ -8148,46 +8175,65 @@ def llm_dedup_suffix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # one per application), and applies them as three chained literal
 # replace() calls — literal replace is leftmost non-overlapping, which
 # IS greedy BPE merge application.
+def _BPE_PAT_EXPR(i: int, operand: str) -> str:
+    """Render rank-i's operand (top{i}.a / .b — a RAW-text token) in the
+    marker alphabet of the ranks before it: a BPE merge operand is
+    either a base character or an earlier rank's output token, and the
+    LATEST rank producing a given token string wins (mirrors the Python
+    dict overwrite on the Spark side) — hence the descending CASE."""
+    x = f"t{i}.{operand}"
+    if i == 1:
+        return x
+    whens = "".join(
+        f" WHEN {x} = t{j}.a || t{j}.b THEN '{j}'"
+        for j in range(i - 1, 0, -1)
+    )
+    return f"(CASE{whens} ELSE {x} END)"
+
+
+def _BPE_APPLY_TAIL_SQL() -> str:
+    """pats + the s0..sN replace chain + final projection, generated
+    for _BPE_N ranks (the 3-rank form through r10, now 8)."""
+    pat_cols = ",\n         ".join(
+        f"{_BPE_PAT_EXPR(i, 'a')} || {_BPE_PAT_EXPR(i, 'b')} AS p{i}"
+        for i in range(1, _BPE_N + 1)
+    )
+    tops = " CROSS JOIN ".join(f"top{i} t{i}" for i in range(1, _BPE_N + 1))
+    chain = ["s0 AS (\n  SELECT doc_id, text AS d0 FROM documents\n)"]
+    for i in range(1, _BPE_N + 1):
+        keep = ", ".join(f"d{j}" for j in range(i))
+        chain.append(
+            f"s{i} AS (\n  SELECT doc_id, {keep},"
+            f" replace(d{i - 1}, p.p{i}, '{i}') AS d{i}"
+            f"\n  FROM s{i - 1} CROSS JOIN pats p\n)"
+        )
+    deltas = ",\n       ".join(
+        f"CAST(len(d{i - 1}) - len(d{i}) AS BIGINT) AS n_merge{i}"
+        for i in range(1, _BPE_N + 1)
+    )
+    return (
+        f"pats AS MATERIALIZED (\n  SELECT {pat_cols}\n  FROM {tops}\n),\n"
+        + ",\n".join(chain)
+        + f"""
+SELECT doc_id,
+       CAST(len(d0) AS BIGINT) AS len_chars,
+       {deltas},
+       CAST(len(d{_BPE_N}) AS BIGINT) AS n_tokens
+FROM s{_BPE_N} ORDER BY doc_id
+"""
+    )
+
+
 _BPE_APPLY_ORACLE = (
     """
-WITH t0 AS (
+WITH t0 AS MATERIALIZED (
   SELECT doc_id, i AS pos, substring(text, i, 1) AS tok
   FROM documents, generate_series(1, 64) g(i)
   WHERE doc_id % 10 = 0 AND i <= length(text)
 ),"""
-    + ",".join(_BPE_ROUND_SQL(i) for i in (1, 2, 3))
-    + """,
-pats AS (
-  SELECT t1.a || t1.b AS p1,
-         (CASE WHEN t2.a = t1.a || t1.b THEN '1' ELSE t2.a END)
-           || (CASE WHEN t2.b = t1.a || t1.b THEN '1' ELSE t2.b END)
-           AS p2,
-         (CASE WHEN t3.a = t2.a || t2.b THEN '2'
-               WHEN t3.a = t1.a || t1.b THEN '1' ELSE t3.a END)
-           || (CASE WHEN t3.b = t2.a || t2.b THEN '2'
-                    WHEN t3.b = t1.a || t1.b THEN '1' ELSE t3.b END)
-           AS p3
-  FROM top1 t1 CROSS JOIN top2 t2 CROSS JOIN top3 t3
-),
-s0 AS (
-  SELECT doc_id, text AS d0 FROM documents
-), s1 AS (
-  SELECT doc_id, d0, replace(d0, p.p1, '1') AS d1 FROM s0 CROSS JOIN pats p
-), s2 AS (
-  SELECT doc_id, d0, d1, replace(d1, p.p2, '2') AS d2
-  FROM s1 CROSS JOIN pats p
-), s3 AS (
-  SELECT doc_id, d0, d1, d2, replace(d2, p.p3, '3') AS d3
-  FROM s2 CROSS JOIN pats p
-)
-SELECT doc_id,
-       CAST(len(d0) AS BIGINT) AS len_chars,
-       CAST(len(d0) - len(d1) AS BIGINT) AS n_merge1,
-       CAST(len(d1) - len(d2) AS BIGINT) AS n_merge2,
-       CAST(len(d2) - len(d3) AS BIGINT) AS n_merge3,
-       CAST(len(d3) AS BIGINT) AS n_tokens
-FROM s3 ORDER BY doc_id
-"""
+    + ",".join(_BPE_ROUND_SQL(i) for i in range(1, _BPE_N + 1))
+    + ",\n"
+    + _BPE_APPLY_TAIL_SQL()
 )
 
 
@@ -8204,10 +8250,10 @@ def llm_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     Merge application per rank is GREEDY LEFTMOST NON-OVERLAPPING
     replacement over the evolving symbol sequence — exactly what a
     literal string replace performs (the scanner restarts after each
-    match, so 'ttt' under (t,t) merges once, as BPE does) — so three
+    match, so 'ttt' under (t,t) merges once, as BPE does) — so _BPE_N
     chained codegen replace() calls ARE the tokenizer, no UDF, no
     explode. Each learned token is rewritten to a single marker char
-    ('1','2','3' by rank — the corpus alphabet is [a-z ], so markers
+    ('1'..'8' by rank — the corpus alphabet is [a-z ], so markers
     cannot collide), and each rank's pattern is rendered IN THE MARKER
     ALPHABET of the ranks before it (a BPE merge operand is either a
     base character or an earlier merge's output token, so rendering is
@@ -8227,18 +8273,23 @@ def llm_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         pats.append(tok2marker.get(lt, lt) + tok2marker.get(rt, rt))
         tok2marker[lt + rt] = str(rank)
     d = t(spark, sf_dir, "documents")
-    t0 = F.col("text")
-    t1 = F.replace(t0, F.lit(pats[0]), F.lit("1"))
-    t2 = F.replace(t1, F.lit(pats[1]), F.lit("2"))
-    t3 = F.replace(t2, F.lit(pats[2]), F.lit("3"))
-    return d.select(
-        "doc_id",
-        F.length(t0).cast("long").alias("len_chars"),
-        (F.length(t0) - F.length(t1)).cast("long").alias("n_merge1"),
-        (F.length(t1) - F.length(t2)).cast("long").alias("n_merge2"),
-        (F.length(t2) - F.length(t3)).cast("long").alias("n_merge3"),
-        F.length(t3).cast("long").alias("n_tokens"),
-    ).orderBy("doc_id")
+    stages = [F.col("text")]
+    for rank, pat in enumerate(pats, start=1):
+        stages.append(
+            F.replace(stages[-1], F.lit(pat), F.lit(str(rank)))
+        )
+    cols = [
+        F.col("doc_id"),
+        F.length(stages[0]).cast("long").alias("len_chars"),
+    ]
+    cols += [
+        (F.length(stages[r - 1]) - F.length(stages[r]))
+        .cast("long")
+        .alias(f"n_merge{r}")
+        for r in range(1, len(pats) + 1)
+    ]
+    cols.append(F.length(stages[-1]).cast("long").alias("n_tokens"))
+    return d.select(*cols).orderBy("doc_id")
 
 
 # -- k-anonymity audit (privacy governance over quasi-identifiers) ----------

@@ -17,7 +17,7 @@ import threading
 # old staged dirs then fingerprint-mismatch and restage. v2: events.ts
 # staged as TIMESTAMP (r2 vanilla sessions staged TIMESTAMP_NTZ files,
 # which watermarks reject).
-STAGING_VERSION = "3"  # r4: commitInfo action added to every delta commit
+STAGING_VERSION = "4"  # r11: staged BPE merge table grew 3 -> 8 rows
 
 # Staging is one-time work shared across the bench's parallel query
 # threads; serialize the check-then-write so concurrent callers can't

@@ -11,9 +11,10 @@ from pyspark.sql import functions as F
 
 from dbt_local_duckdb_deltalake_project_spark.catalog import t
 from dbt_local_duckdb_deltalake_project_spark.operators import QUERIES
+from dbt_local_duckdb_deltalake_project_spark.operators.llm_ops import _BPE_N
 
 
-def _bpe_reference(texts: list[str], rounds: int = 3):
+def _bpe_reference(texts: list[str], rounds: int = _BPE_N):
     """Greedy BPE learning, the textbook sequential form (Sennrich et
     al.): count adjacent pairs, adopt the most frequent (count desc,
     then lexicographic (a, b)), apply left-to-right greedily, repeat."""
@@ -144,13 +145,12 @@ def test_bpe_apply_consumes_learned_merges_consistently(spark, sf_dir):
     #     the learn op's tokens_after — i.e. literal-replace application
     #     IS the learn loop's gaps-islands/parity merge, round for round.
     learn = QUERIES["llm_bpe_learn"](spark, sf_dir).collect()
+    assert len(learn) == _BPE_N
     merges = [(r["left_tok"], r["right_tok"]) for r in learn]
     got = {
         r["doc_id"]: (
             r["len_chars"],
-            r["n_merge1"],
-            r["n_merge2"],
-            r["n_merge3"],
+            *(r[f"n_merge{i}"] for i in range(1, _BPE_N + 1)),
             r["n_tokens"],
         )
         for r in QUERIES["llm_bpe_apply"](spark, sf_dir).collect()
@@ -164,21 +164,19 @@ def test_bpe_apply_consumes_learned_merges_consistently(spark, sf_dir):
         lens = _apply_chain_reference(text, merges)
         want = (
             lens[0],
-            lens[0] - lens[1],
-            lens[1] - lens[2],
-            lens[2] - lens[3],
-            lens[3],
+            *(lens[i] - lens[i + 1] for i in range(_BPE_N)),
+            lens[_BPE_N],
         )
         assert got[doc_id] == want, f"doc {doc_id}"
     # (3): on the sample slice the chain must land exactly on the learn
-    # op's round-3 tokens_after (and each round's merge total).
+    # op's final-round tokens_after (and each round's merge total).
     sampled = [s[:64] for d, s in texts.items() if d % 10 == 0]
-    per_round = [0, 0, 0]
+    per_round = [0] * _BPE_N
     total = 0
     for s in sampled:
         lens = _apply_chain_reference(s, merges)
-        for i in range(3):
+        for i in range(_BPE_N):
             per_round[i] += lens[i] - lens[i + 1]
-        total += lens[3]
+        total += lens[_BPE_N]
     assert total == learn[-1]["tokens_after"]
     assert per_round == [r["n_merges"] for r in learn]

@@ -128,3 +128,22 @@ def test_span_removal_adversarial_matches_oracle_and_hand(
         for i, (n, s, r, clean) in _EXPECTED.items()
     }
     assert got == want, "both engines agree on a WRONG answer"
+
+
+def test_bpe_learn_per_round_shuffle_count_flat(spark, sf_dir):
+    # the r11 N=8 parameterization contract: per-round plan cost must
+    # be FLAT in the round number (each round starts from the previous
+    # round's localCheckpoint, so lineage — and with it the exchange
+    # count — cannot grow). A growing count would mean the checkpoint
+    # stopped truncating lineage and the loop went quadratic.
+    from dbt_local_duckdb_deltalake_project_spark.operators.llm_ops import (
+        _BPE_N,
+        _bpe_learn_rows,
+    )
+
+    plans: list[str] = []
+    rows = _bpe_learn_rows(spark, sf_dir, round_plans=plans)
+    assert len(rows) == _BPE_N and len(plans) == _BPE_N
+    counts = [p.count("Exchange") for p in plans]
+    assert len(set(counts)) == 1, f"per-round exchange count grew: {counts}"
+    assert counts[0] <= 8, f"round plan has too many exchanges: {counts[0]}"
