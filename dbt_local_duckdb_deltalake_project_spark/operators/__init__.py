@@ -61,6 +61,10 @@ _WINDOW_FIRST = [
     # exponential inline expansion of the 8-round chain). Both simmed
     # green at sf0.01 + sf0.1; STAGING_VERSION bumped 3 -> 4.
     "llm_bpe_learn", "llm_bpe_apply",
+    # llm_ann_recall gained the ivfpq_recall_ok column (the new
+    # llm_cosine_topk_ivfpq's measured >= 0.6 floor); simmed green at
+    # sf0.01 + sf0.1.
+    "llm_ann_recall",
     # --- the rest of the 50-slot window fills automatically:
     # never-checked r11 ops first, then the stalest driver-green ids
     # (the 4 r1 set_* ops + the r2 cohort). ---
