@@ -692,3 +692,136 @@ def mm_scene_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# mm_interleave_pack — the image-text training-sample assembler: every
+# document contributes a TEXT segment (whitespace token count) and every
+# image document (doc_id % 3 == 0, the _payloads media_type cycle) also
+# contributes an IMAGE segment whose token cost is its mm_tile_plan tile
+# count x 64 visual tokens per 224x224 tile (the ViT-with-pooling
+# budget a multimodal LM charges per tile). Segments interleave in
+# deterministic hashed document order with each image immediately
+# BEFORE its own caption text (seg_rank 0 < 1 — the standard
+# image-then-caption layout), and pack greedily into 4096-token
+# training sequences via the llm_sequence_pack prefix-sum form:
+# pack_id = floor(tokens_before / budget) within a 16-way hash bucket,
+# so packing state never crosses executors and sequences never span
+# buckets (pack boundaries are arbitrary, so this costs nothing).
+# 4096 > the worst-case single image (10 x 6 tiles x 64 = 3840), so no
+# segment can straddle more than two budget lines. pack_pos numbers
+# the assembled sample's slots. Two doc-keyed projections, one union,
+# two bucket-partitioned windows — linear at 100 TB.
+# ---------------------------------------------------------------------------
+
+_INTERLEAVE_PACK_ORACLE = """
+WITH img AS (
+  SELECT doc_id,
+         CAST(1 + (doc_id * 37) % 1920 AS BIGINT) AS w,
+         CAST(1 + (doc_id * 17) % 1080 AS BIGINT) AS h
+  FROM documents WHERE doc_id % 3 = 0
+),
+segs AS (
+  SELECT doc_id, 0 AS seg_rank, 'img' AS seg_type,
+         (CASE WHEN w > 224 THEN (w - 224 + 195) // 196 + 1 ELSE 1 END
+          * CASE WHEN h > 224 THEN (h - 224 + 195) // 196 + 1 ELSE 1 END
+          * 64) AS n_tokens
+  FROM img
+  UNION ALL
+  SELECT doc_id, 1, 'txt',
+         CAST(len(string_split(text, ' ')) AS BIGINT)
+  FROM documents
+),
+keyed AS (
+  SELECT doc_id, seg_rank, seg_type, n_tokens,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bucket,
+         md5(CAST(doc_id AS VARCHAR)) AS k
+  FROM segs
+),
+packed AS (
+  SELECT doc_id, seg_type, n_tokens, bucket, k, seg_rank,
+         CAST(FLOOR(
+           (SUM(n_tokens) OVER (PARTITION BY bucket
+                                ORDER BY k, doc_id, seg_rank
+                                ROWS UNBOUNDED PRECEDING) - n_tokens)
+           / 4096.0) AS BIGINT) AS pack_id
+  FROM keyed
+)
+SELECT doc_id, seg_type, CAST(n_tokens AS BIGINT) AS n_tokens, bucket,
+       pack_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY bucket, pack_id
+                               ORDER BY k, doc_id, seg_rank) AS BIGINT)
+         AS pack_pos
+FROM packed
+ORDER BY bucket, pack_id, pack_pos
+"""
+
+
+@register("mm_interleave_pack", _INTERLEAVE_PACK_ORACLE)
+def mm_interleave_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    img = _payloads(spark, sf_dir).filter(F.col("media_type") == "image")
+    w = (1 + (F.col("media_id") * 37) % 1920).cast("long")
+    h = (1 + (F.col("media_id") * 17) % 1080).cast("long")
+
+    def tiles(c):
+        return (
+            F.when(F.col(c) > 224, F.expr(f"({c} - 224 + 195) div 196 + 1"))
+            .otherwise(F.lit(1))
+            .cast("long")
+        )
+
+    img_segs = (
+        img.select("media_id", w.alias("w"), h.alias("h"))
+        .select(
+            F.col("media_id").alias("doc_id"),
+            F.lit(0).alias("seg_rank"),
+            F.lit("img").alias("seg_type"),
+            (tiles("w") * tiles("h") * 64).alias("n_tokens"),
+        )
+    )
+    txt_segs = d.select(
+        "doc_id",
+        F.lit(1).alias("seg_rank"),
+        F.lit("txt").alias("seg_type"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    key = F.md5(F.col("doc_id").cast("string"))
+    keyed = img_segs.unionAll(txt_segs).select(
+        "doc_id",
+        "seg_rank",
+        "seg_type",
+        "n_tokens",
+        F.substring(key, 1, 1).alias("bucket"),
+        key.alias("k"),
+    )
+    wsum = (
+        W.partitionBy("bucket")
+        .orderBy("k", "doc_id", "seg_rank")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    packed = keyed.select(
+        "doc_id",
+        "seg_type",
+        "n_tokens",
+        "bucket",
+        "k",
+        "seg_rank",
+        F.floor((F.sum("n_tokens").over(wsum) - F.col("n_tokens")) / 4096.0)
+        .cast("long")
+        .alias("pack_id"),
+    )
+    pos = F.row_number().over(
+        W.partitionBy("bucket", "pack_id").orderBy("k", "doc_id", "seg_rank")
+    )
+    return (
+        packed.select(
+            "doc_id",
+            "seg_type",
+            "n_tokens",
+            "bucket",
+            "pack_id",
+            pos.cast("long").alias("pack_pos"),
+        )
+        .orderBy("bucket", "pack_id", "pack_pos")
+    )

@@ -147,3 +147,45 @@ def test_bpe_learn_per_round_shuffle_count_flat(spark, sf_dir):
     counts = [p.count("Exchange") for p in plans]
     assert len(set(counts)) == 1, f"per-round exchange count grew: {counts}"
     assert counts[0] <= 8, f"round plan has too many exchanges: {counts[0]}"
+
+
+def test_mm_interleave_pack_python_replication(spark, sf_dir):
+    # full pure-Python replay of the interleave-pack semantics (tile
+    # token costs, hashed order, image-before-caption, greedy prefix
+    # packing, slot numbering) — engine/oracle agreement plus an
+    # independent third implementation.
+    from collections import defaultdict
+
+    from dbt_local_duckdb_deltalake_project_spark.catalog import t
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    by_bucket = defaultdict(list)
+    for r in docs:
+        did = r["doc_id"]
+        k = hashlib.md5(str(did).encode()).hexdigest()
+        if did % 3 == 0:
+            w, h = 1 + (did * 37) % 1920, 1 + (did * 17) % 1080
+            tx = (w - 224 + 195) // 196 + 1 if w > 224 else 1
+            ty = (h - 224 + 195) // 196 + 1 if h > 224 else 1
+            by_bucket[k[:1]].append((k, did, 0, "img", tx * ty * 64))
+        by_bucket[k[:1]].append((k, did, 1, "txt", len(r["text"].split(" "))))
+    expected = {}
+    for bucket, lst in by_bucket.items():
+        lst.sort()
+        before = 0
+        pos_in_pack: dict[int, int] = {}
+        for _k, did, _rk, ty, n in lst:
+            pid = before // 4096
+            pos_in_pack[pid] = pos_in_pack.get(pid, 0) + 1
+            expected[(did, ty)] = (n, bucket, pid, pos_in_pack[pid])
+            before += n
+    got = {
+        (r["doc_id"], r["seg_type"]): (
+            r["n_tokens"],
+            r["bucket"],
+            r["pack_id"],
+            r["pack_pos"],
+        )
+        for r in QUERIES["mm_interleave_pack"](spark, sf_dir).collect()
+    }
+    assert got == expected
