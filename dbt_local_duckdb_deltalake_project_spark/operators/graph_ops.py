@@ -1238,3 +1238,102 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "assort_r2_signed_micros"
         ),
     )
+
+
+_ADAMIC_ADAR_ORACLE = """
+WITH pairs AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+capped AS (
+  SELECT c, s FROM (
+    SELECT c, s, ROW_NUMBER() OVER (PARTITION BY c ORDER BY s) AS rn
+    FROM pairs
+  ) WHERE rn <= 8
+),
+cdeg AS (
+  SELECT c, CAST(COUNT(*) AS BIGINT) AS d,
+         CAST(ROUND(ROUND(1.0 / ln(CAST(COUNT(*) AS DOUBLE)), 9)
+                    * 1000000) AS BIGINT) AS w_micros
+  FROM capped GROUP BY c
+),
+inter AS (
+  SELECT a.s AS s1, b.s AS s2,
+         CAST(COUNT(*) AS BIGINT) AS shared,
+         CAST(SUM(w.w_micros) AS BIGINT) AS aa_micros
+  FROM capped a
+  JOIN capped b ON a.c = b.c AND a.s < b.s
+  JOIN cdeg w ON w.c = a.c
+  WHERE w.d >= 2
+  GROUP BY a.s, b.s
+)
+SELECT s1, s2, shared, aa_micros
+FROM inter
+ORDER BY aa_micros DESC, s1, s2
+LIMIT 20
+"""
+
+
+@register("graph_adamic_adar", _ADAMIC_ADAR_ORACLE)
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic–Adar link prediction (Adamic & Adar 2003) over the
+    bipartite purchase graph — the common-neighbors upgrade that
+    DISCOUNTS promiscuous neighbors: a supplier pair's score is
+    Sigma over shared customers of 1/ln(deg(customer)), so a customer
+    who buys from everyone contributes little while an exclusive one
+    is strong evidence (the friends-recommendation / co-purchase
+    ranking primitive; graph_common_neighbors is the unweighted
+    Jaccard sibling, graph_resource_allocation the 1/deg variant).
+    Same wedge-join scale discipline: the adjacency is degree-capped
+    to each customer's 8 lowest-keyed suppliers FIRST (bounding wedges
+    to 28/customer regardless of corpus), and degree-1 customers are
+    excluded (ln 1 = 0 would blow up the weight; a common neighbor
+    always has degree >= 2 in the uncapped graph, so the filter only
+    tracks the cap artifact). Determinism: the weight is the zipf-op
+    log discipline — 9-dp-round(1/ln d) then micros — summed as exact
+    BIGINTs; top-20 via TakeOrderedAndProject. Plan: distinct fold,
+    one rank window on customer, one broadcast weight join onto the
+    wedge self-equi-join, one count/sum fold.
+    """
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    capped = (
+        pairs.select(
+            "c",
+            "s",
+            F.row_number().over(W.partitionBy("c").orderBy("s")).alias("rn"),
+        )
+        .filter(F.col("rn") <= 8)
+        .drop("rn")
+    )
+    cdeg = capped.groupBy("c").agg(F.count(F.lit(1)).alias("d"))
+    weights = cdeg.filter(F.col("d") >= 2).select(
+        F.col("c").alias("wc"),
+        F.round(
+            F.round(F.lit(1.0) / F.log(F.col("d").cast("double")), 9)
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("w_micros"),
+    )
+    a = capped.alias("a")
+    b = capped.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.c") == F.col("b.c")) & (F.col("a.s") < F.col("b.s")),
+        )
+        .join(F.broadcast(weights), F.col("a.c") == F.col("wc"))
+        .groupBy(F.col("a.s").alias("s1"), F.col("b.s").alias("s2"))
+        .agg(
+            F.count(F.lit(1)).alias("shared"),
+            F.sum("w_micros").alias("aa_micros"),
+        )
+        .orderBy(F.col("aa_micros").desc(), "s1", "s2")
+        .limit(20)
+    )

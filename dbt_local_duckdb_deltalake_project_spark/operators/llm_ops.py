@@ -9536,3 +9536,120 @@ def llm_cosine_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id")
     )
     return _exact_cosine_topk(e, e.join(cand, "vec_id"), k)
+
+
+_SPEC_ACCEPT_ORACLE = """
+WITH lst AS (
+  SELECT doc_id, string_split(text, ' ') AS parts FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(parts) AS w,
+         generate_subscripts(parts, 1) AS pos
+  FROM lst
+),
+prs AS (
+  SELECT a.doc_id, a.pos, a.w, b.w AS nxt
+  FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+),
+bg AS (SELECT w, nxt, COUNT(*) AS c FROM prs GROUP BY w, nxt),
+pred AS (
+  SELECT w, nxt AS pred_next FROM (
+    SELECT w, nxt,
+           ROW_NUMBER() OVER (PARTITION BY w ORDER BY c DESC, nxt) AS rn
+    FROM bg) WHERE rn = 1
+),
+scored AS (
+  SELECT p.doc_id, p.pos + 1 AS ppos, (d.pred_next = p.nxt) AS ok
+  FROM prs p JOIN pred d ON d.w = p.w
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_preds,
+         CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_accepted,
+         MIN(CASE WHEN NOT ok THEN ppos END) AS first_miss
+  FROM scored GROUP BY doc_id
+),
+nt AS (SELECT doc_id, CAST(len(parts) AS BIGINT) AS n_tokens FROM lst)
+SELECT n.doc_id, n.n_tokens, p.n_preds, p.n_accepted,
+       CAST(COALESCE(p.first_miss, n.n_tokens + 1) AS BIGINT)
+         AS first_miss_pos,
+       CAST(p.n_accepted * 1000000 // p.n_preds AS BIGINT) AS accept_ppm
+FROM nt n JOIN per_doc p USING (doc_id)
+WHERE n.n_tokens >= 2
+ORDER BY n.doc_id
+"""
+
+
+@register("llm_speculative_ngram_accept", _SPEC_ACCEPT_ORACLE)
+def llm_speculative_ngram_accept(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Speculative-decoding acceptance analytics (Leviathan et al. 2023
+    shape) with an n-gram DRAFT model — the serving-capacity planning
+    question: if a cheap draft proposes the corpus-bigram-argmax
+    continuation at every position, how much of the real token stream
+    does the target accept? The draft here is real and trained in-query
+    (the llm_bigram_nll corpus statistics: per left-token argmax with a
+    (count desc, token) tiebreak, the MLE greedy decoder), acceptance
+    is position-exact (predicted == actual next token), and the per-doc
+    outputs are the numbers a speculative-serving planner needs:
+    acceptance rate (exact ppm) and the first-miss position (the
+    expected accepted-prefix length under the longest-prefix acceptance
+    rule; sentinel n_tokens+1 when the whole doc is accepted). Every
+    left token has a successor somewhere (itself), so the predictor
+    join is total. Plan: one doc-keyed LEAD pass builds the pair
+    stream, bigram counts fold map-side (vocabulary-sized state), one
+    rank window on the left token, one vocabulary-keyed equi-join back
+    onto the pair stream, one per-doc fold — all linear, no per-row
+    Python, at 100 TB the predictor table is vocab^~1.x rows and
+    broadcastable.
+    """
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        (F.posexplode(F.split("text", " ")).alias("pos0", "w")),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
+    wd = W.partitionBy("doc_id").orderBy("pos")
+    prs = tok.select(
+        "doc_id", "pos", "w", F.lead("w").over(wd).alias("nxt")
+    ).filter(F.col("nxt").isNotNull())
+    bg = prs.groupBy("w", "nxt").agg(F.count(F.lit(1)).alias("c"))
+    pred = (
+        bg.select(
+            "w",
+            F.col("nxt").alias("pred_next"),
+            F.row_number()
+            .over(W.partitionBy("w").orderBy(F.col("c").desc(), "nxt"))
+            .alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    scored = prs.join(pred, "w").select(
+        "doc_id",
+        (F.col("pos") + 1).alias("ppos"),
+        (F.col("pred_next") == F.col("nxt")).alias("ok"),
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_preds"),
+        F.sum(F.col("ok").cast("long")).alias("n_accepted"),
+        F.min(F.when(~F.col("ok"), F.col("ppos"))).alias("first_miss"),
+    )
+    nt = d.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    return (
+        nt.filter(F.col("n_tokens") >= 2)
+        .join(per_doc, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_preds",
+            "n_accepted",
+            F.coalesce(F.col("first_miss"), F.col("n_tokens") + 1)
+            .cast("long")
+            .alias("first_miss_pos"),
+            F.expr("n_accepted * 1000000 div n_preds").alias("accept_ppm"),
+        )
+        .orderBy("doc_id")
+    )

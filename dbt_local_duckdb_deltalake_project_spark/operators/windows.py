@@ -1802,3 +1802,95 @@ def win_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+_ATTRIBUTION_ORACLE = """
+WITH e AS (
+  SELECT event_id, user_id, event_type, ts,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents,
+         CASE WHEN event_type = 'click' THEN event_id END AS click_id
+  FROM events
+),
+touched AS (
+  SELECT event_id, user_id, event_type, cents,
+         LAST_VALUE(click_id IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS last_touch_event,
+         FIRST_VALUE(click_id IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS first_touch_event
+  FROM e
+)
+SELECT event_id, user_id, cents, last_touch_event, first_touch_event,
+       (last_touch_event IS NOT NULL) AS attributed,
+       (last_touch_event IS NOT NULL
+        AND last_touch_event = first_touch_event) AS single_touch
+FROM touched
+WHERE event_type = 'purchase'
+ORDER BY event_id
+"""
+
+
+@register("win_attribution", _ATTRIBUTION_ORACLE)
+def win_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch marketing attribution — the classic funnel-credit
+    assignment: each purchase is attributed to the LAST click before it
+    (last-touch, the performance-marketing default) and to the user's
+    FIRST click ever (first-touch, the brand-marketing counterfactual);
+    purchases with no preceding click stay unattributed (organic). Both
+    touches fall out of ONE user-partitioned ordered pass: carry the
+    click's event_id forward with LAST_VALUE IGNORE NULLS (the
+    win_lead_lag_ignore_nulls idiom) and pin the first with FIRST_VALUE
+    IGNORE NULLS over the same frame — no self-join against the click
+    history, no per-purchase subquery (the naive correlated form is
+    quadratic in events per user). NULLABLE BIGINT outputs are the
+    driver-proven null class (join_left precedent); (ts, event_id)
+    ordering makes the carry deterministic under timestamp ties. At
+    100 TB: one hash shuffle on user_id, window state is two ids —
+    skew bound is the busiest single user, same as any sessionization.
+    """
+    e = t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.when(F.col("event_type") == "click", F.col("event_id")).alias(
+            "click_id"
+        ),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    touched = e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "cents",
+        F.last("click_id", ignorenulls=True).over(w).alias(
+            "last_touch_event"
+        ),
+        F.first("click_id", ignorenulls=True).over(w).alias(
+            "first_touch_event"
+        ),
+    )
+    return (
+        touched.filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            "cents",
+            "last_touch_event",
+            "first_touch_event",
+            F.col("last_touch_event").isNotNull().alias("attributed"),
+            (
+                F.col("last_touch_event").isNotNull()
+                & (F.col("last_touch_event") == F.col("first_touch_event"))
+            ).alias("single_touch"),
+        )
+        .orderBy("event_id")
+    )
