@@ -7457,11 +7457,11 @@ def _bpe_learn_rows(
         # one partition + per-round checkpoint keeps the 3-round loop
         # at driver-coordination cost, the standard iterative shape
         .repartition(1)
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     rows = []
-    prev_n = toks.count()
+    prev_n = toks.count()  # materializes the lazy checkpoint
     for i in range(1, n_rounds + 1):
         wd = W.partitionBy("doc_id").orderBy("pos")
         p = toks.select(
@@ -7534,7 +7534,10 @@ def _bpe_learn_rows(
             round_plans.append(
                 nxt_toks._jdf.queryExecution().executedPlan().toString()
             )
-        toks = nxt_toks.localCheckpoint(eager=True)
+        # lazy checkpoint + immediate count: lineage truncates in the
+        # plan right away, and the count job doubles as the checkpoint
+        # materialization — one Spark job per round instead of two
+        toks = nxt_toks.localCheckpoint(eager=False)
         cur_n = toks.count()
         rows.append((i, left, right, cnt, prev_n - cur_n, cur_n))
         prev_n = cur_n
