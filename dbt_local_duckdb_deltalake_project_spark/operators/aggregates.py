@@ -4164,3 +4164,123 @@ def agg_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side; everything after the first groupBy is O(tests).
     """
     return sql(spark, sf_dir, _BH_TEXT)
+
+
+_IPW_ORACLE = """
+WITH e AS (
+  SELECT event_type AS bucket,
+         (user_id % 2 = 0) AS treated,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+cells AS (
+  SELECT bucket,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN treated THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+         CAST(SUM(CASE WHEN treated THEN cents ELSE 0 END) AS BIGINT)
+           AS sy_t,
+         CAST(SUM(CASE WHEN NOT treated THEN cents ELSE 0 END) AS BIGINT)
+           AS sy_c
+  FROM e GROUP BY bucket
+),
+terms AS (
+  SELECT bucket, n, n_t,
+         CAST(n_t * 1000000 // n AS BIGINT) AS propensity_ppm,
+         CAST(sy_t * n // n_t AS BIGINT) AS ipw_t_cents,
+         CAST(sy_c * n // (n - n_t) AS BIGINT) AS ipw_c_cents
+  FROM cells
+  WHERE n_t > 0 AND n_t < n
+),
+total AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+         CAST(SUM(ipw_t_cents) AS BIGINT) AS st,
+         CAST(SUM(ipw_c_cents) AS BIGINT) AS sc
+  FROM terms
+)
+SELECT bucket, n, n_t, propensity_ppm, ipw_t_cents, ipw_c_cents,
+       CAST(NULL AS BIGINT) AS ate_micros
+FROM terms
+UNION ALL
+SELECT 'TOTAL', n_total,
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       CAST(CASE WHEN st >= sc THEN (st - sc) * 10000 // n_total
+                 ELSE -((sc - st) * 10000 // n_total) END AS BIGINT)
+FROM total
+ORDER BY bucket
+"""
+
+
+@register("agg_ipw_ate", _IPW_ORACLE)
+def agg_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-propensity-weighted average treatment effect (Horvitz–
+    Thompson estimator) — the observational-causal sibling of
+    agg_diff_in_diff/agg_cuped_adjustment: when treatment isn't
+    randomized, weight each outcome by 1/p(treatment | covariates) so
+    the reweighted groups match the covariate mix. The covariate cell
+    is event_type; propensity p_b = n_treated_b / n_b is the exact
+    empirical rate, and each cell's IPW term Σy·(1/p) collapses to the
+    integer rational sy_t·n // n_t (one floor division per cell,
+    positive operands — Spark DIV == DuckDB //), so no per-row float
+    weights exist anywhere. Degenerate cells (all-treated or
+    all-control: propensity 0/1 makes the weight undefined) are
+    excluded, deterministically and mirrored. Output: one row per
+    cell (n, n_treated, propensity ppm, both IPW sums) plus a TOTAL
+    row carrying ATE in micros of a currency unit (÷100 cents ×10⁶).
+    Plan: ONE map-side-combined groupBy on the cell key — cells, not
+    rows, cross the shuffle — then a broadcast-size fold; scale-free
+    at 100 TB like every cell-count estimator in the family.
+    """
+    ev = t(spark, sf_dir, "events")
+    cells = ev.groupBy(F.col("event_type").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("user_id") % 2 == 0).cast("long")).alias("n_t"),
+        F.sum(
+            F.when(
+                F.col("user_id") % 2 == 0,
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(F.lit(0))
+        ).alias("sy_t"),
+        F.sum(
+            F.when(
+                F.col("user_id") % 2 != 0,
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(F.lit(0))
+        ).alias("sy_c"),
+    )
+    terms = cells.filter(
+        (F.col("n_t") > 0) & (F.col("n_t") < F.col("n"))
+    ).select(
+        "bucket",
+        "n",
+        "n_t",
+        F.expr("n_t * 1000000 div n").alias("propensity_ppm"),
+        F.expr("sy_t * n div n_t").alias("ipw_t_cents"),
+        F.expr("sy_c * n div (n - n_t)").alias("ipw_c_cents"),
+    )
+    total = terms.agg(
+        F.sum("n").alias("n_total"),
+        F.sum("ipw_t_cents").alias("st"),
+        F.sum("ipw_c_cents").alias("sc"),
+    ).select(
+        F.lit("TOTAL").alias("bucket"),
+        F.col("n_total").alias("n"),
+        F.lit(None).cast("long").alias("n_t"),
+        F.lit(None).cast("long").alias("propensity_ppm"),
+        F.lit(None).cast("long").alias("ipw_t_cents"),
+        F.lit(None).cast("long").alias("ipw_c_cents"),
+        F.expr(
+            "CASE WHEN st >= sc THEN (st - sc) * 10000 div n_total"
+            " ELSE -((sc - st) * 10000 div n_total) END"
+        ).alias("ate_micros"),
+    )
+    per_cell = terms.select(
+        "bucket",
+        "n",
+        "n_t",
+        "propensity_ppm",
+        "ipw_t_cents",
+        "ipw_c_cents",
+        F.lit(None).cast("long").alias("ate_micros"),
+    )
+    return per_cell.unionAll(total).orderBy("bucket")

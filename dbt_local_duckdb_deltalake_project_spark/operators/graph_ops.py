@@ -1337,3 +1337,73 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("aa_micros").desc(), "s1", "s2")
         .limit(20)
     )
+
+
+_HITS_ORACLE = """
+WITH pairs AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+a1 AS (
+  SELECT s, CAST(COUNT(*) AS BIGINT) AS auth1 FROM pairs GROUP BY s
+),
+h1 AS (
+  SELECT p.c, CAST(SUM(a.auth1) AS BIGINT) AS hub1
+  FROM pairs p JOIN a1 a ON a.s = p.s
+  GROUP BY p.c
+),
+a2 AS (
+  SELECT p.s, CAST(SUM(h.hub1) AS BIGINT) AS auth2
+  FROM pairs p JOIN h1 h ON h.c = p.c
+  GROUP BY p.s
+)
+SELECT a2.s AS supplier, a1.auth1, a2.auth2
+FROM a2 JOIN a1 ON a1.s = a2.s
+ORDER BY a2.auth2 DESC, supplier
+LIMIT 20
+"""
+
+
+@register("graph_hits", _HITS_ORACLE)
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999), two exact power
+    iterations over the bipartite purchase graph: customers are hubs,
+    suppliers authorities. With h0 = 1, the first authority pass is
+    the in-degree (auth1), the hub pass sums each customer's authority
+    mass, and the second authority pass re-concentrates it — suppliers
+    whose BUYERS shop broadly at strong suppliers outrank raw degree
+    (the difference between auth1 and auth2 order is exactly what HITS
+    adds over degree centrality). Everything stays UNNORMALIZED exact
+    BIGINT — two iterations bound the iterate by E·max_deg², no float
+    division anywhere, so both engines agree bit-for-bit (the usual
+    L2 normalization is a presentation constant that cannot change the
+    ranking). Plan: one distinct fold then three key-partitioned
+    join+fold rounds on (c) or (s) — the PageRank iteration shape
+    without the damping constant; top-20 via TakeOrderedAndProject.
+    Linear in edges at 100 TB; more iterations = same two shuffles
+    per round.
+    """
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    a1 = pairs.groupBy("s").agg(F.count(F.lit(1)).alias("auth1"))
+    h1 = (
+        pairs.join(a1, "s")
+        .groupBy("c")
+        .agg(F.sum("auth1").alias("hub1"))
+    )
+    a2 = (
+        pairs.join(h1, "c")
+        .groupBy("s")
+        .agg(F.sum("hub1").alias("auth2"))
+    )
+    return (
+        a2.join(a1, "s")
+        .select(F.col("s").alias("supplier"), "auth1", "auth2")
+        .orderBy(F.col("auth2").desc(), "supplier")
+        .limit(20)
+    )
