@@ -7437,7 +7437,13 @@ def _bpe_learn_rows(
     pair_count, n_merges, tokens_after). n_merges falls out of the
     per-round token-count delta (each merged pair removes exactly one
     token by construction — the m2 filter drops the consumed right
-    operand), so the loop runs ONE count action per round, flat in N.
+    operand), so the loop runs ONE count action per round (the lazy
+    checkpoint materializes inside it) plus the argmax collect, flat
+    in N. Measured cost at sf0.1 under the 16-way bench pool: ~20 s
+    pooled diag at N=8 (vs 9.8 s at N=3 in r10) — the cost is the
+    inherently sequential round count (each round's argmax gates the
+    next), never a growing plan: the per-round exchange count is
+    plan-test-asserted flat.
     When ``round_plans`` is given, each round's pre-checkpoint physical
     plan string is appended — the flat-shuffle-per-round plan test
     hooks in here."""
