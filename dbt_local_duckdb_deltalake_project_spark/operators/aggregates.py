@@ -4248,31 +4248,57 @@ def agg_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.lit(0))
         ).alias("sy_c"),
     )
+    # products widened to DECIMAL(38,0) Spark-side (oracle sums are
+    # HUGEINT automatically): sy*n clears int64 once cents sums pass
+    # ~1e9 rows — the agg_cuped_adjustment defect class, fixed ahead.
+    # Positive operands, so the pmod-truncated division == DuckDB //.
+    dec = "decimal(38,0)"
+
+    def tdiv(num, den, alias):
+        return ((num - F.pmod(num, den)) / den).cast("long").alias(alias)
+
     terms = cells.filter(
         (F.col("n_t") > 0) & (F.col("n_t") < F.col("n"))
     ).select(
         "bucket",
         "n",
         "n_t",
-        F.expr("n_t * 1000000 div n").alias("propensity_ppm"),
-        F.expr("sy_t * n div n_t").alias("ipw_t_cents"),
-        F.expr("sy_c * n div (n - n_t)").alias("ipw_c_cents"),
+        tdiv(
+            F.col("n_t").cast(dec) * 1_000_000,
+            F.col("n").cast(dec),
+            "propensity_ppm",
+        ),
+        tdiv(
+            F.col("sy_t").cast(dec) * F.col("n"),
+            F.col("n_t").cast(dec),
+            "ipw_t_cents",
+        ),
+        tdiv(
+            F.col("sy_c").cast(dec) * F.col("n"),
+            (F.col("n") - F.col("n_t")).cast(dec),
+            "ipw_c_cents",
+        ),
+    )
+    diff = (F.col("st") - F.col("sc")) * F.lit(10_000).cast(dec)
+    ate = (
+        F.signum(diff).cast("long")
+        * (
+            (F.abs(diff) - F.pmod(F.abs(diff), F.col("n_total")))
+            / F.col("n_total")
+        ).cast("long")
     )
     total = terms.agg(
-        F.sum("n").alias("n_total"),
-        F.sum("ipw_t_cents").alias("st"),
-        F.sum("ipw_c_cents").alias("sc"),
+        F.sum("n").cast(dec).alias("n_total"),
+        F.sum(F.col("ipw_t_cents").cast(dec)).alias("st"),
+        F.sum(F.col("ipw_c_cents").cast(dec)).alias("sc"),
     ).select(
         F.lit("TOTAL").alias("bucket"),
-        F.col("n_total").alias("n"),
+        F.col("n_total").cast("long").alias("n"),
         F.lit(None).cast("long").alias("n_t"),
         F.lit(None).cast("long").alias("propensity_ppm"),
         F.lit(None).cast("long").alias("ipw_t_cents"),
         F.lit(None).cast("long").alias("ipw_c_cents"),
-        F.expr(
-            "CASE WHEN st >= sc THEN (st - sc) * 10000 div n_total"
-            " ELSE -((sc - st) * 10000 div n_total) END"
-        ).alias("ate_micros"),
+        ate.alias("ate_micros"),
     )
     per_cell = terms.select(
         "bucket",

@@ -1390,11 +1390,16 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
         .distinct()
     )
+    # iterate sums widened to DECIMAL(38,0) Spark-side (the oracle's
+    # sums are HUGEINT automatically): auth2 <= E * max_deg^2 clears
+    # int64 on billion-edge graphs while the fixture values are
+    # identical — the agg_cuped_adjustment defect class, fixed ahead
+    dec = "decimal(38,0)"
     a1 = pairs.groupBy("s").agg(F.count(F.lit(1)).alias("auth1"))
     h1 = (
         pairs.join(a1, "s")
         .groupBy("c")
-        .agg(F.sum("auth1").alias("hub1"))
+        .agg(F.sum(F.col("auth1").cast(dec)).alias("hub1"))
     )
     a2 = (
         pairs.join(h1, "c")
@@ -1403,7 +1408,11 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         a2.join(a1, "s")
-        .select(F.col("s").alias("supplier"), "auth1", "auth2")
+        .select(
+            F.col("s").alias("supplier"),
+            "auth1",
+            F.col("auth2").cast("long").alias("auth2"),
+        )
         .orderBy(F.col("auth2").desc(), "supplier")
         .limit(20)
     )
