@@ -7434,16 +7434,20 @@ def _bpe_learn_rows(
     learning demo) and ``_staged_bpe_merges`` (which stages the emitted
     merge table once per fixture fingerprint for the apply side).
     Returns one tuple per round: (round, left_tok, right_tok,
-    pair_count, n_merges, tokens_after). n_merges falls out of the
-    per-round token-count delta (each merged pair removes exactly one
-    token by construction — the m2 filter drops the consumed right
-    operand), so the loop runs ONE count action per round (the lazy
-    checkpoint materializes inside it) plus the argmax collect, flat
-    in N. Measured cost at sf0.1 under the 16-way bench pool: ~20 s
-    pooled diag at N=8 (vs 9.8 s at N=3 in r10) — the cost is the
-    inherently sequential round count (each round's argmax gates the
-    next), never a growing plan: the per-round exchange count is
-    plan-test-asserted flat.
+    pair_count, n_merges, tokens_after). Driver round-trips are ONE
+    Spark job per round: the argmax collect also carries the round's
+    total pair count (crossJoin of the LIMIT 1 top with a 1-row SUM),
+    and token counts fall out of the identity tokens_before(i) =
+    pairs_total(i) + n_docs (every doc keeps >= 1 token, each merged
+    pair removes exactly one token — the m2 filter drops the consumed
+    right operand), so round i's collect finalizes round i-1's
+    n_merges/tokens_after with no dedicated count job; only the LAST
+    round needs one closing count. The lazy per-round checkpoint
+    materializes inside the next round's collect. Jobs = 1 (n_docs) +
+    N (collects) + 1 (final count), flat in corpus size; the cost
+    that remains is the inherently sequential round count (each
+    round's argmax gates the next), never a growing plan: the
+    per-round exchange count is plan-test-asserted flat.
     When ``round_plans`` is given, each round's pre-checkpoint physical
     plan string is appended — the flat-shuffle-per-round plan test
     hooks in here."""
@@ -7467,7 +7471,8 @@ def _bpe_learn_rows(
     )
 
     rows = []
-    prev_n = toks.count()  # materializes the lazy checkpoint
+    n_docs = d.count()  # sample size; constant (docs never hit 0 tokens)
+    prev_before = None
     for i in range(1, n_rounds + 1):
         wd = W.partitionBy("doc_id").orderBy("pos")
         p = toks.select(
@@ -7478,10 +7483,20 @@ def _bpe_learn_rows(
             .groupBy(F.col("tok").alias("a"), F.col("nxt").alias("b"))
             .agg(F.count(F.lit(1)).alias("c"))
         )
-        top = pc.orderBy(
+        stats = pc.orderBy(
             F.col("c").desc(), F.col("a").asc(), F.col("b").asc()
-        ).limit(1).collect()[0]  # bounded: limit(1) argmax
+        ).limit(1).crossJoin(pc.agg(F.sum("c").alias("pairs_total")))
+        top = stats.collect()[0]  # bounded: limit(1) argmax + 1 scalar
         left, right, cnt = top["a"], top["b"], int(top["c"])
+        tokens_before = int(top["pairs_total"]) + n_docs
+        if rows:
+            pr = rows[-1]
+            rows[-1] = (
+                *pr,
+                prev_before - tokens_before,
+                tokens_before,
+            )
+        prev_before = tokens_before
         cand = (
             p.filter((F.col("tok") == left) & (F.col("nxt") == right))
             .select(
@@ -7540,14 +7555,13 @@ def _bpe_learn_rows(
             round_plans.append(
                 nxt_toks._jdf.queryExecution().executedPlan().toString()
             )
-        # lazy checkpoint + immediate count: lineage truncates in the
-        # plan right away, and the count job doubles as the checkpoint
-        # materialization — one Spark job per round instead of two
+        # lazy checkpoint: lineage truncates in the plan right away;
+        # the NEXT round's collect job doubles as the materialization
         toks = nxt_toks.localCheckpoint(eager=False)
-        cur_n = toks.count()
-        rows.append((i, left, right, cnt, prev_n - cur_n, cur_n))
-        prev_n = cur_n
+        rows.append((i, left, right, cnt))
 
+    final_n = toks.count()  # the one closing count (materializes last ckpt)
+    rows[-1] = (*rows[-1], prev_before - final_n, final_n)
     return rows
 
 
