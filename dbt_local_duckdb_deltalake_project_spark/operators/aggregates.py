@@ -4310,3 +4310,130 @@ def agg_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("ate_micros"),
     )
     return per_cell.unionAll(total).orderBy("bucket")
+
+
+_CONFORMAL_ORACLE = """
+WITH e AS (
+  SELECT event_id, event_type,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents,
+         (ts < TIMESTAMP '2024-01-16') AS is_cal
+  FROM events
+),
+pred AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_cal,
+         CAST(SUM(cents) // COUNT(*) AS BIGINT) AS pred_cents
+  FROM e WHERE is_cal GROUP BY event_type
+),
+scores AS (
+  SELECT e.event_type, e.event_id,
+         ABS(e.cents - p.pred_cents) AS score,
+         ROW_NUMBER() OVER (PARTITION BY e.event_type
+                            ORDER BY ABS(e.cents - p.pred_cents),
+                                     e.event_id) AS rn
+  FROM e JOIN pred p ON p.event_type = e.event_type
+  WHERE e.is_cal
+),
+qhat AS (
+  SELECT s.event_type, CAST(s.score AS BIGINT) AS q_hat_cents
+  FROM scores s JOIN pred p ON p.event_type = s.event_type
+  WHERE s.rn = (9 * (p.n_cal + 1) + 9) // 10
+),
+cover AS (
+  SELECT e.event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_test,
+         CAST(SUM(CASE WHEN ABS(e.cents - p.pred_cents) <= q.q_hat_cents
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+  FROM e
+  JOIN pred p ON p.event_type = e.event_type
+  JOIN qhat q ON q.event_type = e.event_type
+  WHERE NOT e.is_cal
+  GROUP BY e.event_type
+)
+SELECT p.event_type, p.n_cal, c.n_test, p.pred_cents, q.q_hat_cents,
+       CAST(c.n_covered * 1000000 // c.n_test AS BIGINT) AS coverage_ppm
+FROM pred p
+JOIN qhat q ON q.event_type = p.event_type
+JOIN cover c ON c.event_type = p.event_type
+ORDER BY p.event_type
+"""
+
+
+@register("agg_conformal_interval", _CONFORMAL_ORACLE)
+def agg_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals (Vovk et al.; the
+    distribution-free uncertainty wrapper modern ML serving bolts onto
+    any point predictor): calibrate on the first half of the event
+    stream, predict with the per-type calibration mean, take the
+    conformal quantile q_hat = the ceil(0.9*(n+1))-th smallest absolute
+    residual — the finite-sample-valid 90% radius — and report realized
+    coverage on the held-out second half. Everything is exact integer
+    arithmetic: predictions are truncated-div cents (positive sums),
+    the quantile is an ORDER-STATISTIC selected by ROW_NUMBER at rank
+    (9(n+1)+9)//10 (the value at rank k is the k-th order statistic
+    regardless of tie placement; (score, event_id) ordering pins the
+    row anyway), and coverage is an exact ppm rational. Types whose
+    calibration set is smaller than the rank (conformal undefined —
+    the interval would be infinite) drop out via the inner join,
+    mirrored in both engines. Plan: one groupBy for the predictor,
+    one type-partitioned rank window over calibration residuals, two
+    broadcast joins onto the test scan, one fold — coverage state is
+    per-type, scale-free at 100 TB.
+    """
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        (F.col("ts") < F.lit("2024-01-16").cast("timestamp")).alias(
+            "is_cal"
+        ),
+    )
+    cal = ev.filter(F.col("is_cal"))
+    pred = cal.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_cal"),
+        F.expr("sum(cents) div count(*)").alias("pred_cents"),
+    )
+    scores = cal.join(F.broadcast(pred), "event_type").select(
+        "event_type",
+        "event_id",
+        F.abs(F.col("cents") - F.col("pred_cents")).alias("score"),
+        "n_cal",
+    )
+    rn = F.row_number().over(
+        W.partitionBy("event_type").orderBy("score", "event_id")
+    )
+    qhat = (
+        scores.withColumn("rn", rn)
+        .filter(F.expr("rn = (9 * (n_cal + 1) + 9) div 10"))
+        .select("event_type", F.col("score").alias("q_hat_cents"))
+    )
+    cover = (
+        ev.filter(~F.col("is_cal"))
+        .join(F.broadcast(pred), "event_type")
+        .join(F.broadcast(qhat), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum(
+                (
+                    F.abs(F.col("cents") - F.col("pred_cents"))
+                    <= F.col("q_hat_cents")
+                ).cast("long")
+            ).alias("n_covered"),
+        )
+    )
+    return (
+        pred.join(qhat, "event_type")
+        .join(cover, "event_type")
+        .select(
+            "event_type",
+            "n_cal",
+            "n_test",
+            "pred_cents",
+            "q_hat_cents",
+            F.expr("n_covered * 1000000 div n_test").alias("coverage_ppm"),
+        )
+        .orderBy("event_type")
+    )
