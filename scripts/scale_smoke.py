@@ -137,6 +137,21 @@ OPS = [
     # suffix dedup re-sorts the 10x distinct texts under reverse(text)
     # through the same shared range-partition adjacency helper
     "llm_dedup_suffix",
+    # r11 adds: cross-doc span excision (gram-owner join + coverage
+    # anti-join — the corpus-token-volume risk class), IVF-PQ ADC scan
+    # (Lloyd pass + per-batch encode), bigram-draft acceptance (vocab
+    # predictor join over all positions), interleave packing (bucket
+    # prefix sums), IGNORE NULLS carry, wedge-join Adamic-Adar, two
+    # HITS iterations, conformal rank selection, IPW cell folds
+    "llm_dedup_span_removal",
+    "llm_cosine_topk_ivfpq",
+    "llm_speculative_ngram_accept",
+    "mm_interleave_pack",
+    "win_attribution",
+    "graph_adamic_adar",
+    "graph_hits",
+    "agg_conformal_interval",
+    "agg_ipw_ate",
 ]
 
 
