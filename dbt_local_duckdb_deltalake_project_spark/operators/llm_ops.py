@@ -9108,7 +9108,13 @@ grams AS (
          md5(array_to_string(l.parts[i.pos:i.pos+7], ' ')) AS gk
   FROM lst l, UNNEST(range(1, len(l.parts) - 6)) AS i(pos)
 ),
-owners AS (SELECT gk, MIN(doc_id) AS owner FROM grams GROUP BY gk),
+owners AS (
+  -- only grams with >= 2 occurrences can ever kill (a unique gram's
+  -- owner is its sole occurrence), so the join-back table shrinks to
+  -- the duplicated-gram sliver before the shuffle
+  SELECT gk, MIN(doc_id) AS owner FROM grams
+  GROUP BY gk HAVING COUNT(*) > 1
+),
 kills AS (
   SELECT g.doc_id, g.pos AS s, g.pos + 7 AS e
   FROM grams g JOIN owners o ON o.gk = g.gk
@@ -9201,7 +9207,16 @@ def llm_dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("tail_tok").isNotNull())
         .drop("tail_tok")
     )
-    owners = grams.groupBy("gk").agg(F.min("doc_id").alias("owner"))
+    # only grams with >= 2 occurrences can kill; pre-filtering the
+    # owner table to the duplicated-gram sliver shrinks the join-back
+    # shuffle (most grams in a real corpus are unique) and lets AQE
+    # broadcast it when small
+    owners = (
+        grams.groupBy("gk")
+        .agg(F.min("doc_id").alias("owner"), F.count(F.lit(1)).alias("nocc"))
+        .filter(F.col("nocc") > 1)
+        .drop("nocc")
+    )
     kills = (
         grams.join(owners, "gk")
         .filter(F.col("doc_id") != F.col("owner"))
