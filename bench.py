@@ -205,7 +205,7 @@ def main() -> None:
     detail = {
         "sf": sf_num,
         "pool": POOL,
-        "note": "per-query secs measured under an 8-way pool — "
+        "note": f"per-query secs measured under a {POOL}-way pool — "
         "overlapping, diagnostics only; wall-clocks are the figures",
         "queries": per_query,
         "duckdb_queries": duck_per_query,
