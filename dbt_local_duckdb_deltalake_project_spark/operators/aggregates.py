@@ -4184,28 +4184,35 @@ cells AS (
   FROM e GROUP BY bucket
 ),
 terms AS (
+  -- products widened to HUGEINT explicitly (mirror of the Spark
+  -- DECIMAL(38,0) widening): sy*n clears int64 once cents sums pass
+  -- ~1e9 rows, and BIGINT x BIGINT would raise there, not widen
   SELECT bucket, n, n_t,
-         CAST(n_t * 1000000 // n AS BIGINT) AS propensity_ppm,
-         CAST(sy_t * n // n_t AS BIGINT) AS ipw_t_cents,
-         CAST(sy_c * n // (n - n_t) AS BIGINT) AS ipw_c_cents
+         CAST(CAST(n_t AS HUGEINT) * 1000000 // n AS BIGINT)
+           AS propensity_ppm,
+         CAST(CAST(sy_t AS HUGEINT) * n // n_t AS BIGINT) AS ipw_t_cents,
+         CAST(CAST(sy_c AS HUGEINT) * n // (n - n_t) AS BIGINT)
+           AS ipw_c_cents
   FROM cells
   WHERE n_t > 0 AND n_t < n
 ),
 total AS (
-  SELECT CAST(SUM(n) AS BIGINT) AS n_total,
-         CAST(SUM(ipw_t_cents) AS BIGINT) AS st,
-         CAST(SUM(ipw_c_cents) AS BIGINT) AS sc
+  SELECT CAST(SUM(n) AS HUGEINT) AS n_total,
+         SUM(CAST(ipw_t_cents AS HUGEINT)) AS st,
+         SUM(CAST(ipw_c_cents AS HUGEINT)) AS sc
   FROM terms
 )
 SELECT bucket, n, n_t, propensity_ppm, ipw_t_cents, ipw_c_cents,
        CAST(NULL AS BIGINT) AS ate_micros
 FROM terms
 UNION ALL
-SELECT 'TOTAL', n_total,
+SELECT 'TOTAL', CAST(n_total AS BIGINT),
        CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
        CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
-       CAST(CASE WHEN st >= sc THEN (st - sc) * 10000 // n_total
-                 ELSE -((sc - st) * 10000 // n_total) END AS BIGINT)
+       CAST(CASE WHEN st >= sc
+                 THEN (st - sc) * CAST(10000 AS HUGEINT) // n_total
+                 ELSE -((sc - st) * CAST(10000 AS HUGEINT) // n_total)
+            END AS BIGINT)
 FROM total
 ORDER BY bucket
 """
@@ -4248,9 +4255,10 @@ def agg_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.lit(0))
         ).alias("sy_c"),
     )
-    # products widened to DECIMAL(38,0) Spark-side (oracle sums are
-    # HUGEINT automatically): sy*n clears int64 once cents sums pass
-    # ~1e9 rows — the agg_cuped_adjustment defect class, fixed ahead.
+    # products widened to DECIMAL(38,0) Spark-side AND to HUGEINT in
+    # the oracle's terms/total CTEs (BIGINT x BIGINT would raise, not
+    # widen): sy*n clears int64 once cents sums pass ~1e9 rows — the
+    # agg_cuped_adjustment defect class, fixed ahead on BOTH sides.
     # Positive operands, so the pmod-truncated division == DuckDB //.
     dec = "decimal(38,0)"
 

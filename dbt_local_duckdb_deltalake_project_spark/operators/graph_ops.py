@@ -1252,10 +1252,14 @@ capped AS (
   ) WHERE rn <= 8
 ),
 cdeg AS (
-  SELECT c, CAST(COUNT(*) AS BIGINT) AS d,
-         CAST(ROUND(ROUND(1.0 / ln(CAST(COUNT(*) AS DOUBLE)), 9)
+  -- degree guard BEFORE the weight expression (mirrors the Spark
+  -- weights filter): ln(1) = 0 must never reach the division — on
+  -- IEEE-float engines 1/0.0 is inf and CAST(inf AS BIGINT) raises
+  SELECT c, d,
+         CAST(ROUND(ROUND(1.0 / ln(CAST(d AS DOUBLE)), 9)
                     * 1000000) AS BIGINT) AS w_micros
-  FROM capped GROUP BY c
+  FROM (SELECT c, CAST(COUNT(*) AS BIGINT) AS d FROM capped GROUP BY c)
+  WHERE d >= 2
 ),
 inter AS (
   SELECT a.s AS s1, b.s AS s2,
@@ -1264,7 +1268,6 @@ inter AS (
   FROM capped a
   JOIN capped b ON a.c = b.c AND a.s < b.s
   JOIN cdeg w ON w.c = a.c
-  WHERE w.d >= 2
   GROUP BY a.s, b.s
 )
 SELECT s1, s2, shared, aa_micros
@@ -1348,16 +1351,20 @@ a1 AS (
   SELECT s, CAST(COUNT(*) AS BIGINT) AS auth1 FROM pairs GROUP BY s
 ),
 h1 AS (
-  SELECT p.c, CAST(SUM(a.auth1) AS BIGINT) AS hub1
+  -- iterate widened to HUGEINT explicitly (mirror of the Spark
+  -- DECIMAL(38,0) widening): auth2 <= E * max_deg^2 clears int64 on
+  -- billion-edge graphs, and SUM over a BIGINT-capped stage would
+  -- re-narrow per stage instead of carrying the wide iterate
+  SELECT p.c, SUM(CAST(a.auth1 AS HUGEINT)) AS hub1
   FROM pairs p JOIN a1 a ON a.s = p.s
   GROUP BY p.c
 ),
 a2 AS (
-  SELECT p.s, CAST(SUM(h.hub1) AS BIGINT) AS auth2
+  SELECT p.s, SUM(h.hub1) AS auth2
   FROM pairs p JOIN h1 h ON h.c = p.c
   GROUP BY p.s
 )
-SELECT a2.s AS supplier, a1.auth1, a2.auth2
+SELECT a2.s AS supplier, a1.auth1, CAST(a2.auth2 AS BIGINT) AS auth2
 FROM a2 JOIN a1 ON a1.s = a2.s
 ORDER BY a2.auth2 DESC, supplier
 LIMIT 20
@@ -1390,9 +1397,10 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
         .distinct()
     )
-    # iterate sums widened to DECIMAL(38,0) Spark-side (the oracle's
-    # sums are HUGEINT automatically): auth2 <= E * max_deg^2 clears
-    # int64 on billion-edge graphs while the fixture values are
+    # iterate sums widened to DECIMAL(38,0) Spark-side AND to HUGEINT
+    # in the oracle's h1/a2 CTEs (per-stage BIGINT re-narrowing would
+    # overflow loudly instead of widening): auth2 <= E * max_deg^2
+    # clears int64 on billion-edge graphs while the fixture values are
     # identical — the agg_cuped_adjustment defect class, fixed ahead
     dec = "decimal(38,0)"
     a1 = pairs.groupBy("s").agg(F.count(F.lit(1)).alias("auth1"))

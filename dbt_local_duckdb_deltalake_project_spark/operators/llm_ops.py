@@ -7471,7 +7471,11 @@ def _bpe_learn_rows(
     )
 
     rows = []
-    n_docs = d.count()  # sample size; constant (docs never hit 0 tokens)
+    # token-bearing docs only: the tokens_before identity counts one
+    # surviving token per doc, and an empty-text doc contributes zero
+    # tokens AND zero pairs — counting it would skew every round's
+    # n_merges/tokens_after (the oracle counts tokens directly)
+    n_docs = d.filter(F.length("text") >= 1).count()
     prev_before = None
     for i in range(1, n_rounds + 1):
         wd = W.partitionBy("doc_id").orderBy("pos")
