@@ -9098,7 +9098,20 @@ def llm_grpo_group_advantage(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-_SPAN_REMOVAL_ORACLE = """
+# minimum MERGED-span length (tokens) that gets excised: raw >=8-gram
+# kill intervals are unioned first, and only merged regions at least
+# this long are removed (Lee et al. 2022 ship 50 in production — the
+# gate trades recall for corpus yield; 25 here exercises both the
+# kept-short and excised branches at every test SF). Tests sweep other
+# values through the factories below.
+_SPAN_MIN_TOKENS = 25
+
+
+def _span_removal_oracle(min_span: int = _SPAN_MIN_TOKENS) -> str:
+    return _SPAN_REMOVAL_ORACLE_TMPL.replace("@MIN_SPAN@", str(min_span))
+
+
+_SPAN_REMOVAL_ORACLE_TMPL = """
 WITH lst AS (
   SELECT doc_id, string_split(text, ' ') AS parts FROM documents
 ),
@@ -9139,8 +9152,11 @@ grouped AS (
   FROM flagged
 ),
 merged AS (
+  -- min-span gate AFTER the union: only merged duplicated regions of
+  -- at least @MIN_SPAN@ tokens are excised; shorter ones survive
   SELECT doc_id, grp, MIN(s) AS ms, MAX(e) AS me
   FROM grouped GROUP BY doc_id, grp
+  HAVING MAX(e) - MIN(s) + 1 >= @MIN_SPAN@
 ),
 stats AS (
   SELECT doc_id, COUNT(*) AS n_spans, SUM(me - ms + 1) AS n_rm
@@ -9171,7 +9187,7 @@ ORDER BY d.doc_id
 """
 
 
-@register("llm_dedup_span_removal", _SPAN_REMOVAL_ORACLE)
+@register("llm_dedup_span_removal", _span_removal_oracle())
 def llm_dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document duplicated-substring REMOVAL — the Lee et al. 2022
     ("Deduplicating Training Data Makes Language Models Better") output
@@ -9182,7 +9198,10 @@ def llm_dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     a kill interval [pos, pos+7]; per-doc kill intervals are UNION-ed
     by the win_interval_merge two-window form (running MAX of preceding
     ends flags group starts, running SUM numbers groups — one per-doc
-    sort, no self-join); surviving tokens reassemble via the
+    sort, no self-join); merged regions shorter than _SPAN_MIN_TOKENS
+    survive (the Lee-et-al production min-span gate — theirs is 50 —
+    applied AFTER the union so overlapping short hits that fuse into a
+    long region still go); surviving tokens reassemble via the
     llm_chunk_reassemble sort_array(collect_list(struct)) idiom and the
     cleaned text is emitted as md5 (scalar-safe; a fully-killed doc
     hashes the empty string identically in both engines). Plan at
@@ -9194,6 +9213,12 @@ def llm_dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     Positions are 0-based Spark-side and 1-based in the oracle; they
     never cross engines (only gram TEXT and final hashes do).
     """
+    return _span_removal_frame(spark, sf_dir, _SPAN_MIN_TOKENS)
+
+
+def _span_removal_frame(
+    spark: SparkSession, sf_dir: str, min_span: int
+) -> DataFrame:
     K = 8
     d = t(spark, sf_dir, "documents")
     tok = d.select(
@@ -9240,8 +9265,11 @@ def llm_dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(order.rowsBetween(W.unboundedPreceding, W.currentRow))
         .alias("grp"),
     )
-    merged = grouped.groupBy("doc_id", "grp").agg(
-        F.min("s").alias("ms"), F.max("e").alias("me")
+    merged = (
+        grouped.groupBy("doc_id", "grp")
+        .agg(F.min("s").alias("ms"), F.max("e").alias("me"))
+        # min-span gate AFTER the union: short merged regions survive
+        .filter(F.col("me") - F.col("ms") + 1 >= F.lit(min_span))
     )
     stats = merged.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_spans"),

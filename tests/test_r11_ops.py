@@ -25,6 +25,8 @@ from dbt_local_duckdb_deltalake_project_spark.operators import ORACLE, QUERIES
 
 K = 8
 
+_LONG = " ".join(f"L{i}" for i in range(1, 29))  # 28 shared tokens
+
 # (doc_id, text)
 _DOCS = [
     (0, "a b c d e f g h x y"),  # owner of every shared gram: untouched
@@ -33,8 +35,11 @@ _DOCS = [
     (3, "hello world"),  # < K tokens: no grams, pass-through
     (4, "a b c d e f g h z1 z2 z3 a b c d e f g h w1 w2"),  # 2 DISJOINT
     (5, "m a b c d e f g h x n"),  # 2 OVERLAPPING kills -> 1 merged span
+    (6, _LONG),  # owner of the 28-token run: untouched
+    (7, f"u1 {_LONG} u2"),  # 28-token merged span: excised at T=25 too
 ]
 
+# min_span=8 (raw r11 semantics — every merged span >= K goes):
 # doc_id -> (n_tokens, n_spans_removed, n_tokens_removed, cleaned text)
 _EXPECTED = {
     0: (10, 0, 0, "a b c d e f g h x y"),
@@ -43,12 +48,28 @@ _EXPECTED = {
     3: (2, 0, 0, "hello world"),
     4: (21, 2, 16, "z1 z2 z3 w1 w2"),
     5: (11, 1, 9, "m n"),
+    6: (28, 0, 0, _LONG),
+    7: (30, 1, 28, "u1 u2"),
+}
+
+# min_span=25 (the registered default): every merged region shorter
+# than 25 tokens SURVIVES — only doc 7's fused 28-token region goes
+_EXPECTED_MIN25 = {
+    0: (10, 0, 0, "a b c d e f g h x y"),
+    1: (12, 0, 0, "p q a b c d e f g h r s"),
+    2: (10, 0, 0, "a b c d e f g h x y"),
+    3: (2, 0, 0, "hello world"),
+    4: (21, 0, 0, "a b c d e f g h z1 z2 z3 a b c d e f g h w1 w2"),
+    5: (11, 0, 0, "m a b c d e f g h x n"),
+    6: (28, 0, 0, _LONG),
+    7: (30, 1, 28, "u1 u2"),
 }
 
 
-def _brute_force(docs):
+def _brute_force(docs, min_span=8):
     """Pure-Python replication: k-gram owners, kill-interval coverage
-    union, first-occurrence-keeps reassembly."""
+    union, min-span gate on the MERGED regions, first-occurrence-keeps
+    reassembly."""
     toks = {i: t.split(" ") for i, t in docs}
     owner: dict[tuple, int] = {}
     for i in sorted(toks):
@@ -57,30 +78,32 @@ def _brute_force(docs):
             owner.setdefault(g, i)
     out = {}
     for i in sorted(toks):
-        killed = set()
-        spans = []
-        for p in range(len(toks[i]) - K + 1):
-            if owner[tuple(toks[i][p : p + K])] != i:
-                spans.append((p, p + K - 1))
-                killed.update(range(p, p + K))
-        # union the spans for the merged-span count
-        merged = 0
-        prev_end = -1
+        spans = [
+            (p, p + K - 1)
+            for p in range(len(toks[i]) - K + 1)
+            if owner[tuple(toks[i][p : p + K])] != i
+        ]
+        # union first, THEN gate merged regions on length
+        merged: list[list[int]] = []
         for s, e in spans:
-            if s > prev_end:
-                merged += 1
-            prev_end = max(prev_end, e)
+            if merged and s <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], e)
+            else:
+                merged.append([s, e])
+        kept_iv = [(s, e) for s, e in merged if e - s + 1 >= min_span]
+        killed = {p for s, e in kept_iv for p in range(s, e + 1)}
         clean = " ".join(
             w for p, w in enumerate(toks[i]) if p not in killed
         )
-        out[i] = (len(toks[i]), merged, len(killed), clean)
+        out[i] = (len(toks[i]), len(kept_iv), len(killed), clean)
     return out
 
 
 def test_expected_table_matches_brute_force():
-    # the hand table and the reference algorithm must agree before
+    # the hand tables and the reference algorithm must agree before
     # either engine is consulted
-    assert _brute_force(_DOCS) == _EXPECTED
+    assert _brute_force(_DOCS, min_span=8) == _EXPECTED
+    assert _brute_force(_DOCS, min_span=25) == _EXPECTED_MIN25
 
 
 @pytest.fixture(scope="module")
@@ -99,10 +122,26 @@ def crafted_dir(tmp_path_factory, sf_dir, spark):
     return str(d)
 
 
+@pytest.mark.parametrize(
+    "min_span,expected", [(8, _EXPECTED), (25, _EXPECTED_MIN25)]
+)
 def test_span_removal_adversarial_matches_oracle_and_hand(
-    spark, crafted_dir
+    spark, crafted_dir, min_span, expected
 ):
-    sdf = QUERIES["llm_dedup_span_removal"](spark, crafted_dir)
+    from dbt_local_duckdb_deltalake_project_spark.operators.llm_ops import (
+        _SPAN_MIN_TOKENS,
+        _span_removal_frame,
+        _span_removal_oracle,
+    )
+
+    if min_span == _SPAN_MIN_TOKENS:
+        # the registered callable/oracle pair IS the default-threshold
+        # path — exercise the exact objects the driver runs
+        sdf = QUERIES["llm_dedup_span_removal"](spark, crafted_dir)
+        oracle_sql = ORACLE["llm_dedup_span_removal"]
+    else:
+        sdf = _span_removal_frame(spark, crafted_dir, min_span)
+        oracle_sql = _span_removal_oracle(min_span)
     got = {
         r["doc_id"]: (
             r["n_tokens"],
@@ -119,13 +158,13 @@ def test_span_removal_adversarial_matches_oracle_and_hand(
     )
     oracle = {
         r[0]: (r[1], r[2], r[3], r[4])
-        for r in con.execute(ORACLE["llm_dedup_span_removal"]).fetchall()
+        for r in con.execute(oracle_sql).fetchall()
     }
     con.close()
     assert got == oracle, "engine vs oracle diverge on crafted cases"
     want = {
         i: (n, s, r, hashlib.md5(clean.encode()).hexdigest())
-        for i, (n, s, r, clean) in _EXPECTED.items()
+        for i, (n, s, r, clean) in expected.items()
     }
     assert got == want, "both engines agree on a WRONG answer"
 

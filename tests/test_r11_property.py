@@ -30,8 +30,15 @@ _CORPUS = st.lists(_DOC, min_size=1, max_size=8)
 
 
 @settings(max_examples=150, deadline=None, derandomize=True)
-@given(_CORPUS)
-def test_span_removal_oracle_matches_brute_force(texts):
+@given(_CORPUS, st.sampled_from([8, 9, 12, 16, 25]))
+def test_span_removal_oracle_matches_brute_force(texts, min_span):
+    # sweeps the min-span gate: T=8 is the ungated r11 semantics (every
+    # merged region >= K goes), larger Ts exercise the survive branch;
+    # docs are <= 30 tokens so T=16/25 leave most regions in place
+    from dbt_local_duckdb_deltalake_project_spark.operators.llm_ops import (
+        _span_removal_oracle,
+    )
+
     docs = list(enumerate(texts))
     con = duckdb.connect()
     try:
@@ -46,14 +53,16 @@ def test_span_removal_oracle_matches_brute_force(texts):
         got = {
             r[0]: (r[1], r[2], r[3], r[4])
             for r in con.execute(
-                ORACLE["llm_dedup_span_removal"]
+                _span_removal_oracle(min_span)
             ).fetchall()
         }
     finally:
         con.close()
     want = {
         i: (n, s, r, hashlib.md5(clean.encode()).hexdigest())
-        for i, (n, s, r, clean) in _brute_force(docs).items()
+        for i, (n, s, r, clean) in _brute_force(
+            docs, min_span=min_span
+        ).items()
     }
     assert got == want
 
