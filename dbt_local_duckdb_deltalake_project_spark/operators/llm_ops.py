@@ -9723,3 +9723,132 @@ def llm_speculative_ngram_accept(
         )
         .orderBy("doc_id")
     )
+
+
+_PMI_ORACLE = """
+WITH lst AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS parts FROM documents
+),
+tok AS (
+  -- zipped parallel unnests (select-list form): a FROM-clause UNNEST
+  -- beside generate_subscripts would CROSS, not zip
+  SELECT doc_id, lang, w, ROW_NUMBER() OVER (
+           PARTITION BY doc_id ORDER BY pos) AS rn
+  FROM (
+    SELECT doc_id, lang, UNNEST(parts) AS w,
+           generate_subscripts(parts, 1) AS pos
+    FROM lst
+  ) WHERE w <> ''
+),
+bi AS (
+  SELECT lang, w AS a,
+         LEAD(w) OVER (PARTITION BY doc_id ORDER BY rn) AS b
+  FROM tok
+),
+pc AS (
+  SELECT lang, a, b, CAST(COUNT(*) AS BIGINT) AS c_ab
+  FROM bi WHERE b IS NOT NULL
+  GROUP BY lang, a, b
+),
+la AS (SELECT lang, a, CAST(SUM(c_ab) AS BIGINT) AS c_a
+       FROM pc GROUP BY lang, a),
+lb AS (SELECT lang, b, CAST(SUM(c_ab) AS BIGINT) AS c_b
+       FROM pc GROUP BY lang, b),
+ln_ AS (SELECT lang, CAST(SUM(c_ab) AS BIGINT) AS n_pairs
+        FROM pc GROUP BY lang),
+scored AS (
+  SELECT p.lang, p.a, p.b, p.c_ab, la.c_a, lb.c_b, ln_.n_pairs,
+         CAST(ROUND(ROUND(ln(CAST(p.c_ab AS DOUBLE)), 9) * 1000000)
+              AS BIGINT)
+         + CAST(ROUND(ROUND(ln(CAST(ln_.n_pairs AS DOUBLE)), 9) * 1000000)
+                AS BIGINT)
+         - CAST(ROUND(ROUND(ln(CAST(la.c_a AS DOUBLE)), 9) * 1000000)
+                AS BIGINT)
+         - CAST(ROUND(ROUND(ln(CAST(lb.c_b AS DOUBLE)), 9) * 1000000)
+                AS BIGINT) AS pmi_micros
+  FROM pc p
+  JOIN la ON la.lang = p.lang AND la.a = p.a
+  JOIN lb ON lb.lang = p.lang AND lb.b = p.b
+  JOIN ln_ ON ln_.lang = p.lang
+  WHERE p.c_ab >= 5
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY pmi_micros DESC, a, b) AS rnk
+  FROM scored
+)
+SELECT lang, rnk, a, b, c_ab, c_a, c_b, n_pairs, pmi_micros
+FROM ranked WHERE rnk <= 20
+ORDER BY lang, rnk
+"""
+
+
+@register("llm_pmi_collocations", _PMI_ORACLE)
+def llm_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise-mutual-information collocation mining (Church & Hanks
+    1990) — the standard phrase-vocabulary builder run before tokenizer
+    training: per language, rank adjacent token pairs by
+    PMI = ln(c_ab·N / (c_a·c_b)), where the margins c_a/c_b and N are
+    the bigram-table row sums (so rare-but-always-together pairs beat
+    frequent-by-chance ones), with the classic min-count gate
+    (c_ab >= 5) that keeps the log from rewarding hapax noise.
+    Determinism: the log is applied to each INTEGER count separately
+    and micros-quantized per the zipf/adamic discipline (9-dp round
+    then 1e6), so pmi_micros is a SUM of four independently quantized
+    terms — pure integer arithmetic after the lns, no cross-engine
+    division anywhere; ranking ties break on (a, b). Plan at 100 TB:
+    one doc-partitioned LEAD window builds bigrams (no self-join), ONE
+    (lang,a,b)-keyed map-side-combined shuffle counts pairs, margins
+    fold from the counted pair table (vocabulary-sized, not
+    corpus-sized), broadcast back, and the top-20 rank window is
+    lang-partitioned — linear scan, three vocabulary-scale folds.
+    """
+    d = t(spark, sf_dir, "documents")
+    tok = (
+        d.select(
+            "doc_id", "lang",
+            F.posexplode(F.split("text", " ")).alias("pos", "w"),
+        )
+        .filter(F.col("w") != "")
+    )
+    wd = W.partitionBy("doc_id").orderBy("pos")
+    bi = tok.select(
+        "lang", F.col("w").alias("a"), F.lead("w").over(wd).alias("b")
+    ).filter(F.col("b").isNotNull())
+    pc = bi.groupBy("lang", "a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    la = pc.groupBy("lang", "a").agg(F.sum("c_ab").alias("c_a"))
+    lb = pc.groupBy("lang", "b").agg(F.sum("c_ab").alias("c_b"))
+    ln_ = pc.groupBy("lang").agg(F.sum("c_ab").alias("n_pairs"))
+
+    def lnq(col):
+        return (
+            F.round(F.round(F.log(col.cast("double")), 9) * 1_000_000)
+            .cast("long")
+        )
+
+    scored = (
+        pc.filter(F.col("c_ab") >= 5)
+        .join(la, ["lang", "a"])
+        .join(lb, ["lang", "b"])
+        .join(F.broadcast(ln_), "lang")
+        .select(
+            "lang", "a", "b", "c_ab", "c_a", "c_b", "n_pairs",
+            (
+                lnq(F.col("c_ab")) + lnq(F.col("n_pairs"))
+                - lnq(F.col("c_a")) - lnq(F.col("c_b"))
+            ).alias("pmi_micros"),
+        )
+    )
+    wr = W.partitionBy("lang").orderBy(
+        F.col("pmi_micros").desc(), "a", "b"
+    )
+    return (
+        scored.select("*", F.row_number().over(wr).alias("rnk"))
+        .filter(F.col("rnk") <= 20)
+        .select(
+            "lang", "rnk", "a", "b", "c_ab", "c_a", "c_b", "n_pairs",
+            "pmi_micros",
+        )
+        .orderBy("lang", "rnk")
+    )
