@@ -4445,3 +4445,217 @@ def agg_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_QSKETCH_ORACLE = """
+WITH pts AS (
+  SELECT date_trunc('month', l_shipdate) AS g,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem
+),
+gn AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM pts GROUP BY g),
+rk AS (
+  SELECT g, cents,
+         ROW_NUMBER() OVER (PARTITION BY g ORDER BY cents) AS r
+  FROM pts
+),
+tgt AS (
+  SELECT gn.g, i.i,
+         (i.i * gn.n) // 64 AS ri,
+         (i.i * gn.n) // 64 - ((i.i - 1) * gn.n) // 64 AS w
+  FROM gn, UNNEST(range(1, 65)) AS i(i)
+),
+bnd AS (
+  SELECT t.g, t.i, t.w, r.cents AS v
+  FROM tgt t JOIN rk r ON r.g = t.g AND r.r = t.ri
+  WHERE t.w > 0
+),
+cum AS (
+  SELECT v, SUM(w) OVER (ORDER BY v, g, i ROWS UNBOUNDED PRECEDING) AS cw
+  FROM bnd
+),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(COUNT(*) AS BIGINT) AS ng
+  FROM gn
+),
+nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_b FROM bnd),
+qs AS (SELECT UNNEST([250000, 500000, 750000, 900000]) AS q_ppm),
+est AS (
+  SELECT q.q_ppm,
+         MIN(CASE WHEN c.cw >= (q.q_ppm * t.nt + 999999) // 1000000
+                  THEN c.v END) AS est_cents
+  FROM qs q CROSS JOIN tot t CROSS JOIN cum c
+  GROUP BY q.q_ppm
+),
+truth AS (
+  SELECT e.q_ppm, e.est_cents,
+         CAST(SUM(CASE WHEN p.cents <= e.est_cents THEN 1 ELSE 0 END)
+              AS BIGINT) AS cle,
+         CAST(SUM(CASE WHEN p.cents < e.est_cents THEN 1 ELSE 0 END)
+              AS BIGINT) AS clt
+  FROM est e CROSS JOIN pts p
+  GROUP BY e.q_ppm, e.est_cents
+)
+SELECT tr.q_ppm,
+       t.nt AS n_total, t.ng AS n_groups, nb.n_b AS n_boundaries,
+       tr.est_cents,
+       CAST(tr.cle * 1000000 // t.nt AS BIGINT) AS le_ppm,
+       CAST(tr.clt * 1000000 // t.nt AS BIGINT) AS lt_ppm,
+       CAST(15627 + (1000000 * t.ng) // t.nt AS BIGINT) AS bound_ppm,
+       TRUE AS bound_ok
+FROM truth tr CROSS JOIN tot t CROSS JOIN nb
+ORDER BY tr.q_ppm
+"""
+
+
+@register("agg_quantile_sketch_merge", _QSKETCH_ORACLE)
+def agg_quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable equi-depth quantile summaries — the re-aggregatable
+    percentile path a 100 TB rollup hierarchy needs (agg_hll_sketch_merge
+    is the distinct-count sibling; agg_percentile_approx checks the
+    single-pass GK bound): each shard (ship month) folds to a k=64
+    boundary summary — the value at every rank floor(i*n_g/64), weighted
+    by the EXACT rank gap it covers — and the shard summaries merge by
+    weighted-rank selection into global quantile estimates, without ever
+    re-touching shard rows (the KLL/t-digest production shape, kept
+    deterministic: no randomized compaction, so the oracle replicates
+    est_cents EXACTLY and the driver hash-checks the estimate itself,
+    not just a bound). Rank guarantee, tie-aware and proven not assumed:
+    count(x <= est) >= ceil(q*N) always, and count(x < est) overshoots
+    q*N by at most sum_g ceil(n_g/64) <= N/64 + G — a second exact
+    codegen pass computes both counts and the boolean asserts them
+    against bound_ppm = 15625 + G*1e6/N + 2 (oracle emits TRUE, so a
+    violated bound hash-mismatches). All integer arithmetic: cents
+    values, rank-gap weights, ppm divisions; boolean products widened
+    to DECIMAL(38,0) for >2^53-row headroom. Plan at 100 TB: per-shard
+    rank windows are month-partitioned; the merged summary is
+    SKETCH-sized (G x 64 rows), its cumsum runs in the
+    agg_weighted_median two-pass range-partition form (no unpartitioned
+    window); the truth pass broadcasts 4 scalar estimates over one
+    map-side-combined scan. Shards re-sketch independently — the merge
+    is associative, the point of the op.
+    """
+    from pyspark.sql import Window as W
+
+    K = 64
+    li = t(spark, sf_dir, "lineitem").select(
+        F.date_trunc("month", F.col("l_shipdate")).alias("g"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    gn = li.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+    rk = li.select(
+        F.col("g").alias("rg"),
+        F.col("cents"),
+        F.row_number()
+        .over(W.partitionBy("g").orderBy("cents"))
+        .alias("r"),
+    )
+    tgt = (
+        gn.select(
+            "g", "n", F.explode(F.sequence(F.lit(1), F.lit(K))).alias("i")
+        )
+        .select(
+            "g",
+            "i",
+            F.expr("(i * n) div 64").alias("ri"),
+            (
+                F.expr("(i * n) div 64") - F.expr("((i - 1) * n) div 64")
+            ).alias("w"),
+        )
+        .filter(F.col("w") > 0)
+    )
+    bnd = tgt.join(
+        rk, (tgt.g == rk.rg) & (tgt.ri == rk.r)
+    ).select("g", "i", "w", F.col("cents").alias("v"))
+    # merged-summary cumsum: two-pass range-partition form — the summary
+    # is G x 64 rows, but no unpartitioned window regardless
+    parts = (
+        bnd.repartitionByRange(
+            8, F.col("v").asc(), F.col("g").asc(), F.col("i").asc()
+        )
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)  # pin the pid assignment
+    )
+    wl = W.partitionBy("pid").orderBy("v", "g", "i")
+    local = parts.select(
+        "v",
+        "pid",
+        F.sum("w")
+        .over(wl.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("lcw"),
+    )
+    pstats = parts.groupBy("pid").agg(F.sum("w").alias("psum"))
+    offsets = (
+        pstats.alias("a")
+        .join(pstats.alias("b"), F.col("b.pid") < F.col("a.pid"), "left")
+        .groupBy(F.col("a.pid").alias("pid"))
+        .agg(F.coalesce(F.sum("b.psum"), F.lit(0)).cast("long").alias("off"))
+    )
+    cum = local.join(F.broadcast(offsets), "pid").select(
+        "v", (F.col("lcw") + F.col("off")).alias("cw")
+    )
+    tot = gn.agg(
+        F.sum("n").alias("nt"), F.count(F.lit(1)).alias("ng")
+    ).crossJoin(bnd.agg(F.count(F.lit(1)).alias("n_b")))
+    qs = spark.createDataFrame(
+        [(250000,), (500000,), (750000,), (900000,)], "q_ppm long"
+    )
+    est = (
+        qs.crossJoin(F.broadcast(tot.select("nt")))
+        .crossJoin(cum)
+        .groupBy("q_ppm")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cw")
+                    >= F.expr("(q_ppm * nt + 999999) div 1000000"),
+                    F.col("v"),
+                )
+            ).alias("est_cents")
+        )
+    )
+    truth = (
+        li.crossJoin(F.broadcast(est))
+        .groupBy("q_ppm", "est_cents")
+        .agg(
+            F.sum(
+                (F.col("cents") <= F.col("est_cents")).cast("long")
+            ).alias("cle"),
+            F.sum(
+                (F.col("cents") < F.col("est_cents")).cast("long")
+            ).alias("clt"),
+        )
+    )
+    dec = "decimal(38,0)"
+    bound = (F.lit(15627) + F.expr("(1000000 * ng) div nt")).alias(
+        "bound_ppm"
+    )
+    return (
+        truth.crossJoin(F.broadcast(tot))
+        .select(
+            "q_ppm",
+            F.col("nt").alias("n_total"),
+            F.col("ng").alias("n_groups"),
+            F.col("n_b").alias("n_boundaries"),
+            "est_cents",
+            F.expr("(cle * 1000000) div nt").alias("le_ppm"),
+            F.expr("(clt * 1000000) div nt").alias("lt_ppm"),
+            bound,
+            (
+                (
+                    F.col("cle").cast(dec) * 1_000_000
+                    >= (F.col("q_ppm") - 1).cast(dec) * F.col("nt")
+                )
+                & (
+                    F.col("clt").cast(dec) * 1_000_000
+                    <= (
+                        F.col("q_ppm").cast(dec)
+                        + F.lit(15627)
+                        + F.expr("(1000000 * ng) div nt")
+                    )
+                    * F.col("nt")
+                )
+            ).alias("bound_ok"),
+        )
+        .orderBy("q_ppm")
+    )
