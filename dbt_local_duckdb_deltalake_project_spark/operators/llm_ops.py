@@ -9852,3 +9852,289 @@ def llm_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "rnk")
     )
+
+
+_UNIGRAM_ORACLE = """
+WITH docs AS MATERIALIZED (
+  SELECT doc_id, substring(text, 1, 12) AS s,
+         LEAST(12, length(text)) AS L
+  FROM documents WHERE doc_id % 10 = 0 AND length(text) >= 1
+),
+lens AS (SELECT DISTINCT L FROM docs),
+maskpos AS (
+  SELECT l.L, m.mask, i.i,
+         bit_count(m.mask & ((CAST(1 AS BIGINT) << (i.i - 1)) - 1)) AS seg_id
+  FROM lens l,
+       UNNEST(range(0, CAST(1 AS BIGINT) << (l.L - 1))) AS m(mask),
+       UNNEST(range(1, l.L + 1)) AS i(i)
+),
+comps AS (
+  SELECT L, mask, seg_id, MIN(i) AS seg_start,
+         CAST(COUNT(*) AS BIGINT) AS seg_len
+  FROM maskpos GROUP BY L, mask, seg_id
+),
+bad AS (SELECT DISTINCT L, mask FROM comps WHERE seg_len > 4),
+comps_ok AS MATERIALIZED (
+  SELECT c.L, c.mask, c.seg_id, c.seg_start, c.seg_len
+  FROM comps c ANTI JOIN bad b ON b.L = c.L AND b.mask = c.mask
+),
+pieces AS MATERIALIZED (
+  SELECT d.doc_id, c.mask, substring(d.s, c.seg_start, c.seg_len) AS piece
+  FROM docs d JOIN comps_ok c ON c.L = d.L
+),
+subs AS (
+  SELECT substring(d.s, p.p, n.n) AS piece
+  FROM docs d,
+       UNNEST(range(1, 5)) AS n(n),
+       UNNEST(range(1, d.L - n.n + 2)) AS p(p)
+  WHERE n.n <= d.L
+),
+v0 AS MATERIALIZED (
+  SELECT piece, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM subs GROUP BY piece
+  HAVING COUNT(*) >= 2 OR length(piece) = 1
+),
+t0 AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tot,
+              CAST(COUNT(*) AS BIGINT) AS v FROM v0),
+sc0 AS MATERIALIZED (
+  SELECT piece,
+         CAST(ROUND(ROUND(ln(CAST(t0.tot + t0.v AS DOUBLE)), 9) * 1000000)
+              AS BIGINT)
+         - CAST(ROUND(ROUND(ln(CAST(v0.cnt + 1 AS DOUBLE)), 9) * 1000000)
+                AS BIGINT) AS score
+  FROM v0, t0
+),
+m1 AS (
+  SELECT p.doc_id, p.mask, COUNT(*) AS n_seg, COUNT(s.score) AS n_ok,
+         SUM(s.score) AS cost
+  FROM pieces p LEFT JOIN sc0 s ON s.piece = p.piece
+  GROUP BY p.doc_id, p.mask
+),
+w1 AS MATERIALIZED (
+  SELECT doc_id, mask FROM (
+    SELECT doc_id, mask,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cost, mask) AS rn
+    FROM m1 WHERE n_ok = n_seg) WHERE rn = 1
+),
+u1 AS MATERIALIZED (
+  SELECT p.piece, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM pieces p JOIN w1 ON w1.doc_id = p.doc_id AND w1.mask = p.mask
+  GROUP BY p.piece
+),
+v2 AS MATERIALIZED (
+  SELECT COALESCE(u.piece, c.piece) AS piece,
+         COALESCE(u.cnt, 0) AS cnt
+  FROM u1 u
+  FULL JOIN (SELECT piece FROM v0 WHERE length(piece) = 1) c
+    ON c.piece = u.piece
+),
+t2 AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tot,
+              CAST(COUNT(*) AS BIGINT) AS v FROM v2),
+sc2 AS MATERIALIZED (
+  SELECT piece,
+         CAST(ROUND(ROUND(ln(CAST(t2.tot + t2.v AS DOUBLE)), 9) * 1000000)
+              AS BIGINT)
+         - CAST(ROUND(ROUND(ln(CAST(v2.cnt + 1 AS DOUBLE)), 9) * 1000000)
+                AS BIGINT) AS score
+  FROM v2, t2
+),
+m2 AS (
+  SELECT p.doc_id, p.mask, COUNT(*) AS n_seg, COUNT(s.score) AS n_ok,
+         SUM(s.score) AS cost
+  FROM pieces p LEFT JOIN sc2 s ON s.piece = p.piece
+  GROUP BY p.doc_id, p.mask
+),
+w2 AS MATERIALIZED (
+  SELECT doc_id, mask FROM (
+    SELECT doc_id, mask,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cost, mask) AS rn
+    FROM m2 WHERE n_ok = n_seg) WHERE rn = 1
+),
+u2 AS MATERIALIZED (
+  SELECT p.piece, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM pieces p JOIN w2 ON w2.doc_id = p.doc_id AND w2.mask = p.mask
+  GROUP BY p.piece
+),
+scal AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM docs) AS n_sample_docs,
+         (SELECT v FROM t2) AS vocab_size,
+         (SELECT CAST(SUM(cnt) AS BIGINT) FROM u2) AS total_usage
+)
+SELECT u2.piece, CAST(length(u2.piece) AS BIGINT) AS piece_len,
+       u2.cnt AS usage, sc2.score AS score_micros,
+       scal.n_sample_docs, scal.vocab_size, scal.total_usage
+FROM u2 JOIN sc2 ON sc2.piece = u2.piece CROSS JOIN scal
+ORDER BY u2.cnt DESC, u2.piece
+LIMIT 20
+"""
+
+
+@register("llm_unigram_lm_learn", _UNIGRAM_ORACLE)
+def llm_unigram_lm_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer learning (Kudo 2018, the SentencePiece
+    family) — the other dominant tokenizer learner beside llm_bpe_learn:
+    instead of greedy pair merging, keep a candidate vocabulary of
+    substrings, let each document choose its best SEGMENTATION under
+    the current piece scores, and re-estimate scores from the chosen
+    segmentations (hard-EM; pieces that win no segmentation are pruned
+    from the next round's vocabulary, Kudo's prune step). The corpus is
+    the BPE learner's bounded sample (doc_id % 10 == 0, first 12 chars
+    — tokenizers learn on thousands of sequences at any corpus size;
+    apply-side ops are the scale-out path). Viterbi is computed BY
+    ENUMERATION, relationally: a cut of a length-L string is a bitmask
+    over its L-1 gaps, segments fall out of bit_count prefix ranks, the
+    max-piece-len-4 constraint caps valid masks at the 1490 tetranacci
+    compositions of L=12, and the per-doc argmin (ties to the smallest
+    mask) is a doc-partitioned rank — no sequential DP, no UDF, both
+    engines replay it exactly. Candidate vocab V0 = substrings of len
+    1..4 with count >= 2 plus ALL single chars (so every doc always has
+    a valid segmentation); piece score = -ln p quantized to micros per
+    the zipf/PMI log discipline, p Laplace-(+1)-smoothed over the vocab
+    total — costs are integer sums, argmin ties integer, everything
+    hash-checks. Two EM rounds; output = final top-20 vocab by round-2
+    usage with the scores round 2 segmented under. Plan at 100 TB: the
+    mask/composition table is DATA-INDEPENDENT (~15k rows, broadcast);
+    pieces = sample x compositions (bounded by sample design); each
+    round is one broadcast score join + one (doc,mask) map-side-combined
+    fold + one doc-partitioned rank — flat two-job-deep lineage via
+    lazy localCheckpoints, ONE action total. The oracle MATERIALIZES
+    every reused CTE (the BPE lesson: DuckDB default-inlines CTE chains
+    exponentially)."""
+    d = t(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") % 10 == 0) & (F.length("text") >= 1)
+    )
+    docs = d.select(
+        "doc_id",
+        F.expr("substring(text, 1, 12)").alias("s"),
+        F.least(F.lit(12), F.length("text")).alias("L"),
+    )
+    lens = docs.select("L").distinct()
+    maskpos = (
+        lens.select(
+            "L",
+            F.explode(
+                F.expr(
+                    "sequence(CAST(0 AS BIGINT),"
+                    " shiftleft(CAST(1 AS BIGINT), L - 1) - 1)"
+                )
+            ).alias("mask"),
+        )
+        .select(
+            "L", "mask", F.explode(F.expr("sequence(1, L)")).alias("i")
+        )
+        .select(
+            "L",
+            "mask",
+            "i",
+            F.expr(
+                "bit_count(mask &"
+                " (shiftleft(CAST(1 AS BIGINT), i - 1) - 1))"
+            ).alias("seg_id"),
+        )
+    )
+    comps = maskpos.groupBy("L", "mask", "seg_id").agg(
+        F.min("i").alias("seg_start"), F.count(F.lit(1)).alias("seg_len")
+    )
+    bad = comps.filter(F.col("seg_len") > 4).select("L", "mask").distinct()
+    comps_ok = comps.join(bad, ["L", "mask"], "left_anti").localCheckpoint(
+        eager=False
+    )
+    pieces = docs.join(F.broadcast(comps_ok), "L").select(
+        "doc_id",
+        "mask",
+        F.expr(
+            "substring(s, CAST(seg_start AS INT), CAST(seg_len AS INT))"
+        ).alias("piece"),
+    )
+    subs = (
+        docs.select(
+            "s", "L", F.explode(F.expr("sequence(1, 4)")).alias("n")
+        )
+        .filter(F.col("n") <= F.col("L"))
+        .select(
+            "s", "n",
+            F.explode(F.expr("sequence(1, L - n + 1)")).alias("p"),
+        )
+        .select(
+            F.expr("substring(s, CAST(p AS INT), CAST(n AS INT))").alias(
+                "piece"
+            )
+        )
+    )
+    v0 = (
+        subs.groupBy("piece")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter((F.col("cnt") >= 2) | (F.length("piece") == 1))
+    )
+
+    def lnq(col):
+        return (
+            F.round(F.round(F.log(col.cast("double")), 9) * 1_000_000)
+            .cast("long")
+        )
+
+    def scored(vocab):
+        # vocab (piece, cnt) -> (piece, score): -ln p in micros, p
+        # Laplace-(+1)-smoothed over the vocab total
+        tot = vocab.agg(
+            F.sum("cnt").alias("tot"), F.count(F.lit(1)).alias("v")
+        )
+        return vocab.crossJoin(F.broadcast(tot)).select(
+            "piece",
+            (lnq(F.col("tot") + F.col("v")) - lnq(F.col("cnt") + 1)).alias(
+                "score"
+            ),
+        )
+
+    def segment_usage(scores):
+        # Viterbi by enumeration: argmin total cost over VALID masks
+        # (every piece in vocab), ties to the smallest mask
+        j = pieces.join(F.broadcast(scores), "piece", "left")
+        m = j.groupBy("doc_id", "mask").agg(
+            F.count(F.lit(1)).alias("n_seg"),
+            F.count("score").alias("n_ok"),
+            F.sum("score").alias("cost"),
+        )
+        wv = W.partitionBy("doc_id").orderBy("cost", "mask")
+        won = (
+            m.filter(F.col("n_ok") == F.col("n_seg"))
+            .select(
+                "doc_id", "mask", F.row_number().over(wv).alias("rn")
+            )
+            .filter(F.col("rn") == 1)
+            .select("doc_id", "mask")
+        )
+        return pieces.join(won, ["doc_id", "mask"]).groupBy("piece").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+
+    sc0 = scored(v0)
+    u1 = segment_usage(sc0).localCheckpoint(eager=False)
+    singles = v0.filter(F.length("piece") == 1).select("piece")
+    v2 = (
+        u1.join(singles, "piece", "full")
+        .select("piece", F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    sc2 = scored(v2)
+    u2 = segment_usage(sc2)
+    scal = (
+        docs.agg(F.count(F.lit(1)).alias("n_sample_docs"))
+        .crossJoin(v2.agg(F.count(F.lit(1)).alias("vocab_size")))
+        .crossJoin(u2.agg(F.sum("cnt").alias("total_usage")))
+    )
+    return (
+        u2.join(sc2, "piece")
+        .crossJoin(F.broadcast(scal))
+        .select(
+            "piece",
+            F.length("piece").cast("long").alias("piece_len"),
+            F.col("cnt").alias("usage"),
+            F.col("score").alias("score_micros"),
+            "n_sample_docs",
+            "vocab_size",
+            "total_usage",
+        )
+        .orderBy(F.col("usage").desc(), "piece")
+        .limit(20)
+    )
