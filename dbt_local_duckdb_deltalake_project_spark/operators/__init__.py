@@ -39,35 +39,24 @@ for _m in _MODULES:
 # the back. Within the window, cheaper queries come first in case the
 # window is time-budgeted. Rotate this list each round as rows come back.
 _WINDOW_FIRST = [
-    # --- r11 window head: the four ids the r10 ADVICE flagged, all
-    # changed this round. agg_zipf_fit: r² quantization moved to the
-    # graph_assortativity TWO-STAGE form on both sides (one-shot
-    # num²·1e6 overflows DECIMAL(38)/HUGEINT at realistic vocabulary;
-    # staged floor may differ by ≤1 micro, so values can change);
-    # agg_autocorr_lags: moments/cross-products widened to
-    # DECIMAL(38,0) Spark-side + r² two-stage in BOTH engines (the
-    # cuped BIGINT-wrap class); llm_boilerplate_phrases: oracle now
-    # re-numbers token positions after the empty filter (ROW_NUMBER
-    # over pos) so positional joins match LEAD-after-filter adjacency
-    # on irregular whitespace; fn_aes_roundtrip: wrong-key check is
-    # padding-independent (NULL-or-not-the-plaintext — wrong-key
-    # ECB/PKCS passes padding ~1/256 per row). ---
-    "agg_zipf_fit", "agg_autocorr_lags", "llm_boilerplate_phrases",
-    "fn_aes_roundtrip",
-    # llm_bpe_learn parameterized to _BPE_N = 8 merges (values changed:
-    # 8 output rows; one count action per round via the token-delta);
-    # llm_bpe_apply consumes the 8-row staged merge table (new n_merge4
-    # ..n_merge8 columns, oracle CTEs MATERIALIZED to stop DuckDB's
-    # exponential inline expansion of the 8-round chain). Both simmed
-    # green at sf0.01 + sf0.1; STAGING_VERSION bumped 3 -> 4.
-    "llm_bpe_learn", "llm_bpe_apply",
-    # llm_ann_recall gained the ivfpq_recall_ok column (the new
-    # llm_cosine_topk_ivfpq's measured >= 0.6 floor); simmed green at
-    # sf0.01 + sf0.1.
-    "llm_ann_recall",
-    # --- the rest of the 50-slot window fills automatically:
-    # never-checked r11 ops first, then the stalest driver-green ids
-    # (the 4 r1 set_* ops + the r2 cohort). ---
+    # --- r12 window head: ids r12 changed. llm_dedup_span_removal:
+    # VALUES changed — the new min-span gate (default 25 tokens,
+    # applied after the kill-interval union) lets short merged regions
+    # survive; oracle gained the matching HAVING. The other four are
+    # value-identical hardenings that still re-prove their edited
+    # text/impl: graph_adamic_adar (oracle degree guard moved ahead of
+    # the 1/ln(d) weight — d=1 would raise on IEEE-float engines),
+    # agg_ipw_ate + graph_hits (oracle products/iterates widened to
+    # HUGEINT, mirroring the Spark DECIMAL(38,0) side), llm_bpe_learn
+    # (tokens_before identity now counts only token-bearing docs).
+    # All five simmed green at sf0.01 + sf0.1 (span_removal also 10x).
+    "llm_dedup_span_removal", "graph_adamic_adar", "agg_ipw_ate",
+    "graph_hits", "llm_bpe_learn",
+    # --- the rest of the 50-slot window fills automatically: the 4
+    # never-checked r12 ops (llm_pmi_collocations,
+    # agg_quantile_sketch_merge, mm_crossmodal_topk,
+    # llm_unigram_lm_learn — each simmed green at sf0.01/sf0.1/10x),
+    # then the stalest driver-green ids (the r2 cohort). ---
 ]
 
 # The round whose driver row SATISFIES a _WINDOW_FIRST entry: once an id
@@ -76,7 +65,7 @@ _WINDOW_FIRST = [
 # rotation) — the next round's 50 slots all go to the backlog without
 # waiting for a manual list edit. Bump when repopulating _WINDOW_FIRST
 # for a new round's changes.
-_WINDOW_FIRST_ROUND = 11
+_WINDOW_FIRST_ROUND = 12
 
 
 # Directly behind the window: first the regression breadth mix (one-plus

@@ -1424,3 +1424,108 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("auth2").desc(), "supplier")
         .limit(20)
     )
+
+
+_PPR_ORACLE = """
+WITH pairs AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+degc AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS dc FROM pairs GROUP BY c),
+degs AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS ds FROM pairs GROUP BY s),
+seeds AS (
+  SELECT c_custkey AS c, CAST(1000000 AS BIGINT) AS m0
+  FROM customer WHERE c_nationkey = 0
+),
+r1 AS (
+  SELECT p.s, CAST(SUM(sd.m0 // d.dc) AS BIGINT) AS m1
+  FROM pairs p JOIN seeds sd ON sd.c = p.c JOIN degc d ON d.c = p.c
+  GROUP BY p.s
+),
+r2 AS (
+  SELECT p.c, CAST(SUM(r1.m1 // d.ds) AS BIGINT) AS m2
+  FROM pairs p JOIN r1 ON r1.s = p.s JOIN degs d ON d.s = p.s
+  GROUP BY p.c
+),
+r3 AS (
+  SELECT p.s, CAST(SUM(r2.m2 // d.dc) AS BIGINT) AS m3
+  FROM pairs p JOIN r2 ON r2.c = p.c JOIN degc d ON d.c = p.c
+  GROUP BY p.s
+)
+SELECT COALESCE(r1.s, r3.s) AS supplier,
+       COALESCE(r1.m1, 0) AS ppr1_micros,
+       COALESCE(r3.m3, 0) AS ppr3_micros,
+       4 * COALESCE(r1.m1, 0) + COALESCE(r3.m3, 0) AS ppr_score
+FROM r1 FULL JOIN r3 ON r3.s = r1.s
+ORDER BY ppr_score DESC, supplier
+LIMIT 20
+"""
+
+
+@register("graph_personalized_pagerank", _PPR_ORACLE)
+def graph_personalized_pagerank(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Personalized PageRank over the bipartite purchase graph — the
+    SEEDED variant of graph_pagerank (the recommendation/trust
+    primitive: relevance FROM a query set, not global centrality):
+    unit mass starts on nation-0 customers and pushes through
+    degree-normalized edges; a supplier's score blends its 1-hop and
+    3-hop seed mass 4:1 (damping 1/2 per hop, so beta^1 : beta^3).
+    Determinism is the push-phase floor discipline (Andersen et al.
+    2006's push approximation made exact): every edge carries
+    mass // degree in integer micros — no float division anywhere, and
+    total mass only shrinks, so BIGINT holds at any graph size.
+    Suppliers the seed set cannot reach in 3 hops are absent (their
+    restart-free PPR is 0); FULL-join reconciliation keeps 1-hop-only
+    and 3-hop-only suppliers both scored. Plan: one distinct fold, two
+    degree folds, then three key-partitioned join+fold rounds — the
+    graph_hits shape with a seed filter; top-20 via
+    TakeOrderedAndProject. Linear in edges at 100 TB; more hops = two
+    more shuffles per hop, the plan never grows per-node state.
+    """
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    degc = pairs.groupBy("c").agg(F.count(F.lit(1)).alias("dc"))
+    degs = pairs.groupBy("s").agg(F.count(F.lit(1)).alias("ds"))
+    seeds = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey") == 0)
+        .select(F.col("c_custkey").alias("c"), F.lit(1_000_000).alias("m0"))
+    )
+    r1 = (
+        pairs.join(seeds, "c")
+        .join(degc, "c")
+        .groupBy("s")
+        .agg(F.sum(F.expr("m0 div dc")).alias("m1"))
+    )
+    r2 = (
+        pairs.join(r1, "s")
+        .join(degs, "s")
+        .groupBy("c")
+        .agg(F.sum(F.expr("m1 div ds")).alias("m2"))
+    )
+    r3 = (
+        pairs.join(r2, "c")
+        .join(degc, "c")
+        .groupBy("s")
+        .agg(F.sum(F.expr("m2 div dc")).alias("m3"))
+    )
+    j = r1.join(r3, "s", "full")
+    p1 = F.coalesce(F.col("m1"), F.lit(0))
+    p3 = F.coalesce(F.col("m3"), F.lit(0))
+    return (
+        j.select(
+            F.col("s").alias("supplier"),
+            p1.alias("ppr1_micros"),
+            p3.alias("ppr3_micros"),
+            (4 * p1 + p3).alias("ppr_score"),
+        )
+        .orderBy(F.col("ppr_score").desc(), "supplier")
+        .limit(20)
+    )

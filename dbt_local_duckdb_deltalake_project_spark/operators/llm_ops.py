@@ -10138,3 +10138,280 @@ def llm_unigram_lm_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("usage").desc(), "piece")
         .limit(20)
     )
+
+
+_PASS_AT_K_ORACLE = """
+WITH comp AS (
+  SELECT doc_id // 8 AS prompt_group,
+         CASE WHEN n_chars % 3 = 0 THEN 1 ELSE 0 END AS ok
+  FROM documents
+),
+g AS (
+  SELECT prompt_group,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(ok) AS BIGINT) AS c
+  FROM comp GROUP BY prompt_group
+)
+SELECT prompt_group, n, c,
+       CAST(c * 1000000 // n AS BIGINT) AS pass1_ppm,
+       CAST(CASE
+         WHEN n < 4 THEN NULL
+         WHEN n - c < 4 THEN 1000000
+         ELSE (n*(n-1)*(n-2)*(n-3)
+               - (n-c)*(n-c-1)*(n-c-2)*(n-c-3)) * 1000000
+              // (n*(n-1)*(n-2)*(n-3))
+       END AS BIGINT) AS pass4_ppm
+FROM g ORDER BY prompt_group
+"""
+
+
+@register("llm_eval_pass_at_k", _PASS_AT_K_ORACLE)
+def llm_eval_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pass@k estimator (Chen et al. 2021, the HumanEval/Codex metric)
+    — the unbiased "would at least one of k sampled completions pass"
+    readout every code-model eval pipeline aggregates: per prompt group
+    of n completions with c passing, pass@k = 1 − C(n−c,k)/C(n,k),
+    computed EXACTLY as falling-factorial integer products (n = 8 here,
+    so the products are tiny; at any n the binomial RATIO never needs
+    a bignum because k is small and fixed). Completions are the GRPO
+    op's 8-per-prompt fixture grouping with the deterministic pass
+    stand-in (n_chars %% 3 — the container ships no sandbox executor;
+    the multimodal-stub contract). Emitted: pass@1 (= c/n exactly) and
+    pass@4 in ppm via floor division; partial tail groups with n < k
+    emit NULL (mirrored), all-correct-enough groups (n−c < k) emit
+    exactly 1e6 — every branch integer, no floats anywhere. Plan: ONE
+    map-side-combined groupBy on prompt_group, then scalar arithmetic —
+    group state is two longs, scale-free at 100 TB.
+    """
+    comp = t(spark, sf_dir, "documents").select(
+        F.expr("doc_id div 8").alias("prompt_group"),
+        F.when(F.col("n_chars") % 3 == 0, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("ok"),
+    )
+    g = comp.groupBy("prompt_group").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("ok").alias("c")
+    )
+    den4 = "(n*(n-1)*(n-2)*(n-3))"
+    num4 = "((n-c)*(n-c-1)*(n-c-2)*(n-c-3))"
+    return g.select(
+        "prompt_group",
+        "n",
+        "c",
+        F.expr("c * 1000000 div n").alias("pass1_ppm"),
+        F.when(F.col("n") < 4, F.lit(None).cast("long"))
+        .when(F.col("n") - F.col("c") < 4, F.lit(1_000_000))
+        .otherwise(
+            F.expr(f"({den4} - {num4}) * 1000000 div {den4}")
+        )
+        .cast("long")
+        .alias("pass4_ppm"),
+    ).orderBy("prompt_group")
+
+
+_WATERMARK_ORACLE = """
+WITH lst AS (
+  SELECT doc_id, string_split(text, ' ') AS parts FROM documents
+),
+tok AS (
+  SELECT doc_id, w, ROW_NUMBER() OVER (
+           PARTITION BY doc_id ORDER BY pos) AS rn
+  FROM (
+    SELECT doc_id, UNNEST(parts) AS w,
+           generate_subscripts(parts, 1) AS pos
+    FROM lst
+  ) WHERE w <> ''
+),
+pairs AS (
+  SELECT doc_id, w AS prev,
+         LEAD(w) OVER (PARTITION BY doc_id ORDER BY rn) AS tok
+  FROM tok
+),
+scored AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(CASE WHEN strpos('01234567',
+                  substring(md5(prev || '|' || tok), 1, 1)) > 0
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_green
+  FROM pairs WHERE tok IS NOT NULL
+  GROUP BY doc_id
+)
+SELECT doc_id, n_pairs, n_green,
+       2 * n_green - n_pairs AS score_num,
+       (2 * n_green - n_pairs > 0 AND
+        (2 * n_green - n_pairs) * (2 * n_green - n_pairs) > 4 * n_pairs)
+         AS watermarked_z2
+FROM scored
+ORDER BY doc_id
+"""
+
+
+@register("llm_watermark_detect", _WATERMARK_ORACLE)
+def llm_watermark_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM watermark detection (Kirchenbauer et al. 2023, "A Watermark
+    for Large Language Models") — the provenance screen a training-data
+    pipeline runs so synthetic model output doesn't feed back into the
+    corpus: a greenlist watermark seeds each step's token partition
+    from the PREVIOUS token, so watermarked text is biased toward
+    "green" successors and a one-proportion z-test per document reads
+    it out. Greenlist membership here is md5(prev||'|'||token) first
+    hex nibble < 8 (gamma = 1/2, both engines bit-identical); with
+    gamma = 1/2 the z-statistic collapses to (2g − T)/sqrt(T), so the
+    detector needs NO sqrt: flag iff 2g−T > 0 AND (2g−T)^2 > 4T —
+    exact integers, z > 2 (chosen so the fixture's natural ~2.3%%
+    false-positive tail exercises BOTH branches; production uses z > 4,
+    same integers). Emits per-doc pair/green counts and the signed
+    score numerator, everything hash-checked. Plan at 100 TB: one
+    doc-partitioned LEAD window + one map-side-combined fold — linear,
+    zero joins, the same shape as llm_quality_score gates.
+    """
+    tok = (
+        t(spark, sf_dir, "documents")
+        .select(
+            "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+        )
+        .filter(F.col("w") != "")
+    )
+    wd = W.partitionBy("doc_id").orderBy("pos")
+    pairs = tok.select(
+        "doc_id",
+        F.col("w").alias("prev"),
+        F.lead("w").over(wd).alias("tok"),
+    ).filter(F.col("tok").isNotNull())
+    green = (
+        F.instr(
+            F.lit("01234567"),
+            F.substring(
+                F.md5(F.concat_ws("|", F.col("prev"), F.col("tok"))), 1, 1
+            ),
+        )
+        > 0
+    ).cast("long")
+    scored = pairs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(green).alias("n_green"),
+    )
+    num = 2 * F.col("n_green") - F.col("n_pairs")
+    return scored.select(
+        "doc_id",
+        "n_pairs",
+        "n_green",
+        num.alias("score_num"),
+        ((num > 0) & (num * num > 4 * F.col("n_pairs"))).alias(
+            "watermarked_z2"
+        ),
+    ).orderBy("doc_id")
+
+
+_JM_ORACLE = """
+WITH lst AS (
+  SELECT doc_id, string_split(text, ' ') AS parts FROM documents
+),
+tok AS (
+  SELECT doc_id, w, ROW_NUMBER() OVER (
+           PARTITION BY doc_id ORDER BY pos) AS rn
+  FROM (
+    SELECT doc_id, UNNEST(parts) AS w,
+           generate_subscripts(parts, 1) AS pos
+    FROM lst
+  ) WHERE w <> ''
+),
+bi AS (
+  SELECT doc_id, w AS v,
+         LEAD(w) OVER (PARTITION BY doc_id ORDER BY rn) AS w2
+  FROM tok
+),
+occ AS (SELECT doc_id, v, w2 FROM bi WHERE w2 IS NOT NULL),
+pc AS (
+  SELECT v, w2, CAST(COUNT(*) AS BIGINT) AS c_vw
+  FROM occ GROUP BY v, w2
+),
+cv AS (SELECT v, CAST(SUM(c_vw) AS BIGINT) AS c_v FROM pc GROUP BY v),
+cw AS (SELECT w2, CAST(SUM(c_vw) AS BIGINT) AS c_w FROM pc GROUP BY w2),
+nn AS (SELECT CAST(SUM(c_vw) AS BIGINT) AS n FROM pc),
+terms AS (
+  SELECT o.doc_id,
+         CAST(ROUND(ROUND(ln(CAST(
+              4 * CAST(cv.c_v AS HUGEINT) * nn.n
+              AS DOUBLE)), 9) * 1000000) AS BIGINT)
+         - CAST(ROUND(ROUND(ln(CAST(
+              3 * CAST(p.c_vw AS HUGEINT) * nn.n
+              + CAST(cw.c_w AS HUGEINT) * cv.c_v
+              AS DOUBLE)), 9) * 1000000) AS BIGINT) AS nll
+  FROM occ o
+  JOIN pc p ON p.v = o.v AND p.w2 = o.w2
+  JOIN cv ON cv.v = o.v
+  JOIN cw ON cw.w2 = o.w2
+  CROSS JOIN nn
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+       CAST(SUM(nll) AS BIGINT) AS nll_micros
+FROM terms GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@register("llm_ngram_lm_interpolated", _JM_ORACLE)
+def llm_ngram_lm_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jelinek-Mercer interpolated bigram LM scoring — the third
+    smoothing family beside llm_kneser_ney (discounting) and
+    llm_bigram_nll (MLE): P(w|v) = lambda*c(vw)/c(v) + (1-lambda)*c(w)/N
+    with lambda = 3/4, the classic fixed-weight backoff mix. The mixed
+    probability is ONE exact integer rational — num = 3*c(vw)*N +
+    c(w)*c(v), den = 4*c(v)*N — so each occurrence's -ln P is
+    lnq(den) - lnq(num), two independently micros-quantized logs of
+    exact integers (the PMI discipline; no float mixing anywhere).
+    Products clear int64 at ~1e9-bigram corpora, so they are computed
+    in DECIMAL(38,0) Spark-side / HUGEINT in the oracle BEFORE the
+    double cast (both engines round the same integer to the same
+    double). Margins c(v), c(w), N fold from the counted bigram table
+    (vocabulary-sized); per-doc NLL sums are exact BIGINT micros. Plan
+    at 100 TB: one doc-partitioned LEAD window, one (v,w) map-side-
+    combined count shuffle, margin folds on the count table, then the
+    occurrence join back on (v,w) — linear, the llm_tfidf join shape.
+    """
+    tok = (
+        t(spark, sf_dir, "documents")
+        .select(
+            "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+        )
+        .filter(F.col("w") != "")
+    )
+    wd = W.partitionBy("doc_id").orderBy("pos")
+    occ = tok.select(
+        "doc_id",
+        F.col("w").alias("v"),
+        F.lead("w").over(wd).alias("w2"),
+    ).filter(F.col("w2").isNotNull())
+    pc = occ.groupBy("v", "w2").agg(F.count(F.lit(1)).alias("c_vw"))
+    cv = pc.groupBy("v").agg(F.sum("c_vw").alias("c_v"))
+    cw = pc.groupBy("w2").agg(F.sum("c_vw").alias("c_w"))
+    nn = pc.agg(F.sum("c_vw").alias("n"))
+
+    def lnq(col):
+        return (
+            F.round(F.round(F.log(col.cast("double")), 9) * 1_000_000)
+            .cast("long")
+        )
+
+    dec = "decimal(38,0)"
+    den = F.lit(4).cast(dec) * F.col("c_v") * F.col("n")
+    num = (
+        F.lit(3).cast(dec) * F.col("c_vw") * F.col("n")
+        + F.col("c_w").cast(dec) * F.col("c_v")
+    )
+    terms = (
+        occ.join(pc, ["v", "w2"])
+        .join(cv, "v")
+        .join(cw, "w2")
+        .crossJoin(F.broadcast(nn))
+        .select("doc_id", (lnq(den) - lnq(num)).alias("nll"))
+    )
+    return (
+        terms.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("nll").alias("nll_micros"),
+        )
+        .orderBy("doc_id")
+    )
