@@ -4659,3 +4659,237 @@ def agg_quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q_ppm")
     )
+
+
+_HHI_ORACLE = """
+WITH rev AS (
+  SELECT s.s_nationkey AS nation, l.l_suppkey AS s,
+         CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  GROUP BY s.s_nationkey, l.l_suppkey
+),
+tot AS (
+  SELECT nation, CAST(SUM(cents) AS BIGINT) AS t,
+         CAST(COUNT(*) AS BIGINT) AS n_suppliers
+  FROM rev GROUP BY nation
+),
+shares AS (
+  SELECT r.nation, CAST(r.cents * 1000000 // t.t AS BIGINT) AS share_ppm
+  FROM rev r JOIN tot t ON t.nation = r.nation
+)
+SELECT s.nation, t.n_suppliers, t.t AS total_cents,
+       CAST(SUM(s.share_ppm * s.share_ppm) // 1000000 AS BIGINT)
+         AS hhi_ppm
+FROM shares s JOIN tot t ON t.nation = s.nation
+GROUP BY s.nation, t.n_suppliers, t.t
+ORDER BY s.nation
+"""
+
+
+@register("agg_hhi_concentration", _HHI_ORACLE)
+def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman market-concentration index per supplier
+    nation — the antitrust/marketplace-health readout (HHI > 0.25 =
+    highly concentrated) that pairs with agg_gini_by_segment
+    (inequality) and agg_entropy_by_group (diversity): each supplier's
+    revenue share within its nation, squared and summed. Exact integer
+    discipline end to end: revenue folds to cents, shares floor to ppm
+    (share_ppm = cents*1e6 // total), HHI = sum(share_ppm^2) // 1e6 —
+    back in ppm, max 1e6 for a monopoly; the floor-before-square is
+    mirrored in the oracle so both engines quantize identically.
+    Plan at 100 TB: one (nation, supplier) map-side-combined fold over
+    the scan, one nation-level fold, one broadcast-scale join back —
+    group state is a long, scale-free like every share estimator here.
+    """
+    li = t(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice")
+    sup = t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"),
+        F.col("s_nationkey").alias("nation"),
+    )
+    rev = (
+        li.join(F.broadcast(sup), "l_suppkey")
+        .groupBy("nation", "l_suppkey")
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+            ).alias("cents")
+        )
+    )
+    tot = rev.groupBy("nation").agg(
+        F.sum("cents").alias("t"), F.count(F.lit(1)).alias("n_suppliers")
+    )
+    shares = rev.join(tot, "nation").select(
+        "nation", F.expr("cents * 1000000 div t").alias("share_ppm")
+    )
+    return (
+        shares.join(tot, "nation")
+        .groupBy("nation", "n_suppliers", "t")
+        .agg(
+            F.expr("sum(share_ppm * share_ppm) div 1000000").alias(
+                "hhi_ppm"
+            )
+        )
+        .select(
+            "nation",
+            "n_suppliers",
+            F.col("t").alias("total_cents"),
+            "hhi_ppm",
+        )
+        .orderBy("nation")
+    )
+
+
+_RAKING_ORACLE = """
+WITH ev AS (
+  SELECT event_type AS r, user_id % 4 AS c2,
+         (ts < TIMESTAMP '2024-01-16') AS is_cal
+  FROM events
+),
+tr AS (SELECT r, CAST(COUNT(*) AS BIGINT) AS t_r FROM ev
+       WHERE is_cal GROUP BY r),
+tc AS (SELECT c2, CAST(COUNT(*) AS BIGINT) AS t_c FROM ev
+       WHERE is_cal GROUP BY c2),
+tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM ev WHERE is_cal),
+cells0 AS MATERIALIZED (
+  SELECT s.r, s.c2, s.n, tr.t_r, tc.t_c,
+         CAST(1000000 AS BIGINT) AS w
+  FROM (SELECT r, c2, CAST(COUNT(*) AS BIGINT) AS n FROM ev
+        WHERE NOT is_cal GROUP BY r, c2) s
+  JOIN tr ON tr.r = s.r JOIN tc ON tc.c2 = s.c2
+),
+m1 AS (SELECT r, CAST(SUM(n * w) AS HUGEINT) AS mr FROM cells0 GROUP BY r),
+g1 AS (SELECT CAST(SUM(n * w) AS HUGEINT) AS wt FROM cells0),
+cells1 AS MATERIALIZED (
+  SELECT c.r, c.c2, c.n, c.t_r, c.t_c,
+         CAST(CAST(c.w AS HUGEINT) * c.t_r * g1.wt
+              // (tt.t * m1.mr) AS BIGINT) AS w
+  FROM cells0 c JOIN m1 ON m1.r = c.r, g1, tt
+),
+m2 AS (SELECT c2, CAST(SUM(n * w) AS HUGEINT) AS mc FROM cells1 GROUP BY c2),
+g2 AS (SELECT CAST(SUM(n * w) AS HUGEINT) AS wt FROM cells1),
+cells2 AS MATERIALIZED (
+  SELECT c.r, c.c2, c.n, c.t_r, c.t_c,
+         CAST(CAST(c.w AS HUGEINT) * c.t_c * g2.wt
+              // (tt.t * m2.mc) AS BIGINT) AS w
+  FROM cells1 c JOIN m2 ON m2.c2 = c.c2, g2, tt
+),
+m3 AS (SELECT r, CAST(SUM(n * w) AS HUGEINT) AS mr FROM cells2 GROUP BY r),
+g3 AS (SELECT CAST(SUM(n * w) AS HUGEINT) AS wt FROM cells2),
+cells3 AS MATERIALIZED (
+  SELECT c.r, c.c2, c.n, c.t_r, c.t_c,
+         CAST(CAST(c.w AS HUGEINT) * c.t_r * g3.wt
+              // (tt.t * m3.mr) AS BIGINT) AS w
+  FROM cells2 c JOIN m3 ON m3.r = c.r, g3, tt
+),
+m4 AS (SELECT c2, CAST(SUM(n * w) AS HUGEINT) AS mc FROM cells3 GROUP BY c2),
+g4 AS (SELECT CAST(SUM(n * w) AS HUGEINT) AS wt FROM cells3),
+cells4 AS MATERIALIZED (
+  SELECT c.r, c.c2, c.n, c.t_r, c.t_c,
+         CAST(CAST(c.w AS HUGEINT) * c.t_c * g4.wt
+              // (tt.t * m4.mc) AS BIGINT) AS w
+  FROM cells3 c JOIN m4 ON m4.c2 = c.c2, g4, tt
+),
+mf AS (SELECT r, CAST(SUM(n * w) AS HUGEINT) AS mr FROM cells4 GROUP BY r),
+gf AS (SELECT CAST(SUM(n * w) AS HUGEINT) AS wt FROM cells4)
+SELECT c.r AS event_type, c.c2 AS user_bucket, c.n, c.t_r, c.t_c,
+       c.w AS w_ppm,
+       CAST(mf.mr * 1000000 // gf.wt AS BIGINT) AS row_share_ppm,
+       CAST(c.t_r * 1000000 // tt.t AS BIGINT) AS tgt_row_ppm
+FROM cells4 c JOIN mf ON mf.r = c.r, gf, tt
+ORDER BY c.r, c.c2
+"""
+
+
+@register("agg_raking_ipf", _RAKING_ORACLE)
+def agg_raking_ipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survey raking / iterative proportional fitting (Deming &
+    Stephan 1940) — the weighting calibrator every metrics platform
+    needs when the observed sample's mix drifts from a reference
+    period: cell weights over (event_type x user-bucket) are
+    alternately scaled so weighted row then column PROPORTIONS match
+    the calibration window's margins (first half-month), two full
+    row/column sweeps. Each sweep's factor is the exact integer
+    rational t_k * W_tot / (T * m_k), applied by ONE staged floor
+    division per cell per sweep (the graph_assortativity two-stage
+    discipline: products widened to DECIMAL(38,0)/HUGEINT, divide
+    once, land back in ppm longs) — both engines replay the identical
+    quantization trajectory, so the final weights hash-match exactly.
+    Support is restricted to cells whose row AND column margins exist
+    in the calibration window (inner join — raking is undefined off
+    the target support). Emits final cell weights plus achieved-vs-
+    target row shares (after two sweeps the row shares are near-target
+    again despite the column sweep landing last — the classic IPF
+    convergence readout, exact integers so no tolerance needed).
+    Plan at 100 TB: two corpus-scale map-side-combined counts (margins
+    + cells), then every sweep is arithmetic over the CELL table
+    (dims x dims rows) with broadcast scalar totals — iteration cost
+    is independent of corpus size.
+    """
+    ev = t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("r"),
+        (F.col("user_id") % 4).alias("c2"),
+        (F.col("ts") < F.lit("2024-01-16").cast("timestamp")).alias(
+            "is_cal"
+        ),
+    )
+    cal = ev.filter("is_cal")
+    tr = cal.groupBy("r").agg(F.count(F.lit(1)).alias("t_r"))
+    tc = cal.groupBy("c2").agg(F.count(F.lit(1)).alias("t_c"))
+    tt = cal.agg(F.count(F.lit(1)).alias("t"))
+    cells = (
+        ev.filter(~F.col("is_cal"))
+        .groupBy("r", "c2")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(tr, "r")
+        .join(tc, "c2")
+        .withColumn("w", F.lit(1_000_000).cast("long"))
+        .localCheckpoint(eager=False)
+    )
+    dec = "decimal(38,0)"
+
+    def sweep(cells, key, tgt):
+        m = cells.groupBy(key).agg(
+            F.sum(F.col("n") * F.col("w")).cast(dec).alias("mk")
+        )
+        g = cells.agg(
+            F.sum(F.col("n") * F.col("w")).cast(dec).alias("wt")
+        )
+        num = F.col("w").cast(dec) * F.col(tgt) * F.col("wt")
+        den = F.col("t").cast(dec) * F.col("mk")
+        return (
+            cells.join(m, key)
+            .crossJoin(F.broadcast(g))
+            .crossJoin(F.broadcast(tt))
+            .withColumn(
+                "w", ((num - F.pmod(num, den)) / den).cast("long")
+            )
+            .drop("mk", "wt", "t")
+        )
+
+    for key, tgt in (("r", "t_r"), ("c2", "t_c"), ("r", "t_r"),
+                     ("c2", "t_c")):
+        cells = sweep(cells, key, tgt)
+    mf = cells.groupBy("r").agg(
+        F.sum(F.col("n") * F.col("w")).cast(dec).alias("mr")
+    )
+    gf = cells.agg(F.sum(F.col("n") * F.col("w")).cast(dec).alias("wt"))
+    return (
+        cells.join(mf, "r")
+        .crossJoin(F.broadcast(gf))
+        .crossJoin(F.broadcast(tt))
+        .select(
+            F.col("r").alias("event_type"),
+            F.col("c2").alias("user_bucket"),
+            "n",
+            "t_r",
+            "t_c",
+            F.col("w").alias("w_ppm"),
+            F.expr("CAST((mr * 1000000) div wt AS LONG)").alias(
+                "row_share_ppm"
+            ),
+            F.expr("CAST((CAST(t_r AS DECIMAL(38,0)) * 1000000) div t"
+                   " AS LONG)").alias("tgt_row_ppm"),
+        )
+        .orderBy("event_type", "user_bucket")
+    )

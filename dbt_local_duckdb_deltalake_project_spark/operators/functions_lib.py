@@ -1180,3 +1180,81 @@ def fn_ipcidr(spark: SparkSession, sf_dir: str) -> DataFrame:
             "slash20_index"
         ),
     ).orderBy("user_id")
+
+
+_UUID_ORACLE = """
+WITH h AS (
+  SELECT c_custkey, md5('urn:fixture:' || c_name) AS hx
+  FROM customer WHERE c_custkey <= 1500
+),
+u AS (
+  SELECT c_custkey,
+         substring(hx, 1, 8) || '-' || substring(hx, 9, 4) || '-3'
+         || substring(hx, 14, 3) || '-'
+         || substring('89ab',
+              ((strpos('0123456789abcdef', substring(hx, 17, 1)) - 1) % 4)
+              + 1, 1)
+         || substring(hx, 18, 3) || '-' || substring(hx, 21, 12) AS uuid3
+  FROM h
+)
+SELECT c_custkey, uuid3,
+       (length(uuid3) = 36 AND substring(uuid3, 15, 1) = '3'
+        AND strpos('89ab', substring(uuid3, 20, 1)) > 0) AS rfc4122_ok
+FROM u ORDER BY c_custkey
+"""
+
+
+@register("fn_uuid_deterministic", _UUID_ORACLE)
+def fn_uuid_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 4122 name-based UUID (version 3, md5) — the deterministic
+    entity-key primitive a pipeline uses instead of random uuid() when
+    backfills must reproduce the same ids (the llm_split_assign
+    md5-key-addressing discipline, shaped into the standard UUID wire
+    format): md5(namespace || name), hyphenated 8-4-4-4-12, version
+    nibble forced to '3' and the variant nibble to [89ab] by replacing
+    the 13th hex digit and mapping the 17th's low two bits onto '89ab'
+    — pure string/arithmetic surgery identical in both engines (no
+    engine uuid() anywhere, which would be non-deterministic by
+    design). A self-check boolean asserts shape, version and variant
+    per row. Plan: zero-shuffle codegen map over one scan — the
+    fn_hash/fn_mask family shape, scale-free.
+    """
+    h = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 1500)
+        .select(
+            "c_custkey",
+            F.md5(F.concat(F.lit("urn:fixture:"), F.col("c_name"))).alias(
+                "hx"
+            ),
+        )
+    )
+    uuid3 = F.concat(
+        F.substring("hx", 1, 8),
+        F.lit("-"),
+        F.substring("hx", 9, 4),
+        F.lit("-3"),
+        F.substring("hx", 14, 3),
+        F.lit("-"),
+        F.substring(
+            F.lit("89ab"),
+            F.expr(
+                "CAST((instr('0123456789abcdef', substring(hx, 17, 1)) - 1)"
+                " % 4 AS INT) + 1"
+            ),
+            1,
+        ),
+        F.substring("hx", 18, 3),
+        F.lit("-"),
+        F.substring("hx", 21, 12),
+    )
+    u = h.select("c_custkey", uuid3.alias("uuid3"))
+    return u.select(
+        "c_custkey",
+        "uuid3",
+        (
+            (F.length("uuid3") == 36)
+            & (F.substring("uuid3", 15, 1) == "3")
+            & (F.instr(F.lit("89ab"), F.substring("uuid3", 20, 1)) > 0)
+        ).alias("rfc4122_ok"),
+    ).orderBy("c_custkey")

@@ -10415,3 +10415,200 @@ def llm_ngram_lm_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_TEXTTILE_ORACLE = """
+WITH lst AS (
+  SELECT doc_id, string_split(text, ' ') AS parts FROM documents
+),
+tok AS (
+  SELECT doc_id, w, (rn - 1) // 10 AS blk
+  FROM (
+    SELECT doc_id, w, ROW_NUMBER() OVER (
+             PARTITION BY doc_id ORDER BY pos) AS rn
+    FROM (
+      SELECT doc_id, UNNEST(parts) AS w,
+             generate_subscripts(parts, 1) AS pos
+      FROM lst
+    ) WHERE w <> ''
+  )
+),
+tf AS (
+  SELECT doc_id, blk, w, CAST(COUNT(*) AS BIGINT) AS c
+  FROM tok GROUP BY doc_id, blk, w
+),
+nb AS (
+  SELECT doc_id, CAST(MAX(blk) + 1 AS BIGINT) AS n_blocks
+  FROM tok GROUP BY doc_id
+),
+simj AS (
+  SELECT a.doc_id, a.blk AS gap, CAST(SUM(a.c * b.c) AS BIGINT) AS sim
+  FROM tf a JOIN tf b ON b.doc_id = a.doc_id AND b.w = a.w
+                     AND b.blk = a.blk + 1
+  GROUP BY a.doc_id, a.blk
+),
+spine AS (
+  -- materialized separately: DuckDB rejects a LEFT JOIN against a
+  -- laterally-correlated UNNEST ("non-inner join on correlated
+  -- columns not supported")
+  SELECT n.doc_id, g.gap
+  FROM nb n, UNNEST(range(0, n.n_blocks - 1)) AS g(gap)
+),
+gaps AS (
+  SELECT sp.doc_id, sp.gap, COALESCE(s.sim, 0) AS sim
+  FROM spine sp
+  LEFT JOIN simj s ON s.doc_id = sp.doc_id AND s.gap = sp.gap
+),
+depth AS (
+  SELECT doc_id, gap, sim,
+         GREATEST(GREATEST(
+             COALESCE(LAG(sim, 1) OVER wd, sim),
+             COALESCE(LAG(sim, 2) OVER wd, sim)) - sim, 0)
+         + GREATEST(GREATEST(
+             COALESCE(LEAD(sim, 1) OVER wd, sim),
+             COALESCE(LEAD(sim, 2) OVER wd, sim)) - sim, 0) AS d
+  FROM gaps
+  WINDOW wd AS (PARTITION BY doc_id ORDER BY gap)
+),
+stats AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+         CAST(SUM(d) AS BIGINT) AS sum_depth
+  FROM depth GROUP BY doc_id
+),
+bounds AS (
+  SELECT d.doc_id,
+         CAST(SUM(CASE WHEN d.d * s.n_gaps > s.sum_depth
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_boundaries,
+         CAST(MIN(CASE WHEN d.d * s.n_gaps > s.sum_depth
+                       THEN d.gap END) AS BIGINT) AS first_boundary_gap,
+         CAST(MAX(d.d) AS BIGINT) AS max_depth
+  FROM depth d JOIN stats s ON s.doc_id = d.doc_id
+  GROUP BY d.doc_id
+)
+SELECT n.doc_id, n.n_blocks,
+       COALESCE(s.n_gaps, 0) AS n_gaps,
+       COALESCE(b.n_boundaries, 0) AS n_boundaries,
+       b.first_boundary_gap,
+       COALESCE(b.max_depth, 0) AS max_depth
+FROM nb n
+LEFT JOIN stats s ON s.doc_id = n.doc_id
+LEFT JOIN bounds b ON b.doc_id = n.doc_id
+ORDER BY n.doc_id
+"""
+
+
+@register("llm_texttiling_segments", _TEXTTILE_ORACLE)
+def llm_texttiling_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextTiling topic segmentation (Hearst 1997) — the SEMANTIC
+    chunker beside the fixed-size (llm_chunk_documents) and
+    content-defined (llm_cdc_chunks) ones: a RAG pipeline wants chunk
+    boundaries where the SUBJECT changes, and TextTiling reads them
+    from lexical cohesion. Tokens fold into 10-token blocks, adjacent
+    blocks score an EXACT integer term-frequency dot product (the
+    cosine's numerator — monotone-equivalent for valley detection and
+    float-free), each gap's depth is how far its similarity dips below
+    the running peaks within +-2 gaps (GREATEST-clamped at 0, the
+    standard valley reading), and a gap is a boundary iff its depth
+    clears the per-doc mean — compared multiplication-only
+    (depth * n_gaps > sum_depth), so no division exists anywhere.
+    Emits per doc: block/gap counts, boundary count, first boundary,
+    max depth. Zero-overlap adjacent blocks matter (strongest possible
+    boundary) so the gap spine is generated and left-joined, not
+    inferred from the join. Plan at 100 TB: one doc-partitioned rank
+    window, one (doc,blk,w) fold, ONE key-local self-join on
+    (doc, w, blk+1) — block pairs are adjacent only, never all-pairs —
+    then doc-partitioned depth windows; everything linear in tokens.
+    """
+    tok = (
+        t(spark, sf_dir, "documents")
+        .select(
+            "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+        )
+        .filter(F.col("w") != "")
+        .select(
+            "doc_id",
+            "w",
+            F.expr(
+                "(row_number() OVER (PARTITION BY doc_id ORDER BY pos)"
+                " - 1) div 10"
+            ).alias("blk"),
+        )
+    )
+    tf = tok.groupBy("doc_id", "blk", "w").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    nb = tok.groupBy("doc_id").agg(
+        (F.max("blk") + 1).cast("long").alias("n_blocks")
+    )
+    a = tf.alias("a")
+    b = tf.alias("b")
+    simj = (
+        a.join(
+            b,
+            (F.col("b.doc_id") == F.col("a.doc_id"))
+            & (F.col("b.w") == F.col("a.w"))
+            & (F.col("b.blk") == F.col("a.blk") + 1),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_id"), F.col("a.blk").alias("gap"))
+        .agg(F.sum(F.col("a.c") * F.col("b.c")).alias("sim"))
+    )
+    gaps = (
+        nb.filter(F.col("n_blocks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(0), F.col("n_blocks") - 2)
+            ).alias("gap"),
+        )
+        .join(simj, ["doc_id", "gap"], "left")
+        .select("doc_id", "gap", F.coalesce("sim", F.lit(0)).alias("sim"))
+    )
+    wd = W.partitionBy("doc_id").orderBy("gap")
+    pk_l = F.greatest(
+        F.coalesce(F.lag("sim", 1).over(wd), F.col("sim")),
+        F.coalesce(F.lag("sim", 2).over(wd), F.col("sim")),
+    )
+    pk_r = F.greatest(
+        F.coalesce(F.lead("sim", 1).over(wd), F.col("sim")),
+        F.coalesce(F.lead("sim", 2).over(wd), F.col("sim")),
+    )
+    depth = gaps.select(
+        "doc_id",
+        "gap",
+        (
+            F.greatest(pk_l - F.col("sim"), F.lit(0))
+            + F.greatest(pk_r - F.col("sim"), F.lit(0))
+        ).alias("d"),
+    )
+    stats = depth.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"), F.sum("d").alias("sum_depth")
+    )
+    is_b = F.col("d") * F.col("n_gaps") > F.col("sum_depth")
+    bounds = (
+        depth.join(stats, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(is_b.cast("long")).alias("n_boundaries"),
+            F.min(F.when(is_b, F.col("gap"))).cast("long").alias(
+                "first_boundary_gap"
+            ),
+            F.max("d").alias("max_depth"),
+        )
+    )
+    return (
+        nb.join(stats, "doc_id", "left")
+        .join(bounds, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_blocks",
+            F.coalesce("n_gaps", F.lit(0)).cast("long").alias("n_gaps"),
+            F.coalesce("n_boundaries", F.lit(0)).cast("long").alias(
+                "n_boundaries"
+            ),
+            "first_boundary_gap",
+            F.coalesce("max_depth", F.lit(0)).cast("long").alias(
+                "max_depth"
+            ),
+        )
+        .orderBy("doc_id")
+    )
