@@ -4479,7 +4479,8 @@ tot AS (
   FROM gn
 ),
 nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_b FROM bnd),
-qs AS (SELECT UNNEST([250000, 500000, 750000, 900000]) AS q_ppm),
+qs AS (SELECT CAST(UNNEST([250000, 500000, 750000, 900000]) AS BIGINT)
+         AS q_ppm),
 est AS (
   SELECT q.q_ppm,
          MIN(CASE WHEN c.cw >= (q.q_ppm * t.nt + 999999) // 1000000
@@ -4893,3 +4894,150 @@ def agg_raking_ipf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "user_bucket")
     )
+
+
+_ATT_MATCH_ORACLE = """
+WITH y AS (
+  SELECT l_orderkey AS okey, CAST(COUNT(*) AS BIGINT) AS y
+  FROM lineitem GROUP BY l_orderkey
+),
+u AS (
+  SELECT o.o_orderkey AS okey,
+         CAST(date_trunc('month', o.o_orderdate) AS TIMESTAMP) AS m,
+         CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents,
+         (o.o_orderpriority LIKE '1-%' OR o.o_orderpriority LIKE '2-%')
+           AS treated,
+         y.y
+  FROM orders o JOIN y ON y.okey = o.o_orderkey
+),
+nn AS (
+  SELECT okey, m, cents, treated, y,
+         last_value(CASE WHEN NOT treated THEN cents END IGNORE NULLS)
+           OVER wp AS pc,
+         last_value(CASE WHEN NOT treated THEN y END IGNORE NULLS)
+           OVER wp AS py,
+         first_value(CASE WHEN NOT treated THEN cents END IGNORE NULLS)
+           OVER wn AS nc,
+         first_value(CASE WHEN NOT treated THEN y END IGNORE NULLS)
+           OVER wn AS ny
+  FROM u
+  WINDOW wp AS (PARTITION BY m ORDER BY cents, okey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         wn AS (PARTITION BY m ORDER BY cents, okey
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+),
+pairsd AS (
+  SELECT m,
+         CASE WHEN pc IS NULL AND nc IS NULL THEN NULL
+              WHEN nc IS NULL THEN py
+              WHEN pc IS NULL THEN ny
+              WHEN cents - pc <= nc - cents THEN py
+              ELSE ny END AS ym,
+         y
+  FROM nn WHERE treated
+),
+agg AS (
+  SELECT m,
+         CAST(COUNT(*) AS BIGINT) AS n_treated,
+         CAST(COUNT(ym) AS BIGINT) AS n_matched,
+         CAST(SUM(CASE WHEN ym IS NOT NULL THEN y - ym END) AS BIGINT)
+           AS sum_diff
+  FROM pairsd GROUP BY m
+)
+SELECT m AS month, n_treated, n_matched, sum_diff,
+       CAST(CASE WHEN n_matched = 0 THEN NULL
+                 WHEN sum_diff >= 0 THEN sum_diff * 1000000 // n_matched
+                 ELSE -((-sum_diff) * 1000000 // n_matched)
+            END AS BIGINT) AS att_micros
+FROM agg
+ORDER BY month
+"""
+
+
+@register("agg_att_nn_matching", _ATT_MATCH_ORACLE)
+def agg_att_nn_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor covariate matching ATT — the fourth causal
+    estimator beside agg_diff_in_diff / agg_cuped_adjustment /
+    agg_ipw_ate: when treatment (urgent/high order priority) isn't
+    randomized, pair each treated order with the CONTROL order nearest
+    in total price within its order-month stratum and average the
+    outcome gaps (lineitem count). The 1-NN search is NOT a pairwise
+    join: within each stratum sorted by (price, key), the nearest
+    control is always the closer of the last-preceding and
+    first-following controls — two IGNORE-NULLS carry windows (the
+    win_attribution idiom), so matching costs one sort per stratum at
+    any scale. Determinism: prices as exact cents, distance ties to the
+    PRECEDING (lower-price) control in both engines, ATT as the exact
+    signed-floor micros rational (sum_diff * 1e6 // n_matched, the
+    house negative-rational idiom). Unmatched treated rows (a stratum
+    with no controls) are counted but excluded from the estimate —
+    NULL att for fully-control-free strata, mirrored. Plan at 100 TB:
+    one orderkey-keyed count fold, one stratum-partitioned window
+    pass, one map-side-combined stratum fold — linear, no self-join.
+    """
+    from pyspark.sql import Window as W
+
+    y = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("okey"))
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("m"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        (
+            F.col("o_orderpriority").like("1-%")
+            | F.col("o_orderpriority").like("2-%")
+        ).alias("treated"),
+    )
+    u = o.join(y, "okey")
+    base = W.partitionBy("m").orderBy("cents", "okey")
+    wp = base.rowsBetween(W.unboundedPreceding, -1)
+    wn = base.rowsBetween(1, W.unboundedFollowing)
+    ctrl_c = F.when(~F.col("treated"), F.col("cents"))
+    ctrl_y = F.when(~F.col("treated"), F.col("y"))
+    nn = u.select(
+        "m",
+        "cents",
+        "treated",
+        "y",
+        F.last(ctrl_c, ignorenulls=True).over(wp).alias("pc"),
+        F.last(ctrl_y, ignorenulls=True).over(wp).alias("py"),
+        F.first(ctrl_c, ignorenulls=True).over(wn).alias("nc"),
+        F.first(ctrl_y, ignorenulls=True).over(wn).alias("ny"),
+    )
+    ym = (
+        F.when(F.col("pc").isNull() & F.col("nc").isNull(), F.lit(None))
+        .when(F.col("nc").isNull(), F.col("py"))
+        .when(F.col("pc").isNull(), F.col("ny"))
+        .when(
+            F.col("cents") - F.col("pc") <= F.col("nc") - F.col("cents"),
+            F.col("py"),
+        )
+        .otherwise(F.col("ny"))
+    )
+    agg = (
+        nn.filter("treated")
+        .select("m", "y", ym.alias("ym"))
+        .groupBy("m")
+        .agg(
+            F.count(F.lit(1)).alias("n_treated"),
+            F.count("ym").alias("n_matched"),
+            F.sum(
+                F.when(F.col("ym").isNotNull(), F.col("y") - F.col("ym"))
+            ).alias("sum_diff"),
+        )
+    )
+    att = F.when(
+        F.col("n_matched") > 0,
+        F.signum("sum_diff").cast("long")
+        * F.expr("abs(sum_diff) * 1000000 div n_matched"),
+    ).cast("long")
+    return agg.select(
+        F.col("m").alias("month"),
+        "n_treated",
+        "n_matched",
+        "sum_diff",
+        att.alias("att_micros"),
+    ).orderBy("month")

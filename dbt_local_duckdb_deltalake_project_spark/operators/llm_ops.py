@@ -9847,7 +9847,8 @@ def llm_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.select("*", F.row_number().over(wr).alias("rnk"))
         .filter(F.col("rnk") <= 20)
         .select(
-            "lang", "rnk", "a", "b", "c_ab", "c_a", "c_b", "n_pairs",
+            "lang", F.col("rnk").cast("long").alias("rnk"),
+            "a", "b", "c_ab", "c_a", "c_b", "n_pairs",
             "pmi_micros",
         )
         .orderBy("lang", "rnk")

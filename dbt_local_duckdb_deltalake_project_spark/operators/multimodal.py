@@ -1011,7 +1011,7 @@ def mm_crossmodal_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         approx.join(F.broadcast(rec), "media_id")
         .select(
             "media_id",
-            "rnk",
+            F.col("rnk").cast("long").alias("rnk"),
             "vec_id",
             "dot_full",
             "recall10_ppm",
