@@ -5041,3 +5041,193 @@ def agg_att_nn_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_diff",
         att.alias("att_micros"),
     ).orderBy("month")
+
+
+_OAXACA_ORACLE = """
+WITH e AS (
+  SELECT event_type AS k, (user_id % 2 = 0) AS treated,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+cells AS (
+  SELECT k,
+         CAST(SUM(CASE WHEN treated THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+         CAST(SUM(CASE WHEN NOT treated THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_c,
+         CAST(SUM(CASE WHEN treated THEN cents ELSE 0 END) AS BIGINT)
+           AS s_t,
+         CAST(SUM(CASE WHEN NOT treated THEN cents ELSE 0 END) AS BIGINT)
+           AS s_c
+  FROM e GROUP BY k
+),
+supp AS MATERIALIZED (
+  SELECT * FROM cells WHERE n_t > 0 AND n_c > 0
+),
+tot AS (
+  SELECT CAST(SUM(n_t) AS HUGEINT) AS nt,
+         CAST(SUM(n_c) AS HUGEINT) AS nc
+  FROM supp
+),
+terms AS (
+  SELECT s.k, s.n_t, s.n_c,
+         (CAST(s.n_t AS HUGEINT) * t.nc - CAST(s.n_c AS HUGEINT) * t.nt)
+           * s.s_c AS mix_num,
+         t.nt * t.nc * s.n_c AS mix_den,
+         (CAST(s.s_t AS HUGEINT) * s.n_c - CAST(s.s_c AS HUGEINT) * s.n_t)
+           AS rate_num,
+         t.nt * s.n_c AS rate_den
+  FROM supp s, tot t
+),
+quant AS (
+  SELECT k, n_t, n_c,
+         CAST(CASE WHEN mix_num >= 0 THEN
+                (mix_num // mix_den) * 1000000
+                + ((mix_num % mix_den) * 1000000) // mix_den
+              ELSE
+                -(((-mix_num) // mix_den) * 1000000
+                  + (((-mix_num) % mix_den) * 1000000) // mix_den)
+              END AS BIGINT) AS mix_micros,
+         CAST(CASE WHEN rate_num >= 0 THEN
+                (rate_num // rate_den) * 1000000
+                + ((rate_num % rate_den) * 1000000) // rate_den
+              ELSE
+                -(((-rate_num) // rate_den) * 1000000
+                  + (((-rate_num) % rate_den) * 1000000) // rate_den)
+              END AS BIGINT) AS rate_micros
+  FROM terms
+)
+SELECT k AS event_type, n_t, n_c, mix_micros, rate_micros,
+       CAST(NULL AS BIGINT) AS gap_check_micros
+FROM quant
+UNION ALL
+SELECT 'TOTAL', CAST(t.nt AS BIGINT), CAST(t.nc AS BIGINT),
+       (SELECT CAST(SUM(mix_micros) AS BIGINT) FROM quant),
+       (SELECT CAST(SUM(rate_micros) AS BIGINT) FROM quant),
+       CAST(CASE WHEN st * t.nc >= sc * t.nt THEN
+              (st * t.nc - sc * t.nt) * 1000000 // (t.nt * t.nc)
+            ELSE
+              -((sc * t.nt - st * t.nc) * 1000000 // (t.nt * t.nc))
+            END AS BIGINT)
+FROM tot t,
+     (SELECT CAST(SUM(s_t) AS HUGEINT) AS st,
+             CAST(SUM(s_c) AS HUGEINT) AS sc FROM supp)
+ORDER BY event_type
+"""
+
+
+@register("agg_oaxaca_decomposition", _OAXACA_ORACLE)
+def agg_oaxaca_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oaxaca-Blinder mean-gap decomposition — the "why did the average
+    move" explainer every metrics review asks for: the treated-vs-
+    control gap in mean order value splits, per event-type cell, into a
+    MIX effect (the share shift (p_t,k − p_c,k) valued at control
+    rates) and a RATE effect (treated share times the within-cell mean
+    gap) — the two sum to the raw gap by identity. Every term is ONE
+    exact integer rational: mix_k = (n_tk·N_c − n_ck·N_t)·S_ck /
+    (N_t·N_c·n_ck), rate_k = (S_tk·n_ck − S_ck·n_tk) / (N_t·n_ck),
+    quantized by the graph_assortativity TWO-STAGE signed floor
+    (quotient·1e6 + remainder·1e6 // den — the one-shot num·1e6
+    overflows even 128-bit at billion-row scales) identically in both
+    engines; DECIMAL(38,0) Spark-side / HUGEINT oracle-side products.
+    Support = cells observed in BOTH arms (the decomposition is
+    undefined off common support, mirrored). A TOTAL row carries the
+    summed effects plus the independently-computed raw gap — the ≤1
+    micro-per-cell quantization slack is visible, not hidden. Plan:
+    ONE map-side-combined groupBy on the cell key, then broadcast-size
+    arithmetic — cells, not rows, cross the shuffle; scale-free.
+    """
+    ev = t(spark, sf_dir, "events")
+    cells = ev.groupBy(F.col("event_type").alias("k")).agg(
+        F.sum((F.col("user_id") % 2 == 0).cast("long")).alias("n_t"),
+        F.sum((F.col("user_id") % 2 != 0).cast("long")).alias("n_c"),
+        F.sum(
+            F.when(
+                F.col("user_id") % 2 == 0,
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(F.lit(0))
+        ).alias("s_t"),
+        F.sum(
+            F.when(
+                F.col("user_id") % 2 != 0,
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(F.lit(0))
+        ).alias("s_c"),
+    )
+    supp = cells.filter((F.col("n_t") > 0) & (F.col("n_c") > 0))
+    dec = "decimal(38,0)"
+    tot = supp.agg(
+        F.sum("n_t").cast(dec).alias("nt"),
+        F.sum("n_c").cast(dec).alias("nc"),
+        F.sum("s_t").cast(dec).alias("st"),
+        F.sum("s_c").cast(dec).alias("sc"),
+    )
+
+    def staged(num, den, alias):
+        # two-stage signed floor: (|num| // den)*1e6 + (|num| % den)*1e6
+        # // den, re-signed — num*1e6 would overflow DECIMAL(38)
+        a = F.abs(num)
+        q = ((a - F.pmod(a, den)) / den).cast(dec)
+        r = F.pmod(a, den)
+        lo = ((r * 1_000_000 - F.pmod(r * 1_000_000, den)) / den).cast(dec)
+        return (
+            F.signum(num).cast("long")
+            * (q * 1_000_000 + lo).cast("long")
+        ).alias(alias)
+
+    terms = supp.crossJoin(F.broadcast(tot)).select(
+        "k",
+        "n_t",
+        "n_c",
+        staged(
+            (
+                F.col("n_t").cast(dec) * F.col("nc")
+                - F.col("n_c").cast(dec) * F.col("nt")
+            )
+            * F.col("s_c"),
+            F.col("nt") * F.col("nc") * F.col("n_c"),
+            "mix_micros",
+        ),
+        staged(
+            F.col("s_t").cast(dec) * F.col("n_c")
+            - F.col("s_c").cast(dec) * F.col("n_t"),
+            F.col("nt") * F.col("n_c"),
+            "rate_micros",
+        ),
+    )
+    per_cell = terms.select(
+        F.col("k").alias("event_type"),
+        "n_t",
+        "n_c",
+        "mix_micros",
+        "rate_micros",
+        F.lit(None).cast("long").alias("gap_check_micros"),
+    )
+    gap = F.col("st") * F.col("nc") - F.col("sc") * F.col("nt")
+    total = (
+        terms.agg(
+            F.sum("mix_micros").alias("mix_sum"),
+            F.sum("rate_micros").alias("rate_sum"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.lit("TOTAL").alias("event_type"),
+            F.col("nt").cast("long").alias("n_t"),
+            F.col("nc").cast("long").alias("n_c"),
+            F.col("mix_sum").alias("mix_micros"),
+            F.col("rate_sum").alias("rate_micros"),
+            (
+                F.signum(gap).cast("long")
+                * (
+                    (
+                        F.abs(gap) * 1_000_000
+                        - F.pmod(
+                            F.abs(gap) * 1_000_000,
+                            F.col("nt") * F.col("nc"),
+                        )
+                    )
+                    / (F.col("nt") * F.col("nc"))
+                ).cast("long")
+            ).alias("gap_check_micros"),
+        )
+    )
+    return per_cell.unionAll(total).orderBy("event_type")
