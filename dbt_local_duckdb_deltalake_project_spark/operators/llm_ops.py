@@ -10047,6 +10047,10 @@ def llm_unigram_lm_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
             "substring(s, CAST(seg_start AS INT), CAST(seg_len AS INT))"
         ).alias("piece"),
     )
+    # NOTE: four downstream branches re-derive this explode+broadcast
+    # join; a lazy localCheckpoint here was MEASURED SLOWER (20.9 s vs
+    # 10.8 s at sf0.1 — materializing 4.8M rows costs more than the
+    # three cheap recomputes). Don't re-try.
     subs = (
         docs.select(
             "s", "L", F.explode(F.expr("sequence(1, 4)")).alias("n")

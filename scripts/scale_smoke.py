@@ -152,6 +152,22 @@ OPS = [
     "graph_hits",
     "agg_conformal_interval",
     "agg_ipw_ate",
+    # r12 adds: mask-enumeration Viterbi EM (sample x compositions
+    # explode — the bounded-sample-by-design class), sketch-size merged
+    # quantile summaries, bigram PMI margins, SQ8 crossmodal candidate
+    # scan, greenlist watermark pass, push-PPR, JM occurrence join,
+    # TextTiling adjacent-block self-join, IGNORE-NULLS 1-NN matching,
+    # cell-table raking sweeps
+    "llm_unigram_lm_learn",
+    "agg_quantile_sketch_merge",
+    "llm_pmi_collocations",
+    "mm_crossmodal_topk",
+    "llm_watermark_detect",
+    "graph_personalized_pagerank",
+    "llm_ngram_lm_interpolated",
+    "llm_texttiling_segments",
+    "agg_att_nn_matching",
+    "agg_raking_ipf",
 ]
 
 
