@@ -202,7 +202,7 @@ def test_pass_at_k_oracle_matches_brute_force(n_chars):
     con = _con_with(
         "CREATE TABLE documents(doc_id BIGINT, text VARCHAR,"
         " lang VARCHAR, source VARCHAR, n_chars BIGINT)",
-        [(i, "x", "en", "hyp", nc) for i, nc in enumerate(n_chars)],
+        [(i, "x", nc) for i, nc in enumerate(n_chars)],
         "INSERT INTO documents VALUES (?, ?, 'en', 'hyp', ?)",
     )
     try:
@@ -267,6 +267,8 @@ def _att_brute(rows):
                 ym = nxt[1]
             n_m += 1
             sd += y - ym
+        if n_tr == 0:
+            continue  # no treated rows -> the stratum emits no row
         if n_m == 0:
             att = None
         elif sd >= 0:
