@@ -5239,3 +5239,111 @@ def agg_oaxaca_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return per_cell.unionAll(total).orderBy("event_type")
+
+
+_NA_ORACLE = """
+WITH u AS (
+  SELECT user_id % 4 AS cohort,
+         date_diff('day', MIN(ts), MAX(ts)) AS dur,
+         MAX(ts) < TIMESTAMP '2024-01-28' AS observed
+  FROM events GROUP BY user_id
+),
+steps AS (
+  SELECT cohort, dur,
+         COUNT(*) FILTER (observed) AS d,
+         COUNT(*) FILTER (NOT observed) AS c
+  FROM u GROUP BY cohort, dur
+),
+risk AS (
+  SELECT cohort, dur, CAST(d AS BIGINT) AS d, CAST(c AS BIGINT) AS c,
+         CAST(SUM(d + c) OVER (PARTITION BY cohort ORDER BY dur
+                               ROWS BETWEEN CURRENT ROW
+                               AND UNBOUNDED FOLLOWING) AS BIGINT) AS n
+  FROM steps
+),
+terms AS (
+  SELECT cohort, dur, d, c, n,
+         CAST(d * 1000000000 // n AS BIGINT) AS haz_nanos,
+         CAST(d * 1000000000 // (n * n) AS BIGINT) AS var_nanos
+  FROM risk
+)
+SELECT cohort, CAST(dur AS BIGINT) AS dur, d, c, n,
+       CAST(SUM(haz_nanos) OVER w AS BIGINT) AS cum_hazard_nanos,
+       CAST(SUM(var_nanos) OVER w AS BIGINT) AS cum_var_nanos
+FROM terms
+WINDOW w AS (PARTITION BY cohort ORDER BY dur
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY cohort, dur
+"""
+
+
+@register("agg_nelson_aalen", _NA_ORACLE)
+def agg_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson–Aalen cumulative-hazard estimator — the KM curve's
+    (agg_survival_km) nonparametric sibling and the quantity hazard
+    models are actually fit against: H(t) = Σ_{u<=t} d_u/n_u with the
+    same right-censoring risk-set semantics, plus the standard
+    variance estimator Σ d/n². Unlike KM's log-space product, BOTH
+    running sums here are exact integer rationals — each step's d/n
+    and d/n² floor to nanos with no transcendental anywhere, so the
+    curve is engine-exact by construction (no 9-dp-round needed; the
+    ≤1-nano-per-step floor slack is identical in both engines). The
+    risk set is the same REVERSED-frame running sum as KM; the
+    per-cohort step domain is bounded by the duration span, never by
+    user count, which keeps the reversed frame's per-row rescan
+    irrelevant (the att_nn lesson applies to USER-cardinality
+    partitions, not bounded step domains). One user fold, one step
+    fold, two windows — scale-free.
+    """
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.max("ts").alias("t1"),
+    ).select(
+        (F.col("user_id") % 4).alias("cohort"),
+        F.datediff(F.col("t1"), F.col("t0")).alias("dur"),
+        (F.col("t1") < F.lit("2024-01-28").cast("timestamp")).alias(
+            "observed"
+        ),
+    )
+    steps = u.groupBy("cohort", "dur").agg(
+        F.count(F.when(F.col("observed"), 1)).alias("d"),
+        F.count(F.when(~F.col("observed"), 1)).alias("c"),
+    )
+    wrev = (
+        W.partitionBy("cohort")
+        .orderBy("dur")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    risk = steps.select(
+        "cohort",
+        "dur",
+        "d",
+        "c",
+        F.sum(F.col("d") + F.col("c")).over(wrev).alias("n"),
+    )
+    terms = risk.select(
+        "cohort",
+        "dur",
+        "d",
+        "c",
+        "n",
+        F.expr("d * 1000000000 div n").alias("haz_nanos"),
+        F.expr("d * 1000000000 div (n * n)").alias("var_nanos"),
+    )
+    wcum = (
+        W.partitionBy("cohort")
+        .orderBy("dur")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return terms.select(
+        "cohort",
+        F.col("dur").cast("long").alias("dur"),
+        "d",
+        "c",
+        "n",
+        F.sum("haz_nanos").over(wcum).alias("cum_hazard_nanos"),
+        F.sum("var_nanos").over(wcum).alias("cum_var_nanos"),
+    ).orderBy("cohort", "dur")

@@ -10626,3 +10626,100 @@ def llm_texttiling_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_LENBIAS_ORACLE = """
+WITH comp AS (
+  SELECT doc_id, doc_id // 8 AS prompt_group,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS x,
+         n_chars AS y
+  FROM documents
+),
+pairs AS (
+  SELECT a.prompt_group,
+         CASE WHEN (a.x - b.x) * (a.y - b.y) > 0 THEN 1 ELSE 0 END AS con,
+         CASE WHEN (a.x - b.x) * (a.y - b.y) < 0 THEN 1 ELSE 0 END AS dis,
+         CASE WHEN a.x = b.x THEN 1 ELSE 0 END AS tx,
+         CASE WHEN a.y = b.y THEN 1 ELSE 0 END AS ty
+  FROM comp a JOIN comp b
+    ON b.prompt_group = a.prompt_group AND b.doc_id > a.doc_id
+),
+g AS (
+  SELECT prompt_group,
+         CAST(COUNT(*) AS BIGINT) AS n0,
+         CAST(SUM(con) AS BIGINT) AS c,
+         CAST(SUM(dis) AS BIGINT) AS d,
+         CAST(SUM(tx) AS BIGINT) AS n1,
+         CAST(SUM(ty) AS BIGINT) AS n2
+  FROM pairs GROUP BY prompt_group
+)
+SELECT prompt_group, n0, c, d, n1, n2,
+       CAST(CASE WHEN n0 > n1 AND n0 > n2 THEN
+              ROUND(ROUND(CAST(c - d AS DOUBLE)
+                    / sqrt(CAST((n0 - n1) * (n0 - n2) AS DOUBLE)), 9)
+                    * 1000000)
+            END AS BIGINT) AS tau_b_micros
+FROM g ORDER BY prompt_group
+"""
+
+
+@register("llm_reward_length_bias", _LENBIAS_ORACLE)
+def llm_reward_length_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reward/length-bias audit (the RLHF failure mode where the reward
+    model just likes LONGER answers — Singhal et al. 2023): per prompt
+    group, Kendall tau-b between completion token count and reward
+    (the GRPO fixture stand-in, n_chars — the container ships no
+    reward model). Concordant/discordant/tie counts are EXACT integers
+    from the bounded within-group pair join (8 completions = 28
+    pairs, bounded per group at any corpus size — the agg_mann_kendall
+    bounded-pairs discipline); tau_b = (C−D)/sqrt((n0−n1)(n0−n2)) is
+    ONE deterministic IEEE chain on those exact integers, 9-dp-round
+    micros (the agg_power_analysis convention), NULL for degenerate
+    all-tied groups — both engines compute the identical double from
+    identical integers. A trainer gates on |tau| percentile across
+    groups; the per-group table is what that gate consumes. Plan: one
+    group-keyed self-join with pairs bounded by group size squared,
+    one map-side-combined fold — linear in groups at 100 TB.
+    """
+    comp = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr("doc_id div 8").alias("prompt_group"),
+        F.size(F.split("text", " ")).cast("long").alias("x"),
+        F.col("n_chars").alias("y"),
+    )
+    a = comp.alias("a")
+    b = comp.alias("b")
+    sgn = (F.col("a.x") - F.col("b.x")) * (F.col("a.y") - F.col("b.y"))
+    g = (
+        a.join(
+            b,
+            (F.col("b.prompt_group") == F.col("a.prompt_group"))
+            & (F.col("b.doc_id") > F.col("a.doc_id")),
+        )
+        .groupBy(F.col("a.prompt_group").alias("prompt_group"))
+        .agg(
+            F.count(F.lit(1)).alias("n0"),
+            F.sum((sgn > 0).cast("long")).alias("c"),
+            F.sum((sgn < 0).cast("long")).alias("d"),
+            F.sum((F.col("a.x") == F.col("b.x")).cast("long")).alias("n1"),
+            F.sum((F.col("a.y") == F.col("b.y")).cast("long")).alias("n2"),
+        )
+    )
+    tau = F.when(
+        (F.col("n0") > F.col("n1")) & (F.col("n0") > F.col("n2")),
+        F.round(
+            F.round(
+                (F.col("c") - F.col("d")).cast("double")
+                / F.sqrt(
+                    ((F.col("n0") - F.col("n1"))
+                     * (F.col("n0") - F.col("n2"))).cast("double")
+                ),
+                9,
+            )
+            * 1_000_000
+        ),
+    ).cast("long")
+    return g.select(
+        "prompt_group", "n0", "c", "d", "n1", "n2",
+        tau.alias("tau_b_micros"),
+    ).orderBy("prompt_group")
