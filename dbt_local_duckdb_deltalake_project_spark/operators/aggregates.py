@@ -5347,3 +5347,210 @@ def agg_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("haz_nanos").over(wcum).alias("cum_hazard_nanos"),
         F.sum("var_nanos").over(wcum).alias("cum_var_nanos"),
     ).orderBy("cohort", "dur")
+
+
+_THEIL_ORACLE = """
+WITH rev AS (
+  SELECT s.s_nationkey AS nation, l.l_suppkey AS s,
+         CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) AS x
+  FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  GROUP BY s.s_nationkey, l.l_suppkey
+),
+tot AS (
+  SELECT nation, CAST(SUM(x) AS BIGINT) AS xt,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM rev GROUP BY nation
+),
+terms AS (
+  SELECT r.nation,
+         CAST((CAST(r.x AS HUGEINT) *
+               (CAST(ROUND(ROUND(ln(CAST(t.n AS DOUBLE)
+                                    * CAST(r.x AS DOUBLE)), 9)
+                           * 1000000) AS BIGINT)
+                - CAST(ROUND(ROUND(ln(CAST(t.xt AS DOUBLE)), 9)
+                             * 1000000) AS BIGINT))) // t.xt
+              AS BIGINT) AS t_micros
+  FROM rev r JOIN tot t ON t.nation = r.nation
+)
+SELECT tm.nation, t.n AS n_suppliers, t.xt AS total_cents,
+       CAST(SUM(tm.t_micros) AS BIGINT) AS theil_t_micros
+FROM terms tm JOIN tot t ON t.nation = tm.nation
+GROUP BY tm.nation, t.n, t.xt
+ORDER BY tm.nation
+"""
+
+
+@register("agg_theil_index", _THEIL_ORACLE)
+def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality index per supplier nation — the DECOMPOSABLE
+    inequality measure (unlike Gini, Theil splits exactly into
+    within-group + between-group terms, which is why national-accounts
+    pipelines prefer it): T = Σ_i (x_i/X)·ln(n·x_i/X), zero under
+    perfect equality, ln(n) under maximal concentration. Completes the
+    concentration trio with agg_gini_by_segment (rank-based) and
+    agg_hhi_concentration (share-squared). Determinism: each supplier
+    term is share · (lnq(n·x_i) − lnq(X)) with the two logs
+    independently micros-quantized (ln of the DOUBLE product n·x with
+    the identical expression order in both engines, then the PMI
+    9-dp-round micros) and the share applied as ONE sign-magnitude
+    truncated division x_i·Δln // X in HUGEINT/DECIMAL-wide arithmetic
+    (the house negative-rational idiom — below-average suppliers have
+    NEGATIVE Δln, and DuckDB // truncates toward zero on negatives
+    exactly like Spark div, measured r10); the ≤1-micro-per-supplier
+    quantization slack is identical in both engines. Plan at 100 TB: one (nation, supplier)
+    map-side-combined fold, one nation fold, one broadcast-scale join
+    back — the HHI shape, scale-free.
+    """
+    li = t(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice")
+    sup = t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"),
+        F.col("s_nationkey").alias("nation"),
+    )
+    rev = (
+        li.join(F.broadcast(sup), "l_suppkey")
+        .groupBy("nation", "l_suppkey")
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+            ).alias("x")
+        )
+    )
+    tot = rev.groupBy("nation").agg(
+        F.sum("x").alias("xt"), F.count(F.lit(1)).alias("n")
+    )
+    dec = "decimal(38,0)"
+    dln = (
+        F.round(
+            F.round(
+                F.log(F.col("n").cast("double") * F.col("x").cast("double")),
+                9,
+            )
+            * 1_000_000
+        ).cast("long")
+        - F.round(
+            F.round(F.log(F.col("xt").cast("double")), 9) * 1_000_000
+        ).cast("long")
+    )
+    num = F.col("x").cast(dec) * dln
+    den = F.col("xt").cast(dec)
+    terms = rev.join(tot, "nation").select(
+        "nation",
+        (
+            F.signum(num).cast("long")
+            * (
+                (F.abs(num) - F.pmod(F.abs(num), den)) / den
+            ).cast("long")
+        ).alias("t_micros"),
+    )
+    return (
+        terms.groupBy("nation")
+        .agg(F.sum("t_micros").alias("theil_t_micros"))
+        .join(tot, "nation")
+        .select(
+            "nation",
+            F.col("n").alias("n_suppliers"),
+            F.col("xt").alias("total_cents"),
+            "theil_t_micros",
+        )
+        .orderBy("nation")
+    )
+
+
+_SMAPE_ORACLE = """
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '2024-01-01',
+                   CAST(date_trunc('day', ts) AS DATE)) AS day,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS a
+  FROM events GROUP BY event_type, day
+),
+eval_ AS (
+  SELECT c.event_type, c.day, c.a, p.a AS f
+  FROM daily c JOIN daily p
+    ON p.event_type = c.event_type AND p.day = c.day - 7
+  WHERE c.day >= 14
+),
+pts AS (
+  SELECT event_type,
+         ABS(a - f) AS ae,
+         CASE WHEN ABS(a) + ABS(f) > 0
+              THEN CAST(2 * ABS(a - f) AS HUGEINT) * 1000000
+                   // (ABS(a) + ABS(f))
+              ELSE 0 END AS smape_ppm
+  FROM eval_
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(SUM(ae) // COUNT(*) AS BIGINT) AS mae_cents,
+       CAST(SUM(smape_ppm) // COUNT(*) AS BIGINT) AS smape_mean_ppm
+FROM pts GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("agg_forecast_eval_smape", _SMAPE_ORACLE)
+def agg_forecast_eval_smape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-accuracy scoring against the seasonal-naive baseline —
+    the backtest readout that closes the time-series family
+    (agg_seasonality_profile finds the cycle, win_theil_sen the trend,
+    agg_autocorr_lags the memory; this op says how good any of it is):
+    the day-d forecast for each event type is the actual from day d−7
+    (the baseline every real forecaster must beat, per the M-series
+    competitions), scored with MAE in exact cents and symmetric MAPE —
+    each point's 2|a−f|/(|a|+|f|) is ONE integer rational floored to
+    ppm in HUGEINT/DECIMAL-wide arithmetic, the all-zero point defined
+    as 0 (mirrored), and the per-type means are floor divisions of
+    exact sums. No floats anywhere. Plan at 100 TB: one
+    (type, day) map-side-combined daily fold, one self-join ON THE
+    DAILY TABLE (days x types rows, not events — the lag-7 join is
+    the agg_autocorr_lags calendar-join shape), one fold — linear in
+    events, tiny after the first fold.
+    """
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(
+            F.date_trunc("day", F.col("ts")),
+            F.lit("2024-01-01").cast("timestamp"),
+        ).alias("day"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("a")
+    )
+    c = daily.alias("c")
+    p = daily.alias("p")
+    ev_ = (
+        c.join(
+            p,
+            (F.col("p.event_type") == F.col("c.event_type"))
+            & (F.col("p.day") == F.col("c.day") - 7),
+        )
+        .filter(F.col("c.day") >= 14)
+        .select(
+            F.col("c.event_type").alias("event_type"),
+            F.col("c.a").alias("a"),
+            F.col("p.a").alias("f"),
+        )
+    )
+    dec = "decimal(38,0)"
+    den = (F.abs(F.col("a")) + F.abs(F.col("f"))).cast(dec)
+    num = F.lit(2).cast(dec) * F.abs(F.col("a") - F.col("f")) * 1_000_000
+    pts = ev_.select(
+        "event_type",
+        F.abs(F.col("a") - F.col("f")).alias("ae"),
+        F.when(
+            den > 0, ((num - F.pmod(num, den)) / den).cast("long")
+        )
+        .otherwise(F.lit(0))
+        .alias("smape_ppm"),
+    )
+    return (
+        pts.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.expr("sum(ae) div count(1)").alias("mae_cents"),
+            F.expr("sum(smape_ppm) div count(1)").alias("smape_mean_ppm"),
+        )
+        .select("event_type", "n_points", "mae_cents", "smape_mean_ppm")
+        .orderBy("event_type")
+    )
