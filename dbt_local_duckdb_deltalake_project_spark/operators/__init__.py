@@ -39,24 +39,18 @@ for _m in _MODULES:
 # the back. Within the window, cheaper queries come first in case the
 # window is time-budgeted. Rotate this list each round as rows come back.
 _WINDOW_FIRST = [
-    # --- r12 window head: ids r12 changed. llm_dedup_span_removal:
-    # VALUES changed — the new min-span gate (default 25 tokens,
-    # applied after the kill-interval union) lets short merged regions
-    # survive; oracle gained the matching HAVING. The other four are
-    # value-identical hardenings that still re-prove their edited
-    # text/impl: graph_adamic_adar (oracle degree guard moved ahead of
-    # the 1/ln(d) weight — d=1 would raise on IEEE-float engines),
-    # agg_ipw_ate + graph_hits (oracle products/iterates widened to
-    # HUGEINT, mirroring the Spark DECIMAL(38,0) side), llm_bpe_learn
-    # (tokens_before identity now counts only token-bearing docs).
-    # All five simmed green at sf0.01 + sf0.1 (span_removal also 10x).
-    "llm_dedup_span_removal", "graph_adamic_adar", "agg_ipw_ate",
-    "graph_hits", "llm_bpe_learn",
-    # --- the rest of the 50-slot window fills automatically: the 4
-    # never-checked r12 ops (llm_pmi_collocations,
-    # agg_quantile_sketch_merge, mm_crossmodal_topk,
-    # llm_unigram_lm_learn — each simmed green at sf0.01/sf0.1/10x),
-    # then the stalest driver-green ids (the r2 cohort). ---
+    # --- r13 window head: ids r13 changed. Both are the ADVICE r12
+    # BIGINT-wrap hardenings (value-identical at every tested scale,
+    # but the edited impl still re-proves): agg_raking_ipf +
+    # agg_hhi_concentration now widen the SUMMAND to DECIMAL(38,0)
+    # before the SUM, matching the oracles' HUGEINT accumulation
+    # (the agg_ipw_ate/graph_hits wrap class). Simmed green at
+    # sf0.01 + sf0.1 + 10x post-edit.
+    "agg_raking_ipf", "agg_hhi_concentration",
+    # --- the rest of the 50-slot window fills automatically: r13's
+    # new never-checked ops (see CORRECTNESS_r12/CLAUDE.md — the
+    # automatic rotation derives the set), then the stalest
+    # driver-green ids (the r3 cohort is next). ---
 ]
 
 # The round whose driver row SATISFIES a _WINDOW_FIRST entry: once an id
@@ -65,7 +59,7 @@ _WINDOW_FIRST = [
 # rotation) — the next round's 50 slots all go to the backlog without
 # waiting for a manual list edit. Bump when repopulating _WINDOW_FIRST
 # for a new round's changes.
-_WINDOW_FIRST_ROUND = 12
+_WINDOW_FIRST_ROUND = 13
 
 
 # Directly behind the window: first the regression breadth mix (one-plus

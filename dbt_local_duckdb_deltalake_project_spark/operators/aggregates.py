@@ -4726,10 +4726,14 @@ def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         shares.join(tot, "nation")
         .groupBy("nation", "n_suppliers", "t")
+        # widen the SUMMAND, not the result: DuckDB's SUM(BIGINT) runs
+        # in HUGEINT, so the Spark fold must be decimal(38,0) too or it
+        # wraps silently at extreme scale where the oracle stays exact
         .agg(
-            F.expr("sum(share_ppm * share_ppm) div 1000000").alias(
-                "hhi_ppm"
-            )
+            F.expr(
+                "sum(CAST(share_ppm * share_ppm AS DECIMAL(38,0)))"
+                " div 1000000"
+            ).alias("hhi_ppm")
         )
         .select(
             "nation",
@@ -4853,11 +4857,14 @@ def agg_raking_ipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     dec = "decimal(38,0)"
 
     def sweep(cells, key, tgt):
+        # widen the SUMMAND: the oracle's SUM runs in HUGEINT, so the
+        # Spark fold must accumulate in decimal(38,0) (casting only the
+        # result would let the BIGINT partial sums wrap at extreme scale)
         m = cells.groupBy(key).agg(
-            F.sum(F.col("n") * F.col("w")).cast(dec).alias("mk")
+            F.sum((F.col("n") * F.col("w")).cast(dec)).alias("mk")
         )
         g = cells.agg(
-            F.sum(F.col("n") * F.col("w")).cast(dec).alias("wt")
+            F.sum((F.col("n") * F.col("w")).cast(dec)).alias("wt")
         )
         num = F.col("w").cast(dec) * F.col(tgt) * F.col("wt")
         den = F.col("t").cast(dec) * F.col("mk")
@@ -4874,9 +4881,9 @@ def agg_raking_ipf(spark: SparkSession, sf_dir: str) -> DataFrame:
                      ("c2", "t_c")):
         cells = sweep(cells, key, tgt)
     mf = cells.groupBy("r").agg(
-        F.sum(F.col("n") * F.col("w")).cast(dec).alias("mr")
+        F.sum((F.col("n") * F.col("w")).cast(dec)).alias("mr")
     )
-    gf = cells.agg(F.sum(F.col("n") * F.col("w")).cast(dec).alias("wt"))
+    gf = cells.agg(F.sum((F.col("n") * F.col("w")).cast(dec)).alias("wt"))
     return (
         cells.join(mf, "r")
         .crossJoin(F.broadcast(gf))
