@@ -10723,3 +10723,579 @@ def llm_reward_length_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
         "prompt_group", "n0", "c", "d", "n1", "n2",
         tau.alias("tau_b_micros"),
     ).orderBy("prompt_group")
+
+
+# ---------------------------------------------------------------------------
+# llm_html_extract — raw web-markup extraction, the step that precedes
+# every CommonCrawl-style corpus pipeline (jusText, Kohlschütter et al.
+# boilerplate detection; both public): strip <script>/<style> payloads,
+# split the page into block elements, classify each block by LINK
+# DENSITY (anchor-text chars / text chars) and length, keep content
+# blocks, and emit the reassembled extraction. Fixtures carry clean
+# text, so each document is first wrapped in deterministic synthetic
+# markup (nav/footer boilerplate + a script whose body contains a fake
+# <p> block — proving the script strip runs before block extraction);
+# the oracle regenerates the identical page, so the whole chain is
+# hash-checked (the scan_csv_permissive corruption-injection pattern).
+# Pure codegen regexp chain, zero shuffle before the per-doc rollup:
+# linear at 100 TB, and the regexes are RE2-safe (no backreferences)
+# so the same patterns run on both engines.
+# ---------------------------------------------------------------------------
+
+_HTML_EXTRACT_ORACLE = """
+WITH marked AS (
+  SELECT doc_id,
+         '<html><head><title>Doc ' || doc_id ||
+         '</title><style>p{margin:0}</style>' ||
+         '<script>if(1<2){var x="<p>junk</p>";}</script></head><body>' ||
+         '<div><a>home</a> <a>about</a> <a>contact</a> top nav</div>' ||
+         '<p>' || text || '</p>' ||
+         '<p><a>prev page</a> <a>next page</a></p>' ||
+         '<div>footer nav</div></body></html>' AS html
+  FROM documents
+),
+cleaned AS (
+  SELECT doc_id,
+         regexp_replace(html,
+           '<(?:script|style)[^>]*>.*?</(?:script|style)>', '', 'g') AS ch
+  FROM marked
+),
+blocks AS (
+  SELECT doc_id, UNNEST(bl) AS blk, generate_subscripts(bl, 1) AS bpos
+  FROM (
+    SELECT doc_id,
+           regexp_extract_all(ch, '<(?:p|div)>(.*?)</(?:p|div)>', 1) AS bl
+    FROM cleaned
+  )
+),
+scored AS (
+  SELECT doc_id, bpos,
+         trim(regexp_replace(regexp_replace(blk, '<[^>]*>', ' ', 'g'),
+                             ' +', ' ', 'g')) AS clean,
+         -- no-match regexp_extract_all renders NULL through
+         -- array_to_string in DuckDB (Spark gives '' -> 0): coalesce
+         CAST(COALESCE(length(array_to_string(
+           regexp_extract_all(blk, '<a>(.*?)</a>', 1), '')), 0) AS BIGINT)
+           AS a_chars
+  FROM blocks
+),
+flags AS (
+  SELECT doc_id, bpos, clean, a_chars,
+         CAST(length(clean) AS BIGINT) AS t_chars,
+         (length(clean) >= 25
+          AND (1000000 * a_chars)
+              // greatest(CAST(length(clean) AS BIGINT), 1) < 300000)
+           AS keep
+  FROM scored
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_blocks,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(COALESCE(SUM(CASE WHEN keep THEN t_chars END), 0) AS BIGINT)
+         AS kept_chars,
+       md5(COALESCE(
+         string_agg(CASE WHEN keep THEN clean END, ' ' ORDER BY bpos),
+         '')) AS extracted_md5
+FROM flags GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@register("llm_html_extract", _HTML_EXTRACT_ORACLE)
+def llm_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markup/boilerplate extraction over synthetic HTML wrapped around
+    fixture documents: (1) strip <script>/<style> (their bodies may
+    contain tag-shaped junk — the wrapper plants a fake <p> inside the
+    script to prove the order of operations), (2) extract <p>/<div>
+    blocks, (3) per block compute tag-stripped text and anchor-text
+    chars, (4) keep blocks with >= 25 text chars AND link density
+    < 0.3 (jusText's short/link-dense boilerplate heuristics), (5)
+    reassemble kept blocks in page order and fingerprint. The nav and
+    pager blocks are link-dense, the footer is short — only the real
+    document text survives, and the md5 proves byte-exact extraction.
+    Plan at 100 TB: the regexp chain is per-row codegen (no shuffle,
+    no UDF); the only exchange is the per-doc rollup, map-side
+    combined. RE2-safe patterns (non-capturing groups, no backrefs)
+    keep Spark's Java regex and DuckDB's RE2 in exact agreement.
+    """
+    marked = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head><title>Doc "),
+            F.col("doc_id").cast("string"),
+            F.lit("</title><style>p{margin:0}</style>"),
+            F.lit('<script>if(1<2){var x="<p>junk</p>";}</script></head>'),
+            F.lit("<body>"),
+            F.lit("<div><a>home</a> <a>about</a> <a>contact</a>"
+                  " top nav</div>"),
+            F.lit("<p>"),
+            F.col("text"),
+            F.lit("</p>"),
+            F.lit("<p><a>prev page</a> <a>next page</a></p>"),
+            F.lit("<div>footer nav</div></body></html>"),
+        ).alias("html"),
+    )
+    cleaned = marked.select(
+        "doc_id",
+        F.regexp_replace(
+            "html", "<(?:script|style)[^>]*>.*?</(?:script|style)>", ""
+        ).alias("ch"),
+    )
+    blocks = cleaned.select(
+        "doc_id",
+        F.posexplode(
+            F.expr("regexp_extract_all(ch, '<(?:p|div)>(.*?)</(?:p|div)>', 1)")
+        ).alias("bpos0", "blk"),
+    ).select("doc_id", (F.col("bpos0") + 1).alias("bpos"), "blk")
+    scored = blocks.select(
+        "doc_id",
+        "bpos",
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace("blk", "<[^>]*>", " "), " +", " "
+            )
+        ).alias("clean"),
+        F.expr(
+            "CAST(length(array_join("
+            "regexp_extract_all(blk, '<a>(.*?)</a>', 1), '')) AS LONG)"
+        ).alias("a_chars"),
+    )
+    flags = scored.select(
+        "doc_id",
+        "bpos",
+        "clean",
+        F.length("clean").cast("long").alias("t_chars"),
+        (
+            (F.length("clean") >= 25)
+            & (
+                F.expr(
+                    "(1000000 * a_chars)"
+                    " div greatest(CAST(length(clean) AS LONG), 1)"
+                )
+                < 300000
+            )
+        ).alias("keep"),
+    )
+    agg = flags.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_kept"),
+        F.coalesce(
+            F.sum(F.when(F.col("keep"), F.col("t_chars"))), F.lit(0)
+        ).alias("kept_chars"),
+        # collect_list skips NULLs, so only kept blocks enter; the
+        # struct sort restores page order (arrays are per-doc bounded)
+        F.array_sort(
+            F.collect_list(
+                F.when(F.col("keep"), F.struct("bpos", "clean"))
+            )
+        ).alias("arr"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_blocks",
+        "n_kept",
+        "kept_chars",
+        F.md5(
+            F.expr("array_join(transform(arr, s -> s.clean), ' ')")
+        ).alias("extracted_md5"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# llm_wordpiece_learn — WordPiece merge learning (Schuster & Nakajima
+# 2012; the BERT tokenizer trainer), completing the trainer trio beside
+# llm_bpe_learn (count argmax) and llm_unigram_lm_learn (EM pruning).
+# Same round machinery as BPE — count adjacent pairs, adopt ONE merge,
+# apply it greedily via the gaps-islands + parity relational form —
+# but the argmax maximizes the LIKELIHOOD score count(ab) /
+# (count(a) * count(b)) instead of the raw pair count: WordPiece picks
+# the merge that most increases corpus likelihood under a unigram LM,
+# which is exactly this ratio (up to constants). The ratio is floored
+# to an exact integer at 1e12 scale (score_e12 = c*1e12 // (ca*cb),
+# products widened to DECIMAL(38,0)/HUGEINT) with lexicographic
+# tiebreak, so both engines replay the identical merge trajectory.
+# At 100 TB: learning runs on a bounded sample by design (like BPE);
+# per-round cost is one pair-count shuffle + a vocabulary-sized join +
+# a 1-row argmax broadcast — flat in corpus size beyond the sample.
+# ---------------------------------------------------------------------------
+
+_WP_N = 6  # learned merge ranks
+
+
+def _WP_ROUND_SQL(i: int) -> str:
+    # MATERIALIZED everywhere for the same reason as _BPE_ROUND_SQL:
+    # DuckDB's default CTE inlining expands a multi-round chain
+    # exponentially (measured fd exhaustion at 8 BPE rounds).
+    p, t_ = f"t{i - 1}", f"t{i}"
+    return f"""
+p{i} AS MATERIALIZED (
+  SELECT doc_id, pos, tok,
+         LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+  FROM {p}
+),
+cu{i} AS MATERIALIZED (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM {p} GROUP BY tok
+),
+pc{i} AS MATERIALIZED (
+  SELECT tok AS a, nxt AS b, CAST(COUNT(*) AS BIGINT) AS c
+  FROM p{i} WHERE nxt IS NOT NULL GROUP BY tok, nxt
+),
+sc{i} AS MATERIALIZED (
+  SELECT pc.a, pc.b, pc.c,
+         CAST(pc.c * CAST(1000000000000 AS HUGEINT)
+              // (CAST(ca.c AS HUGEINT) * cb.c) AS BIGINT) AS score
+  FROM pc{i} pc
+  JOIN cu{i} ca ON ca.tok = pc.a
+  JOIN cu{i} cb ON cb.tok = pc.b
+),
+top{i} AS MATERIALIZED (
+  SELECT a, b, c, score FROM sc{i}
+  ORDER BY score DESC, a ASC, b ASC LIMIT 1
+),
+cn{i} AS MATERIALIZED (
+  SELECT p.doc_id, p.pos,
+         p.pos - ROW_NUMBER() OVER (PARTITION BY p.doc_id ORDER BY p.pos)
+           AS isl
+  FROM p{i} p CROSS JOIN top{i} s
+  WHERE p.tok = s.a AND p.nxt = s.b
+),
+mg{i} AS MATERIALIZED (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           (pos - MIN(pos) OVER (PARTITION BY doc_id, isl)) % 2 AS par
+    FROM cn{i}
+  ) WHERE par = 0
+),
+{t_} AS MATERIALIZED (
+  SELECT t.doc_id,
+         ROW_NUMBER() OVER (PARTITION BY t.doc_id ORDER BY t.pos) AS pos,
+         CASE WHEN m.pos IS NOT NULL THEN t.tok || s.b ELSE t.tok END
+           AS tok
+  FROM {p} t
+  CROSS JOIN top{i} s
+  LEFT JOIN mg{i} m  ON m.doc_id = t.doc_id AND m.pos = t.pos
+  LEFT JOIN mg{i} m2 ON m2.doc_id = t.doc_id AND m2.pos = t.pos - 1
+  WHERE m2.pos IS NULL
+),
+st{i} AS (
+  SELECT {i} AS round, s.a AS left_tok, s.b AS right_tok,
+         s.c AS pair_count, s.score AS score_e12,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM mg{i}) AS n_merges,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM {t_}) AS tokens_after
+  FROM top{i} s
+)"""
+
+
+_WP_LEARN_ORACLE = (
+    """
+WITH t0 AS MATERIALIZED (
+  SELECT doc_id, i AS pos, substring(text, i, 1) AS tok
+  FROM documents, generate_series(1, 64) g(i)
+  WHERE doc_id % 10 = 1 AND i <= length(text)
+),"""
+    + ",".join(_WP_ROUND_SQL(i) for i in range(1, _WP_N + 1))
+    + """
+SELECT CAST(round AS BIGINT) AS round, left_tok, right_tok, pair_count,
+       score_e12, n_merges, tokens_after
+FROM ("""
+    + " UNION ALL ".join(f"SELECT * FROM st{i}" for i in range(1, _WP_N + 1))
+    + """)
+ORDER BY round
+"""
+)
+
+
+@register("llm_wordpiece_learn", _WP_LEARN_ORACLE)
+def llm_wordpiece_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece likelihood-argmax merge learning, _WP_N rounds over a
+    bounded sample (doc_id % 10 == 1, first 64 chars — disjoint from
+    llm_bpe_learn's % 10 == 0 sample so the two trainers exercise
+    different corpora). The greedy merge application reuses the exact
+    relational form proven in _bpe_learn_rows (gaps-islands + parity;
+    see there for why even offsets merge); only the argmax differs:
+    score_e12 = pair_count * 1e12 // (count(left) * count(right)),
+    ORDER BY score DESC with lexicographic tiebreak. Driver round-trips
+    stay at ONE Spark job per round — the argmax collect carries the
+    round's pair total, and token counts fall out of the identity
+    tokens_before = pairs_total + n_docs (see _bpe_learn_rows).
+    """
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 1)
+    toks = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.least(F.lit(64), F.length("text")))
+            ).alias("pos"),
+            "text",
+        )
+        .select("doc_id", "pos", F.expr("substring(text, pos, 1)").alias("tok"))
+        .repartition(1)
+        .localCheckpoint(eager=False)
+    )
+
+    rows = []
+    n_docs = d.filter(F.length("text") >= 1).count()
+    prev_before = None
+    for i in range(1, _WP_N + 1):
+        wd = W.partitionBy("doc_id").orderBy("pos")
+        cu = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+        p = toks.select(
+            "doc_id", "pos", "tok", F.lead("tok").over(wd).alias("nxt")
+        )
+        pc = (
+            p.filter(F.col("nxt").isNotNull())
+            .groupBy(F.col("tok").alias("a"), F.col("nxt").alias("b"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        sc = (
+            pc.join(
+                cu.select(F.col("tok").alias("a"), F.col("cnt").alias("ca")),
+                "a",
+            )
+            .join(
+                cu.select(F.col("tok").alias("b"), F.col("cnt").alias("cb")),
+                "b",
+            )
+            .withColumn(
+                "score",
+                F.expr(
+                    "CAST((CAST(c AS DECIMAL(38,0)) * 1000000000000)"
+                    " div (CAST(ca AS DECIMAL(38,0)) * cb) AS LONG)"
+                ),
+            )
+        )
+        stats = sc.orderBy(
+            F.col("score").desc(), F.col("a").asc(), F.col("b").asc()
+        ).limit(1).crossJoin(pc.agg(F.sum("c").alias("pairs_total")))
+        top = stats.collect()[0]  # bounded: limit(1) argmax + 1 scalar
+        left, right = top["a"], top["b"]
+        cnt, score = int(top["c"]), int(top["score"])
+        tokens_before = int(top["pairs_total"]) + n_docs
+        if rows:
+            pr = rows[-1]
+            rows[-1] = (*pr, prev_before - tokens_before, tokens_before)
+        prev_before = tokens_before
+        cand = (
+            p.filter((F.col("tok") == left) & (F.col("nxt") == right))
+            .select(
+                "doc_id",
+                "pos",
+                (F.col("pos") - F.row_number().over(wd)).alias("isl"),
+            )
+        )
+        mg = (
+            cand.select(
+                "doc_id",
+                "pos",
+                (
+                    (
+                        F.col("pos")
+                        - F.min("pos").over(W.partitionBy("doc_id", "isl"))
+                    )
+                    % 2
+                ).alias("par"),
+            )
+            .filter(F.col("par") == 0)
+            .select("doc_id", "pos")
+        )
+        m1 = mg.select(
+            F.col("doc_id").alias("mdoc"), F.col("pos").alias("mpos")
+        )
+        m2 = mg.select(
+            F.col("doc_id").alias("cdoc"), (F.col("pos") + 1).alias("cpos")
+        )
+        nxt_toks = (
+            toks.join(
+                F.broadcast(m1),
+                on=(F.col("doc_id") == F.col("mdoc"))
+                & (F.col("pos") == F.col("mpos")),
+                how="left",
+            )
+            .join(
+                F.broadcast(m2),
+                on=(F.col("doc_id") == F.col("cdoc"))
+                & (F.col("pos") == F.col("cpos")),
+                how="left",
+            )
+            .filter(F.col("cpos").isNull())
+            .select(
+                "doc_id",
+                F.row_number().over(wd).alias("pos"),
+                F.when(
+                    F.col("mpos").isNotNull(),
+                    F.concat(F.col("tok"), F.lit(right)),
+                )
+                .otherwise(F.col("tok"))
+                .alias("tok"),
+            )
+        )
+        toks = nxt_toks.localCheckpoint(eager=False)
+        rows.append((i, left, right, cnt, score))
+
+    final_n = toks.count()
+    rows[-1] = (*rows[-1], prev_before - final_n, final_n)
+    return spark.createDataFrame(
+        rows,
+        "round long, left_tok string, right_tok string, pair_count long,"
+        " score_e12 long, n_merges long, tokens_after long",
+    ).orderBy("round")
+
+
+# ---------------------------------------------------------------------------
+# llm_policy_kl_audit — per-document KL drift between two in-query LM
+# scorings: "policy" = Jelinek-Mercer interpolated bigram LM (lambda =
+# 3/4; the llm_ngram_lm_interpolated machinery) vs "reference" =
+# interpolated Kneser-Ney bigram LM (discount 3/4; the llm_kneser_ney
+# rational). The standard RLHF drift gate (per-token mean of
+# ln p_policy - ln p_ref; Ouyang et al. 2022 use it as the PPO
+# regularizer) applied as corpus analytics: both probabilities are
+# EXACT integer rationals, so each occurrence's contribution is four
+# independently micros-quantized logs of exact integers (the PMI
+# discipline — no float mixing), and per-doc sums are exact BIGINT
+# micros that hash-match across engines. Pairs with
+# llm_reward_length_bias as the RLHF audit battery.
+# At 100 TB: one doc-partitioned LEAD window, one (v,w) map-side-
+# combined count, vocabulary-sized margin folds, occurrence join back
+# on (v,w) — the llm_tfidf join shape, linear end to end.
+# ---------------------------------------------------------------------------
+
+_POLICY_KL_ORACLE = """
+WITH lst AS (
+  SELECT doc_id, string_split(text, ' ') AS parts FROM documents
+),
+tok AS (
+  SELECT doc_id, w, ROW_NUMBER() OVER (
+           PARTITION BY doc_id ORDER BY pos) AS rn
+  FROM (
+    SELECT doc_id, UNNEST(parts) AS w,
+           generate_subscripts(parts, 1) AS pos
+    FROM lst
+  ) WHERE w <> ''
+),
+bi AS (
+  SELECT doc_id, w AS v,
+         LEAD(w) OVER (PARTITION BY doc_id ORDER BY rn) AS w2
+  FROM tok
+),
+occ AS (SELECT doc_id, v, w2 FROM bi WHERE w2 IS NOT NULL),
+pc AS (
+  SELECT v, w2, CAST(COUNT(*) AS BIGINT) AS c_vw
+  FROM occ GROUP BY v, w2
+),
+cv AS (
+  SELECT v, CAST(SUM(c_vw) AS BIGINT) AS c_v,
+         CAST(COUNT(*) AS BIGINT) AS n1p_left
+  FROM pc GROUP BY v
+),
+cw AS (
+  SELECT w2, CAST(SUM(c_vw) AS BIGINT) AS c_w,
+         CAST(COUNT(*) AS BIGINT) AS n1p_right
+  FROM pc GROUP BY w2
+),
+nn AS (
+  SELECT CAST(SUM(c_vw) AS BIGINT) AS n,
+         CAST(COUNT(*) AS BIGINT) AS n_types
+  FROM pc
+),
+terms AS (
+  SELECT o.doc_id,
+         CAST(ROUND(ROUND(ln(CAST(
+              3 * CAST(p.c_vw AS HUGEINT) * nn.n
+              + CAST(cw.c_w AS HUGEINT) * cv.c_v
+              AS DOUBLE)), 9) * 1000000) AS BIGINT)
+         - CAST(ROUND(ROUND(ln(CAST(
+              4 * CAST(cv.c_v AS HUGEINT) * nn.n
+              AS DOUBLE)), 9) * 1000000) AS BIGINT)
+         - CAST(ROUND(ROUND(ln(CAST(
+              (4 * CAST(p.c_vw AS HUGEINT) - 3) * nn.n_types
+              + 3 * CAST(cv.n1p_left AS HUGEINT) * cw.n1p_right
+              AS DOUBLE)), 9) * 1000000) AS BIGINT)
+         + CAST(ROUND(ROUND(ln(CAST(
+              4 * CAST(cv.c_v AS HUGEINT) * nn.n_types
+              AS DOUBLE)), 9) * 1000000) AS BIGINT) AS klt
+  FROM occ o
+  JOIN pc p ON p.v = o.v AND p.w2 = o.w2
+  JOIN cv ON cv.v = o.v
+  JOIN cw ON cw.w2 = o.w2
+  CROSS JOIN nn
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+       CAST(SUM(klt) AS BIGINT) AS kl_micros
+FROM terms GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@register("llm_policy_kl_audit", _POLICY_KL_ORACLE)
+def llm_policy_kl_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc sum over token occurrences of ln P_JM(w2|v) -
+    ln P_KN(w2|v): positive where the smoother policy LM out-scores
+    the discounting reference (common-bigram docs), negative where KN's
+    continuation backoff wins (novel-continuation docs) — the per-doc
+    table an RLHF drift monitor thresholds. P_JM = (3*c_vw*N +
+    c_w*c_v) / (4*c_v*N); P_KN = ((4*c_vw - 3)*T + 3*N1L*N1R) /
+    (4*c_v*T) with discount 3/4 (c >= 1 so the clamp never binds —
+    llm_kneser_ney's derivation). Every product is widened to
+    DECIMAL(38,0)/HUGEINT BEFORE the double cast so both engines round
+    the same integer to the same double.
+    """
+    tok = (
+        t(spark, sf_dir, "documents")
+        .select(
+            "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+        )
+        .filter(F.col("w") != "")
+    )
+    wd = W.partitionBy("doc_id").orderBy("pos")
+    occ = tok.select(
+        "doc_id",
+        F.col("w").alias("v"),
+        F.lead("w").over(wd).alias("w2"),
+    ).filter(F.col("w2").isNotNull())
+    pc = occ.groupBy("v", "w2").agg(F.count(F.lit(1)).alias("c_vw"))
+    cv = pc.groupBy("v").agg(
+        F.sum("c_vw").alias("c_v"), F.count(F.lit(1)).alias("n1p_left")
+    )
+    cw = pc.groupBy("w2").agg(
+        F.sum("c_vw").alias("c_w"), F.count(F.lit(1)).alias("n1p_right")
+    )
+    nn = pc.agg(
+        F.sum("c_vw").alias("n"), F.count(F.lit(1)).alias("n_types")
+    )
+
+    def lnq(col):
+        return (
+            F.round(F.round(F.log(col.cast("double")), 9) * 1_000_000)
+            .cast("long")
+        )
+
+    dec = "decimal(38,0)"
+    num_jm = (
+        F.lit(3).cast(dec) * F.col("c_vw") * F.col("n")
+        + F.col("c_w").cast(dec) * F.col("c_v")
+    )
+    den_jm = F.lit(4).cast(dec) * F.col("c_v") * F.col("n")
+    num_kn = (
+        (F.lit(4).cast(dec) * F.col("c_vw") - 3) * F.col("n_types")
+        + F.lit(3).cast(dec) * F.col("n1p_left") * F.col("n1p_right")
+    )
+    den_kn = F.lit(4).cast(dec) * F.col("c_v") * F.col("n_types")
+    terms = (
+        occ.join(pc, ["v", "w2"])
+        .join(cv, "v")
+        .join(cw, "w2")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "doc_id",
+            (
+                lnq(num_jm) - lnq(den_jm) - lnq(num_kn) + lnq(den_kn)
+            ).alias("klt"),
+        )
+    )
+    return (
+        terms.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("klt").alias("kl_micros"),
+        )
+        .orderBy("doc_id")
+    )

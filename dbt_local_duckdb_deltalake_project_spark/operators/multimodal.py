@@ -1019,3 +1019,142 @@ def mm_crossmodal_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# mm_audio_vad_plan — energy-threshold voice-activity segmentation, the
+# ASR-pipeline sibling of mm_scene_split on the audio axis: frame
+# energies -> voiced flags -> voiced runs merged across short silence
+# gaps (the classic VAD "hangover") -> per-segment plan rows a
+# downstream ASR decode stage consumes. Frame ENERGIES are the same
+# deterministic decode-stub contract as mm_scene_split's features (no
+# libav in this container; swap the energy expression for a real
+# mapInPandas decode and nothing downstream changes). Exact integer
+# sample arithmetic end to end; gaps-and-islands via one
+# media-partitioned LAG window + running sum.
+# At 100 TB: frame explode is map-side; the window and the per-segment
+# rollup share the media_id shuffle key (rollup keys (media_id,
+# seg_id) are a superset, so Catalyst reuses the exchange) — one
+# shuffle lineage end-to-end, plan-asserted.
+# ---------------------------------------------------------------------------
+
+_VAD_ORACLE = """
+WITH audio AS (
+  SELECT doc_id AS media_id,
+         octet_length(encode(text)) * 7 AS duration_ms
+  FROM documents WHERE doc_id % 3 = 1
+),
+frames AS (
+  SELECT media_id, duration_ms, f,
+         (media_id * 37 + f * f * 13 + f * 29) % 1000 AS energy
+  FROM audio,
+       LATERAL (SELECT unnest(range(0, duration_ms // 20)) AS f)
+),
+voiced AS (
+  SELECT media_id, duration_ms, f FROM frames WHERE energy >= 550
+),
+flags AS (
+  SELECT media_id, duration_ms, f,
+         CASE WHEN LAG(f) OVER (PARTITION BY media_id ORDER BY f)
+                   IS NULL THEN 1
+              WHEN f - LAG(f) OVER (PARTITION BY media_id ORDER BY f)
+                   > 3 THEN 1
+              ELSE 0 END AS new_seg
+  FROM voiced
+),
+segs AS (
+  SELECT media_id, duration_ms, f,
+         SUM(new_seg) OVER (PARTITION BY media_id ORDER BY f) AS seg_id
+  FROM flags
+)
+SELECT media_id,
+       CAST(MAX(duration_ms) AS BIGINT) AS duration_ms,
+       CAST(seg_id AS BIGINT) AS seg_id,
+       CAST(MIN(f) * 20 AS BIGINT) AS start_ms,
+       CAST((MAX(f) + 1) * 20 AS BIGINT) AS end_ms,
+       CAST(COUNT(*) AS BIGINT) AS n_voiced_frames,
+       CAST(MAX(f) - MIN(f) + 1 AS BIGINT) AS span_frames
+FROM segs
+GROUP BY media_id, seg_id
+ORDER BY media_id, seg_id
+"""
+
+
+@register("mm_audio_vad_plan", _VAD_ORACLE)
+def mm_audio_vad_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VAD segmentation plan per audio clip: 20 ms frames, deterministic
+    stub energy in [0, 1000), voiced iff energy >= 550, voiced runs
+    separated by <= 2 silent frames merge into one segment (hangover;
+    the LAG-gap > 3 test starts a new one). Emits one plan row per
+    segment — (start_ms, end_ms, voiced/span frame counts) — the
+    long-form table an ASR batch decoder partitions on.
+    """
+    audio = (
+        _payloads(spark, sf_dir)
+        .filter(F.col("media_type") == "audio")
+        .select(
+            "media_id",
+            (F.octet_length("payload").cast("long") * 7).alias(
+                "duration_ms"
+            ),
+        )
+    )
+    frames = audio.select(
+        "media_id",
+        "duration_ms",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                F.expr("duration_ms div 20") - 1,
+            )
+        ).alias("f"),
+    ).select(
+        "*",
+        (
+            (
+                F.col("media_id") * 37
+                + F.col("f") * F.col("f") * 13
+                + F.col("f") * 29
+            )
+            % 1000
+        ).alias("energy"),
+    )
+    voiced = frames.filter(F.col("energy") >= 550).select(
+        "media_id", "duration_ms", "f"
+    )
+    wm = W.partitionBy("media_id").orderBy("f")
+    prev = F.lag("f").over(wm)
+    flags = voiced.select(
+        "media_id",
+        "duration_ms",
+        "f",
+        F.when(prev.isNull() | (F.col("f") - prev > 3), 1)
+        .otherwise(0)
+        .alias("new_seg"),
+    )
+    segs = flags.select(
+        "media_id",
+        "duration_ms",
+        "f",
+        F.sum("new_seg").over(wm).alias("seg_id"),
+    )
+    return (
+        segs.groupBy("media_id", "seg_id")
+        .agg(
+            F.max("duration_ms").alias("duration_ms"),
+            (F.min("f") * 20).alias("start_ms"),
+            ((F.max("f") + 1) * 20).alias("end_ms"),
+            F.count(F.lit(1)).alias("n_voiced_frames"),
+            (F.max("f") - F.min("f") + 1).alias("span_frames"),
+        )
+        .select(
+            "media_id",
+            "duration_ms",
+            "seg_id",
+            "start_ms",
+            "end_ms",
+            "n_voiced_frames",
+            "span_frames",
+        )
+        .orderBy("media_id", "seg_id")
+    )
