@@ -1452,3 +1452,202 @@ def dbt_microbatch_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_day", "event_type", "n_events", "value_sum")
         .orderBy("event_day", "event_type")
     )
+
+
+# -- dbt clone-based CI environments (dbt 1.6 `dbt clone`) ------------------
+
+_CLONE_CI_ORACLE = """
+WITH bronze AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey % 2 = 0
+),
+silver AS (
+  SELECT c.c_mktsegment, b.cents
+  FROM bronze b JOIN customer c ON c.c_custkey = b.o_custkey
+  WHERE b.o_orderstatus <> 'P'
+),
+gold AS (
+  SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(cents) AS BIGINT) AS cents
+  FROM silver GROUP BY c_mktsegment
+)
+SELECT * FROM (
+  SELECT 'bronze_orders' AS model, 'clone' AS action, FALSE AS selected,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM bronze) AS n_rows,
+         (SELECT CAST(SUM(cents) AS BIGINT) FROM bronze) AS check_cents,
+         TRUE AS prod_untouched
+  UNION ALL
+  SELECT 'silver_orders', 'build', TRUE,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM silver),
+         (SELECT CAST(SUM(cents) AS BIGINT) FROM silver),
+         TRUE
+  UNION ALL
+  SELECT 'gold_revenue', 'build', TRUE,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM gold),
+         (SELECT CAST(SUM(cents) AS BIGINT) FROM gold),
+         TRUE
+) ORDER BY model
+"""
+
+
+@register("dbt_clone_ci", _CLONE_CI_ORACLE)
+def dbt_clone_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt 1.6 `dbt clone` CI composition: a PR build runs only
+    `state:modified+` models, and every UNMODIFIED upstream the
+    subgraph references is zero-copy SHALLOW-CLONED from production
+    into the CI schema instead of rebuilt (`dbt clone` then
+    `dbt build --select state:modified+`). Composes the two existing
+    verbs — `delta_shallow_clone`'s metadata-only fork and
+    `dbt_state_modified`'s manifest-fingerprint selection over the
+    REAL ModelGraph DAG — end to end: prod is built once (bronze →
+    silver v1 → gold), the manifest diff marks silver modified, CI
+    clones bronze (zero bytes copied) and rebuilds silver v2 + gold
+    against the clone. The emitted row set proves (a) the clone READ
+    path (bronze counts/cents come from reading the clone), (b) the
+    CI build used the v2 definition (silver/gold counts match the
+    oracle's v2 logic), and (c) copy-on-write isolation —
+    `prod_untouched` compares every prod table's latest_version
+    before/after the CI run (the oracle pins TRUE).
+    At 100 TB: cloning is O(live files) metadata work — the entire
+    point of the verb — and the CI build touches only the modified
+    subgraph's data.
+    """
+    import hashlib
+    import os
+
+    from ..sources.deltalike import DeltaLikeTable
+
+    prod_root = workdir(sf_dir, "dbt_clone_ci_prod")
+    ci_root = workdir(sf_dir, "dbt_clone_ci_ci")
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    customer = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+    def bronze_fn(sp, deps):
+        return deps["orders"].filter(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+
+    def silver_v1(sp, deps):
+        return deps["bronze_orders"].join(
+            F.broadcast(deps["customer"]),
+            F.col("c_custkey") == F.col("o_custkey"),
+        ).select("c_mktsegment", "cents")
+
+    def silver_v2(sp, deps):
+        # the PR's edit: exclude open ('P') orders
+        return (
+            deps["bronze_orders"]
+            .filter(F.col("o_orderstatus") != "P")
+            .join(
+                F.broadcast(deps["customer"]),
+                F.col("c_custkey") == F.col("o_custkey"),
+            )
+            .select("c_mktsegment", "cents")
+        )
+
+    def gold_fn(sp, deps):
+        return (
+            deps["silver_orders"]
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("cents").alias("cents"),
+            )
+        )
+
+    # -- production run (v1 everywhere) --
+    g1 = ModelGraph(prod_root)
+    g1.model("bronze_orders", deps=["orders"], materialized="table")(
+        bronze_fn
+    )
+    g1.model(
+        "silver_orders",
+        deps=["bronze_orders", "customer"],
+        materialized="table",
+    )(silver_v1)
+    g1.model("gold_revenue", deps=["silver_orders"], materialized="table")(
+        gold_fn
+    )
+    g1.run(spark, {"orders": orders, "customer": customer})
+    prod_versions = {
+        m: DeltaLikeTable(os.path.join(prod_root, m)).latest_version
+        for m in ("bronze_orders", "silver_orders", "gold_revenue")
+    }
+
+    # -- manifest diff (dbt_state_modified's fingerprint discipline) --
+    def fp(defn: str) -> str:
+        return hashlib.md5(defn.encode()).hexdigest()
+
+    prev = {
+        "bronze_orders": fp("even orderkeys v1"),
+        "silver_orders": fp("join customer -- v1"),
+        "gold_revenue": fp("group by segment"),
+    }
+    cur = {
+        "bronze_orders": fp("even orderkeys v1"),
+        "silver_orders": fp("join customer -- v2 drops open orders"),
+        "gold_revenue": fp("group by segment"),
+    }
+    modified = {m for m in cur if prev.get(m) != cur[m]}
+    selected: set[str] = set()
+    for m in modified:
+        selected |= set(g1.select(f"{m}+"))
+
+    # -- CI: clone every unselected upstream, build the modified+ rest --
+    ci_inputs: dict[str, DataFrame] = {"customer": customer}
+    actions: dict[str, str] = {}
+    for m in ("bronze_orders", "silver_orders", "gold_revenue"):
+        if m not in selected:
+            clone = DeltaLikeTable(os.path.join(prod_root, m)).clone_to(
+                os.path.join(ci_root, m)
+            )
+            ci_inputs[m] = clone.read(spark)
+            actions[m] = "clone"
+        else:
+            actions[m] = "build"
+    g2 = ModelGraph(ci_root)
+    g2.model(
+        "silver_orders",
+        deps=["bronze_orders", "customer"],
+        materialized="table",
+    )(silver_v2)
+    g2.model("gold_revenue", deps=["silver_orders"], materialized="table")(
+        gold_fn
+    )
+    g2.run(spark, ci_inputs)
+
+    untouched = {
+        m: DeltaLikeTable(os.path.join(prod_root, m)).latest_version
+        == prod_versions[m]
+        for m in prod_versions
+    }
+    rows = []
+    for m in ("bronze_orders", "silver_orders", "gold_revenue"):
+        ci_tbl = DeltaLikeTable(os.path.join(ci_root, m)).read(spark)
+        stats = ci_tbl.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").cast("long").alias("cents"),
+        ).collect()[0]  # bounded: one row of table-level stats per model
+        rows.append(
+            (
+                m,
+                actions[m],
+                m in selected,
+                int(stats["n"]),
+                int(stats["cents"]),
+                untouched[m],
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "model string, action string, selected boolean, n_rows long,"
+        " check_cents long, prod_untouched boolean",
+    ).orderBy("model")
