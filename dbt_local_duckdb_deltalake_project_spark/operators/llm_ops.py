@@ -11066,7 +11066,14 @@ def llm_wordpiece_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
         stats = sc.orderBy(
             F.col("score").desc(), F.col("a").asc(), F.col("b").asc()
         ).limit(1).crossJoin(pc.agg(F.sum("c").alias("pairs_total")))
-        top = stats.collect()[0]  # bounded: limit(1) argmax + 1 scalar
+        got = stats.collect()  # bounded: limit(1) argmax + 1 scalar
+        if not got:
+            # pairs exhausted (possible only on tiny crafted corpora):
+            # the oracle's CROSS JOIN against the empty argmax drops
+            # this and every later round's row — stop the same way and
+            # let the closing count finalize the last completed round
+            break
+        top = got[0]
         left, right = top["a"], top["b"]
         cnt, score = int(top["c"]), int(top["score"])
         tokens_before = int(top["pairs_total"]) + n_docs
@@ -11131,13 +11138,15 @@ def llm_wordpiece_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks = nxt_toks.localCheckpoint(eager=False)
         rows.append((i, left, right, cnt, score))
 
+    schema = (
+        "round long, left_tok string, right_tok string, pair_count long,"
+        " score_e12 long, n_merges long, tokens_after long"
+    )
+    if not rows:  # no pairs at all (single-char docs): oracle is empty too
+        return spark.createDataFrame([], schema)
     final_n = toks.count()
     rows[-1] = (*rows[-1], prev_before - final_n, final_n)
-    return spark.createDataFrame(
-        rows,
-        "round long, left_tok string, right_tok string, pair_count long,"
-        " score_e12 long, n_merges long, tokens_after long",
-    ).orderBy("round")
+    return spark.createDataFrame(rows, schema).orderBy("round")
 
 
 # ---------------------------------------------------------------------------
