@@ -155,6 +155,8 @@ def test_no_unbounded_driver_collect_in_operators():
         # subqueries EXECUTE IMMEDIATE demo: both collects are one row
         # per IN-listed segment (2), asserting two binding paths agree
         ("subqueries.py", "bounded: one row per segment"),
+        # dbt clone CI: one aggregated stats row per CI model (3)
+        ("dbt_ops.py", "bounded: one row of table-level stats"),
     }
     allowed_topandas = {
         # streaming_ops CDF sync: distinct-version frame, one row per
