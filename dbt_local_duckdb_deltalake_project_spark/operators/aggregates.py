@@ -5561,3 +5561,154 @@ def agg_forecast_eval_smape(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "n_points", "mae_cents", "smape_mean_ppm")
         .orderBy("event_type")
     )
+
+
+_LOGRANK_ORACLE = """
+WITH u AS (
+  SELECT user_id % 2 AS grp, (user_id // 2) % 3 AS stratum,
+         date_diff('day', MIN(ts), MAX(ts)) AS dur,
+         MAX(ts) < TIMESTAMP '2024-01-28' AS observed
+  FROM events GROUP BY user_id
+),
+steps AS (
+  SELECT stratum, dur,
+         CAST(COUNT(*) FILTER (observed) AS BIGINT) AS d,
+         CAST(COUNT(*) FILTER (observed AND grp = 1) AS BIGINT) AS d1,
+         CAST(COUNT(*) AS BIGINT) AS at_all,
+         CAST(COUNT(*) FILTER (grp = 1) AS BIGINT) AS at_g1
+  FROM u GROUP BY stratum, dur
+),
+risk AS (
+  SELECT stratum, dur, d, d1,
+         CAST(SUM(at_all) OVER w AS BIGINT) AS n,
+         CAST(SUM(at_g1) OVER w AS BIGINT) AS n1
+  FROM steps
+  WINDOW w AS (PARTITION BY stratum ORDER BY dur
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+),
+terms AS (
+  SELECT stratum, dur, d, d1,
+         CAST(CAST(d AS HUGEINT) * n1 * 1000000 // n AS BIGINT)
+           AS e1_micros,
+         CASE WHEN n > 1 THEN
+           CAST(CAST(d AS HUGEINT) * n1 * (n - n1) * (n - d) * 1000000
+                // (CAST(n AS HUGEINT) * n * (n - 1)) AS BIGINT)
+         ELSE 0 END AS v_micros
+  FROM risk
+),
+agg AS (
+  SELECT stratum, CAST(COUNT(*) AS BIGINT) AS n_steps,
+         CAST(SUM(d1) AS BIGINT) AS o1,
+         CAST(SUM(e1_micros) AS BIGINT) AS e1_micros,
+         CAST(SUM(v_micros) AS BIGINT) AS v_micros
+  FROM terms GROUP BY stratum
+)
+SELECT stratum, n_steps, o1, e1_micros, v_micros,
+       CASE WHEN v_micros > 0 THEN
+         CAST(CAST(1000000 * o1 - e1_micros AS HUGEINT)
+              * (1000000 * o1 - e1_micros) // v_micros AS BIGINT)
+       END AS z2_micros,
+       CASE WHEN v_micros > 0 THEN
+         CAST(CAST(1000000 * o1 - e1_micros AS HUGEINT)
+              * (1000000 * o1 - e1_micros) // v_micros AS BIGINT)
+         > 3841459
+       END AS significant_5pct
+FROM agg ORDER BY stratum
+"""
+
+
+@register("agg_logrank_test", _LOGRANK_ORACLE)
+def agg_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified two-sample log-rank (Mantel-Cox) test — the standard
+    comparison test over the survival curves agg_survival_km /
+    agg_nelson_aalen estimate: per event time, group 1's observed
+    deaths vs the hypergeometric expectation d*n1/n, variance
+    d*(n1/n)(1-n1/n)(n-d)/(n-1), chi-square statistic
+    (sum(O-E))^2 / sum(V) with 1 df. Same right-censoring risk-set
+    semantics as the estimators (reversed-frame running sums; the
+    per-stratum step domain is duration-bounded, so the reversed
+    frame's rescan is irrelevant — the NA note). Every step term is an
+    exact integer rational floored to micros with products widened to
+    DECIMAL(38,0)/HUGEINT (d*n1*(n-n1)*(n-d)*1e6 is ~n^4 — BIGINT
+    wraps at ~50k at-risk users; DuckDB BIGINT*BIGINT raises rather
+    than widening, the r12 lesson); z2's numerator is squared in the
+    wide type too. significant_5pct compares z2_micros to the
+    chi-square(1) 5% critical value 3.841459 in micros — an exact
+    integer comparison both engines agree on. Group = user parity,
+    stratum = (user_id div 2) % 3 (independent of parity, so every
+    stratum holds both groups). Plan: one user fold, one step fold,
+    two stratum-partitioned windows, one stratum fold — scale-free
+    like the estimators.
+    """
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.min("ts").alias("t0"), F.max("ts").alias("t1")
+    ).select(
+        (F.col("user_id") % 2).alias("grp"),
+        (F.expr("user_id div 2") % 3).alias("stratum"),
+        F.datediff(F.col("t1"), F.col("t0")).alias("dur"),
+        (F.col("t1") < F.lit("2024-01-28").cast("timestamp")).alias(
+            "observed"
+        ),
+    )
+    steps = u.groupBy("stratum", "dur").agg(
+        F.count(F.when(F.col("observed"), 1)).alias("d"),
+        F.count(
+            F.when(F.col("observed") & (F.col("grp") == 1), 1)
+        ).alias("d1"),
+        F.count(F.lit(1)).alias("at_all"),
+        F.count(F.when(F.col("grp") == 1, 1)).alias("at_g1"),
+    )
+    wrev = (
+        W.partitionBy("stratum")
+        .orderBy("dur")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    risk = steps.select(
+        "stratum",
+        "dur",
+        "d",
+        "d1",
+        F.sum("at_all").over(wrev).alias("n"),
+        F.sum("at_g1").over(wrev).alias("n1"),
+    )
+    terms = risk.select(
+        "stratum",
+        "d1",
+        F.expr(
+            "CAST((CAST(d AS DECIMAL(38,0)) * n1 * 1000000) div n AS LONG)"
+        ).alias("e1_micros"),
+        F.when(
+            F.col("n") > 1,
+            F.expr(
+                "CAST((CAST(d AS DECIMAL(38,0)) * n1 * (n - n1) * (n - d)"
+                " * 1000000)"
+                " div (CAST(n AS DECIMAL(38,0)) * n * (n - 1)) AS LONG)"
+            ),
+        )
+        .otherwise(F.lit(0))
+        .alias("v_micros"),
+    )
+    agg = terms.groupBy("stratum").agg(
+        F.count(F.lit(1)).alias("n_steps"),
+        F.sum("d1").alias("o1"),
+        F.sum("e1_micros").alias("e1_micros"),
+        F.sum("v_micros").alias("v_micros"),
+    )
+    z2 = F.expr(
+        "CAST((CAST(1000000 * o1 - e1_micros AS DECIMAL(38,0))"
+        " * (1000000 * o1 - e1_micros)) div v_micros AS LONG)"
+    )
+    return agg.select(
+        "stratum",
+        "n_steps",
+        "o1",
+        "e1_micros",
+        "v_micros",
+        F.when(F.col("v_micros") > 0, z2).alias("z2_micros"),
+        F.when(F.col("v_micros") > 0, z2 > 3841459).alias(
+            "significant_5pct"
+        ),
+    ).orderBy("stratum")

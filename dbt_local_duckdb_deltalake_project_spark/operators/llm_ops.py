@@ -11308,3 +11308,96 @@ def llm_policy_kl_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# llm_best_of_n — best-of-n (rejection) sampling selection, the
+# simplest inference-time RLHF baseline (Stiennon et al. 2020; BoN is
+# the yardstick every PPO/DPO run is compared against): per prompt
+# group of n candidate completions, pick the reward argmax and report
+# the uplift over the group's mean reward — the curve (uplift vs n)
+# is what a BoN ablation sweeps. Groups are the GRPO fixture
+# convention (doc_id div 8 = 8 completions per prompt; reward =
+# n_chars, the container-deterministic reward stand-in also used by
+# llm_reward_length_bias/llm_grpo_group_advantage). The argmax is a
+# rank-1 window with doc_id tiebreak; mean uplift is an exact
+# per-group integer rational floored to micros (group sums are
+# 8-completion bounded, so BIGINT holds at any corpus size). Plan:
+# one group-partitioned window + one map-side-combined fold on the
+# same key — one shuffle lineage, linear at 100 TB.
+# ---------------------------------------------------------------------------
+
+_BEST_OF_N_ORACLE = """
+WITH c AS (
+  SELECT doc_id, doc_id // 8 AS prompt_group,
+         CAST(n_chars AS BIGINT) AS reward
+  FROM documents
+),
+g AS (
+  SELECT prompt_group, CAST(COUNT(*) AS BIGINT) AS n_completions,
+         CAST(SUM(reward) AS BIGINT) AS s
+  FROM c GROUP BY prompt_group
+),
+b AS (
+  SELECT prompt_group, doc_id AS best_doc_id, reward AS best_reward
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY prompt_group
+                                 ORDER BY reward DESC, doc_id) AS rn
+    FROM c
+  ) WHERE rn = 1
+)
+SELECT g.prompt_group, g.n_completions, b.best_doc_id, b.best_reward,
+       CAST(1000000 * g.s // g.n_completions AS BIGINT)
+         AS mean_reward_micros,
+       CAST(1000000 * b.best_reward
+            - 1000000 * g.s // g.n_completions AS BIGINT)
+         AS uplift_micros
+FROM g JOIN b ON b.prompt_group = g.prompt_group
+ORDER BY g.prompt_group
+"""
+
+
+@register("llm_best_of_n", _BEST_OF_N_ORACLE)
+def llm_best_of_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per prompt group: the reward-argmax completion (deterministic
+    doc_id tiebreak), the group mean reward in exact floored micros,
+    and the BoN uplift best*1e6 - mean_micros (>= 0 by construction —
+    the argmax is never below its group's mean)."""
+    c = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr("doc_id div 8").alias("prompt_group"),
+        F.col("n_chars").alias("reward"),
+    )
+    wg = W.partitionBy("prompt_group").orderBy(
+        F.col("reward").desc(), F.col("doc_id").asc()
+    )
+    b = (
+        c.select(
+            "prompt_group",
+            F.col("doc_id").alias("best_doc_id"),
+            F.col("reward").alias("best_reward"),
+            F.row_number().over(wg).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    g = c.groupBy("prompt_group").agg(
+        F.count(F.lit(1)).alias("n_completions"),
+        F.sum("reward").alias("s"),
+    )
+    return (
+        g.join(b, "prompt_group")
+        .select(
+            "prompt_group",
+            "n_completions",
+            "best_doc_id",
+            "best_reward",
+            F.expr("1000000 * s div n_completions").alias(
+                "mean_reward_micros"
+            ),
+            F.expr(
+                "1000000 * best_reward - 1000000 * s div n_completions"
+            ).alias("uplift_micros"),
+        )
+        .orderBy("prompt_group")
+    )
