@@ -8230,16 +8230,18 @@ def _BPE_PAT_EXPR(i: int, operand: str) -> str:
     return f"(CASE{whens} ELSE {x} END)"
 
 
-def _BPE_APPLY_TAIL_SQL() -> str:
+def _BPE_APPLY_TAIL_SQL(n_ranks: int = _BPE_N) -> str:
     """pats + the s0..sN replace chain + final projection, generated
-    for _BPE_N ranks (the 3-rank form through r10, now 8)."""
+    for ``n_ranks`` merge ranks (default _BPE_N — the 3-rank form
+    through r10, now 8; llm_wordpiece_apply reuses it with _WP_N, its
+    learn chain names the top{i} CTEs identically)."""
     pat_cols = ",\n         ".join(
         f"{_BPE_PAT_EXPR(i, 'a')} || {_BPE_PAT_EXPR(i, 'b')} AS p{i}"
-        for i in range(1, _BPE_N + 1)
+        for i in range(1, n_ranks + 1)
     )
-    tops = " CROSS JOIN ".join(f"top{i} t{i}" for i in range(1, _BPE_N + 1))
+    tops = " CROSS JOIN ".join(f"top{i} t{i}" for i in range(1, n_ranks + 1))
     chain = ["s0 AS (\n  SELECT doc_id, text AS d0 FROM documents\n)"]
-    for i in range(1, _BPE_N + 1):
+    for i in range(1, n_ranks + 1):
         keep = ", ".join(f"d{j}" for j in range(i))
         chain.append(
             f"s{i} AS (\n  SELECT doc_id, {keep},"
@@ -8248,7 +8250,7 @@ def _BPE_APPLY_TAIL_SQL() -> str:
         )
     deltas = ",\n       ".join(
         f"CAST(len(d{i - 1}) - len(d{i}) AS BIGINT) AS n_merge{i}"
-        for i in range(1, _BPE_N + 1)
+        for i in range(1, n_ranks + 1)
     )
     return (
         f"pats AS MATERIALIZED (\n  SELECT {pat_cols}\n  FROM {tops}\n),\n"
@@ -8257,8 +8259,8 @@ def _BPE_APPLY_TAIL_SQL() -> str:
 SELECT doc_id,
        CAST(len(d0) AS BIGINT) AS len_chars,
        {deltas},
-       CAST(len(d{_BPE_N}) AS BIGINT) AS n_tokens
-FROM s{_BPE_N} ORDER BY doc_id
+       CAST(len(d{n_ranks}) AS BIGINT) AS n_tokens
+FROM s{n_ranks} ORDER BY doc_id
 """
     )
 
@@ -11004,8 +11006,9 @@ ORDER BY round
 )
 
 
-@register("llm_wordpiece_learn", _WP_LEARN_ORACLE)
-def llm_wordpiece_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _wp_learn_rows(
+    spark: SparkSession, sf_dir: str, n_rounds: int = _WP_N
+) -> list[tuple]:
     """WordPiece likelihood-argmax merge learning, _WP_N rounds over a
     bounded sample (doc_id % 10 == 1, first 64 chars — disjoint from
     llm_bpe_learn's % 10 == 0 sample so the two trainers exercise
@@ -11017,6 +11020,8 @@ def llm_wordpiece_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     stay at ONE Spark job per round — the argmax collect carries the
     round's pair total, and token counts fall out of the identity
     tokens_before = pairs_total + n_docs (see _bpe_learn_rows).
+    Shared by ``llm_wordpiece_learn`` (the learning demo, fresh every
+    call) and ``_staged_wp_merges`` (the staged learn→apply artifact).
     """
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 1)
     toks = (
@@ -11035,7 +11040,7 @@ def llm_wordpiece_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = []
     n_docs = d.filter(F.length("text") >= 1).count()
     prev_before = None
-    for i in range(1, _WP_N + 1):
+    for i in range(1, n_rounds + 1):
         wd = W.partitionBy("doc_id").orderBy("pos")
         cu = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
         p = toks.select(
@@ -11138,15 +11143,64 @@ def llm_wordpiece_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks = nxt_toks.localCheckpoint(eager=False)
         rows.append((i, left, right, cnt, score))
 
-    schema = (
-        "round long, left_tok string, right_tok string, pair_count long,"
-        " score_e12 long, n_merges long, tokens_after long"
-    )
     if not rows:  # no pairs at all (single-char docs): oracle is empty too
-        return spark.createDataFrame([], schema)
+        return rows
     final_n = toks.count()
     rows[-1] = (*rows[-1], prev_before - final_n, final_n)
-    return spark.createDataFrame(rows, schema).orderBy("round")
+    return rows
+
+
+_WP_SCHEMA = (
+    "round long, left_tok string, right_tok string, pair_count long,"
+    " score_e12 long, n_merges long, tokens_after long"
+)
+
+
+@register("llm_wordpiece_learn", _WP_LEARN_ORACLE)
+def llm_wordpiece_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.createDataFrame(
+        _wp_learn_rows(spark, sf_dir), _WP_SCHEMA
+    ).orderBy("round")
+
+
+def _staged_wp_merges(
+    spark: SparkSession, sf_dir: str
+) -> list[tuple[int, str, str]]:
+    """Stage ``llm_wordpiece_learn``'s emitted merge table once per
+    fixture fingerprint — the same learn→apply artifact handoff as
+    ``_staged_bpe_merges`` (see there for the staging discipline); the
+    table is vocabulary-growth sized (_WP_N = 6 rows), never
+    corpus-sized."""
+    import os
+    import shutil
+
+    from ..sources.workspace import (
+        fixture_fingerprint,
+        mark_staged,
+        staging_current,
+        staging_lock,
+        workdir,
+    )
+
+    path = workdir(sf_dir, "wp_merges", fresh=False)
+    data = os.path.join(path, "merges")
+    with staging_lock:
+        if not staging_current(path, sf_dir):
+            fp = fixture_fingerprint(sf_dir)  # BEFORE reading sources
+            shutil.rmtree(path)
+            path = workdir(sf_dir, "wp_merges", fresh=False)
+            rows = _wp_learn_rows(spark, sf_dir)
+            spark.createDataFrame(
+                [(r[0], r[1], r[2]) for r in rows],
+                "round long, left_tok string, right_tok string",
+            ).coalesce(1).write.mode("overwrite").parquet(data)
+            mark_staged(path, sf_dir, fp)
+    merges = (
+        spark.read.parquet(data)
+        .orderBy("round")
+        .collect()  # bounded: merge-table rows (vocab growth), never corpus
+    )
+    return [(int(r["round"]), r["left_tok"], r["right_tok"]) for r in merges]
 
 
 # ---------------------------------------------------------------------------
@@ -11401,3 +11455,63 @@ def llm_best_of_n(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prompt_group")
     )
+
+
+# ---------------------------------------------------------------------------
+# llm_wordpiece_apply — apply the LEARNED WordPiece merge table to the
+# full corpus: the scale-out half whose learning side is
+# llm_wordpiece_learn, exactly as llm_bpe_apply is to llm_bpe_learn.
+# Merge-table application is rank-ordered greedy leftmost replacement
+# regardless of HOW the ranks were scored (count for BPE, likelihood
+# for WordPiece — the shipped artifact is the same (rank, left, right)
+# table), so the proven chained-replace machinery applies verbatim:
+# markers '1'..'6' by rank, each pattern rendered in the marker
+# alphabet of earlier ranks, per-rank merge counts as exact length
+# deltas. The oracle embeds the WP learn chain (_WP_ROUND_SQL over the
+# doc_id % 10 == 1 sample) and derives the same patterns in SQL — the
+# staged handoff flows real learned data, not hardcoded constants.
+# Embarrassingly parallel scan: one projection, no shuffle.
+# ---------------------------------------------------------------------------
+
+_WP_APPLY_ORACLE = (
+    """
+WITH t0 AS MATERIALIZED (
+  SELECT doc_id, i AS pos, substring(text, i, 1) AS tok
+  FROM documents, generate_series(1, 64) g(i)
+  WHERE doc_id % 10 = 1 AND i <= length(text)
+),"""
+    + ",".join(_WP_ROUND_SQL(i) for i in range(1, _WP_N + 1))
+    + ",\n"
+    + _BPE_APPLY_TAIL_SQL(_WP_N)
+)
+
+
+@register("llm_wordpiece_apply", _WP_APPLY_ORACLE)
+def llm_wordpiece_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See llm_bpe_apply for the replace-chain contract; this is the
+    same tokenizer-apply pass over ``_staged_wp_merges``'s artifact
+    (markers cannot collide — the corpus alphabet is [a-z ])."""
+    merges = _staged_wp_merges(spark, sf_dir)
+    tok2marker: dict[str, str] = {}
+    pats: list[str] = []
+    for rank, (_rnd, lt, rt) in enumerate(merges, start=1):
+        pats.append(tok2marker.get(lt, lt) + tok2marker.get(rt, rt))
+        tok2marker[lt + rt] = str(rank)
+    d = t(spark, sf_dir, "documents")
+    stages = [F.col("text")]
+    for rank, pat in enumerate(pats, start=1):
+        stages.append(
+            F.replace(stages[-1], F.lit(pat), F.lit(str(rank)))
+        )
+    cols = [
+        F.col("doc_id"),
+        F.length(stages[0]).cast("long").alias("len_chars"),
+    ]
+    cols += [
+        (F.length(stages[r - 1]) - F.length(stages[r]))
+        .cast("long")
+        .alias(f"n_merge{r}")
+        for r in range(1, len(pats) + 1)
+    ]
+    cols.append(F.length(stages[-1]).cast("long").alias("n_tokens"))
+    return d.select(*cols).orderBy("doc_id")

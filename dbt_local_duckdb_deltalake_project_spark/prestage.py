@@ -44,5 +44,7 @@ def prestage(spark: SparkSession, sf_dir: str) -> None:
         # the learned BPE merge table (llm_ops._staged_bpe_merges) —
         # the learn→apply artifact the apply side consumes
         "llm_bpe_apply",
+        # the learned WordPiece merge table (llm_ops._staged_wp_merges)
+        "llm_wordpiece_apply",
     ):
         QUERIES[qid](spark, sf_dir)  # lazy build; staging happens eagerly
