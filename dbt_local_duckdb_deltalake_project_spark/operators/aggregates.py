@@ -5712,3 +5712,159 @@ def agg_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             "significant_5pct"
         ),
     ).orderBy("stratum")
+
+
+_RDD_ORACLE = """
+WITH yc AS (
+  SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS y
+  FROM lineitem GROUP BY l_orderkey
+),
+r AS (
+  -- INNER join: an order with no lineitems has no outcome (mirrors
+  -- the Spark fold-then-join; the synthetic fixture HAS such orders)
+  SELECT (CAST(ROUND(o_totalprice * 100) AS BIGINT) - 15000000) // 100
+           AS x,
+         yc.y
+  FROM orders o JOIN yc ON yc.l_orderkey = o.o_orderkey
+  WHERE o_totalprice >= 100000 AND o_totalprice <= 200000
+),
+m AS (
+  SELECT CAST(COUNT(*) FILTER (x < 0) AS HUGEINT) AS n_l,
+         CAST(COALESCE(SUM(x)     FILTER (x < 0), 0) AS HUGEINT) AS sx_l,
+         CAST(COALESCE(SUM(y)     FILTER (x < 0), 0) AS HUGEINT) AS sy_l,
+         CAST(COALESCE(SUM(x * x) FILTER (x < 0), 0) AS HUGEINT) AS sxx_l,
+         CAST(COALESCE(SUM(x * y) FILTER (x < 0), 0) AS HUGEINT) AS sxy_l,
+         CAST(COUNT(*) FILTER (x >= 0) AS HUGEINT) AS n_r,
+         CAST(COALESCE(SUM(x)     FILTER (x >= 0), 0) AS HUGEINT) AS sx_r,
+         CAST(COALESCE(SUM(y)     FILTER (x >= 0), 0) AS HUGEINT) AS sy_r,
+         CAST(COALESCE(SUM(x * x) FILTER (x >= 0), 0) AS HUGEINT) AS sxx_r,
+         CAST(COALESCE(SUM(x * y) FILTER (x >= 0), 0) AS HUGEINT) AS sxy_r
+  FROM r
+),
+d AS (
+  SELECT n_l, n_r,
+         n_l * sxx_l - sx_l * sx_l AS den_l,
+         n_r * sxx_r - sx_r * sx_r AS den_r,
+         sy_l * sxx_l - sx_l * sxy_l AS na_l,
+         sy_r * sxx_r - sx_r * sxy_r AS na_r,
+         n_l * sxy_l - sx_l * sy_l AS nb_l,
+         n_r * sxy_r - sx_r * sy_r AS nb_r
+  FROM m
+),
+b AS (
+  SELECT CAST(n_l AS BIGINT) AS n_left, CAST(n_r AS BIGINT) AS n_right,
+         CAST((na_l * 1000000
+               - ((na_l * 1000000 % den_l) + den_l) % den_l) // den_l
+              AS BIGINT) AS a_left_micros,
+         CAST((na_r * 1000000
+               - ((na_r * 1000000 % den_r) + den_r) % den_r) // den_r
+              AS BIGINT) AS a_right_micros,
+         CAST((nb_l * 1000000000
+               - ((nb_l * 1000000000 % den_l) + den_l) % den_l) // den_l
+              AS BIGINT) AS slope_left_nanos,
+         CAST((nb_r * 1000000000
+               - ((nb_r * 1000000000 % den_r) + den_r) % den_r) // den_r
+              AS BIGINT) AS slope_right_nanos
+  FROM d
+)
+SELECT n_left, n_right, a_left_micros, a_right_micros,
+       a_right_micros - a_left_micros AS jump_micros,
+       slope_left_nanos, slope_right_nanos
+FROM b
+"""
+
+
+@register("agg_regression_discontinuity", _RDD_ORACLE)
+def agg_regression_discontinuity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharp regression-discontinuity estimate (Thistlethwaite &
+    Campbell 1960; the causal-inference battery's local-linear member
+    beside DiD / IPW / CUPED / ATT-matching / Oaxaca): running
+    variable = order total in whole dollars relative to a $150k
+    cutoff, rectangular-kernel bandwidth $50k each side, outcome =
+    the order's lineitem count. Each side fits y = a + b·x by EXACT
+    single-feature normal equations (the agg_ols_normal_equations
+    discipline: moments as long sums, numerators/denominators
+    expanded in DECIMAL(38,0)/HUGEINT, coefficients FLOOR-divided via
+    the portable positive-mod identity — signed numerators, so the
+    flooring pmod idiom, NOT truncation); the causal readout is
+    jump = a_right - a_left at x = 0, plus both slopes in nanos for
+    the specification check (similar slopes = the jump is not a
+    trend artifact). Dollars (not cents) keep na·1e6 under 38 digits
+    out to ~1e9 orders per window. The y-per-order fold is one
+    map-side-combined count shuffled on orderkey; the moment fold is
+    ten scalars — nothing else grows with data.
+    """
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_totalprice") >= 100000) & (F.col("o_totalprice") <= 200000)
+    )
+    ycnt = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("o_orderkey"))
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    r = o.join(ycnt, "o_orderkey").select(
+        F.expr(
+            "(CAST(ROUND(o_totalprice * 100) AS BIGINT) - 15000000)"
+            " div 100"
+        ).alias("x"),
+        "y",
+    )
+    dec = "decimal(38,0)"
+
+    def side(flag, suffix):
+        z = F.lit(0).cast("long")
+        return [
+            F.count(F.when(flag, 1)).cast(dec).alias(f"n_{suffix}"),
+            F.coalesce(F.sum(F.when(flag, F.col("x"))), z)
+            .cast(dec)
+            .alias(f"sx_{suffix}"),
+            F.coalesce(F.sum(F.when(flag, F.col("y"))), z)
+            .cast(dec)
+            .alias(f"sy_{suffix}"),
+            F.coalesce(F.sum(F.when(flag, F.col("x") * F.col("x"))), z)
+            .cast(dec)
+            .alias(f"sxx_{suffix}"),
+            F.coalesce(F.sum(F.when(flag, F.col("x") * F.col("y"))), z)
+            .cast(dec)
+            .alias(f"sxy_{suffix}"),
+        ]
+
+    m = r.agg(*(side(F.col("x") < 0, "l") + side(F.col("x") >= 0, "r")))
+
+    def fd(num, den, scale, alias):
+        scaled = num * F.lit(scale).cast(dec)
+        return ((scaled - F.pmod(scaled, den)) / den).cast("long").alias(
+            alias
+        )
+
+    def nsum(s):
+        n, sx = F.col(f"n_{s}"), F.col(f"sx_{s}")
+        sy, sxx, sxy = F.col(f"sy_{s}"), F.col(f"sxx_{s}"), F.col(f"sxy_{s}")
+        return (
+            (n * sxx - sx * sx).alias(f"den_{s}"),
+            (sy * sxx - sx * sxy).alias(f"na_{s}"),
+            (n * sxy - sx * sy).alias(f"nb_{s}"),
+        )
+
+    d = m.select(
+        F.col("n_l"), F.col("n_r"), *nsum("l"), *nsum("r")
+    )
+    b = d.select(
+        F.col("n_l").cast("long").alias("n_left"),
+        F.col("n_r").cast("long").alias("n_right"),
+        fd(F.col("na_l"), F.col("den_l"), 1_000_000, "a_left_micros"),
+        fd(F.col("na_r"), F.col("den_r"), 1_000_000, "a_right_micros"),
+        fd(F.col("nb_l"), F.col("den_l"), 1_000_000_000, "slope_left_nanos"),
+        fd(F.col("nb_r"), F.col("den_r"), 1_000_000_000, "slope_right_nanos"),
+    )
+    return b.select(
+        "n_left",
+        "n_right",
+        "a_left_micros",
+        "a_right_micros",
+        (F.col("a_right_micros") - F.col("a_left_micros")).alias(
+            "jump_micros"
+        ),
+        "slope_left_nanos",
+        "slope_right_nanos",
+    )

@@ -1158,3 +1158,107 @@ def mm_audio_vad_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id", "seg_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# mm_ocr_reading_order — document-layout reading order (recursive
+# XY-cut, Nagy et al. 1992, flattened to its one-level column case):
+# OCR emits text boxes in detection order; the ingest pipeline must
+# re-serialize them into reading order (left-to-right columns,
+# top-to-bottom within a column) before the text joins the corpus.
+# Box GEOMETRY is the deterministic decode-stub contract (no OCR
+# engine in this container — coords derive from the fixture; swap for
+# a real layout model's output and nothing downstream changes): boxes
+# land in one of three well-separated column bands, so the column cut
+# is an x-gap islands pass (gap > 150 starts a new column — the
+# gaps-islands shape mm_scene_split uses on the time axis, here on x).
+# At 100 TB: box explode is map-side; both windows and the final rank
+# share the media_id partition key — one shuffle lineage end-to-end.
+# ---------------------------------------------------------------------------
+
+_OCR_ORDER_ORACLE = """
+WITH page AS (
+  SELECT doc_id AS media_id, 6 + doc_id % 7 AS n_boxes
+  FROM documents WHERE doc_id % 3 = 0
+),
+box AS (
+  SELECT media_id, b,
+         ((media_id * 7 + b * 13) % 3) * 400
+           + (media_id + b * 37) % 80 AS x,
+         (media_id * 11 + b * 29) % 900 AS y
+  FROM page, LATERAL (SELECT unnest(range(0, n_boxes)) AS b)
+),
+colflag AS (
+  SELECT media_id, b, x, y,
+         CASE WHEN LAG(x) OVER wx IS NULL THEN 1
+              WHEN x - LAG(x) OVER wx > 150 THEN 1
+              ELSE 0 END AS new_col
+  FROM box
+  WINDOW wx AS (PARTITION BY media_id ORDER BY x, y, b)
+),
+cols AS (
+  SELECT media_id, b, x, y,
+         SUM(new_col) OVER (PARTITION BY media_id ORDER BY x, y, b)
+           AS col_id
+  FROM colflag
+)
+SELECT media_id, CAST(b AS BIGINT) AS box_id,
+       CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+       CAST(col_id AS BIGINT) AS col_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY media_id
+                               ORDER BY col_id, y, x, b) AS BIGINT)
+         AS read_rank
+FROM cols
+ORDER BY media_id, read_rank
+"""
+
+
+@register("mm_ocr_reading_order", _OCR_ORDER_ORACLE)
+def mm_ocr_reading_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reading-order plan per page: x-gap islands assign column ids
+    (bands are separated by >= 321 px, threshold 150), then the rank
+    orders columns left-to-right and boxes top-to-bottom within each
+    (x then box-id tiebreaks keep every ordering total). ROW_NUMBER is
+    INT in Spark vs BIGINT in DuckDB — cast (the type-width lint
+    class)."""
+    page = (
+        _payloads(spark, sf_dir)
+        .filter(F.col("media_type") == "image")
+        .select(
+            "media_id", (6 + F.col("media_id") % 7).alias("n_boxes")
+        )
+    )
+    box = page.select(
+        "media_id",
+        F.explode(F.sequence(F.lit(0), F.col("n_boxes") - 1)).alias("b"),
+    ).select(
+        "media_id",
+        "b",
+        (
+            ((F.col("media_id") * 7 + F.col("b") * 13) % 3) * 400
+            + (F.col("media_id") + F.col("b") * 37) % 80
+        ).alias("x"),
+        ((F.col("media_id") * 11 + F.col("b") * 29) % 900).alias("y"),
+    )
+    wx = W.partitionBy("media_id").orderBy("x", "y", "b")
+    prev = F.lag("x").over(wx)
+    cols = box.select(
+        "media_id",
+        "b",
+        "x",
+        "y",
+        F.sum(
+            F.when(prev.isNull() | (F.col("x") - prev > 150), 1).otherwise(0)
+        )
+        .over(wx)
+        .alias("col_id"),
+    )
+    wr = W.partitionBy("media_id").orderBy("col_id", "y", "x", "b")
+    return cols.select(
+        "media_id",
+        F.col("b").cast("long").alias("box_id"),
+        "x",
+        "y",
+        "col_id",
+        F.row_number().over(wr).cast("long").alias("read_rank"),
+    ).orderBy("media_id", "read_rank")
