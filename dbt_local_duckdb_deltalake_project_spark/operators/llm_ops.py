@@ -11515,3 +11515,272 @@ def llm_wordpiece_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     cols.append(F.length(stages[-1]).cast("long").alias("n_tokens"))
     return d.select(*cols).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# llm_paragraph_dedup — paragraph-hash deduplication (CCNet, Wenzek et
+# al. 2020; C4 runs the same discipline at 3-sentence granularity):
+# hash every paragraph, keep only each hash's GLOBAL first occurrence
+# (lowest (doc_id, position)), excise every later copy — the cheap
+# exact-unit sibling of llm_dedup_span_removal's gram machinery, and
+# what actually removes boilerplate headers/footers repeated across a
+# crawl. Fixture text has no newlines, so "paragraphs" are fixed
+# 10-token blocks (the llm_texttiling_segments convention); swap the
+# splitter for newline split and nothing downstream changes. The
+# first-occurrence owner is a single min() over an encoded
+# (doc_id, block) key — one hash-keyed fold, no self-join, no windows
+# beyond the per-doc token numbering. Plan at 100 TB: one doc-keyed
+# window, one (doc,blk) fold, one hash-keyed owner fold (map-side
+# combined), the owner join back, one doc fold — every stage linear.
+# ---------------------------------------------------------------------------
+
+_PARA_DEDUP_ORACLE = """
+WITH lst AS (
+  SELECT doc_id, string_split(text, ' ') AS parts FROM documents
+),
+tok AS (
+  SELECT doc_id, w, ROW_NUMBER() OVER (
+           PARTITION BY doc_id ORDER BY pos) AS rn
+  FROM (
+    SELECT doc_id, UNNEST(parts) AS w,
+           generate_subscripts(parts, 1) AS pos
+    FROM lst
+  ) WHERE w <> ''
+),
+para AS (
+  SELECT doc_id, (rn - 1) // 10 AS blk,
+         string_agg(w, ' ' ORDER BY rn) AS ptext
+  FROM tok GROUP BY doc_id, (rn - 1) // 10
+),
+own AS (
+  SELECT md5(ptext) AS ph,
+         MIN(doc_id * 1000000 + blk) AS owner_key
+  FROM para GROUP BY md5(ptext)
+),
+flags AS (
+  SELECT p.doc_id, p.blk, p.ptext,
+         (p.doc_id * 1000000 + p.blk = o.owner_key) AS keep
+  FROM para p JOIN own o ON o.ph = md5(p.ptext)
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_paras,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       md5(COALESCE(string_agg(CASE WHEN keep THEN ptext END,
+                               ' ' ORDER BY blk), '')) AS kept_md5
+FROM flags GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@register("llm_paragraph_dedup", _PARA_DEDUP_ORACLE)
+def llm_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first paragraph dedup: 10-token blocks, md5 paragraph
+    hashes, global first occurrence by encoded min(doc_id*1e6 + blk)
+    (blocks per doc are bounded far below 1e6), cleaned text
+    fingerprinted per doc. The synthetic corpus repeats phrases across
+    documents, so later copies of common blocks really are excised —
+    n_kept < n_paras on most docs past the first."""
+    tok = (
+        t(spark, sf_dir, "documents")
+        .select(
+            "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+        )
+        .filter(F.col("w") != "")
+        .select(
+            "doc_id",
+            "w",
+            F.row_number()
+            .over(W.partitionBy("doc_id").orderBy("pos"))
+            .alias("rn"),
+        )
+    )
+    para = (
+        tok.withColumn("blk", F.expr("(rn - 1) div 10"))
+        .groupBy("doc_id", "blk")
+        .agg(F.array_sort(F.collect_list(F.struct("rn", "w"))).alias("arr"))
+        .select(
+            "doc_id",
+            "blk",
+            F.expr("array_join(transform(arr, s -> s.w), ' ')").alias(
+                "ptext"
+            ),
+        )
+    )
+    own = para.groupBy(F.md5("ptext").alias("ph")).agg(
+        F.min(F.col("doc_id") * 1_000_000 + F.col("blk")).alias("owner_key")
+    )
+    flags = para.withColumn("ph", F.md5("ptext")).join(own, "ph").select(
+        "doc_id",
+        "blk",
+        "ptext",
+        (
+            F.col("doc_id") * 1_000_000 + F.col("blk") == F.col("owner_key")
+        ).alias("keep"),
+    )
+    agg = flags.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_paras"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_kept"),
+        F.array_sort(
+            F.collect_list(F.when(F.col("keep"), F.struct("blk", "ptext")))
+        ).alias("arr"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_paras",
+        "n_kept",
+        F.md5(
+            F.expr("array_join(transform(arr, s -> s.ptext), ' ')")
+        ).alias("kept_md5"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# llm_bradley_terry_strength — Bradley-Terry preference-strength
+# fitting (Bradley & Terry 1952), THE model under every RLHF reward
+# model (a pairwise preference dataset is fit to P(i beats j) =
+# w_i/(w_i+w_j) before anything sees a gradient): two unrolled
+# minorize-maximize iterations (Hunter 2004) of w_i' = W_i /
+# Sigma_j N_ij/(w_i+w_j) over the 8 completion-position players of
+# the GRPO fixture convention (doc_id % 8 = position, doc_id div 8 =
+# prompt group; reward = n_chars with lower-position tiebreak, as
+# llm_best_of_n). Every MM term is micros-quantized identically in
+# both engines: s_i = Sigma (N_ij*1e12) div (w_i+w_j) with w in
+# micros, then w_i' = (W_i*1e12) div s_i — exact integer trajectory,
+# hash-stable. The pairwise fold is bounded (28 pairs/group) and the
+# iteration state is EIGHT rows regardless of corpus size; products
+# are DECIMAL(38,0)/HUGEINT-widened (N_ij*1e12 clears int64 at ~1e7
+# groups). Plan: one bounded self-join fold, then broadcast-joined
+# arithmetic over the 8-row strength table — nothing grows with data.
+# ---------------------------------------------------------------------------
+
+_BT_ORACLE = """
+WITH c AS (
+  SELECT doc_id % 8 AS pos, doc_id // 8 AS grp,
+         CAST(n_chars AS BIGINT) AS r
+  FROM documents
+),
+base AS (
+  SELECT a.pos AS i, b.pos AS j,
+         CASE WHEN a.r > b.r OR (a.r = b.r) THEN 1 ELSE 0 END AS win_a
+  FROM c a JOIN c b ON a.grp = b.grp AND a.pos < b.pos
+),
+games AS (
+  SELECT i, j, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(win_a) AS BIGINT) AS w
+  FROM base GROUP BY i, j
+  UNION ALL
+  SELECT j, i, CAST(COUNT(*) AS BIGINT),
+         CAST(COUNT(*) - SUM(win_a) AS BIGINT)
+  FROM base GROUP BY i, j
+),
+tot AS (
+  SELECT i, CAST(SUM(n) AS BIGINT) AS n_games,
+         CAST(SUM(w) AS BIGINT) AS wins
+  FROM games GROUP BY i
+),
+w0 AS (SELECT i, CAST(1000000 AS BIGINT) AS w FROM tot),
+s1 AS (
+  SELECT g.i,
+         CAST(SUM(CAST(g.n AS HUGEINT) * 1000000000000
+                  // (wi.w + wj.w)) AS BIGINT) AS s
+  FROM games g JOIN w0 wi ON wi.i = g.i JOIN w0 wj ON wj.i = g.j
+  GROUP BY g.i
+),
+w1 AS (
+  SELECT t.i,
+         CAST(CAST(t.wins AS HUGEINT) * 1000000000000 // s1.s AS BIGINT)
+           AS w
+  FROM tot t JOIN s1 ON s1.i = t.i
+),
+s2 AS (
+  SELECT g.i,
+         CAST(SUM(CAST(g.n AS HUGEINT) * 1000000000000
+                  // (wi.w + wj.w)) AS BIGINT) AS s
+  FROM games g JOIN w1 wi ON wi.i = g.i JOIN w1 wj ON wj.i = g.j
+  GROUP BY g.i
+),
+w2 AS (
+  SELECT t.i,
+         CAST(CAST(t.wins AS HUGEINT) * 1000000000000 // s2.s AS BIGINT)
+           AS w
+  FROM tot t JOIN s2 ON s2.i = t.i
+)
+SELECT t.i AS pos, t.n_games, t.wins,
+       w1.w AS w1_micros, w2.w AS w2_micros
+FROM tot t JOIN w1 ON w1.i = t.i JOIN w2 ON w2.i = t.i
+ORDER BY pos
+"""
+
+
+@register("llm_bradley_terry_strength", _BT_ORACLE)
+def llm_bradley_terry_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two MM iterations from the uniform start (w = 1e6 micros);
+    emits per position: games played, wins, and the strength after
+    each iteration. Ties break to the LOWER position (a.r >= b.r =>
+    a wins — deterministic, mirrored)."""
+    c = t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 8).alias("pos"),
+        F.expr("doc_id div 8").alias("grp"),
+        F.col("n_chars").alias("r"),
+    )
+    a, b = c.alias("a"), c.alias("b")
+    base = a.join(
+        b,
+        (F.col("a.grp") == F.col("b.grp")) & (F.col("a.pos") < F.col("b.pos")),
+    ).select(
+        F.col("a.pos").alias("i"),
+        F.col("b.pos").alias("j"),
+        (F.col("a.r") >= F.col("b.r")).cast("long").alias("win_a"),
+    )
+    folded = base.groupBy("i", "j").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("win_a").alias("w")
+    )
+    games = folded.unionAll(
+        folded.select(
+            F.col("j").alias("i"),
+            F.col("i").alias("j"),
+            "n",
+            (F.col("n") - F.col("w")).alias("w"),
+        )
+    )
+    tot = games.groupBy("i").agg(
+        F.sum("n").alias("n_games"), F.sum("w").alias("wins")
+    )
+    w = tot.select("i", F.lit(1_000_000).cast("long").alias("w"))
+    iters = []
+    for _ in range(2):
+        wi = w.select(F.col("i"), F.col("w").alias("w_i"))
+        wj = w.select(F.col("i").alias("j"), F.col("w").alias("w_j"))
+        s = (
+            games.join(F.broadcast(wi), "i")
+            .join(F.broadcast(wj), "j")
+            .groupBy("i")
+            .agg(
+                F.sum(
+                    F.expr(
+                        "CAST((CAST(n AS DECIMAL(38,0)) * 1000000000000)"
+                        " div (w_i + w_j) AS LONG)"
+                    )
+                ).alias("s")
+            )
+        )
+        w = tot.join(s, "i").select(
+            "i",
+            F.expr(
+                "CAST((CAST(wins AS DECIMAL(38,0)) * 1000000000000)"
+                " div s AS LONG)"
+            ).alias("w"),
+        )
+        iters.append(w)
+    w1, w2 = iters
+    return (
+        tot.join(w1.select(F.col("i"), F.col("w").alias("w1_micros")), "i")
+        .join(w2.select(F.col("i"), F.col("w").alias("w2_micros")), "i")
+        .select(
+            F.col("i").alias("pos"),
+            "n_games",
+            "wins",
+            "w1_micros",
+            "w2_micros",
+        )
+        .orderBy("pos")
+    )
