@@ -11784,3 +11784,113 @@ def llm_bradley_terry_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pos")
     )
+
+
+# ---------------------------------------------------------------------------
+# llm_nucleus_sampling_stats — top-p (nucleus) truncation analytics
+# (Holtzman et al. 2020) over the corpus MLE bigram LM: for each
+# context token v, how many continuation types the p=0.9 nucleus
+# keeps, and how peaked the head is (top-1 share). The sampler-side
+# statistic every decoding-config sweep reads off its corpus model —
+# computed EXACTLY: continuations sort by (count DESC, token ASC),
+# a row is inside the nucleus iff the mass BEFORE it is < 0.9 of the
+# context total, checked as the integer cross-multiplication
+# (cum - c) * 10 < 9 * c_v (no division at all); top-1 share floors
+# to ppm. Plan at 100 TB: one (v,w2) map-side-combined count, one
+# v-partitioned window, one v fold, top-50 presentation via
+# TakeOrderedAndProject — the llm_tfidf shuffle shape.
+# ---------------------------------------------------------------------------
+
+_NUCLEUS_ORACLE = """
+WITH lst AS (
+  SELECT doc_id, string_split(text, ' ') AS parts FROM documents
+),
+tok AS (
+  SELECT doc_id, w, ROW_NUMBER() OVER (
+           PARTITION BY doc_id ORDER BY pos) AS rn
+  FROM (
+    SELECT doc_id, UNNEST(parts) AS w,
+           generate_subscripts(parts, 1) AS pos
+    FROM lst
+  ) WHERE w <> ''
+),
+bi AS (
+  SELECT doc_id, w AS v,
+         LEAD(w) OVER (PARTITION BY doc_id ORDER BY rn) AS w2
+  FROM tok
+),
+pc AS (
+  SELECT v, w2, CAST(COUNT(*) AS BIGINT) AS c
+  FROM bi WHERE w2 IS NOT NULL GROUP BY v, w2
+),
+ranked AS (
+  SELECT v, w2, c,
+         CAST(SUM(c) OVER (PARTITION BY v ORDER BY c DESC, w2
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS BIGINT) AS cum,
+         CAST(SUM(c) OVER (PARTITION BY v) AS BIGINT) AS c_v
+  FROM pc
+),
+ctx AS (
+  SELECT v, CAST(MAX(c_v) AS BIGINT) AS c_v,
+         CAST(COUNT(*) AS BIGINT) AS n_types,
+         CAST(MAX(c) AS BIGINT) AS c_top1,
+         CAST(SUM(CASE WHEN (cum - c) * 10 < 9 * c_v
+                       THEN 1 ELSE 0 END) AS BIGINT) AS nucleus_p90
+  FROM ranked GROUP BY v
+)
+SELECT v, c_v, n_types, nucleus_p90,
+       CAST(c_top1 * 1000000 // c_v AS BIGINT) AS top1_share_ppm
+FROM ctx
+ORDER BY c_v DESC, v
+LIMIT 50
+"""
+
+
+@register("llm_nucleus_sampling_stats", _NUCLEUS_ORACLE)
+def llm_nucleus_sampling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per context v (50 most frequent): continuation type count,
+    p=0.9 nucleus size under (count DESC, token ASC) ordering, and
+    top-1 continuation share in exact floored ppm."""
+    tok = (
+        t(spark, sf_dir, "documents")
+        .select(
+            "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+        )
+        .filter(F.col("w") != "")
+    )
+    wd = W.partitionBy("doc_id").orderBy("pos")
+    occ = tok.select(
+        "doc_id",
+        F.col("w").alias("v"),
+        F.lead("w").over(wd).alias("w2"),
+    ).filter(F.col("w2").isNotNull())
+    pc = occ.groupBy("v", "w2").agg(F.count(F.lit(1)).alias("c"))
+    wv = (
+        W.partitionBy("v")
+        .orderBy(F.col("c").desc(), F.col("w2").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    ranked = pc.select(
+        "v", "w2", "c", F.sum("c").over(wv).alias("cum")
+    ).withColumn("c_v", F.sum("c").over(W.partitionBy("v")))
+    ctx = ranked.groupBy("v").agg(
+        F.max("c_v").alias("c_v"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.max("c").alias("c_top1"),
+        F.sum(
+            F.when((F.col("cum") - F.col("c")) * 10 < 9 * F.col("c_v"), 1)
+            .otherwise(0)
+        ).alias("nucleus_p90"),
+    )
+    return (
+        ctx.select(
+            "v",
+            "c_v",
+            "n_types",
+            "nucleus_p90",
+            F.expr("c_top1 * 1000000 div c_v").alias("top1_share_ppm"),
+        )
+        .orderBy(F.col("c_v").desc(), "v")
+        .limit(50)
+    )
