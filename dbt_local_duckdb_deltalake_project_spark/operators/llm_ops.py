@@ -11894,3 +11894,163 @@ def llm_nucleus_sampling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("c_v").desc(), "v")
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# llm_scaling_law_fit — data scaling-law fitting (Kaplan et al. 2020 /
+# Hoffmann et al. 2022 shape): evaluate a loss proxy on NESTED corpus
+# prefixes and fit ln(loss) = alpha + beta*ln(N) by exact OLS — the
+# log-log power-law fit every data-ablation study runs. Prefixes are
+# the 8 nested doc_id ranges doc_id*8 <= max_doc_id*k (pure integer
+# membership test — no division, so both engines draw identical
+# prefixes); the loss proxy is the prefix's own unigram-LM mean token
+# NLL (micros): y_k = Sigma_w c_w*(lnq(T_k) - lnq(c_w)) div T_k with
+# the house 9-dp-round micros log quantization, x_k = lnq(T_k). The
+# 8-point OLS uses the agg_ols_normal_equations discipline (decimal-
+# widened moments, signed pmod-floor micros coefficients). Plan at
+# 100 TB: the k-membership explode is a bounded x8 map-side blowup,
+# counts fold map-side-combined per (k, token), everything after is
+# vocabulary- then 8-row-sized.
+# ---------------------------------------------------------------------------
+
+_SCALING_ORACLE = """
+WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),
+lst AS (
+  SELECT doc_id, string_split(text, ' ') AS parts FROM documents
+),
+tok AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id, UNNEST(parts) AS w FROM lst
+  ) WHERE w <> ''
+),
+member AS (
+  SELECT g.k, tk.w
+  FROM tok tk CROSS JOIN mx,
+       LATERAL (SELECT unnest(range(1, 9)) AS k) g
+  WHERE tk.doc_id * 8 <= mx.m * g.k
+),
+cnt AS (
+  SELECT k, w, CAST(COUNT(*) AS BIGINT) AS c
+  FROM member GROUP BY k, w
+),
+tkt AS (
+  SELECT k, CAST(SUM(c) AS BIGINT) AS t_k FROM cnt GROUP BY k
+),
+pts AS (
+  SELECT c.k, t.t_k,
+         CAST(ROUND(ROUND(ln(CAST(t.t_k AS DOUBLE)), 9) * 1000000)
+              AS BIGINT) AS x_micros,
+         CAST(CAST(SUM(CAST(c.c AS HUGEINT) *
+           (CAST(ROUND(ROUND(ln(CAST(t.t_k AS DOUBLE)), 9) * 1000000)
+                 AS BIGINT)
+            - CAST(ROUND(ROUND(ln(CAST(c.c AS DOUBLE)), 9) * 1000000)
+                   AS BIGINT))) AS HUGEINT) // t.t_k AS BIGINT)
+           AS y_micros
+  FROM cnt c JOIN tkt t ON t.k = c.k
+  GROUP BY c.k, t.t_k
+),
+m AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(x_micros) AS HUGEINT) AS sx,
+         CAST(SUM(y_micros) AS HUGEINT) AS sy,
+         CAST(SUM(CAST(x_micros AS HUGEINT) * x_micros) AS HUGEINT)
+           AS sxx,
+         CAST(SUM(CAST(x_micros AS HUGEINT) * y_micros) AS HUGEINT)
+           AS sxy
+  FROM pts
+),
+fit AS (
+  SELECT CAST((nb * 1000000 - ((nb * 1000000 % den) + den) % den) // den
+              AS BIGINT) AS slope_micros,
+         CAST((na - ((na % den2) + den2) % den2) // den2 AS BIGINT)
+           AS intercept_micros
+  FROM (
+    SELECT n * sxy - sx * sy AS nb,
+           n * sxx - sx * sx AS den,
+           sy * sxx - sx * sxy AS na,
+           n * sxx - sx * sx AS den2
+    FROM m
+  )
+)
+SELECT p.k AS prefix_k, p.t_k AS n_tokens, p.x_micros, p.y_micros,
+       f.slope_micros, f.intercept_micros
+FROM pts p CROSS JOIN fit f
+ORDER BY prefix_k
+"""
+
+
+@register("llm_scaling_law_fit", _SCALING_ORACLE)
+def llm_scaling_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eight nested prefixes, per-prefix unigram mean NLL, exact
+    log-log OLS; slope_micros is the fitted power-law exponent x 1e6
+    (intercept in micros — x is already micros-scaled so the intercept
+    division needs no extra scale factor). Points and fit emitted
+    long-form (fit columns constant across the 8 rows)."""
+    d = t(spark, sf_dir, "documents")
+    mx = d.agg(F.max("doc_id").alias("m"))
+    tok = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    ks = spark.range(1, 9).select(F.col("id").alias("k"))
+    member = (
+        tok.crossJoin(F.broadcast(mx))
+        .crossJoin(F.broadcast(ks))
+        .filter(F.col("doc_id") * 8 <= F.col("m") * F.col("k"))
+    )
+    cnt = member.groupBy("k", "w").agg(F.count(F.lit(1)).alias("c"))
+    tkt = cnt.groupBy("k").agg(F.sum("c").alias("t_k"))
+
+    def lnq(col):
+        return (
+            F.round(F.round(F.log(col.cast("double")), 9) * 1_000_000)
+            .cast("long")
+        )
+
+    dec = "decimal(38,0)"
+    pts = (
+        cnt.join(tkt, "k")
+        .groupBy("k", "t_k")
+        .agg(
+            F.sum(
+                F.col("c").cast(dec)
+                * (lnq(F.col("t_k")) - lnq(F.col("c")))
+            ).alias("terms")
+        )
+        .select(
+            "k",
+            "t_k",
+            lnq(F.col("t_k")).alias("x_micros"),
+            F.expr("CAST(terms div t_k AS LONG)").alias("y_micros"),
+        )
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("x_micros").cast(dec).alias("sx"),
+        F.sum("y_micros").cast(dec).alias("sy"),
+        F.sum(F.col("x_micros").cast(dec) * F.col("x_micros")).alias("sxx"),
+        F.sum(F.col("x_micros").cast(dec) * F.col("y_micros")).alias("sxy"),
+    )
+    nb = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    na = F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")
+    mic = F.lit(1_000_000).cast(dec)
+    slope = (
+        (nb * mic - F.pmod(nb * mic, den)) / den
+    ).cast("long").alias("slope_micros")
+    intercept = ((na - F.pmod(na, den)) / den).cast("long").alias(
+        "intercept_micros"
+    )
+    fit = m.select(slope, intercept)
+    return (
+        pts.crossJoin(F.broadcast(fit))
+        .select(
+            F.col("k").alias("prefix_k"),
+            F.col("t_k").alias("n_tokens"),
+            "x_micros",
+            "y_micros",
+            "slope_micros",
+            "intercept_micros",
+        )
+        .orderBy("prefix_k")
+    )
