@@ -5868,3 +5868,181 @@ def agg_regression_discontinuity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "slope_left_nanos",
         "slope_right_nanos",
     )
+
+
+_MEDIATION_ORACLE = """
+WITH yc AS (
+  SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS m
+  FROM lineitem GROUP BY l_orderkey
+),
+r AS (
+  SELECT CASE WHEN o.o_orderpriority LIKE '1-%'
+                OR o.o_orderpriority LIKE '2-%' THEN 1 ELSE 0 END AS x,
+         yc.m,
+         CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS y
+  FROM orders o JOIN yc ON yc.l_orderkey = o.o_orderkey
+),
+mo AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(x) AS HUGEINT) AS s1,
+         CAST(SUM(m) AS HUGEINT) AS s2,
+         CAST(SUM(y) AS HUGEINT) AS sy,
+         CAST(SUM(x * x) AS HUGEINT) AS s11,
+         CAST(SUM(x * m) AS HUGEINT) AS s12,
+         CAST(SUM(m * m) AS HUGEINT) AS s22,
+         CAST(SUM(x * y) AS HUGEINT) AS s1y,
+         CAST(SUM(m * y) AS HUGEINT) AS s2y,
+         CAST(SUM(CASE WHEN x = 1 THEN m ELSE 0 END) AS HUGEINT) AS m1,
+         CAST(SUM(CASE WHEN x = 0 THEN m ELSE 0 END) AS HUGEINT) AS m0,
+         CAST(SUM(CASE WHEN x = 1 THEN y ELSE 0 END) AS HUGEINT) AS y1,
+         CAST(SUM(CASE WHEN x = 0 THEN y ELSE 0 END) AS HUGEINT) AS y0
+  FROM r
+),
+d AS (
+  SELECT n, s1,
+       n  * (s11 * s22 - s12 * s12)
+     - s1 * (s1  * s22 - s2  * s12)
+     + s2 * (s1  * s12 - s2  * s11) AS det,
+     - sy  * (s1 * s22 - s12 * s2)
+     + s1y * (n  * s22 - s2  * s2)
+     - s2y * (n  * s12 - s2  * s1) AS n1,
+       sy  * (s1 * s12 - s11 * s2)
+     - s1y * (n  * s12 - s1  * s2)
+     + s2y * (n  * s11 - s1  * s1) AS n2,
+       (m1 * 1000000 - ((m1 * 1000000 % s1) + s1) % s1) // s1
+     - (m0 * 1000000 - ((m0 * 1000000 % (n - s1)) + (n - s1))
+        % (n - s1)) // (n - s1) AS a_micros,
+       (y1 * 1000000 - ((y1 * 1000000 % s1) + s1) % s1) // s1
+     - (y0 * 1000000 - ((y0 * 1000000 % (n - s1)) + (n - s1))
+        % (n - s1)) // (n - s1) AS c_micros
+  FROM mo
+),
+b AS (
+  SELECT CAST(n AS BIGINT) AS n, CAST(s1 AS BIGINT) AS n_treated,
+         CAST(a_micros AS BIGINT) AS a_micros,
+         CAST((n2 * 1000000 - ((n2 * 1000000 % det) + det) % det) // det
+              AS BIGINT) AS b_micros,
+         CAST((n1 * 1000000 - ((n1 * 1000000 % det) + det) % det) // det
+              AS BIGINT) AS cprime_micros,
+         CAST(c_micros AS BIGINT) AS total_c_micros
+  FROM d
+)
+SELECT n, n_treated, a_micros, b_micros, cprime_micros, total_c_micros,
+       CAST(CAST(a_micros AS HUGEINT) * b_micros // 1000000 AS BIGINT)
+         AS indirect_micros
+FROM b
+"""
+
+
+@register("agg_mediation_analysis", _MEDIATION_ORACLE)
+def agg_mediation_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baron-Kenny / product-of-coefficients mediation decomposition
+    (the causal battery's pathway member): does order priority (X)
+    move revenue (Y) THROUGH basket size (M)? a = E[M|X=1]-E[M|X=0]
+    (exact per-arm floored means); (c', b) from the THREE-parameter
+    regression Y ~ 1 + X + M solved by the agg_ols_normal_equations
+    exact Cramer machinery (HUGEINT/DECIMAL(38,0) determinants,
+    signed pmod-floor micros); total effect c from the raw arm means;
+    indirect = a*b (micros product re-floored — both engines truncate
+    the signed product identically, the measured div parity). The
+    sanity identity c ~ c' + a*b holds up to floor slack. One
+    orderkey-shuffled count fold + one 13-moment map-side-combined
+    aggregate — nothing grows with data volume.
+    """
+    yc = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("o_orderkey"))
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    r = (
+        t(spark, sf_dir, "orders")
+        .join(yc, "o_orderkey")
+        .select(
+            F.when(
+                F.col("o_orderpriority").like("1-%")
+                | F.col("o_orderpriority").like("2-%"),
+                1,
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("x"),
+            "m",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("y"),
+        )
+    )
+    dec = "decimal(38,0)"
+    mo = r.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("x").cast(dec).alias("s1"),
+        F.sum("m").cast(dec).alias("s2"),
+        F.sum("y").cast(dec).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast(dec).alias("s11"),
+        F.sum(F.col("x") * F.col("m")).cast(dec).alias("s12"),
+        F.sum((F.col("m").cast(dec) * F.col("m"))).alias("s22"),
+        F.sum(F.col("x") * F.col("y")).cast(dec).alias("s1y"),
+        F.sum((F.col("m").cast(dec) * F.col("y"))).alias("s2y"),
+        F.sum(F.when(F.col("x") == 1, F.col("m")).otherwise(0))
+        .cast(dec)
+        .alias("m1"),
+        F.sum(F.when(F.col("x") == 0, F.col("m")).otherwise(0))
+        .cast(dec)
+        .alias("m0"),
+        F.sum(F.when(F.col("x") == 1, F.col("y")).otherwise(0))
+        .cast(dec)
+        .alias("y1"),
+        F.sum(F.when(F.col("x") == 0, F.col("y")).otherwise(0))
+        .cast(dec)
+        .alias("y0"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    sy, s11, s12 = F.col("sy"), F.col("s11"), F.col("s12")
+    s22, s1y, s2y = F.col("s22"), F.col("s1y"), F.col("s2y")
+    det = (
+        n * (s11 * s22 - s12 * s12)
+        - s1 * (s1 * s22 - s2 * s12)
+        + s2 * (s1 * s12 - s2 * s11)
+    )
+    n1 = (
+        -sy * (s1 * s22 - s12 * s2)
+        + s1y * (n * s22 - s2 * s2)
+        - s2y * (n * s12 - s2 * s1)
+    )
+    n2 = (
+        sy * (s1 * s12 - s11 * s2)
+        - s1y * (n * s12 - s1 * s2)
+        + s2y * (n * s11 - s1 * s1)
+    )
+    mic = F.lit(1_000_000).cast(dec)
+
+    def fmean(num, den):
+        scaled = num * mic
+        return (scaled - F.pmod(scaled, den)) / den
+
+    def fdiv(num, den):
+        scaled = num * mic
+        return ((scaled - F.pmod(scaled, den)) / den).cast("long")
+
+    b = mo.select(
+        n.cast("long").alias("n"),
+        s1.cast("long").alias("n_treated"),
+        (fmean(F.col("m1"), s1) - fmean(F.col("m0"), n - s1))
+        .cast("long")
+        .alias("a_micros"),
+        fdiv(n2, det).alias("b_micros"),
+        fdiv(n1, det).alias("cprime_micros"),
+        (fmean(F.col("y1"), s1) - fmean(F.col("y0"), n - s1))
+        .cast("long")
+        .alias("total_c_micros"),
+    )
+    return b.select(
+        "n",
+        "n_treated",
+        "a_micros",
+        "b_micros",
+        "cprime_micros",
+        "total_c_micros",
+        F.expr(
+            "CAST((CAST(a_micros AS DECIMAL(38,0)) * b_micros)"
+            " div 1000000 AS LONG)"
+        ).alias("indirect_micros"),
+    )

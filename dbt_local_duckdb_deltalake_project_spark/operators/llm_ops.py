@@ -12054,3 +12054,124 @@ def llm_scaling_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prefix_k")
     )
+
+
+# ---------------------------------------------------------------------------
+# llm_embed_pca_power — top principal direction of the embedding cloud
+# by TWO unrolled power-iteration steps over the exact second-moment
+# matrix (the embedding-analytics primitive behind whitening, ABTT
+# "all-but-the-top" postprocessing, and drift monitoring). Components
+# quantize to micros once (ROUND(v*1e6) — the established double-round
+# parity), so S = Sigma x x^T folds as EXACT integers; each iteration
+# is u = S v followed by max-|component| normalization (v' =
+# u*1e6 // max|u| — max-norm instead of L2 keeps the whole trajectory
+# rational: no sqrt anywhere), with the signed floor via the portable
+# pmod idiom. First 16 dims; S is a 256-cell fold (a 16x self-join
+# blowup per vector — the standard distributed matrix fold, linear in
+# vectors), and the iteration state is 16 rows regardless of corpus.
+# ---------------------------------------------------------------------------
+
+_PCA_ORACLE = """
+WITH x AS (
+  SELECT vec_id, i - 1 AS p,
+         CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
+           AS q
+  FROM embeddings, generate_series(1, 16) g(i)
+),
+s AS (
+  SELECT a.p AS p, b.p AS q2,
+         CAST(SUM(CAST(a.q AS HUGEINT) * b.q) AS HUGEINT) AS s
+  FROM x a JOIN x b ON b.vec_id = a.vec_id
+  GROUP BY a.p, b.p
+),
+v0 AS (SELECT p, CAST(1000000 AS HUGEINT) AS v
+       FROM (SELECT DISTINCT p FROM s)),
+u1 AS (
+  SELECT s.p, SUM(s.s * v0.v) AS u
+  FROM s JOIN v0 ON v0.p = s.q2 GROUP BY s.p
+),
+m1 AS (SELECT MAX(ABS(u)) AS m FROM u1),
+v1 AS (
+  SELECT p, (u * 1000000 - ((u * 1000000 % m) + m) % m) // m AS v
+  FROM u1, m1
+),
+u2 AS (
+  SELECT s.p, SUM(s.s * v1.v) AS u
+  FROM s JOIN v1 ON v1.p = s.q2 GROUP BY s.p
+),
+m2 AS (SELECT MAX(ABS(u)) AS m FROM u2),
+v2 AS (
+  SELECT p, (u * 1000000 - ((u * 1000000 % m) + m) % m) // m AS v
+  FROM u2, m2
+)
+SELECT d.p AS dim, CAST(d.s AS BIGINT) AS s_diag,
+       CAST(v1.v AS BIGINT) AS v1_micros,
+       CAST(v2.v AS BIGINT) AS v2_micros
+FROM (SELECT p, s FROM s WHERE p = q2) d
+JOIN v1 ON v1.p = d.p
+JOIN v2 ON v2.p = d.p
+ORDER BY dim
+"""
+
+
+@register("llm_embed_pca_power", _PCA_ORACLE)
+def llm_embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two power-iteration steps from the all-ones start; emits per
+    dim: the second-moment diagonal and the direction after each
+    normalize (micros, max-component = ±1e6)."""
+    x = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.posexplode("embedding").alias("p", "v")
+    ).filter(F.col("p") < 16).select(
+        "vec_id",
+        F.col("p").cast("long").alias("p"),
+        F.round(F.col("v").cast("double") * 1_000_000)
+        .cast("long")
+        .alias("q"),
+    )
+    dec = "decimal(38,0)"
+    a = x.alias("a")
+    b = x.alias("b")
+    s = (
+        a.join(b, F.col("a.vec_id") == F.col("b.vec_id"))
+        .groupBy(
+            F.col("a.p").alias("p"), F.col("b.p").alias("q2")
+        )
+        .agg(F.sum(F.col("a.q").cast(dec) * F.col("b.q")).alias("s"))
+    )
+    v = s.select("p").distinct().select(
+        "p", F.lit(1_000_000).cast(dec).alias("v")
+    )
+    iters = []
+    for _ in range(2):
+        vj = v.select(F.col("p").alias("q2"), F.col("v").alias("vq"))
+        u = (
+            s.join(F.broadcast(vj), "q2")
+            .groupBy("p")
+            .agg(F.sum(F.col("s") * F.col("vq")).alias("u"))
+        )
+        m = u.agg(F.max(F.abs(F.col("u"))).alias("m"))
+        num = F.col("u") * F.lit(1_000_000).cast(dec)
+        v = (
+            u.crossJoin(F.broadcast(m))
+            .select(
+                "p",
+                ((num - F.pmod(num, F.col("m"))) / F.col("m"))
+                .cast(dec)
+                .alias("v"),
+            )
+        )
+        iters.append(v)
+    v1, v2 = iters
+    diag = s.filter(F.col("p") == F.col("q2")).select(
+        "p", F.col("s").cast("long").alias("s_diag")
+    )
+    return (
+        diag.join(
+            v1.select("p", F.col("v").cast("long").alias("v1_micros")), "p"
+        )
+        .join(
+            v2.select("p", F.col("v").cast("long").alias("v2_micros")), "p"
+        )
+        .select(F.col("p").alias("dim"), "s_diag", "v1_micros", "v2_micros")
+        .orderBy("dim")
+    )
