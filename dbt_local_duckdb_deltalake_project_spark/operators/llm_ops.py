@@ -7423,6 +7423,89 @@ ORDER BY round
 )
 
 
+def _merge_apply_pass(toks: DataFrame, left: str, right: str) -> DataFrame:
+    """One greedy BPE/WordPiece merge application as a SINGLE window
+    chain over (doc_id, pos) — no broadcast joins, no recomputation.
+
+    r13 optimization (guide §2.4): the original form materialized the
+    candidate/parity pipeline TWICE (once for the merge set m1, once
+    for the consumed set m2 = m1 shifted by +1) and re-attached both
+    via broadcast LEFT joins — per round that cost 3 Exchanges, 2
+    BroadcastExchanges and 7 Window nodes (see
+    plans/r13/llm_bpe_learn_before.txt). Every quantity is computable
+    in one pass with window functions over the SAME doc_id
+    partitioning (positions are dense, so "the row at pos-1 merged"
+    is exactly lag(m)):
+
+      cand  = tok = left AND next tok = right
+      crn   = running count of candidates   (== row_number among cands)
+      islk  = pos - crn on candidate rows   (gaps-islands key)
+      fst   = first candidate pos per (doc, islk) island
+      m     = cand AND (pos - fst) even     (even island offsets merge)
+      consumed = lag(m)                     (right operand of a merge)
+
+    After: 1 Exchange (hash doc_id) + 3 sorts + 3 Window nodes per
+    round — plan-asserted flat by
+    tests/test_r11_ops.py::test_bpe_learn_per_round_shuffle_count_flat.
+    Values are identical to the join form: crn at a candidate equals
+    its row_number among candidates (running sum includes the current
+    row), islands and parity are unchanged, and non-candidate rows
+    fall into the NULL-islk partition where fst is NULL and m is
+    false. Positions are dense unique per doc (explode(sequence) at
+    round 1, row_number each later round), so lag(m) is the pos-1
+    lookup the m2 join performed.
+    """
+    wd = W.partitionBy("doc_id").orderBy("pos")
+    cum = wd.rowsBetween(W.unboundedPreceding, W.currentRow)
+    cand = (F.col("tok") == left) & (
+        F.lead("tok").over(wd) == F.lit(right)
+    )
+    p = (
+        toks.select("doc_id", "pos", "tok", cand.alias("cand"))
+        .select(
+            "doc_id",
+            "pos",
+            "tok",
+            "cand",
+            (
+                F.col("pos") - F.sum(F.col("cand").cast("int")).over(cum)
+            ).alias("isl"),
+        )
+        .select(
+            "doc_id",
+            "pos",
+            "tok",
+            "cand",
+            F.min(F.when(F.col("cand"), F.col("pos"))).over(
+                W.partitionBy(
+                    "doc_id", F.when(F.col("cand"), F.col("isl"))
+                )
+            ).alias("fst"),
+        )
+        .select(
+            "doc_id",
+            "pos",
+            "tok",
+            (
+                F.col("cand") & ((F.col("pos") - F.col("fst")) % 2 == 0)
+            ).alias("m"),
+        )
+    )
+    return (
+        p.withColumn(
+            "consumed", F.coalesce(F.lag("m").over(wd), F.lit(False))
+        )
+        .filter(~F.col("consumed"))
+        .select(
+            "doc_id",
+            F.row_number().over(wd).alias("pos"),
+            F.when(F.col("m"), F.concat(F.col("tok"), F.lit(right)))
+            .otherwise(F.col("tok"))
+            .alias("tok"),
+        )
+    )
+
+
 def _bpe_learn_rows(
     spark: SparkSession,
     sf_dir: str,
@@ -7487,11 +7570,24 @@ def _bpe_learn_rows(
             .groupBy(F.col("tok").alias("a"), F.col("nxt").alias("b"))
             .agg(F.count(F.lit(1)).alias("c"))
         )
-        stats = pc.orderBy(
-            F.col("c").desc(), F.col("a").asc(), F.col("b").asc()
-        ).limit(1).crossJoin(pc.agg(F.sum("c").alias("pairs_total")))
-        top = stats.collect()[0]  # bounded: limit(1) argmax + 1 scalar
-        left, right, cnt = top["a"], top["b"], int(top["c"])
+        # argmax and pair total in ONE aggregation (r13): min over the
+        # struct (-c, a, b) is exactly ORDER BY c DESC, a ASC, b ASC
+        # LIMIT 1 (struct comparison is field-lexicographic, string
+        # comparison is the same UTF8-binary order as ORDER BY), and
+        # appending c to the struct is safe because (a, b) is unique
+        # per pc row. The old orderBy().limit(1).crossJoin(pc.agg(...))
+        # evaluated the lead-window + groupBy subtree TWICE per round.
+        stats = pc.agg(
+            F.min(
+                F.struct(
+                    (-F.col("c")).alias("nc"), F.col("a"), F.col("b")
+                )
+            ).alias("top"),
+            F.sum("c").alias("pairs_total"),
+        )
+        top = stats.collect()[0]  # bounded: 1 row (argmax + 1 scalar)
+        left, right = top["top"]["a"], top["top"]["b"]
+        cnt = -int(top["top"]["nc"])
         tokens_before = int(top["pairs_total"]) + n_docs
         if rows:
             pr = rows[-1]
@@ -7501,60 +7597,7 @@ def _bpe_learn_rows(
                 tokens_before,
             )
         prev_before = tokens_before
-        cand = (
-            p.filter((F.col("tok") == left) & (F.col("nxt") == right))
-            .select(
-                "doc_id",
-                "pos",
-                (F.col("pos") - F.row_number().over(wd)).alias("isl"),
-            )
-        )
-        mg = (
-            cand.select(
-                "doc_id",
-                "pos",
-                (
-                    (
-                        F.col("pos")
-                        - F.min("pos").over(W.partitionBy("doc_id", "isl"))
-                    )
-                    % 2
-                ).alias("par"),
-            )
-            .filter(F.col("par") == 0)
-            .select("doc_id", "pos")
-        )
-        m1 = mg.select(
-            F.col("doc_id").alias("mdoc"), F.col("pos").alias("mpos")
-        )
-        m2 = mg.select(
-            F.col("doc_id").alias("cdoc"), (F.col("pos") + 1).alias("cpos")
-        )
-        nxt_toks = (
-            toks.join(
-                F.broadcast(m1),
-                on=(F.col("doc_id") == F.col("mdoc"))
-                & (F.col("pos") == F.col("mpos")),
-                how="left",
-            )
-            .join(
-                F.broadcast(m2),
-                on=(F.col("doc_id") == F.col("cdoc"))
-                & (F.col("pos") == F.col("cpos")),
-                how="left",
-            )
-            .filter(F.col("cpos").isNull())
-            .select(
-                "doc_id",
-                F.row_number().over(wd).alias("pos"),
-                F.when(
-                    F.col("mpos").isNotNull(),
-                    F.concat(F.col("tok"), F.lit(right)),
-                )
-                .otherwise(F.col("tok"))
-                .alias("tok"),
-            )
-        )
+        nxt_toks = _merge_apply_pass(toks, left, right)
         if round_plans is not None:
             round_plans.append(
                 nxt_toks._jdf.queryExecution().executedPlan().toString()
@@ -11068,79 +11111,43 @@ def _wp_learn_rows(
                 ),
             )
         )
-        stats = sc.orderBy(
-            F.col("score").desc(), F.col("a").asc(), F.col("b").asc()
-        ).limit(1).crossJoin(pc.agg(F.sum("c").alias("pairs_total")))
-        got = stats.collect()  # bounded: limit(1) argmax + 1 scalar
-        if not got:
+        # argmax and pair total in ONE aggregation (r13, see
+        # _bpe_learn_rows): min(struct(-score, a, b)) is ORDER BY score
+        # DESC, a ASC, b ASC LIMIT 1; (a, b) is unique per sc row so
+        # appending c is safe; sum(c) over sc equals sum over pc
+        # because both cu joins always match (every pair operand is an
+        # existing token by construction). The old
+        # orderBy().limit(1).crossJoin(pc.agg(...)) evaluated the
+        # pair-count subtree twice per round.
+        stats = sc.agg(
+            F.min(
+                F.struct(
+                    (-F.col("score")).alias("ns"),
+                    F.col("a"),
+                    F.col("b"),
+                    F.col("c"),
+                )
+            ).alias("top"),
+            F.sum("c").alias("pairs_total"),
+        )
+        got = stats.collect()  # bounded: 1 row (argmax + 1 scalar)
+        if not got or got[0]["top"] is None:
             # pairs exhausted (possible only on tiny crafted corpora):
             # the oracle's CROSS JOIN against the empty argmax drops
             # this and every later round's row — stop the same way and
             # let the closing count finalize the last completed round
             break
         top = got[0]
-        left, right = top["a"], top["b"]
-        cnt, score = int(top["c"]), int(top["score"])
+        left, right = top["top"]["a"], top["top"]["b"]
+        cnt, score = int(top["top"]["c"]), -int(top["top"]["ns"])
         tokens_before = int(top["pairs_total"]) + n_docs
         if rows:
             pr = rows[-1]
             rows[-1] = (*pr, prev_before - tokens_before, tokens_before)
         prev_before = tokens_before
-        cand = (
-            p.filter((F.col("tok") == left) & (F.col("nxt") == right))
-            .select(
-                "doc_id",
-                "pos",
-                (F.col("pos") - F.row_number().over(wd)).alias("isl"),
-            )
+        toks = _merge_apply_pass(toks, left, right).localCheckpoint(
+            eager=False
         )
-        mg = (
-            cand.select(
-                "doc_id",
-                "pos",
-                (
-                    (
-                        F.col("pos")
-                        - F.min("pos").over(W.partitionBy("doc_id", "isl"))
-                    )
-                    % 2
-                ).alias("par"),
-            )
-            .filter(F.col("par") == 0)
-            .select("doc_id", "pos")
-        )
-        m1 = mg.select(
-            F.col("doc_id").alias("mdoc"), F.col("pos").alias("mpos")
-        )
-        m2 = mg.select(
-            F.col("doc_id").alias("cdoc"), (F.col("pos") + 1).alias("cpos")
-        )
-        nxt_toks = (
-            toks.join(
-                F.broadcast(m1),
-                on=(F.col("doc_id") == F.col("mdoc"))
-                & (F.col("pos") == F.col("mpos")),
-                how="left",
-            )
-            .join(
-                F.broadcast(m2),
-                on=(F.col("doc_id") == F.col("cdoc"))
-                & (F.col("pos") == F.col("cpos")),
-                how="left",
-            )
-            .filter(F.col("cpos").isNull())
-            .select(
-                "doc_id",
-                F.row_number().over(wd).alias("pos"),
-                F.when(
-                    F.col("mpos").isNotNull(),
-                    F.concat(F.col("tok"), F.lit(right)),
-                )
-                .otherwise(F.col("tok"))
-                .alias("tok"),
-            )
-        )
-        toks = nxt_toks.localCheckpoint(eager=False)
         rows.append((i, left, right, cnt, score))
 
     if not rows:  # no pairs at all (single-char docs): oracle is empty too
