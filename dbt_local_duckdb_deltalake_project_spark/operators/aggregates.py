@@ -4879,7 +4879,13 @@ def agg_raking_ipf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     for key, tgt in (("r", "t_r"), ("c2", "t_c"), ("r", "t_r"),
                      ("c2", "t_c")):
-        cells = sweep(cells, key, tgt)
+        # checkpoint EVERY sweep output (r13): each sweep references its
+        # input three times (cells, margin agg, global agg), so without
+        # truncation the plan tree grows 3^k — the pre-fix final plan
+        # held 970 Exchange nodes (plans/r13/agg_raking_ipf_before.txt)
+        # and Catalyst planned all of them. The checkpoint is a 12-row
+        # cell table; per-sweep materialization is one tiny job.
+        cells = sweep(cells, key, tgt).localCheckpoint(eager=False)
     mf = cells.groupBy("r").agg(
         F.sum((F.col("n") * F.col("w")).cast(dec)).alias("mr")
     )
