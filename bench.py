@@ -113,17 +113,34 @@ def main() -> None:
     errors: dict[str, str] = {}
 
     def run_one(name: str) -> None:
-        t0 = time.perf_counter()
-        try:
-            s = spark.newSession() if name in own_session else spark
-            qs[name](s, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            cur = round(time.perf_counter() - t0, 4)
-            prev = per_query.get(name)
-            per_query[name] = min(prev, cur) if prev is not None else cur
-        except Exception as e:  # noqa: BLE001 — bench must always emit JSON
-            errors[name] = f"{type(e).__name__}: {e}"[:200]
+        # One retry per attempt: Spark's Python-worker connect-back
+        # accept window is HARDCODED at 10 s (PythonWorkerFactory), and
+        # under an external host burst a freshly spawned worker for the
+        # Python-datasource streaming readers can miss it — a transient
+        # environment failure, not an operator failure (observed as
+        # "Python worker failed to connect back" on different stream_*
+        # ops run to run). The retry re-executes the query in full; its
+        # wall time stays inside the phase total. A query that fails
+        # both tries still lands in ``errors``; a success clears any
+        # stale error from an earlier pass so n_errors reports queries
+        # that never ran, not ones that hiccuped once.
+        s = spark.newSession() if name in own_session else spark
+        for attempt in (0, 1):
+            t0 = time.perf_counter()
+            try:
+                qs[name](s, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                cur = round(time.perf_counter() - t0, 4)
+                prev = per_query.get(name)
+                per_query[name] = (
+                    min(prev, cur) if prev is not None else cur
+                )
+                errors.pop(name, None)
+                return
+            except Exception as e:  # noqa: BLE001 — always emit JSON
+                if attempt == 1:
+                    errors[name] = f"{type(e).__name__}: {e}"[:200]
 
     from concurrent.futures import ThreadPoolExecutor
 

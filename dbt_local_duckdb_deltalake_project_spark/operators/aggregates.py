@@ -4543,7 +4543,11 @@ def agg_quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("month", F.col("l_shipdate")).alias("g"),
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
     )
-    gn = li.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+    # r13: gn feeds two branches (boundary targets AND the nt/ng
+    # totals); truncate so the month fold runs once (12 rows).
+    gn = li.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n")
+    ).localCheckpoint(eager=False)
     rk = li.select(
         F.col("g").alias("rg"),
         F.col("cents"),
@@ -4595,9 +4599,13 @@ def agg_quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = local.join(F.broadcast(offsets), "pid").select(
         "v", (F.col("lcw") + F.col("off")).alias("cw")
     )
+    # r13: count boundaries on the CHECKPOINTED parts (same rows as bnd
+    # — repartitionByRange preserves cardinality); bnd.agg here
+    # re-executed the whole 600k-row rank window + boundary join a
+    # second time (plans/r13/agg_quantile_sketch_merge_before.txt).
     tot = gn.agg(
         F.sum("n").alias("nt"), F.count(F.lit(1)).alias("ng")
-    ).crossJoin(bnd.agg(F.count(F.lit(1)).alias("n_b")))
+    ).crossJoin(parts.agg(F.count(F.lit(1)).alias("n_b")))
     qs = spark.createDataFrame(
         [(250000,), (500000,), (750000,), (900000,)], "q_ppm long"
     )

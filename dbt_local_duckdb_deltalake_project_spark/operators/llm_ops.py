@@ -8557,7 +8557,15 @@ def llm_classifier_train_lms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(r * F.col("f1")).alias("g1"),
             F.sum(r * F.col("f2")).alias("g2"),
             F.sum(r * r).alias("sse"),
-        )
+        # r13: checkpoint the 1-row gradient. g(k) embeds the corpus
+        # scan AND w(k-1)'s whole subtree, and both the step-k snapshot
+        # and w(k) reference it, so the un-truncated plan doubled per
+        # step (158 Exchange nodes, ~15 planned corpus scans — see
+        # plans/r13/llm_classifier_train_lms_before.txt); the subtrees
+        # differ per step so ReusedExchange cannot collapse them, the
+        # agg_raking_ipf pattern. One tiny job per step, exactly one
+        # corpus scan each.
+        ).localCheckpoint(eager=False)
         snapshots.append(
             w.crossJoin(F.broadcast(g)).select(
                 F.lit(step).alias("step"),
@@ -8667,6 +8675,11 @@ def pipeline_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         c_docs.crossJoin(F.broadcast(c_uniq))
         .crossJoin(F.broadcast(c_s2))
         .crossJoin(F.broadcast(c_rm3))
+        # r13: the funnel projects this 1-row frame three times; without
+        # truncation each union branch re-plans (and partially
+        # re-executes) the whole cascade — 130 Exchange nodes and ~15
+        # CPU-s at sf0.1 (plans/r13/pipeline_dedup_cascade_before.txt).
+        .localCheckpoint(eager=False)
     )
     rows = [
         c.select(

@@ -57,6 +57,15 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        # FAIR scheduling (optimization guide §2.6): the bench drains
+        # 468 queries through a 16-thread pool; under FIFO a query
+        # built from many tiny SEQUENTIAL jobs (the tokenizer learners'
+        # one-job-per-round loops) queues each job behind whole stages
+        # of concurrent queries — measured 94 s pooled elapsed for an
+        # 8 s serial query. FAIR time-slices task slots across jobs so
+        # sequential chains progress; single-query runs see no change.
+        .config("spark.scheduler.mode", os.environ.get(
+            "SPARK_GRAFT_SCHEDULER", "FAIR"))
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
