@@ -125,6 +125,18 @@ def main() -> None:
         # stale error from an earlier pass so n_errors reports queries
         # that never ran, not ones that hiccuped once.
         s = spark.newSession() if name in own_session else spark
+        # One FAIR pool per query (thread-local property): with
+        # spark.scheduler.mode=FAIR but no allocation file, every job
+        # lands in the single "default" pool whose INTERNAL mode is
+        # FIFO — fair sharing only happens ACROSS pools. Naming a pool
+        # per query makes the root scheduler time-slice task slots
+        # between the 16 concurrent queries, so a query built from
+        # many tiny sequential jobs is not head-of-line blocked behind
+        # another query's big stage. Job description doubles as the UI
+        # label (guide §1.5).
+        sc = spark.sparkContext
+        sc.setLocalProperty("spark.scheduler.pool", name)
+        sc.setJobDescription(f"bench:{name}")
         for attempt in (0, 1):
             t0 = time.perf_counter()
             try:

@@ -147,8 +147,9 @@ def test_no_unbounded_driver_collect_in_operators():
         ("llm_ops.py", "vec_id"),
         # llm_ops IVF: centroid table, nlist x dim rows — O(1) in corpus
         ("llm_ops.py", "bounded: nlist x dim"),
-        # llm_ops BPE learning: the per-round argmax is LIMIT 1
-        ("llm_ops.py", "bounded: limit(1) argmax"),
+        # llm_ops BPE/WordPiece learning: the per-round argmax+total is
+        # ONE aggregated row (min-struct argmax fused with sum, r13)
+        ("llm_ops.py", "bounded: 1 row (argmax + 1 scalar)"),
         # llm_ops BPE apply: the staged learned merge table is
         # vocabulary-growth sized (3 rows here), never corpus-sized
         ("llm_ops.py", "bounded: merge-table rows"),
