@@ -47,6 +47,15 @@ _WINDOW_FIRST = [
     # (the agg_ipw_ate/graph_hits wrap class). Simmed green at
     # sf0.01 + sf0.1 + 10x post-edit.
     "agg_raking_ipf", "agg_hhi_concentration",
+    # --- r13 OPTIMIZATION-phase changed ids (implementation rewritten,
+    # values proven identical: byte-compared learner rows at 2 scales
+    # and oracle sims MATCH — see OPTIMIZATION_r13.md): the BPE learner
+    # (single-pass merge windows + fused argmax; wordpiece_learn shares
+    # the helper and already sits in the never-checked head),
+    # the per-step-checkpointed LMS trainer, the sketch-merge boundary
+    # count, and the cascade stats checkpoint. ---
+    "llm_bpe_learn", "llm_classifier_train_lms",
+    "agg_quantile_sketch_merge", "pipeline_dedup_cascade",
     # --- the rest of the 50-slot window fills automatically: r13's
     # new never-checked ops (see CORRECTNESS_r12/CLAUDE.md — the
     # automatic rotation derives the set), then the stalest
