@@ -111,6 +111,7 @@ def main() -> None:
 
     per_query: dict[str, float] = {}
     errors: dict[str, str] = {}
+    retries: dict[str, int] = {}
 
     def run_one(name: str) -> None:
         # One retry per attempt: Spark's Python-worker connect-back
@@ -124,22 +125,28 @@ def main() -> None:
         # both tries still lands in ``errors``; a success clears any
         # stale error from an earlier pass so n_errors reports queries
         # that never ran, not ones that hiccuped once.
-        s = spark.newSession() if name in own_session else spark
-        # One FAIR pool per query (thread-local property): with
-        # spark.scheduler.mode=FAIR but no allocation file, every job
-        # lands in the single "default" pool whose INTERNAL mode is
-        # FIFO — fair sharing only happens ACROSS pools. Naming a pool
-        # per query makes the root scheduler time-slice task slots
-        # between the 16 concurrent queries, so a query built from
-        # many tiny sequential jobs is not head-of-line blocked behind
-        # another query's big stage. Job description doubles as the UI
-        # label (guide §1.5).
-        sc = spark.sparkContext
-        sc.setLocalProperty("spark.scheduler.pool", name)
-        sc.setJobDescription(f"bench:{name}")
         for attempt in (0, 1):
             t0 = time.perf_counter()
             try:
+                # Session creation and the thread-local scheduling
+                # properties live INSIDE the try: an exception here
+                # must land in errors[name], not propagate through
+                # pool.map and abort the phase before the final JSON
+                # is emitted (r13 ADVICE item).
+                s = spark.newSession() if name in own_session else spark
+                # One FAIR pool per query (thread-local property): with
+                # spark.scheduler.mode=FAIR but no allocation file,
+                # every job lands in the single "default" pool whose
+                # INTERNAL mode is FIFO — fair sharing only happens
+                # ACROSS pools. Naming a pool per query makes the root
+                # scheduler time-slice task slots between the 16
+                # concurrent queries, so a query built from many tiny
+                # sequential jobs is not head-of-line blocked behind
+                # another query's big stage. Job description doubles as
+                # the UI label (guide §1.5).
+                sc = spark.sparkContext
+                sc.setLocalProperty("spark.scheduler.pool", name)
+                sc.setJobDescription(f"bench:{name}")
                 qs[name](s, sf_dir).write.format("noop").mode(
                     "overwrite"
                 ).save()
@@ -151,6 +158,10 @@ def main() -> None:
                 errors.pop(name, None)
                 return
             except Exception as e:  # noqa: BLE001 — always emit JSON
+                # Surface masked flakiness (r13 verdict item): a query
+                # that persistently needs its retry is visible in the
+                # sidecar even when the retry succeeds.
+                retries[name] = retries.get(name, 0) + 1
                 if attempt == 1:
                     errors[name] = f"{type(e).__name__}: {e}"[:200]
 
@@ -239,6 +250,7 @@ def main() -> None:
         "queries": per_query,
         "duckdb_queries": duck_per_query,
         "errors": errors,
+        "retries": retries,
     }
     with open(os.path.join(_REPO, "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)

@@ -82,7 +82,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     l = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    # Dedupe on the 16-byte INT pair and only then build node-id strings:
+    # Dedupe on the 16-byte INT pair and only then build node ids:
     # the distinct is the one full-size shuffle in the whole op, so it
     # runs on the narrowest possible rows. Per-side degrees are tiny
     # (≤ |customers| / |suppliers| rows) and broadcast back onto the
@@ -98,13 +98,21 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     degc = pairs.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("outdeg"))
     degs = pairs.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("outdeg"))
-    cnode = F.concat(F.lit("c:"), F.col("o_custkey").cast("string"))
-    snode = F.concat(F.lit("s:"), F.col("l_suppkey").cast("string"))
+    # r14 (guide §2.3, narrower types): node ids are LONGS through every
+    # iteration — customer k ↦ 2k, supplier k ↦ 2k+1 (disjoint, exact) —
+    # so the checkpointed edge list and all three rank joins hash and
+    # shuffle 8-byte keys instead of "c:<k>"/"s:<k>" strings; the
+    # strings the oracle emits are rendered ONCE at the end over the
+    # node-count-sized result. Values are identical: the encoding is a
+    # bijection, so groups, sums and the final decoded labels match the
+    # string-keyed form row for row.
+    cid = (F.col("o_custkey").cast("long") * 2)
+    sid = (F.col("l_suppkey").cast("long") * 2 + 1)
     edges = pairs.join(F.broadcast(degc), "o_custkey").select(
-        cnode.alias("src"), snode.alias("dst"), "outdeg"
+        cid.alias("src"), sid.alias("dst"), "outdeg"
     ).unionAll(
         pairs.join(F.broadcast(degs), "l_suppkey").select(
-            snode.alias("src"), cnode.alias("dst"), "outdeg"
+            sid.alias("src"), cid.alias("dst"), "outdeg"
         )
     )
     # The edge list feeds every iteration: checkpoint it once so the
@@ -113,15 +121,24 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bounded at |edges| rows, same discipline as llm_dedup_clusters.
     edges_deg = edges.localCheckpoint(eager=True)
     ranks = degc.select(
-        cnode.alias("node"), F.lit(1_000_000).cast("long").alias("r")
+        cid.alias("node"), F.lit(1_000_000).cast("long").alias("r")
     ).unionAll(
         degs.select(
-            snode.alias("node"), F.lit(1_000_000).cast("long").alias("r")
+            sid.alias("node"), F.lit(1_000_000).cast("long").alias("r")
         )
     )
     for _ in range(3):
+        # r14 (guide §3.1): the rank table is NODE-count-sized (~16k
+        # rows) but derives from a union of two aggregations, so
+        # Catalyst's size estimate balloons after round 1 and the plan
+        # degraded to a per-round SortMergeJoin — shuffling the
+        # EDGE-count-sized (~1.2M row) checkpointed edge list by src
+        # every iteration. The explicit broadcast pins the join the
+        # docstring argues: edges never reshuffle, only node-sized
+        # state moves per round (plan: 3 SortMergeJoin + per-round
+        # edge Exchange → 3 BroadcastHashJoin, see plans/r14/).
         ranks = (
-            edges_deg.join(ranks, edges_deg.src == ranks.node)
+            edges_deg.join(F.broadcast(ranks), edges_deg.src == ranks.node)
             .select(
                 F.col("dst"), F.expr("r DIV outdeg").alias("contrib")
             )
@@ -134,9 +151,15 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .withColumnRenamed("dst", "node")
         )
-    return ranks.select("node", F.col("r").alias("rank_micros")).orderBy(
-        "node"
-    )
+    return ranks.select(
+        F.concat(
+            F.when(F.col("node") % 2 == 0, F.lit("c:")).otherwise(
+                F.lit("s:")
+            ),
+            F.expr("node DIV 2").cast("string"),
+        ).alias("node"),
+        F.col("r").alias("rank_micros"),
+    ).orderBy("node")
 
 
 _TRIANGLE_ORACLE = """
@@ -382,15 +405,22 @@ def graph_bfs_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
-    cnode = F.concat(F.lit("c:"), F.col("o_custkey").cast("string"))
-    snode = F.concat(F.lit("s:"), F.col("l_suppkey").cast("string"))
+    # r14 (guide §2.3, narrower types): LONG node ids through every
+    # round — customer k ↦ 2k, supplier k ↦ 2k+1, exactly the
+    # graph_pagerank encoding — so the checkpointed edge list, the
+    # per-round broadcast hash joins and the distinct all work 8-byte
+    # keys instead of "c:<k>"/"s:<k>" strings; the oracle's string
+    # labels render once at the end. Bijective, so reachability and
+    # hop counts are identical.
+    cid = (F.col("o_custkey").cast("long") * 2)
+    sid = (F.col("l_suppkey").cast("long") * 2 + 1)
     edges = (
-        pairs.select(cnode.alias("src"), snode.alias("dst"))
-        .unionAll(pairs.select(snode.alias("src"), cnode.alias("dst")))
+        pairs.select(cid.alias("src"), sid.alias("dst"))
+        .unionAll(pairs.select(sid.alias("src"), cid.alias("dst")))
         .localCheckpoint(eager=True)
     )
     seed = spark.createDataFrame(
-        [("c:1", 0)], "node string, d long"
+        [(2, 0)], "node long, d long"  # c:1 ↦ 2*1
     )
     dist = seed
     frontier = seed
@@ -406,7 +436,15 @@ def graph_bfs_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
         dist = dist.unionByName(frontier)
-    return dist.select("node", F.col("d").alias("dist")).orderBy("node")
+    return dist.select(
+        F.concat(
+            F.when(F.col("node") % 2 == 0, F.lit("c:")).otherwise(
+                F.lit("s:")
+            ),
+            F.expr("node DIV 2").cast("string"),
+        ).alias("node"),
+        F.col("d").alias("dist"),
+    ).orderBy("node")
 
 
 _COMMON_NEIGHBORS_ORACLE = """
@@ -577,8 +615,13 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node", F.col("node").alias("label")
     )
     for _ in range(3):
+        # r14 (guide §3.1): the label table is NODE-sized but derives
+        # from an aggregation, so Catalyst's estimate balloons after
+        # round 1 and the join degraded to a per-round SortMergeJoin
+        # that reshuffles the checkpointed edge list. Broadcast pins
+        # the shape the docstring argues (edges never reshuffle).
         labels = (
-            edges.join(labels, edges.src == labels.node)
+            edges.join(F.broadcast(labels), edges.src == labels.node)
             .groupBy(edges.dst.alias("node"))
             .agg(
                 F.least(F.min("label"), F.min(edges.dst)).alias("label")
@@ -732,9 +775,16 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("d") >= 3)
             .select(F.col("src").alias("node"))
         )
+        # r14 (guide §3.1): `keep` is the degree-filtered NODE list
+        # (tiny) but derives from an agg+filter, so its size estimate
+        # balloons and both semi-joins degraded to SortMergeJoins that
+        # reshuffle the shrinking edge list twice per round. Broadcast
+        # keeps edges in place.
         edges = (
-            edges.join(keep, edges.src == keep.node, "left_semi")
-            .join(keep, edges.dst == keep.node, "left_semi")
+            edges.join(
+                F.broadcast(keep), edges.src == keep.node, "left_semi"
+            )
+            .join(F.broadcast(keep), edges.dst == keep.node, "left_semi")
         )
     core = (
         edges.groupBy("src")
@@ -1403,19 +1453,23 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     # clears int64 on billion-edge graphs while the fixture values are
     # identical — the agg_cuped_adjustment defect class, fixed ahead
     dec = "decimal(38,0)"
+    # r14 (guide §3.1): a1/h1 are NODE-sized iterates derived from
+    # aggregations (ballooned estimates → SortMergeJoins reshuffling
+    # the edge-sized `pairs` per round); broadcasts pin the
+    # key-partitioned join+fold shape the docstring argues.
     a1 = pairs.groupBy("s").agg(F.count(F.lit(1)).alias("auth1"))
     h1 = (
-        pairs.join(a1, "s")
+        pairs.join(F.broadcast(a1), "s")
         .groupBy("c")
         .agg(F.sum(F.col("auth1").cast(dec)).alias("hub1"))
     )
     a2 = (
-        pairs.join(h1, "c")
+        pairs.join(F.broadcast(h1), "c")
         .groupBy("s")
         .agg(F.sum("hub1").alias("auth2"))
     )
     return (
-        a2.join(a1, "s")
+        a2.join(F.broadcast(a1), "s")
         .select(
             F.col("s").alias("supplier"),
             "auth1",
@@ -1498,21 +1552,25 @@ def graph_personalized_pagerank(
         .filter(F.col("c_nationkey") == 0)
         .select(F.col("c_custkey").alias("c"), F.lit(1_000_000).alias("m0"))
     )
+    # r14 (guide §3.1): seeds/degrees/iterates are all NODE-sized but
+    # derive from filters/aggs (ballooned estimates → SortMergeJoins
+    # reshuffling the edge-sized `pairs` three times); broadcasts pin
+    # the key-partitioned join+fold shape the docstring argues.
     r1 = (
-        pairs.join(seeds, "c")
-        .join(degc, "c")
+        pairs.join(F.broadcast(seeds), "c")
+        .join(F.broadcast(degc), "c")
         .groupBy("s")
         .agg(F.sum(F.expr("m0 div dc")).alias("m1"))
     )
     r2 = (
-        pairs.join(r1, "s")
-        .join(degs, "s")
+        pairs.join(F.broadcast(r1), "s")
+        .join(F.broadcast(degs), "s")
         .groupBy("c")
         .agg(F.sum(F.expr("m1 div ds")).alias("m2"))
     )
     r3 = (
-        pairs.join(r2, "c")
-        .join(degc, "c")
+        pairs.join(F.broadcast(r2), "c")
+        .join(F.broadcast(degc), "c")
         .groupBy("s")
         .agg(F.sum(F.expr("m2 div dc")).alias("m3"))
     )

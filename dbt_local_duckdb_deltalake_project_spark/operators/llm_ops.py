@@ -7585,7 +7585,15 @@ def _bpe_learn_rows(
             ).alias("top"),
             F.sum("c").alias("pairs_total"),
         )
-        top = stats.collect()[0]  # bounded: 1 row (argmax + 1 scalar)
+        got = stats.collect()  # bounded: 1 row (argmax + 1 scalar)
+        if not got or got[0]["top"] is None:
+            # pairs exhausted (possible only on tiny crafted corpora):
+            # mirror _wp_learn_rows — the oracle's CROSS JOIN against
+            # the empty argmax drops this and every later round's row,
+            # so stop the same way and let the closing count finalize
+            # the last completed round (r13 ADVICE item)
+            break
+        top = got[0]
         left, right = top["top"]["a"], top["top"]["b"]
         cnt = -int(top["top"]["nc"])
         tokens_before = int(top["pairs_total"]) + n_docs
@@ -7607,6 +7615,8 @@ def _bpe_learn_rows(
         toks = nxt_toks.localCheckpoint(eager=False)
         rows.append((i, left, right, cnt))
 
+    if not rows:  # no pairs at all (single-char docs): oracle is empty too
+        return rows
     final_n = toks.count()  # the one closing count (materializes last ckpt)
     rows[-1] = (*rows[-1], prev_before - final_n, final_n)
     return rows
@@ -10054,10 +10064,13 @@ def llm_unigram_lm_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-checks. Two EM rounds; output = final top-20 vocab by round-2
     usage with the scores round 2 segmented under. Plan at 100 TB: the
     mask/composition table is DATA-INDEPENDENT (~15k rows, broadcast);
-    pieces = sample x compositions (bounded by sample design); each
-    round is one broadcast score join + one (doc,mask) map-side-combined
-    fold + one doc-partitioned rank — flat two-job-deep lineage via
-    lazy localCheckpoints, ONE action total. The oracle MATERIALIZES
+    the per-doc DISTINCT-substring table (~42 rows/doc) is scored once
+    per round and expanded to (doc, mask, seg) by a long-keyed
+    broadcast probe (bounded by sample design); each round is one
+    broadcast score join + one (doc,mask) fold + one fused
+    min(struct) argmin, all reusing the single doc_id repartition via
+    the subset rule — flat lineage via lazy localCheckpoints, ONE
+    action total. The oracle MATERIALIZES
     every reused CTE (the BPE lesson: DuckDB default-inlines CTE chains
     exponentially)."""
     d = t(spark, sf_dir, "documents").filter(
@@ -10107,36 +10120,53 @@ def llm_unigram_lm_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     comps_ok = comps.join(bad, ["L", "mask"], "left_anti").localCheckpoint(
         eager=False
     )
-    pieces = docs.join(F.broadcast(comps_ok), "L").select(
-        "doc_id",
-        "mask",
-        F.expr(
-            "substring(s, CAST(seg_start AS INT), CAST(seg_len AS INT))"
-        ).alias("piece"),
-    )
-    # NOTE: four downstream branches re-derive this explode+broadcast
-    # join; a lazy localCheckpoint here was MEASURED SLOWER (20.9 s vs
-    # 10.8 s at sf0.1 — materializing 4.8M rows costs more than the
-    # three cheap recomputes). Don't re-try.
-    subs = (
+    # r14 reformulation (guide §2.3/§2.4): the old form materialized
+    # `pieces` = docs x comps_ok with a substring() eval and a
+    # string-keyed score probe per (doc, mask, seg) row — ~4.8M heavy
+    # rows recomputed once per EM half-step (4x per query; an eager
+    # checkpoint of it was MEASURED SLOWER in r12, 20.9 vs 10.8 s).
+    # A segment's piece only depends on (doc, seg_start, seg_len), and
+    # there are only ~42 distinct (start, len) substrings per 12-char
+    # doc — so score each DISTINCT per-doc substring once (`docsub`,
+    # ~21k rows at sf0.1) and expand to (doc, mask, seg) afterwards
+    # with a long-keyed broadcast probe carrying just the score. The
+    # single keyed repartition("doc_id") is shared by every downstream
+    # aggregation via the subset rule (groupBy(doc_id, mask) and
+    # groupBy(doc_id) both cluster on a superset of {doc_id}), so each
+    # EM round plans ZERO new exchanges on the corpus-expansion path.
+    docsub = (
         docs.select(
-            "s", "L", F.explode(F.expr("sequence(1, 4)")).alias("n")
+            "doc_id", "s", "L",
+            F.explode(F.expr("sequence(1, 4)")).alias("n"),
         )
         .filter(F.col("n") <= F.col("L"))
         .select(
-            "s", "n",
+            "doc_id", "s", "L", "n",
             F.explode(F.expr("sequence(1, L - n + 1)")).alias("p"),
         )
         .select(
+            "doc_id",
+            "L",
+            "p",
+            "n",
             F.expr("substring(s, CAST(p AS INT), CAST(n AS INT))").alias(
                 "piece"
-            )
+            ),
         )
+        .repartition("doc_id")
+        .localCheckpoint(eager=False)
     )
     v0 = (
-        subs.groupBy("piece")
+        docsub.groupBy("piece")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .filter((F.col("cnt") >= 2) | (F.length("piece") == 1))
+    )
+    # comps_ok keyed for the (L, start, len) expansion probe
+    segtab = comps_ok.select(
+        "L",
+        F.col("seg_start").alias("p"),
+        F.col("seg_len").alias("n"),
+        "mask",
     )
 
     def lnq(col):
@@ -10160,24 +10190,43 @@ def llm_unigram_lm_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def segment_usage(scores):
         # Viterbi by enumeration: argmin total cost over VALID masks
-        # (every piece in vocab), ties to the smallest mask
-        j = pieces.join(F.broadcast(scores), "piece", "left")
-        m = j.groupBy("doc_id", "mask").agg(
+        # (every piece in vocab), ties to the smallest mask.
+        # Scores attach at (doc, p, n) granularity (one probe per
+        # DISTINCT per-doc substring), then expand to (doc, mask, seg)
+        # by the data-independent segment table — each segment of each
+        # mask matches exactly ONE docsub row (seg_start <= L-seg_len+1
+        # always), so counts/sums equal the old per-piece form row for
+        # row. The argmin is the fused min(struct(cost, mask)) (exact
+        # integer cost, mask unique per group — identical to
+        # ROW_NUMBER() ORDER BY cost, mask = 1), a partial-aggregating
+        # hash agg instead of a rank window sort.
+        dsc = docsub.join(F.broadcast(scores), "piece", "left")
+        m = dsc.join(F.broadcast(segtab), ["L", "p", "n"]).groupBy(
+            "doc_id", "mask"
+        ).agg(
             F.count(F.lit(1)).alias("n_seg"),
             F.count("score").alias("n_ok"),
             F.sum("score").alias("cost"),
         )
-        wv = W.partitionBy("doc_id").orderBy("cost", "mask")
         won = (
             m.filter(F.col("n_ok") == F.col("n_seg"))
-            .select(
-                "doc_id", "mask", F.row_number().over(wv).alias("rn")
-            )
-            .filter(F.col("rn") == 1)
-            .select("doc_id", "mask")
+            .groupBy("doc_id")
+            .agg(F.min(F.struct("cost", "mask")).alias("w"))
+            .select("doc_id", F.col("w.mask").alias("mask"))
         )
-        return pieces.join(won, ["doc_id", "mask"]).groupBy("piece").agg(
-            F.count(F.lit(1)).alias("cnt")
+        # usage = the winner's segment list only (~5 rows/doc) — no
+        # second corpus-expansion pass
+        return (
+            won.join(docs, "doc_id")
+            .join(F.broadcast(comps_ok), ["L", "mask"])
+            .select(
+                F.expr(
+                    "substring(s, CAST(seg_start AS INT),"
+                    " CAST(seg_len AS INT))"
+                ).alias("piece")
+            )
+            .groupBy("piece")
+            .agg(F.count(F.lit(1)).alias("cnt"))
         )
 
     sc0 = scored(v0)
