@@ -585,6 +585,12 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_batch(
         spark, sf_dir, "ssjoin", join_pairs, output_mode="append",
         partitions=4,
+        # r14: INNER join — every pair emits on match, so the trailing
+        # no-data micro-batch does pure state cleanup; skipping it cuts
+        # one of three batches (~0.7 s of 2.6 s, measured). The OUTER
+        # twins keep it: their null-side emission REQUIRES the final
+        # watermark-advancing batch (see run_stream_to_batch).
+        no_data_batch=False,
     )
 
 

@@ -168,6 +168,7 @@ def run_stream_to_batch(
     output_mode: str = "append",
     partitions: int = 1,
     three_way: bool = False,
+    no_data_batch: bool = True,
 ) -> DataFrame:
     """Replay staged event files through readStream → transform → memory
     sink; returns the drained sink as a DataFrame.
@@ -177,6 +178,14 @@ def run_stream_to_batch(
     (measured 3.3s → 1.3s at sf0.1); Python stateful operators
     (applyInPandasWithState) want parallelism across their Python
     workers instead — pass more.
+
+    ``no_data_batch``: pass False ONLY for transforms whose emitted
+    rows cannot depend on the final no-data micro-batch — an INNER
+    stream-stream join emits on match, so the trailing batch does pure
+    state cleanup (~0.7 s of a 2.6 s replay, measured r14). Watermarked
+    aggregations in append mode and OUTER joins NEED it: their final
+    windows / null-side rows only emit when the advanced watermark is
+    processed, which availableNow only guarantees via that batch.
     """
     if three_way:
         src, ckpt = stage_event_files_3way(spark, sf_dir, tag)
@@ -184,15 +193,22 @@ def run_stream_to_batch(
         src, ckpt = stage_event_files(spark, sf_dir, tag, late_fraction)
     stream = read_staged_stream(spark, src)
     sink = f"sink_{tag}_{uuid.uuid4().hex[:8]}"
+    conf_key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    prev_ndb = spark.conf.get(conf_key)
     with replay_shuffle(spark, partitions):
-        q = (
-            transform(stream)
-            .writeStream.format("memory")
-            .queryName(sink)
-            .outputMode(output_mode)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        if not no_data_batch:
+            spark.conf.set(conf_key, "false")
+        try:
+            q = (
+                transform(stream)
+                .writeStream.format("memory")
+                .queryName(sink)
+                .outputMode(output_mode)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set(conf_key, prev_ndb)
     return spark.table(sink)
