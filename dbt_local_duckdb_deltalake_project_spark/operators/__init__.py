@@ -39,27 +39,30 @@ for _m in _MODULES:
 # the back. Within the window, cheaper queries come first in case the
 # window is time-budgeted. Rotate this list each round as rows come back.
 _WINDOW_FIRST = [
-    # --- r13 window head: ids r13 changed. Both are the ADVICE r12
-    # BIGINT-wrap hardenings (value-identical at every tested scale,
-    # but the edited impl still re-proves): agg_raking_ipf +
-    # agg_hhi_concentration now widen the SUMMAND to DECIMAL(38,0)
-    # before the SUM, matching the oracles' HUGEINT accumulation
-    # (the agg_ipw_ate/graph_hits wrap class). Simmed green at
-    # sf0.01 + sf0.1 + 10x post-edit.
-    "agg_raking_ipf", "agg_hhi_concentration",
-    # --- r13 OPTIMIZATION-phase changed ids (implementation rewritten,
-    # values proven identical: byte-compared learner rows at 2 scales
-    # and oracle sims MATCH — see OPTIMIZATION_r13.md): the BPE learner
-    # (single-pass merge windows + fused argmax; wordpiece_learn shares
-    # the helper and already sits in the never-checked head),
-    # the per-step-checkpointed LMS trainer, the sketch-merge boundary
-    # count, and the cascade stats checkpoint. ---
-    "llm_bpe_learn", "llm_classifier_train_lms",
-    "agg_quantile_sketch_merge", "pipeline_dedup_cascade",
-    # --- the rest of the 50-slot window fills automatically: r13's
-    # new never-checked ops (see CORRECTNESS_r12/CLAUDE.md — the
-    # automatic rotation derives the set), then the stalest
-    # driver-green ids (the r3 cohort is next). ---
+    # --- r14 window head: ids the r14 OPTIMIZATION round changed
+    # (implementation rewritten/retuned, values proven identical:
+    # driver sims MATCH at sf0.01 + sf0.1 in fresh vanilla processes,
+    # full-registry sf0.01 sim 468/468 on the changed tree — see
+    # OPTIMIZATION_r14.md). Cheaper ids first.
+    # Broadcast-pinned iterative graph family (+ long node keys on
+    # pagerank/bfs):
+    "graph_kcore_peel", "graph_label_propagation", "graph_hits",
+    "graph_pagerank", "graph_bfs_shortest_path",
+    "graph_personalized_pagerank",
+    # inner stream-stream twin skips the no-data finalization batch;
+    # the two OUTER twins re-prove the shared run_stream_to_batch
+    # wrapper (they are the ops whose null emission DEPENDS on the
+    # no-data batch the flag controls — 16/16 consumer sim green):
+    "stream_stream_join", "stream_left_outer_join",
+    "stream_full_outer_join",
+    # distinct-substring-scored unigram learner (the VERDICT r13 item-1
+    # rewrite) and the BPE learner's empty-argmax guard (ADVICE item;
+    # fixture values unchanged):
+    "llm_unigram_lm_learn", "llm_bpe_learn",
+    # --- the rest of the 50-slot window fills automatically with the
+    # stalest driver-green ids (every registry id has a record since
+    # r12; llm_bpe_apply re-checks via _FORCE_RECHECK@14 — the one
+    # r13 verification gap VERDICT flagged). ---
 ]
 
 # The round whose driver row SATISFIES a _WINDOW_FIRST entry: once an id
@@ -68,7 +71,7 @@ _WINDOW_FIRST = [
 # rotation) — the next round's 50 slots all go to the backlog without
 # waiting for a manual list edit. Bump when repopulating _WINDOW_FIRST
 # for a new round's changes.
-_WINDOW_FIRST_ROUND = 13
+_WINDOW_FIRST_ROUND = 14
 
 
 # Directly behind the window: first the regression breadth mix (one-plus
@@ -250,7 +253,11 @@ _FORCE_RECHECK = {
     # (oracle changed), the CDF stream reader is partitioned, the
     # microbatch commits via dynamic partition overwrite — only an r10
     # record verifies the current code
-    "llm_bpe_apply": 10,
+    # r14 bump (VERDICT r13 item 6): bpe_apply's staged merge-table
+    # input comes from _bpe_learn_rows, rewritten in r13's optimization
+    # phase (byte-identity proven at two scales but never
+    # driver-re-verified) — close the gap with a fresh r14 row
+    "llm_bpe_apply": 14,
     "llm_bpe_learn": 10,
     "llm_dedup_prefix": 10,
     "stream_change_data_feed": 10,
