@@ -46,8 +46,8 @@ _WINDOW_FIRST = [
     # OPTIMIZATION_r14.md). Cheaper ids first.
     # Broadcast-pinned iterative graph family (+ long node keys on
     # pagerank/bfs):
-    "graph_kcore_peel", "graph_label_propagation", "graph_hits",
-    "graph_pagerank", "graph_bfs_shortest_path",
+    "graph_kcore_peel", "graph_label_propagation", "graph_modularity",
+    "graph_hits", "graph_pagerank", "graph_bfs_shortest_path",
     "graph_personalized_pagerank",
     # inner stream-stream twin skips the no-data finalization batch;
     # the two OUTER twins re-prove the shared run_stream_to_batch

@@ -1129,9 +1129,17 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     lab = edges.select(F.col("src").alias("node"), F.col("src").alias("label")).distinct()
+    # r14 (guide §3.1): same fix as graph_label_propagation — the label
+    # table is NODE-sized but derives from aggregations, so ballooned
+    # estimates degraded every loop/consumer join to a SortMergeJoin
+    # reshuffling the checkpointed edge/pair lists (13 SMJ, 32
+    # Exchanges planned); broadcasts pin the key-partitioned shape the
+    # docstring argues. (Long node keys are NOT applicable here:
+    # min-label propagation orders LABELS as strings, so the encoding
+    # would change which label wins.)
     for _ in range(3):
         lab = (
-            edges.join(lab, edges.src == lab.node)
+            edges.join(F.broadcast(lab), edges.src == lab.node)
             .groupBy(edges.dst)
             .agg(
                 F.least(F.min("label"), F.min(edges.dst)).alias("label")
@@ -1141,7 +1149,7 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = pairs.agg(F.count(F.lit(1)).alias("m"))
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     tot = (
-        lab.join(deg, lab.node == deg.src)
+        lab.join(F.broadcast(deg), lab.node == deg.src)
         .groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("n_members"),
@@ -1152,14 +1160,14 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     lc = lab.select(F.col("node").alias("cnode"), F.col("label").alias("clabel"))
     ls = lab.select(F.col("node").alias("snode"), F.col("label").alias("slabel"))
     inc = (
-        pairs.join(lc, pairs.c == lc.cnode)
-        .join(ls, pairs.s == ls.snode)
+        pairs.join(F.broadcast(lc), pairs.c == lc.cnode)
+        .join(F.broadcast(ls), pairs.s == ls.snode)
         .filter(F.col("clabel") == F.col("slabel"))
         .groupBy(F.col("clabel").alias("community"))
         .agg(F.count(F.lit(1)).alias("in_edges"))
     )
     return (
-        tot.join(inc, "community", "left")
+        tot.join(F.broadcast(inc), "community", "left")
         .crossJoin(F.broadcast(m))
         .select(
             "community",

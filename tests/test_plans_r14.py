@@ -28,6 +28,7 @@ def test_iterative_graph_family_broadcasts_node_sized_iterate(
         "graph_label_propagation",
         "graph_kcore_peel",
         "graph_hits",
+        "graph_modularity",
     ):
         p = plan(QUERIES[qid](spark, sf_dir))
         assert "SortMergeJoin" not in p, qid
